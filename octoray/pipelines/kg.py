@@ -1,0 +1,146 @@
+"""End-to-end KG construction pipeline (the flagship).
+
+Ray shape (SURVEY.md §3.1):
+
+    pages (url, warc_ts, html, text, lang)
+      -> map_batches(extract_text)          stateless, Arrow zero-copy
+      -> map_batches(MentionEmitter, ...)   actor pool (lexicons in __init__)
+      -> local dedup combiner               per-batch Arrow group_by
+      -> groupby(s,p,o,dt)                  the dedup shuffle (D1)
+      -> sort(s,p,o,dt)                     deterministic golden order
+      -> write_parquet per shard            + lineage manifest (resume)
+
+The whole thing streams: no driver-side row loops, no mid-pipeline
+materialization.  Replaces the reference's single-process prep path
+(ui.py:903-929) and its in-RAM rdflib graph (ui.py:20-39, X5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+from octoray.sources.webtext import pages_batch, pages_dataset
+from octoray.stages.canon import TRIPLE_COLS, canonicalize, dedup_triples
+from octoray.stages.extract import extract_text_batch
+from octoray.stages.scan import MentionEmitter
+
+
+def build_triples(
+    pages_ds,
+    *,
+    emitter_concurrency=None,
+    batch_size: int = 2048,
+    keep_src: bool = False,
+):
+    """pages Dataset -> raw (pre-dedup) triples Dataset."""
+    ds = pages_ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    if emitter_concurrency is None:
+        # actor pool sized to the session CPUs (callable classes require
+        # an explicit pool size); autoscaling range keeps small runs lean
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        emitter_concurrency = (1, max(2, n))
+    ds = ds.map_batches(
+        MentionEmitter,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=emitter_concurrency,
+    )
+    if not keep_src:
+        ds = ds.select_columns(TRIPLE_COLS)
+    return ds
+
+
+def kg_from_pages(pages_ds, *, emitter_concurrency=None, local_only: bool = False):
+    """pages -> canonical sorted+deduped triple Dataset."""
+    triples = build_triples(pages_ds, emitter_concurrency=emitter_concurrency)
+    return canonicalize(triples, local_only=local_only)
+
+
+def synth_kg(n_pages: int, seed: int = 42, **kwargs):
+    """Synthesized pages -> canonical triples (test/bench entry)."""
+    return kg_from_pages(pages_dataset(n_pages, seed=seed), **kwargs)
+
+
+def run_kg_build(
+    n_pages: int,
+    out_dir: str,
+    *,
+    seed: int = 42,
+    n_shards: int = 8,
+    emitter_concurrency=None,
+    resume: bool = True,
+) -> dict:
+    """Sharded, resumable KG build over the synthetic crawl.
+
+    Each shard covers a contiguous page-id range, is built and
+    canonicalized independently, and lands in ``shard=K/`` with a
+    lineage manifest — the scale analogue of the reference's per-month
+    ttl cache (ui.py:756-758).  Dedup within a shard is exact; the
+    optional ``compact`` pass gives global exactness.
+    """
+    from octoray.state import manifest as mf
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_pages + n_shards - 1) // n_shards
+    shard_ids = [f"{k:05d}" for k in range(n_shards)]
+    todo = mf.pending_shards(out_dir, shard_ids) if resume else shard_ids
+
+    done = []
+    for sid in todo:
+        k = int(sid)
+        lo, hi = k * per, min((k + 1) * per, n_pages)
+        if lo >= hi:
+            mf.write_manifest(out_dir, sid, inputs=[], rows_in=0, triples_out=0)
+            continue
+        import ray.data as rd
+
+        pages = rd.range(hi - lo).map_batches(
+            lambda b, lo=lo: pages_batch(b["id"] + lo, seed=seed),
+            batch_format="numpy",
+            batch_size=4096,
+        )
+        triples = kg_from_pages(pages, emitter_concurrency=emitter_concurrency)
+        d = mf.shard_dir(out_dir, sid)
+        triples.write_parquet(d)
+        # count from parquet metadata, not a second pipeline run
+        import pyarrow.parquet as pq
+
+        n_out = sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        mf.write_manifest(
+            out_dir,
+            sid,
+            inputs=[f"synth:pages[{lo}:{hi}]"],
+            rows_in=hi - lo,
+            triples_out=n_out,
+        )
+        done.append(sid)
+
+    return {
+        "out_dir": out_dir,
+        "shards": len(shard_ids),
+        "built": done,
+        "skipped": [s for s in shard_ids if s not in done],
+        "manifests": mf.read_all(out_dir),
+    }
+
+
+def read_kg(out_dir: str):
+    """Read a built KG (all shards) as one Dataset."""
+    import ray.data as rd
+
+    return rd.read_parquet(out_dir)
+
+
+def compact(out_dir: str, compact_dir: str):
+    """Global exact dedup + sort across shards (idempotent-upload
+    semantics of K4 at the whole-graph level)."""
+    ds = canonicalize(read_kg(out_dir))
+    ds.write_parquet(compact_dir)
+    return compact_dir

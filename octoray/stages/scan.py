@@ -1,0 +1,148 @@
+"""Mention detection + triple emission over free text.
+
+The north star's "batched mention detection and entity-link scoring
+against a broadcast flu-entity dictionary": a callable CLASS for
+``map_batches(MentionEmitter, concurrency=N)`` — the combined scan
+regex, geo vocabulary alternation, and edit-1 spell dictionaries are
+compiled ONCE per actor in ``__init__`` (reference analogue: octoFLU's
+loaded-once reference index, script.py:175-277 / SURVEY §2.9 X1-X3).
+
+Per page: find candidate spans (strain grammar first, then ids/dates/
+subtypes, then vocabulary terms), mask as we go so a barcode inside a
+strain name is not double-counted, Datum-cast each span with the
+recognizer registry (classes.py:85-92), then run the reference's
+Phrase.connect emission (emit.py) — a 1->N fan-out with no shuffle.
+
+Output: triple batches (subject, predicate, object, object_datatype)
+plus ``src`` (page url) for lineage; dedup happens downstream in the
+canonicalization shuffle (stages/canon.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+import pyarrow as pa
+
+from octoray import emit, recognize as R
+from octoray.functions import geography
+from octoray.sources.webtext import COUNTRIES, STATES
+
+TRIPLE_SRC_SCHEMA = pa.schema(
+    [
+        ("subject", pa.string()),
+        ("predicate", pa.string()),
+        ("object", pa.string()),
+        ("object_datatype", pa.string()),
+        ("src", pa.string()),
+    ]
+)
+
+_MONTH_NAMES = (
+    "January|February|March|April|May|June|July|August|September|October|"
+    "November|December"
+)
+_MONTH_ABBR = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+
+
+def _build_scan_regex() -> re.Pattern:
+    """One combined alternation; longest/most-specific first."""
+    strain = r"\(?[ABCD]/[A-Za-z0-9_.'-]+(?:/[A-Za-z0-9_.'-]+)+\)?"
+    epi_isl = r"EPI_ISL_\d+"
+    epi_id = r"EPI_?\d{3,}"
+    barcode = r"A0\d{7}|\d+TOSU\d+"
+    genbank = r"[A-Z][A-Z]?\d{5,7}"
+    date = "|".join(
+        [
+            rf"(?:{_MONTH_NAMES})\s+\d{{1,2}},\s*\d{{4}}",  # May 31, 2018
+            rf"\d{{1,2}}-(?:{_MONTH_ABBR})-\d{{4}}",  # 05-Jun-2011
+            r"\d{4}-\d{2}-\d{2}",  # 2011-05-31
+            r"\d{2}/\d{2}/\d{4}",  # 05/31/2011
+            r"\d{4}/\d{2}",  # 2011/05
+        ]
+    )
+    subtype = r"(?:A/)?H\d+(?:hu|sw|av)?N\d+v?|[Mm][Ii][Xx][Ee][Dd]"
+    # NB: trailing [0-9a-zA-Z] anchor keeps a sentence period out of the span
+    clade = r"\d[ABC](?:[._-]\d+){1,4}(?:[_-]?like)?(?:[_-]?vaccine)?|3\.[12][09]\d0\.[0-9.a-zA-Z-]*[0-9a-zA-Z]"
+    pattern = "|".join(
+        f"(?P<{name}>{pat})"
+        for name, pat in [
+            ("strain", strain),
+            ("epi_isl", epi_isl),
+            ("barcode", barcode),
+            ("epi_id", epi_id),
+            ("date", date),
+            ("clade", clade),
+            ("subtype", subtype),
+            ("genbank", genbank),
+        ]
+    )
+    return re.compile(r"(?<![A-Za-z0-9_/.-])(?:" + pattern + r")(?![A-Za-z0-9_])")
+
+
+def _build_vocab_regex() -> re.Pattern:
+    """Host + geographic names, longest first, word-bounded."""
+    terms = sorted(set(STATES) | set(COUNTRIES), key=len, reverse=True)
+    geo = "|".join(re.escape(t) for t in terms)
+    return re.compile(rf"\b(?P<host>swine|human)\b|\b(?P<geo>{geo})\b")
+
+
+class MentionEmitter:
+    """Actor-pool stage: pages (url, text) -> triples (+src)."""
+
+    def __init__(self):
+        self.scan = _build_scan_regex()
+        self.vocab = _build_vocab_regex()
+        # force the edit-1 dictionaries to build now, once per actor
+        geography.state_to_code("iowa")
+        geography.country_to_code("canada")
+
+    def page_mentions(self, text: str) -> List[str]:
+        """Candidate field strings in span order, masked left-to-right."""
+        spans: List[str] = []
+        consumed: List[Tuple[int, int]] = []
+        for m in self.scan.finditer(text):
+            spans.append(m.group(0))
+            consumed.append(m.span())
+
+        def free(i: int, j: int) -> bool:
+            return all(j <= a or i >= b for a, b in consumed)
+
+        for m in self.vocab.finditer(text):
+            if free(*m.span()):
+                spans.append(m.group(0))
+        return spans
+
+    def emit_page(self, url: str, text: str) -> List[emit.Triple]:
+        spans = self.page_mentions(text)
+        if not spans:
+            return []
+        mentions = [emit.make_mention(R.cast_datum(s), s) for s in spans]
+        return list(emit.connect(mentions, levels=None))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        s: List[str] = []
+        p: List[str] = []
+        o: List[str] = []
+        dt: List[str] = []
+        src: List[str] = []
+        for url, text in zip(urls, texts):
+            triples = self.emit_page(url, text)
+            for t in triples:
+                s.append(t[0])
+                p.append(t[1])
+                o.append(t[2])
+                dt.append(t[3])
+                src.append(url)
+        return pa.table(
+            {
+                "subject": pa.array(s, pa.string()),
+                "predicate": pa.array(p, pa.string()),
+                "object": pa.array(o, pa.string()),
+                "object_datatype": pa.array(dt, pa.string()),
+                "src": pa.array(src, pa.string()),
+            }
+        )

@@ -1,0 +1,120 @@
+"""End-to-end KG pipeline tests: P/R gate, extraction invariant,
+canonicalization determinism, skew-safe aggregation, resume."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from octoray.sources import webtext
+from octoray.stages.scan import MentionEmitter
+
+N_GOLDEN = 1500  # pages for the P/R gate (driver-side, no Ray needed)
+
+
+def test_scan_emit_pr_gate():
+    """P/R >= 0.95 vs the reference emitter semantics (BASELINE.md).
+    The truth side runs the ported reference emission on the known
+    embedded fields; the scan side must rediscover them from raw text."""
+    em = MentionEmitter()
+    tp = fp = fn = 0
+    for pid in range(N_GOLDEN):
+        row, _ = webtext.page_record(pid)
+        truth = webtext.truth_triples(pid)
+        got = set(em.emit_page(row["url"], row["text"]))
+        tp += len(truth & got)
+        fp += len(got - truth)
+        fn += len(truth - got)
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+
+def test_synthesis_deterministic_across_batching():
+    """Page content must not depend on batch boundaries."""
+    import numpy as np
+
+    one = webtext.pages_batch(np.arange(0, 64))
+    a = webtext.pages_batch(np.arange(0, 31))
+    b = webtext.pages_batch(np.arange(31, 64))
+    two = pa.concat_tables([a, b])
+    assert one.equals(two)
+
+
+def test_extraction_invariant(ray_session):
+    from octoray.stages.extract import verify_extraction_batch
+
+    ds = webtext.pages_dataset(300).map_batches(
+        verify_extraction_batch, batch_format="pyarrow"
+    )
+    rows = ds.take_all()
+    assert len(rows) == 300
+    assert all(r["text_ok"] for r in rows)
+
+
+def test_kg_end_to_end_canonical(ray_session):
+    """Full pipeline: dedup leaves no duplicates; output is sorted;
+    two runs are byte-identical (determinism under parallelism)."""
+    from octoray.pipelines import kg
+
+    t1 = pa.Table.from_pylist(kg.synth_kg(400).take_all())
+    t2 = pa.Table.from_pylist(kg.synth_kg(400).take_all())
+    assert t1.num_rows > 0
+    assert t1.equals(t2)
+    # no duplicate rows
+    keys = list(zip(*[t1.column(c).to_pylist() for c in t1.schema.names]))
+    assert len(keys) == len(set(keys))
+    # sorted canonically
+    assert keys == sorted(keys)
+
+
+def test_kg_matches_truth_union(ray_session):
+    """Pipeline triples == union of per-page truth triples, deduped."""
+    from octoray.pipelines import kg
+
+    got = {
+        (r["subject"], r["predicate"], r["object"], r["object_datatype"])
+        for r in kg.synth_kg(300).take_all()
+    }
+    truth = set()
+    for pid in range(300):
+        truth |= webtext.truth_triples(pid)
+    assert got == truth
+
+
+def test_subject_degree_combined_equals_naive(ray_session):
+    """The skew-safe pre-combined aggregate must equal the naive
+    single-shuffle groupby (salted == unsalted correctness, §4.3)."""
+    from octoray.pipelines import kg
+    from octoray.stages import canon
+    from octoray.sources.webtext import pages_dataset
+
+    triples = kg.build_triples(pages_dataset(200), emitter_concurrency=2)
+    a = {(r["subject"], r["degree"]) for r in canon.subject_degree(triples, combined=True).take_all()}
+    b = {(r["subject"], r["degree"]) for r in canon.subject_degree(triples, combined=False).take_all()}
+    assert a == b
+
+
+def test_sharded_build_resume(ray_session, tmp_path):
+    """Kill/resume semantics: a second run skips completed shards and
+    the final output equals a fresh full build."""
+    from octoray.pipelines import kg
+    from octoray.state import manifest as mf
+
+    out = str(tmp_path / "kg")
+    r1 = kg.run_kg_build(200, out, n_shards=4, emitter_concurrency=2)
+    assert len(r1["built"]) == 4
+    # simulate a lost shard: delete one manifest
+    os.remove(mf.manifest_path(out, "00002"))
+    r2 = kg.run_kg_build(200, out, n_shards=4, emitter_concurrency=2)
+    assert r2["built"] == ["00002"]
+    assert sorted(r2["skipped"]) == ["00000", "00001", "00003"]
+    # full graph equals an unsharded build (after global dedup)
+    from octoray.stages.canon import canonicalize
+
+    got = pa.Table.from_pylist(canonicalize(kg.read_kg(out)).take_all())
+    want = pa.Table.from_pylist(kg.synth_kg(200).take_all())
+    assert got.equals(want)
