@@ -1,0 +1,142 @@
+"""Mini triple-pattern query layer over the triple Dataset.
+
+Replaces the reference's SPARQL/GraphDB analytics path (§3.3) with
+Ray-Data-native building blocks:
+
+  - ``values_of``        predicate-filtered (subject, object) projection
+                         — one `?s f:p ?o` pattern
+  - ``pivot_subjects``   multi-predicate pivot: one row per subject with
+                         list-valued columns — the SPARQL subject
+                         self-join family (J3) done as ONE groupby
+                         instead of N-1 hash joins
+  - ``hash_join``        Dataset.join wrapper (J3 across entities)
+  - ``broadcast_semi_join`` / ``broadcast_anti_join``
+                         tag restriction (J7) / NOT-EXISTS (J8) against
+                         a small key set shipped once via ray.put
+  - ``tagged_subjects``  tag id-resolution union (J6)
+
+Partitioning note (north rule): every helper keys its shuffle on the
+subject URI, the same key the canonicalization shuffle uses, so a
+pipeline that chains them re-uses co-location instead of re-keying.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def values_of(triples, predicate: str, *, subject_col: str = "subject", value_col: str = "value"):
+    """`?s <predicate> ?o` -> Dataset[(subject, value)] (vectorized)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("predicate"), pa.scalar(predicate))
+        sel = t.filter(mask)
+        return pa.table({subject_col: sel.column("subject"), value_col: sel.column("object")})
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def filter_predicates(triples, predicates: Sequence[str]):
+    preds = pa.array(list(predicates), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("predicate"), value_set=preds))
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def pivot_subjects(triples, spec: Dict[str, str], *, key: str = "subject"):
+    """One row per subject; ``spec`` maps output column -> predicate.
+    Values are '+'-joined distinct strings (the reference's
+    GROUP_CONCAT(DISTINCT ...; separator='+') convention,
+    masterlist.rq:8-21), so downstream code can reuse the reference's
+    split-on-'+' accessor semantics (recipes.py:229-241).
+    """
+    pred_to_col = {p: c for c, p in spec.items()}
+    wanted = filter_predicates(triples, list(spec.values()))
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        out = {key: [g["subject"].iloc[0]]}
+        for col, pred in spec.items():
+            vals = g.loc[g["predicate"] == pred, "object"]
+            seen: List[str] = []
+            for v in vals:
+                if v not in seen:
+                    seen.append(v)
+            out[col] = ["+".join(seen)]
+        return pd.DataFrame(out)
+
+    return wanted.groupby("subject").map_groups(pivot, batch_format="pandas")
+
+
+def hash_join(left, right, on: str, right_on: Optional[str] = None, *, how: str = "inner", num_partitions: int = 16):
+    """Dataset.join wrapper with an explicit partition count."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+    )
+
+
+def broadcast_keys(keys) -> "ray.ObjectRef":  # noqa: F821
+    """Ship a small key set to the cluster ONCE (ray.put), to be read
+    inside map_batches by every task — never per batch."""
+    import ray
+
+    return ray.put(frozenset(keys))
+
+
+def broadcast_semi_join(ds, col: str, keys_ref):
+    """Keep rows whose ``col`` is in the broadcast key set (J7)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import ray
+
+        keys = keys_ref if isinstance(keys_ref, frozenset) else ray.get(keys_ref)
+        arr = pa.array(list(keys), pa.string())
+        return t.filter(pc.is_in(t.column(col), value_set=arr))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def broadcast_anti_join(ds, col: str, keys_ref):
+    """Drop rows whose ``col`` is in the broadcast key set (J8/J9 —
+    NOT EXISTS / incremental-resume anti-join)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import ray
+
+        keys = keys_ref if isinstance(keys_ref, frozenset) else ray.get(keys_ref)
+        arr = pa.array(list(keys), pa.string())
+        return t.filter(pc.invert(pc.is_in(t.column(col), value_set=arr)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+ID_PREDICATES = ["f:strain_name", "f:barcode", "f:epi_isolate", "f:genbank_id", "f:epi_id"]
+
+
+def tagged_subjects(triples, ids: Sequence[str], *, id_predicates: Sequence[str] = ID_PREDICATES):
+    """Resolve free-form identifiers to subject URIs — the UNION
+    id-resolution of get-tagged-strain.rq:21-31 (J6): a subject
+    matches if ANY of its id-predicate objects is in the tag set.
+    Small side broadcast; big side streams."""
+    keys = broadcast_keys(ids)
+    idt = filter_predicates(triples, list(id_predicates))
+
+    def f(t: pa.Table) -> pa.Table:
+        import ray
+
+        kk = keys if isinstance(keys, frozenset) else ray.get(keys)
+        arr = pa.array(list(kk), pa.string())
+        sel = t.filter(pc.is_in(t.column("object"), value_set=arr))
+        return pa.table({"subject": sel.column("subject")})
+
+    matched = idt.map_batches(f, batch_format="pyarrow")
+    return matched.groupby("subject").count().select_columns(["subject"])

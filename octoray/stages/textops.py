@@ -1,0 +1,140 @@
+"""Text analysis operators for large-scale corpus processing.
+
+Beyond the reference's operator set (SURVEY.md 'training-data ops'):
+language-ID, quality scoring, token counting, document fingerprinting.
+All are stateless vectorized ``map_batches`` stages over the
+``documents`` table schema (doc_id, text, lang, source, n_chars); the
+stopword profiles / compiled regexes are module-level (built once per
+worker process).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = r"\S+"
+_WORD_RE = r"[A-Za-z]+"
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+# (the GPT-2 pattern family, simplified to ASCII classes)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny stopword profiles for n-gram-free language ID (heuristic)
+_LANG_PROFILES: Dict[str, frozenset] = {
+    "en": frozenset("the of and to in a is that it for on with as are was".split()),
+    "es": frozenset("el la de que y en los se del las un por con no una".split()),
+    "fr": frozenset("le la de et les des en un du que pour dans ce une".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist".split()),
+}
+
+
+def token_counts(batch: pa.Table) -> pa.Table:
+    """doc_id + n_tokens (whitespace tokens) + n_bpe (BPE-ish pieces).
+    Pure pyarrow kernels — no Python loop."""
+    toks = pc.count_substring_regex(batch.column("text"), _TOKEN_RE)
+    bpe = pc.count_substring_regex(batch.column("text"), _BPE_RE)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(toks, pa.int64()),
+            "n_bpe": pc.cast(bpe, pa.int64()),
+        }
+    )
+
+
+def quality_scores(batch: pa.Table) -> pa.Table:
+    """Length / character-class / stopword quality signals, vectorized."""
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.count_substring_regex(text, _TOKEN_RE)
+    n_alpha = pc.count_substring_regex(text, r"[A-Za-z]")
+    n_digit = pc.count_substring_regex(text, r"[0-9]")
+    n_upper = pc.count_substring_regex(text, r"[A-Z]")
+    n_punct = pc.count_substring_regex(text, r"[.,;:!?]")
+    denom = pc.max_element_wise(pc.cast(n_chars, pa.float64()), 1.0)
+    tok_denom = pc.max_element_wise(pc.cast(n_tokens, pa.float64()), 1.0)
+    # stopword ratio needs tokenization; do it with one regex count per
+    # stopword alternation (still a C-level scan)
+    stop_alt = "|".join(sorted(_LANG_PROFILES["en"]))
+    n_stop = pc.count_substring_regex(text, rf"(?i)\b(?:{stop_alt})\b")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "alpha_ratio": pc.divide(pc.cast(n_alpha, pa.float64()), denom),
+            "digit_ratio": pc.divide(pc.cast(n_digit, pa.float64()), denom),
+            "upper_ratio": pc.divide(pc.cast(n_upper, pa.float64()), denom),
+            "punct_per_token": pc.divide(pc.cast(n_punct, pa.float64()), tok_denom),
+            "stop_per_token": pc.divide(pc.cast(n_stop, pa.float64()), tok_denom),
+        }
+    )
+
+
+class LangId:
+    """Actor-pool language ID: stopword-profile voting.  Profiles are
+    tiny but the per-language compiled alternations are built once per
+    actor (__init__), not per batch."""
+
+    def __init__(self):
+        self.patterns = {
+            lang: re.compile(rf"(?i)\b(?:{'|'.join(sorted(words))})\b")
+            for lang, words in _LANG_PROFILES.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs: List[str] = []
+        scores: List[float] = []
+        for t in texts:
+            best, best_n = "unknown", 0
+            n_tok = max(1, len(t.split()))
+            for lang, pat in self.patterns.items():
+                n = len(pat.findall(t))
+                if n > best_n:
+                    best, best_n = lang, n
+            langs.append(best if best_n > 0 else "unknown")
+            scores.append(best_n / n_tok)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(langs, pa.string()),
+                "lang_score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def _norm_ws(batch_text: pa.Array) -> pa.Array:
+    """Whitespace-collapse + lowercase normalization (shared with the
+    DuckDB oracle: lower(regexp_replace(text, '\\s+', ' ', 'g')))."""
+    collapsed = pc.replace_substring_regex(batch_text, r"\s+", " ")
+    return pc.utf8_lower(collapsed)
+
+
+def fingerprints(batch: pa.Table) -> pa.Table:
+    """Content fingerprints: md5 of normalized text (exact-dup key,
+    the chksum analogue — reference hash.py:7-13) + a 64-bit rolling
+    polynomial hash (rabin-style) over the same normalization."""
+    norm = _norm_ws(batch.column("text")).to_pylist()
+    md5s: List[str] = []
+    rolling: List[int] = []
+    B = 1000003
+    M = (1 << 61) - 1
+    for t in norm:
+        md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        h = 0
+        for ch in t.encode("utf-8"):
+            h = (h * B + ch) % M
+        rolling.append(h)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "md5": pa.array(md5s, pa.string()),
+            "rolling64": pa.array(rolling, pa.int64()),
+        }
+    )
