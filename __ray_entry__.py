@@ -1,44 +1,349 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline; ``queries()`` exposes one
+callable per implemented operator family from SURVEY.md §2 (+ the
+training-data ops); ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible query.  Cross-engine float parity follows
+``octoray/util.py``: exact integer-cents sums and the shared
+floor(x*10^d + 0.5)/10^d rounding formula on BOTH sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
 
+import os
+import re as _re
 from collections.abc import Callable
 from typing import Any
 
+# ----------------------------------------------------------------------
+# shared constants (must match the library defaults they mirror)
+# ----------------------------------------------------------------------
+_JACCARD_K = 3
+_KNN_IDS = [3, 7, 11, 19, 23]
+_KNN_K = 5
+_GAP_MIN = 30.0
+_GAP_US = int(_GAP_MIN * 60 * 1_000_000)
 
+
+def _sf_of(sf_dir: str) -> float:
+    m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# ----------------------------------------------------------------------
+# entry: the flagship KG construction pipeline
+# ----------------------------------------------------------------------
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic Common-Crawl-style pages UNION the sf0.001
+    documents table (adapted to the page contract) -> extract ->
+    mention scan/emit (actor pool) -> canonicalize (dedup shuffle +
+    sort).  Returns the canonical triple Dataset."""
+    from octoray.pipelines.kg import build_triples, docs_as_pages, pages_dataset
+    from octoray.stages.canon import canonicalize
+
+    pages = pages_dataset(500, seed=42)
+    t1 = build_triples(pages, extract=True)
+    docs = _docs("/root/testdata/sf0.001")
+    t2 = build_triples(docs_as_pages(docs), extract=False)
+    return canonicalize(t1.union(t2))
+
+
+# ----------------------------------------------------------------------
+# queries
+# ----------------------------------------------------------------------
+def _q_kg_build(sf_dir: str):
+    from octoray.pipelines.kg import synth_kg
+
+    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
+    return synth_kg(n_pages, seed=42)
+
+
+def _q_kg_subject_degree(sf_dir: str):
+    from octoray.pipelines.kg import build_triples, pages_dataset
+    from octoray.stages.canon import dedup_triples, subject_degree
+
+    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
+    triples = dedup_triples(build_triples(pages_dataset(n_pages, seed=42)))
+    return subject_degree(triples).sort("subject")
+
+
+def _q_kg_strain_dates(sf_dir: str):
+    """Triple-pattern query layer (J3 pivot family) over the built KG:
+    per strain subject, '+'-joined distinct dates and subtypes."""
+    from octoray.pipelines.kg import build_triples, pages_dataset
+    from octoray.query import pivot_subjects
+    from octoray.stages.canon import dedup_triples
+
+    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
+    triples = dedup_triples(build_triples(pages_dataset(n_pages, seed=42)))
+    return pivot_subjects(
+        triples, {"dates": "f:date", "subtypes": "f:subtype", "names": "f:strain_name"}
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from octoray.pipelines import relational as R
+    from octoray.stages import dedup as D
+    from octoray.stages import similarity as S
+    from octoray.stages import textops as T
+    from octoray.stages import windows as W
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def token_counts(sf_dir):
+        return _docs(sf_dir).map_batches(T.token_counts, batch_format="pyarrow")
+
+    def quality_scores(sf_dir):
+        return _docs(sf_dir).map_batches(T.quality_scores, batch_format="pyarrow")
+
+    def lang_id(sf_dir):
+        return _docs(sf_dir).map_batches(
+            T.LangId, batch_format="pyarrow", concurrency=(1, 2), batch_size=256
+        )
+
+    def fingerprints(sf_dir):
+        return (
+            _docs(sf_dir)
+            .map_batches(T.fingerprints, batch_format="pyarrow")
+            .select_columns(["doc_id", "md5"])
+        )
+
+    def doc_fingerprints_full(sf_dir):
+        return _docs(sf_dir).map_batches(T.fingerprints, batch_format="pyarrow")
+
+    return {
+        # --- KG construction (flagship; non-SQL -> rows-only checks) ---
+        "kg_build": _q_kg_build,
+        "kg_subject_degree": _q_kg_subject_degree,
+        "kg_strain_pivot": _q_kg_strain_dates,
+        # --- relational operator family (joins/aggregates, §2.5-2.6) ---
+        "pricing_summary": R.pricing_summary,
+        "orders_per_nation": R.orders_per_nation,
+        "customers_no_urgent_orders": R.customers_no_urgent_orders,
+        "building_priority": R.building_priority,
+        "nation_segments": R.nation_segments,
+        "order_quarters": R.order_quarters,
+        # --- windowed / sessionized aggregates (A5 family) ---
+        "monthly_rollup": lambda sf: W.monthly_rollup(_events(sf)),
+        "sessionize": lambda sf: W.sessionize(_events(sf), gap_minutes=_GAP_MIN),
+        "session_stats": lambda sf: W.session_stats(_events(sf), gap_minutes=_GAP_MIN),
+        # --- text analysis ops ---
+        "token_counts": token_counts,
+        "quality_scores": quality_scores,
+        "lang_id": lang_id,
+        "fingerprints": fingerprints,
+        "fingerprints_full": doc_fingerprints_full,
+        # --- dedup family (D1/D2 + near-dup) ---
+        "exact_dups": lambda sf: D.exact_dups(_docs(sf)),
+        "jaccard_pairs": lambda sf: D.jaccard_pairs(_docs(sf), k=_JACCARD_K),
+        "minhash_lsh_pairs": lambda sf: D.minhash_lsh_pairs(
+            _docs(sf), threshold=0.5, concurrency=(1, 2)
+        ),
+        "simhash_pairs": lambda sf: D.simhash_pairs(_docs(sf), max_hamming=3, concurrency=(1, 2)),
+        # --- similarity search over embeddings ---
+        "knn_brute": lambda sf: S.knn_brute(_embeddings(sf), _KNN_IDS, k=_KNN_K),
+        "knn_lsh": lambda sf: S.lsh_bucket_knn(_embeddings(sf), _KNN_IDS, k=_KNN_K),
+        "cosine_dup_pairs": lambda sf: S.cosine_dup_pairs(_embeddings(sf), threshold=0.4),
+    }
+
+
+# ----------------------------------------------------------------------
+# oracle SQL (DuckDB twins; identical column names and float recipes)
+# ----------------------------------------------------------------------
+_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+def _stop_pattern(lang: str) -> str:
+    from octoray.stages.textops import lang_pattern
+
+    return lang_pattern(lang)
+
+
+def _rnd(expr: str, d: int) -> str:
+    scale = 10**d
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    en, es, fr, de = (_stop_pattern(x) for x in ("en", "es", "fr", "de"))
+    tok = r"len(regexp_extract_all(text, '\S+'))"
+    knn_ids = ", ".join(str(i) for i in _KNN_IDS)
+
+    sessionize_sql = f"""
+        WITH g AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_id, user_id,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM g
     """
-    return {}
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                       AS sum_base_price,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "orders_per_nation": """
+            SELECT n_name, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "building_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            GROUP BY 1
+        """,
+        "nation_segments": """
+            SELECT n_name,
+                   string_agg(DISTINCT c_mktsegment, '+' ORDER BY c_mktsegment) AS segments
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "order_quarters": """
+            SELECT concat(CAST(year(o_orderdate) AS VARCHAR), 'Q',
+                          CAST((month(o_orderdate) + 2) // 3 AS VARCHAR)) AS quarter,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "monthly_rollup": """
+            SELECT event_type,
+                   CAST(year(ts) AS INTEGER) AS year,
+                   CAST(month(ts) AS INTEGER) AS month,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "sessionize": sessionize_sql,
+        "session_stats": f"""
+            WITH s AS ({sessionize_sql}),
+            per AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+                   max(n) AS max_session_len
+            FROM per GROUP BY 1
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   {tok} AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+                   CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0) AS upper_ratio,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                       / greatest(CAST({tok} AS DOUBLE), 1.0) AS punct_per_token,
+                   CAST(len(regexp_extract_all(text, '{en}')) AS DOUBLE)
+                       / greatest(CAST({tok} AS DOUBLE), 1.0) AS stop_per_token
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{en}')) AS n_en,
+                     len(regexp_extract_all(text, '{es}')) AS n_es,
+                     len(regexp_extract_all(text, '{fr}')) AS n_fr,
+                     len(regexp_extract_all(text, '{de}')) AS n_de,
+                     greatest({tok}, 1) AS n_tok
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN n_en > 0 AND n_en >= n_es AND n_en >= n_fr AND n_en >= n_de THEN 'en'
+                        WHEN n_es > 0 AND n_es >= n_fr AND n_es >= n_de THEN 'es'
+                        WHEN n_fr > 0 AND n_fr >= n_de THEN 'fr'
+                        WHEN n_de > 0 THEN 'de'
+                        ELSE 'unknown' END AS pred_lang,
+                   CAST(greatest(greatest(n_en, n_es), greatest(n_fr, n_de)) AS DOUBLE)
+                       / CAST(n_tok AS DOUBLE) AS lang_score
+            FROM c
+        """,
+        "fingerprints": f"""
+            SELECT doc_id, md5({_NORM}) AS md5 FROM documents
+        """,
+        "exact_dups": f"""
+            SELECT md5({_NORM}) AS md5, min(doc_id) AS rep_id, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "jaccard_pairs": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), t -> t <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                       WHEN len(toks) < {_JACCARD_K} THEN [array_to_string(toks, ' ')]
+                       ELSE [array_to_string(toks[i:i+{_JACCARD_K - 1}], ' ')
+                             for i in range(1, len(toks) - {_JACCARD_K - 2})]
+                  END) AS shingle
+                FROM norm)),
+            cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT id_a, id_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+                   {_rnd("CAST(n_common AS DOUBLE) / (CAST(ca.n_sh AS DOUBLE) + CAST(cb.n_sh AS DOUBLE) - CAST(n_common AS DOUBLE))", 6)} AS jaccard
+            FROM pr JOIN cnt ca ON pr.id_a = ca.doc_id
+                    JOIN cnt cb ON pr.id_b = cb.doc_id
+        """,
+        "knn_brute": f"""
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id IN ({knn_ids})),
+            scored AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+              FROM embeddings e, q WHERE e.vec_id <> q.qid),
+            ranked AS (SELECT query_id, neighbor_id, s,
+                       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+                       FROM scored)
+            SELECT query_id, neighbor_id, {_rnd('s', 6)} AS score
+            FROM ranked WHERE rn <= {_KNN_K}
+        """,
+        # kg_build / kg_subject_degree / kg_strain_pivot, minhash_lsh_pairs,
+        # simhash_pairs, knn_lsh, cosine_dup_pairs, fingerprints_full:
+        # non-SQL-expressible (recognizer emission / sketching / ANN) ->
+        # driver records the weaker rows-only check.
+    }

@@ -32,9 +32,15 @@ def build_triples(
     emitter_concurrency=None,
     batch_size: int = 2048,
     keep_src: bool = False,
+    extract: bool = True,
 ):
-    """pages Dataset -> raw (pre-dedup) triples Dataset."""
-    ds = pages_ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    """pages Dataset -> raw (pre-dedup) triples Dataset.
+
+    ``extract=False`` skips the html->text stage for inputs that carry
+    text directly (e.g. a documents table adapted via docs_as_pages)."""
+    ds = pages_ds
+    if extract:
+        ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
     if emitter_concurrency is None:
         # actor pool sized to the session CPUs (callable classes require
         # an explicit pool size); autoscaling range keeps small runs lean
@@ -53,9 +59,27 @@ def build_triples(
     return ds
 
 
-def kg_from_pages(pages_ds, *, emitter_concurrency=None, local_only: bool = False):
+def docs_as_pages(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Adapt a documents-style table to the (url, text) contract the
+    mention scanner reads — the 'any delimited document' generalization
+    of the reference's FASTA/TSV readers (SURVEY.md §1.3)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.cast(t.column(id_col), pa.string()),
+                "text": t.column(text_col),
+            }
+        )
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def kg_from_pages(pages_ds, *, emitter_concurrency=None, local_only: bool = False, extract: bool = True):
     """pages -> canonical sorted+deduped triple Dataset."""
-    triples = build_triples(pages_ds, emitter_concurrency=emitter_concurrency)
+    triples = build_triples(pages_ds, emitter_concurrency=emitter_concurrency, extract=extract)
     return canonicalize(triples, local_only=local_only)
 
 

@@ -92,6 +92,11 @@ def broadcast_keys(keys) -> "ray.ObjectRef":  # noqa: F821
     return ray.put(frozenset(keys))
 
 
+def _key_array(keys, col_type: pa.DataType) -> pa.Array:
+    """Key set -> Arrow array typed to match the probe column."""
+    return pa.array(list(keys), type=col_type)
+
+
 def broadcast_semi_join(ds, col: str, keys_ref):
     """Keep rows whose ``col`` is in the broadcast key set (J7)."""
 
@@ -99,7 +104,7 @@ def broadcast_semi_join(ds, col: str, keys_ref):
         import ray
 
         keys = keys_ref if isinstance(keys_ref, frozenset) else ray.get(keys_ref)
-        arr = pa.array(list(keys), pa.string())
+        arr = _key_array(keys, t.schema.field(col).type)
         return t.filter(pc.is_in(t.column(col), value_set=arr))
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -113,7 +118,7 @@ def broadcast_anti_join(ds, col: str, keys_ref):
         import ray
 
         keys = keys_ref if isinstance(keys_ref, frozenset) else ray.get(keys_ref)
-        arr = pa.array(list(keys), pa.string())
+        arr = _key_array(keys, t.schema.field(col).type)
         return t.filter(pc.invert(pc.is_in(t.column(col), value_set=arr)))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,422 @@
+"""Deduplication operators for large-scale corpus processing.
+
+The reference's dedup is exact-only (set-union of triples,
+classes.py:183-189; md5 content addressing, hash.py:7-13 — SURVEY.md
+§2.7 D1/D2).  At 100 TB a training-data pipeline also needs near-dup
+detection, so this module provides the standard family, each expressed
+Ray-Data-first:
+
+  exact_dups          md5-of-normalized-text groupby (D1/D2 analogue)
+  shingles            doc -> distinct word n-gram shingles (flat_map)
+  jaccard_pairs       exact n-gram Jaccard via a shingle inverted
+                      index: groupby(shingle) -> pairs -> groupby(pair)
+  MinHasher           per-doc 64-perm minhash signatures (actor pool,
+                      numpy-vectorized; seeds built once per actor)
+  minhash_lsh_pairs   banded LSH candidate generation + signature
+                      Jaccard verify
+  SimHasher           64-bit simhash + chunk-banded hamming candidates
+
+Scale notes (the part that matters at 10^12 docs):
+  - every pairwise step goes through an inverted index (groupby on
+    shingle / band-bucket), never a cross join;
+  - ubiquitous shingles are dropped with a ``max_df`` document-
+    frequency cap BEFORE pair expansion — the hot-key/skew guard: a
+    shingle appearing in f docs emits f(f-1)/2 pairs, so stop-shingle
+    removal is what keeps the shuffle bounded (same salting rationale
+    as the canonicalization shuffle, SURVEY.md §4.3);
+  - per-batch work is numpy over Arrow columns, signatures are
+    fixed-width list columns, and nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from octoray.stages.textops import _norm_ws
+
+_MASK = (1 << 64) - 1
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (same mix as sources/webtext.py)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_MASK)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_MASK)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(_MASK)
+    return x ^ (x >> np.uint64(31))
+
+
+def _shingle_strings(text: str, k: int) -> List[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    seen = set()
+    out: List[str] = []
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _hash_shingles(shingles: List[str]) -> np.ndarray:
+    """Deterministic 64-bit shingle hashes (md5-low64 — stable across
+    processes, unlike Python's salted hash())."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            for s in shingles
+        ],
+        dtype=np.uint64,
+    )
+
+
+# ----------------------------------------------------------------------
+# exact dedup (D1/D2 analogue over documents)
+# ----------------------------------------------------------------------
+def exact_dups(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """One row per distinct normalized-text md5: (md5, rep_id, n_docs).
+
+    rep_id is min(id) — the deterministic 'keep first' representative.
+    Combiner-friendly: Min/Count aggregate down a hash shuffle keyed on
+    the content address, the J2/D2 pattern.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def fp(batch: pa.Table) -> pa.Table:
+        norm = _norm_ws(batch.column(text_col)).to_pylist()
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+        return pa.table({"md5": pa.array(md5s, pa.string()), id_col: batch.column(id_col)})
+
+    return (
+        docs.map_batches(fp, batch_format="pyarrow")
+        .groupby("md5")
+        .aggregate(Min(id_col, alias_name="rep_id"), Count(alias_name="n_docs"))
+    )
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard via shingle inverted index
+# ----------------------------------------------------------------------
+def shingles(docs, *, id_col: str = "doc_id", text_col: str = "text", k: int = 5):
+    """Dataset[(id, shingle)] — distinct word k-grams per doc over
+    whitespace-collapsed lowercase text (1 -> N flat fan-out)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        norm = _norm_ws(batch.column(text_col)).to_pylist()
+        out_ids: List[int] = []
+        out_sh: List[str] = []
+        for i, t in zip(ids, norm):
+            for s in _shingle_strings(t, k):
+                out_ids.append(i)
+                out_sh.append(s)
+        return pa.table(
+            {id_col: pa.array(out_ids, batch.schema.field(id_col).type),
+             "shingle": pa.array(out_sh, pa.string())}
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def jaccard_pairs(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.0,
+    max_df: Optional[int] = None,
+):
+    """Exact pairwise n-gram Jaccard for every doc pair sharing >= 1
+    (non-stop) shingle: (id_a, id_b, n_common, n_a, n_b, jaccard).
+
+    Plan:  shingles -> [optional max_df stop-shingle filter] ->
+    groupby(shingle).map_groups(pair expansion) -> groupby(pair) count
+    -> join per-doc shingle counts (inner, on each side) -> jaccard.
+    id_a < id_b.  ``max_df`` drops shingles present in more than that
+    many docs before the quadratic expansion — required at scale.
+    """
+    from ray.data.aggregate import Count
+
+    sh = shingles(docs, id_col=id_col, text_col=text_col, k=k)
+
+    if max_df is not None:
+        def drop_stop(g: pd.DataFrame) -> pd.DataFrame:
+            return g if len(g) <= max_df else g.iloc[0:0]
+        sh_kept = sh.groupby("shingle").map_groups(drop_stop, batch_format="pandas")
+    else:
+        sh_kept = sh
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        a: List[int] = []
+        b: List[int] = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = sh_kept.groupby("shingle").map_groups(expand, batch_format="pandas")
+    common = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_common"))
+
+    # per-doc distinct-shingle counts (over ALL shingles — the Jaccard
+    # denominator is unfiltered even when max_df pruned the index)
+    counts = sh.groupby(id_col).aggregate(Count(alias_name="n_sh"))
+
+    joined = common.join(
+        counts.rename_columns({id_col: "id_a", "n_sh": "n_a"}),
+        join_type="inner", num_partitions=8, on=("id_a",),
+    ).join(
+        counts.rename_columns({id_col: "id_b", "n_sh": "n_b"}),
+        join_type="inner", num_partitions=8, on=("id_b",),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("n_common"), pa.float64())
+        union = pc.subtract(
+            pc.add(pc.cast(t.column("n_a"), pa.float64()), pc.cast(t.column("n_b"), pa.float64())), c
+        )
+        jac = pc.divide(c, union)
+        from octoray.util import round_half_up
+
+        t = t.append_column("jaccard", round_half_up(jac, 6))
+        if threshold > 0.0:
+            t = t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(threshold)))
+        return t
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+class MinHasher:
+    """Actor-pool stage: doc -> 64-permutation minhash signature.
+
+    Permutations are xor-seeds + splitmix64 mixes (seeds derived once
+    per actor in __init__ from a fixed master seed — deterministic
+    across the cluster).  Per doc: S shingle hashes x P seeds -> min
+    over shingles, one (S, P) numpy broadcast, no Python inner loop.
+    """
+
+    def __init__(self, *, n_perm: int = 64, k: int = 5, id_col: str = "doc_id", text_col: str = "text", seed: int = 0x5EED):
+        self.n_perm = n_perm
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+        base = np.arange(1, n_perm + 1, dtype=np.uint64) * np.uint64(0xA24BAED4963EE407)
+        self.seeds = _mix64(base ^ np.uint64(seed))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_strings(text, self.k)
+        if not sh:
+            return np.full(self.n_perm, _MASK, dtype=np.uint64)
+        h = _hash_shingles(sh)  # (S,)
+        return _mix64(h[:, None] ^ self.seeds[None, :]).min(axis=0)  # (P,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        norm = _norm_ws(batch.column(self.text_col)).to_pylist()
+        sigs = np.stack([self.signature(t) for t in norm]).astype(np.int64)  # view as int64
+        return pa.table(
+            {
+                self.id_col: ids,
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), pa.int64()), self.n_perm
+                ),
+            }
+        )
+
+
+def minhash_signatures(docs, *, n_perm: int = 64, k: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text", concurrency=(1, 4), batch_size: int = 1024):
+    return docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(n_perm=n_perm, k=k, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def minhash_lsh_pairs(
+    docs,
+    *,
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency=(1, 4),
+):
+    """Near-dup pairs by banded MinHash LSH.
+
+    signatures -> per-band bucket key (md5 of the band rows) ->
+    groupby(band, bucket).map_groups(pair expansion) -> distinct pairs
+    -> verify: estimated Jaccard = fraction of equal signature rows,
+    keep >= threshold.  Output: (id_a, id_b, est_jaccard).
+
+    The band groupby is the inverted index; bucket skew is bounded
+    because a bucket only collects docs whose r-row band slice is
+    identical (r = n_perm // bands).
+    """
+    assert n_perm % bands == 0
+    r = n_perm // bands
+    sigs = minhash_signatures(docs, n_perm=n_perm, k=k, id_col=id_col,
+                              text_col=text_col, concurrency=concurrency)
+
+    def band_keys(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        sig = np.asarray(t.column("sig").combine_chunks().flatten()).reshape(len(ids), n_perm)
+        out_id: List[int] = []
+        out_band: List[int] = []
+        out_bucket: List[str] = []
+        out_sig: List[np.ndarray] = []
+        for i, row in zip(ids, sig):
+            for b in range(bands):
+                chunk = row[b * r : (b + 1) * r]
+                out_id.append(i)
+                out_band.append(b)
+                out_bucket.append(hashlib.md5(chunk.tobytes()).hexdigest())
+                out_sig.append(row)
+        flat = np.concatenate(out_sig) if out_sig else np.empty(0, np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, t.schema.field(id_col).type),
+                "band": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.string()),
+                "sig": pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.int64()), n_perm),
+            }
+        )
+
+    banded = sigs.map_batches(band_keys, batch_format="pyarrow")
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+        ids = g[id_col].tolist()
+        sig = np.stack([np.asarray(s) for s in g["sig"]])
+        a, b, est = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+                est.append(float((sig[i] == sig[j]).mean()))
+        return pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": est})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(expand, batch_format="pandas")
+    # same pair can surface from several bands -> exact distinct w/ max est
+    from ray.data.aggregate import Max
+
+    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+    def thresh(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("est_jaccard"), pa.scalar(threshold)))
+
+    return uniq.map_batches(thresh, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+class SimHasher:
+    """64-bit simhash over word-unigram hashes (weight 1 each)."""
+
+    def __init__(self, *, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def simhash(self, text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        h = _hash_shingles(toks)  # (T,) uint64
+        bits = ((h[:, None] & self.bit_cols[None, :]) != 0).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(toks)  # +1/-1 majority
+        out = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                out |= self.bit_cols[i]
+        return int(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norm = _norm_ws(batch.column(self.text_col)).to_pylist()
+        hashes = [self.simhash(t) for t in norm]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "simhash": pa.array(np.array(hashes, dtype=np.uint64).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def simhash_pairs(docs, *, max_hamming: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", concurrency=(1, 4)):
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation by the 4x16-bit chunk pigeonhole: two hashes
+    within hamming 3 share at least one exact 16-bit chunk, so bucket
+    by (chunk_idx, chunk_value) — an inverted index, not a cross join —
+    then verify exact hamming inside the bucket.
+    """
+    sigs = docs.map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+    def chunk_keys(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.asarray(t.column("simhash")).astype(np.uint64)
+        out_id, out_chunk, out_val, out_h = [], [], [], []
+        for i, hh in zip(ids, h):
+            for c in range(4):
+                out_id.append(i)
+                out_chunk.append(c)
+                out_val.append(int((hh >> np.uint64(16 * c)) & np.uint64(0xFFFF)))
+                out_h.append(int(hh))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, t.schema.field(id_col).type),
+                "chunk": pa.array(out_chunk, pa.int32()),
+                "val": pa.array(out_val, pa.int32()),
+                "simhash": pa.array(np.array(out_h, np.uint64).astype(np.int64), pa.int64()),
+            }
+        )
+
+    banded = sigs.map_batches(chunk_keys, batch_format="pyarrow")
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+        ids = g[id_col].tolist()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        a, b, d = [], [], []
+        for i in range(len(ids)):
+            x = hs[i] ^ hs[i + 1 :]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for jj, hv in enumerate(ham):
+                if hv <= max_hamming:
+                    a.append(ids[i])
+                    b.append(ids[i + 1 + jj])
+                    d.append(int(hv))
+        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+
+    pairs = banded.groupby(["chunk", "val"]).map_groups(expand, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))

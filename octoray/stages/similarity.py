@@ -1,0 +1,268 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast
+once via ``ray.put`` and every ``map_batches`` task does one numpy
+matmul against its batch, emitting only its local top-k candidates;
+a tiny ``groupby(query_id)`` reduce finishes the global top-k.  Data
+moved by the shuffle is O(num_queries * k * num_blocks), never the
+corpus.
+
+Scale path: random-hyperplane LSH bucketing (``lsh_bucket_knn``) —
+corpus and queries are both signed against a broadcast projection
+matrix; only same-bucket (or probe-adjacent) candidates are scored.
+The bucket groupby is the inverted index; multi-probe widens recall.
+
+Embedding near-dup (``cosine_dup_pairs``) reuses the LSH buckets and
+verifies cosine >= threshold inside each bucket.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from octoray.util import round_half_up_scalar
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array, dim: Optional[int] = None) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy when the
+    layout allows (FixedSizeList) else one reshape of the flat values."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    n = len(col)
+    return flat.reshape(n, -1 if dim is None else dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def load_queries(embeddings, query_ids: Sequence[int], *, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Fetch the (small) query rows and return (ids, (q, d) matrix).
+
+    Driver-side ``take_all`` is deliberate and safe: |query_ids| rows.
+    """
+    import pyarrow.compute as pc
+
+    want = pa.array(list(query_ids))
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(id_col), value_set=want))
+
+    rows = embeddings.map_batches(f, batch_format="pyarrow").take_all()
+    by_id = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in rows}
+    ids = [i for i in query_ids if i in by_id]
+    return ids, np.stack([by_id[i] for i in ids])
+
+
+def knn_brute(
+    embeddings,
+    query_ids: Sequence[int],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact cosine top-k for each query id: (query_id, neighbor_id,
+    score).  Broadcast query matrix; per-batch matmul + local top-k;
+    global top-k via a small groupby(query_id).map_groups."""
+    import ray
+
+    qids, Q = load_queries(embeddings, query_ids, id_col=id_col, vec_col=vec_col)
+    Qn = _normalize(Q)
+    q_ref = ray.put((qids, Qn))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids_, Qn_ = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
+        ids = np.asarray(t.column(id_col))
+        M = _normalize(_as_matrix(t.column(vec_col)))
+        scores = M @ Qn_.T  # (n, q)
+        out_q: List[int] = []
+        out_n: List[int] = []
+        out_s: List[float] = []
+        kk = min(k + (1 if exclude_self else 0), scores.shape[0])
+        for j, qid in enumerate(qids_):
+            col = scores[:, j]
+            top = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            for i in top:
+                if exclude_self and ids[i] == qid:
+                    continue
+                out_q.append(qid)
+                out_n.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cands = embeddings.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nlargest(k, g.itertuples(index=False), key=lambda r: (r.score, -r.neighbor_id))
+        return pd.DataFrame(
+            {
+                "query_id": [r.query_id for r in top],
+                "neighbor_id": [r.neighbor_id for r in top],
+                "score": [round_half_up_scalar(r.score, 6) for r in top],
+            }
+        )
+
+    return cands.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# LSH-bucketed variants (the 100 TB path)
+# ----------------------------------------------------------------------
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def _bucket_of(M: np.ndarray, H: np.ndarray) -> np.ndarray:
+    bits = (M @ H) > 0  # (n, p)
+    weights = 1 << np.arange(H.shape[1])
+    return (bits * weights).sum(axis=1).astype(np.int64)
+
+
+def lsh_bucket_knn(
+    embeddings,
+    query_ids: Sequence[int],
+    *,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """Approximate top-k: score only corpus vectors whose hyperplane
+    bucket matches a query bucket.  Recall < 1 by design (bench
+    comparison against knn_brute measures it); candidate volume drops
+    ~2^n_planes-fold.  Multi-probe = re-run with different seeds."""
+    import ray
+
+    qids, Q = load_queries(embeddings, query_ids, id_col=id_col, vec_col=vec_col)
+    Qn = _normalize(Q)
+    dim = Q.shape[1]
+    H = _hyperplanes(dim, n_planes, seed)
+    q_buckets = _bucket_of(Qn, H)
+    wanted = set(int(b) for b in q_buckets)
+    q_ref = ray.put((qids, Qn, q_buckets, H, frozenset(wanted)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids_, Qn_, q_buckets_, H_, wanted_ = ray.get(q_ref)
+        ids = np.asarray(t.column(id_col))
+        M = _normalize(_as_matrix(t.column(vec_col)))
+        buckets = _bucket_of(M, H_)
+        keep = np.isin(buckets, list(wanted_))
+        out_q, out_n, out_s = [], [], []
+        if keep.any():
+            Mk, idk, bk = M[keep], ids[keep], buckets[keep]
+            scores = Mk @ Qn_.T
+            for j, (qid, qb) in enumerate(zip(qids_, q_buckets_)):
+                mask = bk == qb
+                if not mask.any():
+                    continue
+                col = scores[mask, j]
+                sub_ids = idk[mask]
+                kk = min(k + 1, len(col))
+                top = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+                for i in top:
+                    if sub_ids[i] == qid:
+                        continue
+                    out_q.append(qid)
+                    out_n.append(int(sub_ids[i]))
+                    out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cands = embeddings.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nlargest(k, g.itertuples(index=False), key=lambda r: (r.score, -r.neighbor_id))
+        return pd.DataFrame(
+            {
+                "query_id": [r.query_id for r in top],
+                "neighbor_id": [r.neighbor_id for r in top],
+                "score": [round_half_up_scalar(r.score, 6) for r in top],
+            }
+        )
+
+    return cands.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def cosine_dup_pairs(
+    embeddings,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """Embedding near-dup pairs (cosine >= threshold) via LSH buckets:
+    bucket -> groupby(bucket).map_groups(within-bucket pairwise verify).
+    Within-bucket work is one small matmul; cross-bucket true dups can
+    be missed (approximate by construction — recall grows with fewer
+    planes / multiple probes)."""
+    probe_seeds = [seed, seed + 101]  # 2-probe: union of two plane sets
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col))
+        M = _normalize(_as_matrix(t.column(vec_col)))
+        dim = M.shape[1]
+        out_id, out_probe, out_bucket, out_vec = [], [], [], []
+        for p_i, s in enumerate(probe_seeds):
+            H = _hyperplanes(dim, n_planes, s)
+            buckets = _bucket_of(M, H)
+            out_id.extend(int(x) for x in ids)
+            out_probe.extend([p_i] * len(ids))
+            out_bucket.extend(int(b) for b in buckets)
+            out_vec.append(M)
+        flat = np.concatenate(out_vec).reshape(-1)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "probe": pa.array(out_probe, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), M.shape[1]),
+            }
+        )
+
+    banded = embeddings.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+        ids = g[id_col].tolist()
+        M = np.stack([np.asarray(v) for v in g["vec"]])
+        S = M @ M.T
+        a, b, s = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if S[i, j] >= threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    s.append(round_half_up_scalar(float(S[i, j]), 6))
+        return pd.DataFrame({"id_a": a, "id_b": b, "score": s})
+
+    pairs = banded.groupby(["probe", "bucket"]).map_groups(verify, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("score", alias_name="score"))

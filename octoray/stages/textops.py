@@ -76,35 +76,44 @@ def quality_scores(batch: pa.Table) -> pa.Table:
     )
 
 
+_LANG_ORDER = list(_LANG_PROFILES)  # priority order on exact ties
+
+
+def lang_pattern(lang: str) -> str:
+    """The per-language stopword alternation (shared with the DuckDB
+    oracle so both engines count the identical regex)."""
+    return rf"(?i)\b(?:{'|'.join(sorted(_LANG_PROFILES[lang]))})\b"
+
+
 class LangId:
-    """Actor-pool language ID: stopword-profile voting.  Profiles are
-    tiny but the per-language compiled alternations are built once per
-    actor (__init__), not per batch."""
+    """Actor-pool language ID: stopword-profile voting.
+
+    Vectorized: one Arrow regex-count scan per language over the whole
+    batch, then a numpy argmax (first max wins — the profile priority
+    order).  The alternation strings are built once per actor."""
 
     def __init__(self):
-        self.patterns = {
-            lang: re.compile(rf"(?i)\b(?:{'|'.join(sorted(words))})\b")
-            for lang, words in _LANG_PROFILES.items()
-        }
+        self.patterns = {lang: lang_pattern(lang) for lang in _LANG_ORDER}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs: List[str] = []
-        scores: List[float] = []
-        for t in texts:
-            best, best_n = "unknown", 0
-            n_tok = max(1, len(t.split()))
-            for lang, pat in self.patterns.items():
-                n = len(pat.findall(t))
-                if n > best_n:
-                    best, best_n = lang, n
-            langs.append(best if best_n > 0 else "unknown")
-            scores.append(best_n / n_tok)
+        text = batch.column("text")
+        counts = np.stack(
+            [
+                np.asarray(pc.count_substring_regex(text, pat).combine_chunks())
+                for pat in self.patterns.values()
+            ]
+        )  # (n_langs, n_docs)
+        best_idx = counts.argmax(axis=0)  # first max wins
+        best_n = counts.max(axis=0)
+        n_tok = np.maximum(
+            np.asarray(pc.count_substring_regex(text, _TOKEN_RE).combine_chunks()), 1
+        )
+        langs = np.where(best_n > 0, np.array(_LANG_ORDER)[best_idx], "unknown")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "pred_lang": pa.array(langs, pa.string()),
-                "lang_score": pa.array(scores, pa.float64()),
+                "pred_lang": pa.array(langs.tolist(), pa.string()),
+                "lang_score": pa.array((best_n / n_tok).tolist(), pa.float64()),
             }
         )
 
