@@ -30,7 +30,7 @@ def build_triples(
     pages_ds,
     *,
     emitter_concurrency=None,
-    batch_size: int = 2048,
+    batch_size: int = 4096,
     keep_src: bool = False,
     extract: bool = True,
 ):
@@ -42,12 +42,16 @@ def build_triples(
     if extract:
         ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
     if emitter_concurrency is None:
-        # actor pool sized to the session CPUs (callable classes require
-        # an explicit pool size); autoscaling range keeps small runs lean
+        # actor pool sized to the session CPUs.  The minimum matters:
+        # an autoscaling pool starting at 1 ramps too slowly to ever
+        # saturate the run (measured 8s -> 5s on 100k pages by raising
+        # the floor), and a pool of exactly num_cpus starves the
+        # upstream read tasks — so floor cpus//4 (cap 8), ceiling
+        # cpus-2.
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        emitter_concurrency = (1, max(2, n))
+        emitter_concurrency = (max(2, min(8, n // 4)), max(2, n - 2))
     ds = ds.map_batches(
         MentionEmitter,
         batch_format="pyarrow",

@@ -46,7 +46,11 @@ def pricing_summary(sf_dir: str):
                columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
     def pre(t: pa.Table) -> pa.Table:
-        return pa.table(
+        # partial combine INSIDE the batch (Arrow group_by): the
+        # all-to-all exchange then moves ~|groups| rows per block, not
+        # |rows| — the pre-aggregation pattern SURVEY.md §4.3 mandates
+        # for the wide steps at scale.
+        proj = pa.table(
             {
                 "l_returnflag": t.column("l_returnflag"),
                 "l_linestatus": t.column("l_linestatus"),
@@ -54,14 +58,20 @@ def pricing_summary(sf_dir: str):
                 "price_c": cents(t.column("l_extendedprice")),
             }
         )
+        g = proj.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("qty_i", "sum"), ("price_c", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_sum_i", "price_sum_c", "n"]
+        )
 
     g = (
         li.map_batches(pre, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty_i", alias_name="qty_sum_i"),
-            Sum("price_c", alias_name="price_sum_c"),
-            Count(alias_name="count_order"),
+            Sum("qty_sum_i", alias_name="qty_sum_i"),
+            Sum("price_sum_c", alias_name="price_sum_c"),
+            Sum("n", alias_name="count_order"),
         )
     )
 

@@ -207,10 +207,20 @@ def pages_batch(page_ids: np.ndarray, seed: int = 42, with_truth: bool = False) 
 
 def pages_dataset(n_pages: int, seed: int = 42, parallelism: int = -1):
     """Streaming synthetic pages as a ray.data.Dataset (no driver-side
-    materialization — generation happens inside map_batches)."""
+    materialization — generation happens inside map_batches).
+
+    Default block count targets ~8192 pages/block (measured best task
+    granularity for the scan/emit stages) with a floor of 2 blocks per
+    CPU so every core has work — rd.range's own default (200 blocks)
+    makes 100-row blocks at small n and drowns the pipeline in
+    per-task overhead."""
+    import ray
     import ray.data as rd
 
-    ds = rd.range(n_pages, override_num_blocks=parallelism if parallelism > 0 else None)
+    if parallelism <= 0:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        parallelism = max(1, min(n_pages, max(2 * cpus, n_pages // 8192)))
+    ds = rd.range(n_pages, override_num_blocks=parallelism)
     return ds.map_batches(
         lambda b: pages_batch(b["id"], seed=seed),
         batch_format="numpy",

@@ -11,6 +11,15 @@ explicitly:
   - deterministic global sort    — the Turtle golden-diff ordering
     (test-data/Makefile:5-6, §2.8)
 
+Dedup strategy: per-block Arrow combiner -> ONE range-partitioned
+global sort -> vectorized adjacent-row dedup per block.  Ray's
+sort-based ``groupby().aggregate`` pays per-group accumulator costs
+(measured ~10x slower on the same rows); the sort path is wholly
+vectorized AND leaves the output in canonical order, so dedup and the
+golden sort share a single all-to-all.  Correctness hinges on range
+partitioning sending all copies of a key to one partition — pinned by
+tests/test_kg_pipeline.py (dedup-exactness + sortedness assertions).
+
 All steps are Dataset->Dataset and streaming; nothing materializes the
 full input on the driver.
 """
@@ -29,8 +38,7 @@ def _local_dedup(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: drop duplicate rows before the shuffle.
 
     Uses Arrow group-by on all columns — zero-copy in, one compact
-    table out.  This is the 'salted pre-combine' for the dedup
-    shuffle: at 10^12-doc scale most duplicates are within-page or
+    table out.  At 10^12-doc scale most duplicates are within-page or
     within-block (repeated mentions), so the all-to-all exchange
     shrinks before it happens.
     """
@@ -38,19 +46,23 @@ def _local_dedup(batch: pa.Table) -> pa.Table:
     return batch.group_by(cols, use_threads=False).aggregate([]).select(cols)
 
 
-def dedup_triples(ds, *, local_only: bool = False):
-    """Exact distinct on the 4 triple columns (D1).
-
-    Per-batch local dedup (combiner) -> global hash-aggregate shuffle
-    via ``groupby(...).count()`` (the aggregate path is cheaper than
-    map_groups: no per-group Python callback).  The count column is
-    dropped afterwards.
-    """
-    ds = ds.map_batches(_local_dedup, batch_format="pyarrow")
-    if local_only:
-        return ds
-    deduped = ds.groupby(TRIPLE_COLS).count()
-    return deduped.select_columns(TRIPLE_COLS)
+def _sorted_block_dedup(batch: pa.Table) -> pa.Table:
+    """Drop adjacent duplicate rows of a SORTED block (vectorized:
+    one shifted not-equal per column, no re-sort, no per-group calls).
+    Globally exact downstream of a range-partitioned sort because all
+    copies of a key share one partition."""
+    n = batch.num_rows
+    if n <= 1:
+        return batch
+    keep: Optional[pa.Array] = None
+    for c in TRIPLE_COLS:
+        if c not in batch.schema.names:
+            continue
+        arr = batch.column(c).combine_chunks()
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        keep = neq if keep is None else pc.or_(keep, neq)
+    mask = pa.concat_arrays([pa.array([True]), keep])
+    return batch.filter(mask)
 
 
 def sort_canonical(ds):
@@ -59,10 +71,30 @@ def sort_canonical(ds):
     return ds.sort(TRIPLE_COLS)
 
 
+def dedup_triples(ds, *, local_only: bool = False):
+    """Exact distinct on the 4 triple columns (D1), returned in
+    canonical (s,p,o,dt) order.
+
+    combiner -> global sort -> adjacent dedup per block (batch_size
+    None keeps sort partitions intact so the adjacency argument
+    holds).  ``local_only`` skips the global exchange (per-shard
+    dedup; cross-block duplicates may remain).
+    """
+    ds = ds.map_batches(_local_dedup, batch_format="pyarrow")
+    if local_only:
+        return ds
+    ds = ds.sort(TRIPLE_COLS)
+    return ds.map_batches(_sorted_block_dedup, batch_format="pyarrow", batch_size=None)
+
+
 def canonicalize(ds, *, local_only: bool = False):
-    """dedup -> sort; the graph materialization contract."""
+    """dedup -> canonical (s,p,o,dt) order; the graph materialization
+    contract.  The global path is already sorted by construction; the
+    per-shard (``local_only``) path sorts explicitly."""
     ds = dedup_triples(ds, local_only=local_only)
-    return sort_canonical(ds)
+    if local_only:
+        ds = sort_canonical(ds)
+    return ds
 
 
 def _partial_subject_counts(batch: pa.Table) -> pa.Table:

@@ -101,6 +101,31 @@ def exact_dups(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _keep_multi_member_groups(ds, keys: List[str], *, max_n: Optional[int] = None,
+                              num_partitions: int = 16):
+    """Restrict ``ds`` to groups (by ``keys``) with >= 2 rows (and
+    optionally <= max_n rows) via a count-aggregate + inner join.
+
+    The pair-expansion ``map_groups`` that follows pays a Python call
+    per GROUP; at corpus scale the overwhelming majority of inverted-
+    index buckets are singletons that can never produce a pair, so
+    pruning them first turns millions of no-op group calls into one
+    vectorized aggregate + join.  Fully distributed — no driver-side
+    key set."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(keys).aggregate(Count(alias_name="_gn"))
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t.column("_gn"), pa.scalar(2))
+        if max_n is not None:
+            m = pc.and_(m, pc.less_equal(t.column("_gn"), pa.scalar(max_n)))
+        return t.filter(m)
+
+    keep = counts.map_batches(flt, batch_format="pyarrow").select_columns(keys)
+    return ds.join(keep, join_type="inner", num_partitions=num_partitions, on=tuple(keys))
+
+
 # ----------------------------------------------------------------------
 # n-gram Jaccard via shingle inverted index
 # ----------------------------------------------------------------------
@@ -147,12 +172,10 @@ def jaccard_pairs(
 
     sh = shingles(docs, id_col=id_col, text_col=text_col, k=k)
 
-    if max_df is not None:
-        def drop_stop(g: pd.DataFrame) -> pd.DataFrame:
-            return g if len(g) <= max_df else g.iloc[0:0]
-        sh_kept = sh.groupby("shingle").map_groups(drop_stop, batch_format="pandas")
-    else:
-        sh_kept = sh
+    # prune the inverted index BEFORE the quadratic expansion:
+    # singletons (df=1) can't pair; df>max_df are stop-shingles whose
+    # f(f-1)/2 fan-out is the skew hazard
+    sh_kept = _keep_multi_member_groups(sh, ["shingle"], max_n=max_df)
 
     def expand(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
@@ -280,32 +303,35 @@ def minhash_lsh_pairs(
         out_id: List[int] = []
         out_band: List[int] = []
         out_bucket: List[str] = []
-        out_sig: List[np.ndarray] = []
+        out_sig: List[bytes] = []
         for i, row in zip(ids, sig):
+            row_bytes = row.tobytes()
             for b in range(bands):
                 chunk = row[b * r : (b + 1) * r]
                 out_id.append(i)
                 out_band.append(b)
                 out_bucket.append(hashlib.md5(chunk.tobytes()).hexdigest())
-                out_sig.append(row)
-        flat = np.concatenate(out_sig) if out_sig else np.empty(0, np.int64)
+                out_sig.append(row_bytes)
+        # sig travels as a fixed-width binary blob: Arrow joins (used by
+        # the multi-member-bucket prune) reject list payload columns
         return pa.table(
             {
                 id_col: pa.array(out_id, t.schema.field(id_col).type),
-                "band": pa.array(out_band, pa.int32()),
+                "band": pa.array(out_band, pa.int64()),
                 "bucket": pa.array(out_bucket, pa.string()),
-                "sig": pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.int64()), n_perm),
+                "sig": pa.array(out_sig, pa.binary()),
             }
         )
 
     banded = sigs.map_batches(band_keys, batch_format="pyarrow")
+    banded = _keep_multi_member_groups(banded, ["band", "bucket"])
 
     def expand(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
         g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
         ids = g[id_col].tolist()
-        sig = np.stack([np.asarray(s) for s in g["sig"]])
+        sig = np.stack([np.frombuffer(s, dtype=np.int64) for s in g["sig"]])
         a, b, est = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -391,13 +417,14 @@ def simhash_pairs(docs, *, max_hamming: int = 3, id_col: str = "doc_id",
         return pa.table(
             {
                 id_col: pa.array(out_id, t.schema.field(id_col).type),
-                "chunk": pa.array(out_chunk, pa.int32()),
-                "val": pa.array(out_val, pa.int32()),
+                "chunk": pa.array(out_chunk, pa.int64()),
+                "val": pa.array(out_val, pa.int64()),
                 "simhash": pa.array(np.array(out_h, np.uint64).astype(np.int64), pa.int64()),
             }
         )
 
     banded = sigs.map_batches(chunk_keys, batch_format="pyarrow")
+    banded = _keep_multi_member_groups(banded, ["chunk", "val"])
 
     def expand(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

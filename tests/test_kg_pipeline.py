@@ -118,3 +118,19 @@ def test_sharded_build_resume(ray_session, tmp_path):
     got = pa.Table.from_pylist(canonicalize(kg.read_kg(out)).take_all())
     want = pa.Table.from_pylist(kg.synth_kg(200).take_all())
     assert got.equals(want)
+
+
+def test_cross_block_dedup_exact(ray_session):
+    """The sort-then-adjacent-dedup path must be globally exact even
+    when every block holds copies of the same triples: feed the SAME
+    page range twice (union), expect exactly the single-build graph."""
+    from octoray.pipelines.kg import build_triples, pages_dataset
+    from octoray.stages.canon import canonicalize
+
+    once = pa.Table.from_pylist(
+        canonicalize(build_triples(pages_dataset(300), emitter_concurrency=2)).take_all()
+    )
+    a = build_triples(pages_dataset(300), emitter_concurrency=(1, 2))
+    b = build_triples(pages_dataset(300), emitter_concurrency=(1, 2))
+    twice = pa.Table.from_pylist(canonicalize(a.union(b)).take_all())
+    assert twice.equals(once)
