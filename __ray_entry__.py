@@ -102,6 +102,62 @@ def _q_kg_strain_dates(sf_dir: str):
     )
 
 
+def _synth_n(sf_dir: str, per_sf: int = 50_000, floor: int = 50) -> int:
+    return max(floor, int(per_sf * _sf_of(sf_dir)))
+
+
+def _q_prep_fasta(sf_dir: str):
+    from octoray.pipelines.prep import prep_fasta
+    from octoray.sources.fasta import fasta_rows
+    from octoray.sources.synth import synth_fasta_text
+
+    return prep_fasta(fasta_rows(synth_fasta_text(_synth_n(sf_dir, 20_000))))
+
+
+def _q_prep_table(sf_dir: str):
+    from octoray.pipelines.prep import prep_table
+    from octoray.sources.synth import synth_tsv_text
+    from octoray.sources.tables import tsv_rows
+
+    return prep_table(tsv_rows(synth_tsv_text(_synth_n(sf_dir, 20_000))))
+
+
+def _q_prep_blast(sf_dir: str):
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_blast
+    from octoray.sources.synth import synth_blast_table
+
+    return prep_blast(rd.from_arrow(synth_blast_table(_synth_n(sf_dir))))
+
+
+def _q_report_constellations(sf_dir: str):
+    import ray.data as rd
+
+    from octoray.pipelines.reports import constellations
+    from octoray.sources.synth import synth_segment_bindings
+
+    return constellations(rd.from_arrow(synth_segment_bindings(_synth_n(sf_dir, 10_000))))
+
+
+def _q_report_subtypes(sf_dir: str):
+    import ray.data as rd
+
+    from octoray.pipelines.reports import synthesize_subtypes
+    from octoray.sources.synth import synth_subtype_bindings
+
+    return synthesize_subtypes(rd.from_arrow(synth_subtype_bindings(_synth_n(sf_dir, 10_000))))
+
+
+def _q_report_masterlist(sf_dir: str):
+    import ray.data as rd
+
+    from octoray.pipelines.reports import masterlist
+    from octoray.sources.synth import synth_masterlist_bindings
+
+    return masterlist(rd.from_arrow(synth_masterlist_bindings(_synth_n(sf_dir, 5_000))))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from octoray.pipelines import relational as R
     from octoray.stages import dedup as D
@@ -135,6 +191,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_build": _q_kg_build,
         "kg_subject_degree": _q_kg_subject_degree,
         "kg_strain_pivot": _q_kg_strain_dates,
+        # --- prep family: delimited inputs -> triples (S1/S2/S9) ---
+        "prep_fasta": _q_prep_fasta,
+        "prep_table": _q_prep_table,
+        "prep_blast": _q_prep_blast,
+        # --- report aggregations (A2/A3/A4; groupby + map_groups) ---
+        "report_constellations": _q_report_constellations,
+        "report_subtypes": _q_report_subtypes,
+        "report_masterlist": _q_report_masterlist,
         # --- relational operator family (joins/aggregates, §2.5-2.6) ---
         "pricing_summary": R.pricing_summary,
         "orders_per_nation": R.orders_per_nation,

@@ -1,0 +1,250 @@
+"""Prep pipelines: delimited inputs -> canonical triple Datasets.
+
+The reference's ``octofludb prep fasta|table|blast|tag`` family
+(ui.py:838-929, recipes.py:21-71, ui.py:600-619) re-expressed as Ray
+Data pipelines:
+
+  prep_fasta   ragged rows, per-cell Datum cast (classes.py:300-316)
+  prep_table   header rows, DISTRIBUTED column-vote typing (A8:
+               per-batch partial match counts -> sum aggregate ->
+               driver argmax -> broadcast chosen classifiers)
+  prep_blast   BLAST outfmt-6, fixed 12-column typed projection (S9)
+  tag_ids      id-list tagging (S10)
+
+All emit the 4-column triple table and finish with ``canonicalize``
+(dedup + canonical order) unless ``canonical=False``.
+Timestamps are injected, never datetime.now() (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import pyarrow as pa
+
+from octoray import emit, recognize as R
+from octoray.model import (
+    DT_DOUBLE,
+    DT_INT,
+    DT_PLAIN,
+    DT_URI,
+    P,
+    make_tag_uri,
+    make_uri,
+    triples_to_table,
+)
+from octoray.sources.tables import NA_DEFAULT
+from octoray.stages.canon import canonicalize
+
+
+def _finish(ds, canonical: bool):
+    return canonicalize(ds) if canonical else ds
+
+
+# ----------------------------------------------------------------------
+# FASTA prep (ragged Datum-cast path, ui.py:903-929)
+# ----------------------------------------------------------------------
+def prep_fasta(rows_ds, *, tag: Optional[str] = None, timestamp: str = "", levels=None,
+               na_str: Sequence[str] = NA_DEFAULT, canonical: bool = True):
+    """Dataset[fields: list<string>] -> triples.  Each ragged row is
+    Datum-cast per cell and connected (Phrase.connect)."""
+    taguri = make_tag_uri(tag) if tag else None
+    tagset = emit.tag_triples(tag, timestamp) if tag else set()
+
+    def f(t: pa.Table) -> pa.Table:
+        triples = set()
+        for fields in t.column("fields").to_pylist():
+            mentions = [
+                emit.make_mention(R.cast_datum(x, na_str=na_str), x, na_str=na_str)
+                for x in fields
+            ]
+            triples |= emit.connect(mentions, levels=levels, taguri=taguri)
+        return triples_to_table(sorted(triples))
+
+    out = rows_ds.map_batches(f, batch_format="pyarrow")
+    if tagset:
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(triples_to_table(sorted(tagset))))
+    return _finish(out, canonical)
+
+
+# ----------------------------------------------------------------------
+# Table prep with distributed column vote (A8)
+# ----------------------------------------------------------------------
+def vote_types(table_ds, *, na_str: Sequence[str] = NA_DEFAULT,
+               threshold: float = 0.8) -> Dict[str, str]:
+    """Distributed HomoList.cast vote (classes.py:131-138): pass 1
+    computes per-batch (column, classifier) match counts inside
+    map_batches, a small sum-aggregate collapses them, and the driver
+    does the priority-ordered argmax.  Returns {column -> classifier
+    name}.  The counts table is tiny (|cols| x |classifiers| rows per
+    batch) regardless of input size."""
+    from ray.data.aggregate import Sum
+
+    names = [c.name for c in R.ALL_CLASSIFIERS]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols: List[str] = []
+        clfs: List[str] = []
+        hits: List[int] = []
+        n_all: List[int] = []
+        n_nonna: List[int] = []
+        for col in t.schema.names:
+            vals = t.column(col).to_pylist()
+            present = [x for x in vals if x is not None and x not in na_str]
+            for c in R.ALL_CLASSIFIERS:
+                if c.is_sequence:
+                    h = sum(
+                        1 for x in present if len(str(x)) > 20 and c.test_one(x)
+                    )
+                else:
+                    h = sum(1 for x in present if c.test_one(x) is not None)
+                cols.append(col)
+                clfs.append(c.name)
+                hits.append(h)
+                n_all.append(len(vals))
+                n_nonna.append(len(present))
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "clf": pa.array(clfs, pa.string()),
+                "hits": pa.array(hits, pa.int64()),
+                "n_all": pa.array(n_all, pa.int64()),
+                "n_nonna": pa.array(n_nonna, pa.int64()),
+            }
+        )
+
+    agg = (
+        table_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["col", "clf"])
+        .aggregate(
+            Sum("hits", alias_name="hits"),
+            Sum("n_all", alias_name="n_all"),
+            Sum("n_nonna", alias_name="n_nonna"),
+        )
+    )
+    by_col: Dict[str, Dict[str, tuple]] = {}
+    for row in agg.take_all():
+        by_col.setdefault(row["col"], {})[row["clf"]] = (
+            row["hits"], row["n_all"], row["n_nonna"],
+        )
+    chosen: Dict[str, str] = {}
+    for col, stats in by_col.items():
+        pick = R.UNKNOWN.name
+        for c in R.ALL_CLASSIFIERS:
+            h, na, nn = stats.get(c.name, (0, 0, 0))
+            denom = na if c.is_sequence else nn
+            if denom > 0 and h / denom > threshold:
+                pick = c.name
+                break
+        chosen[col] = pick
+    return chosen
+
+
+def prep_table(table_ds, *, tag: Optional[str] = None, timestamp: str = "",
+               na_str: Sequence[str] = NA_DEFAULT, levels=None,
+               types: Optional[Dict[str, str]] = None, canonical: bool = True):
+    """String-column table -> triples.  Column types come from the
+    distributed vote (or the ``types`` override — the reference's
+    include/exclude knob family); each row becomes a Phrase whose
+    mention fields carry the column name (tabularTyping,
+    classes.py:192-226)."""
+    chosen = types or vote_types(table_ds, na_str=na_str)
+    taguri = make_tag_uri(tag) if tag else None
+    tagset = emit.tag_triples(tag, timestamp) if tag else set()
+
+    def f(t: pa.Table) -> pa.Table:
+        clfs = {col: R.BY_NAME[chosen.get(col, "unknown")] for col in t.schema.names}
+        cols = {col: t.column(col).to_pylist() for col in t.schema.names}
+        names = list(t.schema.names)
+        triples = set()
+        for i in range(t.num_rows):
+            mentions = [
+                emit.make_mention(clfs[col], cols[col][i], field=col, na_str=na_str)
+                for col in names
+            ]
+            triples |= emit.connect(mentions, levels=levels, taguri=taguri)
+        return triples_to_table(sorted(triples))
+
+    out = table_ds.map_batches(f, batch_format="pyarrow")
+    if tagset:
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(triples_to_table(sorted(tagset))))
+    return _finish(out, canonical)
+
+
+# ----------------------------------------------------------------------
+# BLAST outfmt-6 (S9, recipes.py:21-71)
+# ----------------------------------------------------------------------
+_BLAST_COLS = [
+    ("qseqid", DT_URI), ("sseqid", DT_URI), ("pident", DT_DOUBLE),
+    ("length", DT_INT), ("mismatch", DT_INT), ("gapopen", DT_INT),
+    ("qstart", DT_INT), ("qend", DT_INT), ("sstart", DT_INT),
+    ("send", DT_INT), ("evalue", DT_DOUBLE), ("bitscore", DT_DOUBLE),
+]
+
+
+def prep_blast(blast_ds, *, tag: Optional[str] = None, timestamp: str = "",
+               canonical: bool = True):
+    """BLAST outfmt-6 Dataset (12 string columns named as in
+    _BLAST_COLS) -> one BlastResult entity per row
+    (mk_blast, recipes.py:21-71): huid = fid:blast/{qseqid}-{sseqid}-
+    {bitscore}; qseqid/sseqid as URI objects, metrics as typed
+    literals.  Pure projection — no grouping, no shuffle beyond the
+    final dedup."""
+    taguri = make_tag_uri(tag) if tag else None
+    tagset = emit.tag_triples(tag, timestamp) if tag else set()
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c).to_pylist() for c, _ in _BLAST_COLS}
+        triples = []
+        for i in range(t.num_rows):
+            q, s_, bits = cols["qseqid"][i], cols["sseqid"][i], cols["bitscore"][i]
+            huid = make_uri(f"blast/{q}-{s_}-{bits}")
+            if taguri:
+                triples.append((huid, P.tag, taguri, DT_URI))
+            for c, dt in _BLAST_COLS:
+                v = cols[c][i]
+                if dt == DT_URI:
+                    triples.append((huid, getattr(P, c), make_uri(v), DT_URI))
+                else:
+                    # numeric normalization matches make_literal
+                    # (float()/int() round-trip, recipes.py:60-69)
+                    lex = str(float(v)) if dt == DT_DOUBLE else str(int(v))
+                    triples.append((huid, getattr(P, c), lex, dt))
+        return triples_to_table(triples)
+
+    out = blast_ds.map_batches(f, batch_format="pyarrow")
+    if tagset:
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(triples_to_table(sorted(tagset))))
+    return _finish(out, canonical)
+
+
+# ----------------------------------------------------------------------
+# id-list tagging (S10, ui.py:600-619 / 1099-1130)
+# ----------------------------------------------------------------------
+def tag_ids(ids_ds, tag: str, *, timestamp: str = "", id_col: str = "id",
+            canonical: bool = True):
+    """Dataset of identifiers -> (fid:id, f:tag, tag:...) triples plus
+    the tag's metadata record."""
+    taguri = make_tag_uri(tag)
+    tagset = emit.tag_triples(tag, timestamp)
+
+    def f(t: pa.Table) -> pa.Table:
+        triples = [
+            (make_uri(v), P.tag, taguri, DT_URI)
+            for v in t.column(id_col).to_pylist()
+            if v is not None
+        ]
+        return triples_to_table(triples)
+
+    import ray.data as rd
+
+    out = ids_ds.map_batches(f, batch_format="pyarrow").union(
+        rd.from_arrow(triples_to_table(sorted(tagset)))
+    )
+    return _finish(out, canonical)

@@ -1,0 +1,151 @@
+"""Deterministic synthetic inputs for the prep/report pipelines.
+
+Everything derives from the same splitmix64 streams as the webtext
+synthesizer (sources/webtext.py) so results are identical regardless
+of batch boundaries or parallelism — no global RNG state, no wall
+clock.  These feed the driver-contract queries and the bench for the
+operator families whose real inputs (FASTA files, octoFLU tables,
+BLAST output) can't be shipped into the sandbox.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from octoray.sources.webtext import GLOBAL_CLADES, SUBTYPES, _streams, page_record
+
+_SEGMENTS = ["PB2", "PB1", "PA", "NP", "M", "NS", "HA", "NA"]
+_CLADES = ["pdm", "TRIG", "LAIV", "humanSeasonal", "classicalSwine", "avian", "pdm-like"]
+_ACGT = np.array(list("ACGT"))
+
+
+def _record_fields(pid: int, seed: int) -> List[str]:
+    _, fields = page_record(pid, seed)
+    return fields
+
+
+def synth_fasta_text(n: int, seed: int = 42) -> str:
+    """FASTA whose headers reuse the webtext record grammar
+    (strain|subtype|date|genbank) and whose sequences are
+    deterministic 60-mers."""
+    entries: List[str] = []
+    for pid in range(n):
+        fields = _record_fields(pid, seed)
+        if len(fields) < 6:
+            continue
+        strain, subtype, date, _host, _loc, gb = fields[:6]
+        draws = _streams(np.arange(60, dtype=np.uint64) + np.uint64(pid * 61),
+                         seed ^ 0xFA57A, 1)[:, 0]
+        seq = "".join(_ACGT[(draws & np.uint64(3)).astype(int)])
+        entries.append(f">{strain}|{subtype}|{date}|{gb}\n{seq}")
+    return "\n".join(entries) + "\n"
+
+
+def synth_tsv_text(n: int, seed: int = 42) -> str:
+    """TSV with (strain, subtype, date, host, location, genbank)
+    columns from the webtext record grammar."""
+    lines = ["strain\tsubtype\tdate\thost\tlocation\tgenbank"]
+    for pid in range(n):
+        fields = _record_fields(pid, seed)
+        if len(fields) < 6:
+            continue
+        lines.append("\t".join(fields[:6]))
+    return "\n".join(lines) + "\n"
+
+
+def synth_blast_table(n: int, seed: int = 42) -> pa.Table:
+    """BLAST outfmt-6 rows (12 string columns, recipes.py:29-43)."""
+    r = _streams(np.arange(n, dtype=np.uint64), seed ^ 0xB1A57, 12)
+    cols = {
+        "qseqid": [f"q{int(x) % 500}" for x in r[:, 0]],
+        "sseqid": [f"s{int(x) % 200}" for x in r[:, 1]],
+        "pident": [f"{80 + (int(x) % 2000) / 100.0}" for x in r[:, 2]],
+        "length": [str(100 + int(x) % 1600) for x in r[:, 3]],
+        "mismatch": [str(int(x) % 30) for x in r[:, 4]],
+        "gapopen": [str(int(x) % 5) for x in r[:, 5]],
+        "qstart": [str(1 + int(x) % 10) for x in r[:, 6]],
+        "qend": [str(900 + int(x) % 100) for x in r[:, 7]],
+        "sstart": [str(1 + int(x) % 10) for x in r[:, 8]],
+        "send": [str(900 + int(x) % 100) for x in r[:, 9]],
+        "evalue": [f"1e-{int(x) % 180}" for x in r[:, 10]],
+        "bitscore": [f"{100 + (int(x) % 9000) / 10.0}" for x in r[:, 11]],
+    }
+    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+
+
+def synth_segment_bindings(n_strains: int, seed: int = 42) -> pa.Table:
+    """(strain, segment, clade) rows — constellation-assembly input
+    (formatting.py:70-125).  Each strain gets 4-6 internal segments
+    with occasional conflicting / fuzzy / unknown clades."""
+    strains, segments, clades = [], [], []
+    r = _streams(np.arange(n_strains, dtype=np.uint64), seed ^ 0xC0457, 8)
+    for i in range(n_strains):
+        name = f"A/swine/Iowa/S{i:05d}/2021"
+        n_seg = 4 + int(r[i, 0] % 3)
+        for j in range(n_seg):
+            seg = _SEGMENTS[int(r[i, 1] >> np.uint64(j * 8)) % 6]
+            clade = _CLADES[int(r[i, 2] >> np.uint64(j * 8)) % len(_CLADES)]
+            strains.append(name)
+            segments.append(seg)
+            clades.append(clade)
+    return pa.table(
+        {
+            "strain": pa.array(strains, pa.string()),
+            "segment": pa.array(segments, pa.string()),
+            "clade": pa.array(clades, pa.string()),
+        }
+    )
+
+
+def synth_subtype_bindings(n_strains: int, seed: int = 42) -> pa.Table:
+    """Rows shaped like subtypes.rq output: (strain_name, isolates,
+    segment_subtypes, genbank_subtypes, gisaid_subtypes) with
+    '+'-joined value strings (recipes.py:338-387)."""
+    r = _streams(np.arange(n_strains, dtype=np.uint64), seed ^ 0x5B7, 8)
+    rows = {k: [] for k in
+            ["strain_name", "isolates", "segment_subtypes", "genbank_subtypes", "gisaid_subtypes"]}
+    for i in range(n_strains):
+        name = f"A/swine/Ohio/T{i:05d}/2020"
+        n_rows = 1 + int(r[i, 0] % 3)
+        for j in range(n_rows):
+            rows["strain_name"].append(name)
+            rows["isolates"].append(
+                f"EPI_ISL_{int(r[i, 1]) % 100000}" if r[i, 2] % 3 == 0 else "")
+            seg_sub = ["H1", "H3", "N1", "N2", "PB2"][int(r[i, 3] >> np.uint64(j * 8)) % 5]
+            rows["segment_subtypes"].append(seg_sub)
+            rows["genbank_subtypes"].append(
+                SUBTYPES[int(r[i, 4]) % len(SUBTYPES)] if r[i, 5] % 2 == 0 else "")
+            rows["gisaid_subtypes"].append(
+                SUBTYPES[int(r[i, 6]) % len(SUBTYPES)] if r[i, 7] % 3 == 0 else "")
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+def synth_masterlist_bindings(n_barcodes: int, seed: int = 42) -> pa.Table:
+    """Rows shaped like masterlist.rq output: one row per (barcode,
+    genbank_id, segment) with '+'-joined GROUP_CONCAT columns
+    (recipes.py:390-507)."""
+    r = _streams(np.arange(n_barcodes, dtype=np.uint64), seed ^ 0x3457A, 10)
+    cols = {k: [] for k in
+            ["barcode", "genbank_id", "segment", "earliest_date", "states", "strains",
+             "subtypes", "segment_subtypes", "us_clades", "gl_clades", "consts"]}
+    for i in range(n_barcodes):
+        bc = f"A0{int(r[i, 0]) % 10_000_000:07d}"
+        n_seg = 2 + int(r[i, 1] % 7)
+        for j in range(n_seg):
+            seg = _SEGMENTS[j % len(_SEGMENTS)]
+            cols["barcode"].append(bc)
+            cols["genbank_id"].append(f"MG{(int(r[i, 2]) + j) % 900000 + 100000}")
+            cols["segment"].append(seg)
+            cols["earliest_date"].append(f"20{10 + int(r[i, 3]) % 14}-0{1 + j % 9}-15")
+            cols["states"].append("IA" if r[i, 4] % 2 == 0 else "MN+IA")
+            cols["strains"].append(f"A/swine/Iowa/M{i:05d}/2019")
+            cols["subtypes"].append(SUBTYPES[int(r[i, 5]) % len(SUBTYPES)])
+            cols["segment_subtypes"].append(
+                {"HA": "H1", "NA": "N1"}.get(seg, seg) if r[i, 6] % 4 else "H3")
+            cols["us_clades"].append(f"1A.{1 + int(r[i, 7]) % 3}")
+            cols["gl_clades"].append(GLOBAL_CLADES[int(r[i, 8]) % len(GLOBAL_CLADES)])
+            cols["consts"].append("TTTTPP" if r[i, 9] % 3 else "mixed")
+    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})

@@ -1,0 +1,62 @@
+"""Delimited-table source (reference S2/S3: classes.py:244-290).
+
+The reference reads TSV (tab-split, header row, NaN-folding via
+``strOrNone``, util.py:42-50) or Excel into a dict of string columns.
+Here: TSV text / files -> Dataset of STRING columns (types are decided
+later by the distributed column vote, pipelines/prep.py) — schema-on-
+read stays stringly, exactly like the reference, because the
+classifier vote IS the type system (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import pyarrow as pa
+
+NA_DEFAULT = ("", "NA", "N/A", "nan", "None")
+
+
+def parse_tsv(text: str, *, na_str: Sequence[str] = NA_DEFAULT) -> pa.Table:
+    """TSV text -> Arrow table of nullable string columns (header row
+    required; na_str values fold to null — strOrNone, util.py:42-50)."""
+    lines = [l for l in text.splitlines() if l != ""]
+    if not lines:
+        return pa.table({})
+    header = lines[0].split("\t")
+    cols: List[List[Optional[str]]] = [[] for _ in header]
+    for line in lines[1:]:
+        parts = line.split("\t")
+        for i in range(len(header)):
+            v = parts[i] if i < len(parts) else None
+            cols[i].append(None if (v is None or v in na_str) else v)
+    return pa.table({h: pa.array(c, pa.string()) for h, c in zip(header, cols)})
+
+
+def tsv_rows(src: Union[str, List[str]], *, na_str: Sequence[str] = NA_DEFAULT):
+    """TSV -> Dataset of string columns.
+
+    ``src`` is raw TSV text (small, driver-side) or file path(s) —
+    files are read with ``ray.data.read_csv`` (distributed, header per
+    file) and NA-folded to null inside map_batches."""
+    import ray.data as rd
+
+    if isinstance(src, str) and "\t" in src:
+        return rd.from_arrow(parse_tsv(src, na_str=na_str))
+
+    from pyarrow import csv as pacsv
+
+    ds = rd.read_csv(
+        src,
+        parse_options=pacsv.ParseOptions(delimiter="\t"),
+        convert_options=pacsv.ConvertOptions(
+            column_types=None, strings_can_be_null=True, null_values=list(na_str)
+        ),
+    )
+
+    def stringly(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({c: pc.cast(t.column(c), pa.string()) for c in t.schema.names})
+
+    return ds.map_batches(stringly, batch_format="pyarrow")

@@ -1,0 +1,178 @@
+"""Prep pipelines (fasta/table/blast/tag) and text sinks.
+
+Mirrors the reference's end-to-end in-memory goldens
+(runtests.py:664-764 fasta->triples; recipes.py:21-71 blast) against
+the Ray pipelines.
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from octoray.sources.fasta import parse_fasta
+from octoray.sources.tables import parse_tsv
+
+
+FASTA = """>A/swine/Iowa/A01234567/2015|H1N1|2015-03-15
+ACGTACGTACGTACGTACGTACGT
+>A/human/Texas/77/2019|H3N2
+TTTTACGTACGTACGTACGTTTTT
+"""
+
+
+def test_parse_fasta_rows():
+    rows = parse_fasta(FASTA)
+    assert rows == [
+        ["A/swine/Iowa/A01234567/2015", "H1N1", "2015-03-15",
+         "ACGTACGTACGTACGTACGTACGT"],
+        ["A/human/Texas/77/2019", "H3N2", "TTTTACGTACGTACGTACGTTTTT"],
+    ]
+
+
+def test_parse_fasta_multiline_seq():
+    rows = parse_fasta(">x|y\nACGT\nACGT\n")
+    assert rows == [["x", "y", "ACGTACGT"]]
+
+
+def test_parse_tsv_na_folding():
+    t = parse_tsv("a\tb\n1\tNA\n2\tx\n")
+    assert t.column("a").to_pylist() == ["1", "2"]
+    assert t.column("b").to_pylist() == [None, "x"]
+
+
+def test_prep_fasta_triples(ray_session):
+    from octoray.pipelines.prep import prep_fasta
+    from octoray.sources.fasta import fasta_rows
+    from octoray import emit, recognize as R
+
+    ds = prep_fasta(fasta_rows(FASTA))
+    rows = ds.take_all()
+    got = {(r["subject"], r["predicate"], r["object"], r["object_datatype"]) for r in rows}
+
+    # reference-semantics oracle: per-row Datum-cast Phrase.connect
+    want = set()
+    for fields in parse_fasta(FASTA):
+        mentions = [emit.make_mention(R.cast_datum(x), x) for x in fields]
+        want |= emit.connect(mentions, levels=None)
+    assert got == want
+    # the strain/barcode side-emission survived (classifier_flucrew.py:250-267)
+    assert any(p == "f:barcode" for _, p, _, _ in got)
+    # canonical order
+    keys = [tuple(r.values()) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_vote_types_and_prep_table(ray_session):
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_table, vote_types
+
+    tsv = (
+        "strain\tdate\tcount\thost\n"
+        "A/swine/Iowa/1/2015\t2015-01-02\t4\tswine\n"
+        "A/swine/Ohio/2/2016\t2016-03-04\t7\thuman\n"
+        "A/human/Iowa/3/2017\t2017-05-06\t9\tswine\n"
+    )
+    from octoray.sources.tables import parse_tsv as _pt
+
+    ds = rd.from_arrow(_pt(tsv))
+    types = vote_types(ds)
+    assert types["strain"] == "strain_name"
+    assert types["date"] == "date"
+    # Integer is NOT in the reference's vote registry
+    # (classifier_flucrew.py:532-564) — numeric columns fall through to
+    # Unknown and emit via the column-name property (f:count)
+    assert types["count"] == "unknown"
+    assert types["host"] == "host"
+
+    triples = prep_table(ds).take_all()
+    got = {(r["subject"], r["predicate"], r["object"]) for r in triples}
+    # strain URIs carry their dates (StrainAttribute.relate)
+    assert ("fid:a%2Fswine%2Fiowa%2F1%2F2015", "f:date", "2015-01-02") in got
+    # ad-hoc column name -> property for the integer column
+    assert any(p == "f:count" for _, p, _ in got)
+
+
+def test_vote_types_matches_single_pass_reference(ray_session):
+    """Distributed vote == driver-side vote_column on the full column
+    (the A8 partial+final==whole invariant), even when values split
+    across many blocks."""
+    import ray.data as rd
+
+    from octoray.pipelines.prep import vote_types
+    from octoray import recognize as R
+
+    col = ["Georgia", "Texas", "Iowa", "Ohio"] * 10  # states, not country
+    t = pa.table({"place": pa.array(col, pa.string())})
+    ds = rd.from_arrow(t).repartition(8)
+    assert vote_types(ds)["place"] == R.vote_column(col).name
+    # single 'Georgia' alone votes country (runtests.py:631-637)
+    ds1 = rd.from_arrow(pa.table({"place": pa.array(["Georgia"], pa.string())}))
+    assert vote_types(ds1)["place"] == "country"
+
+
+def test_prep_blast(ray_session):
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_blast
+
+    cols = ["qseqid", "sseqid", "pident", "length", "mismatch", "gapopen",
+            "qstart", "qend", "sstart", "send", "evalue", "bitscore"]
+    row = ["q1", "s1", "99.5", "100", "1", "0", "1", "100", "5", "104",
+           "1e-50", "200.0"]
+    ds = rd.from_arrow(pa.table({c: pa.array([v], pa.string()) for c, v in zip(cols, row)}))
+    got = {(r["subject"], r["predicate"], r["object"], r["object_datatype"])
+           for r in prep_blast(ds).take_all()}
+    huid = "fid:blast%2Fq1_s1_200.0"  # make_uri folds [ -]+ -> _ (nomenclature.py:59-66)
+    assert (huid, "f:qseqid", "fid:q1", "uri") in got
+    assert (huid, "f:pident", "99.5", "xsd:double") in got
+    assert (huid, "f:length", "100", "xsd:integer") in got
+    assert (huid, "f:evalue", "1e-50", "xsd:double") in got
+    assert len(got) == 12
+
+
+def test_tag_ids(ray_session):
+    import ray.data as rd
+
+    from octoray.pipelines.prep import tag_ids
+
+    ds = rd.from_arrow(pa.table({"id": pa.array(["A01234567", "EPI_ISL_42"], pa.string())}))
+    got = {(r["subject"], r["predicate"], r["object"]) for r in
+           tag_ids(ds, "mytag", timestamp="2024-01-01").take_all()}
+    assert ("fid:a01234567", "f:tag", "tag:mytag") in got
+    assert ("tag:mytag", "f:name", "mytag") in got
+    assert ("tag:mytag", "f:time", "2024-01-01") in got
+
+
+def test_sinks_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from octoray import sinks
+    from octoray.pipelines.prep import prep_fasta
+    from octoray.sources.fasta import fasta_rows, parse_fasta
+
+    triples = prep_fasta(fasta_rows(FASTA))
+    ttl = sinks.write_turtle(triples, str(tmp_path / "g.ttl"))
+    text = open(ttl).read()
+    assert text.startswith("@prefix f: <https://flu-crew.org/term/> .")
+    assert 'f:dnaseq' in text and text.rstrip().endswith(".")
+    # line count = prefixes + triples
+    n_triples = triples.count()
+    assert len([l for l in text.splitlines() if l]) == n_triples + len(sinks.PREFIXES)
+
+    # FASTA sink roundtrip: (strain, subtype, seq) -> text -> parse back
+    ds = rd.from_arrow(pa.table({
+        "strain": pa.array(["A/x/1/2020", "A/y/2/2021"]),
+        "subtype": pa.array(["H1N1", None]),
+        "seq": pa.array(["ACGT", "GGTT"]),
+    }))
+    fp = sinks.write_fasta(ds, ["strain", "subtype", "seq"], str(tmp_path / "o.fa"))
+    assert parse_fasta(open(fp).read()) == [
+        ["A/x/1/2020", "H1N1", "ACGT"], ["A/y/2/2021", "", "GGTT"]]
+
+    tp = sinks.write_tsv(ds, str(tmp_path / "o.tsv"))
+    lines = open(tp).read().splitlines()
+    assert lines[0] == "strain\tsubtype\tseq"
+    assert lines[1] == "A/x/1/2020\tH1N1\tACGT"
+    assert lines[2] == "A/y/2/2021\t\tGGTT"
