@@ -158,6 +158,34 @@ def _q_report_masterlist(sf_dir: str):
     return masterlist(rd.from_arrow(synth_masterlist_bindings(_synth_n(sf_dir, 5_000))))
 
 
+def _q_media_image_features(sf_dir: str):
+    from octoray.stages import multimodal as M
+
+    return M.image_features(M.media_dataset(_synth_n(sf_dir, 5_000)), concurrency=(1, 4))
+
+
+def _q_media_audio_features(sf_dir: str):
+    from octoray.stages import multimodal as M
+
+    return M.audio_features(M.media_dataset(_synth_n(sf_dir, 5_000)))
+
+
+def _q_media_frame_sample(sf_dir: str):
+    from octoray.stages import multimodal as M
+
+    return M.sample_frames(M.media_dataset(_synth_n(sf_dir, 5_000)), every=2).select_columns(
+        ["media_id", "frame_idx"]
+    )
+
+
+def _q_media_knn(sf_dir: str):
+    from octoray.stages import multimodal as M
+    from octoray.stages.similarity import knn_brute
+
+    emb = M.media_embeddings(M.media_dataset(_synth_n(sf_dir, 5_000)), dim=16)
+    return knn_brute(emb, [0, 1, 2], k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from octoray.pipelines import relational as R
     from octoray.stages import dedup as D
@@ -223,6 +251,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), threshold=0.5, concurrency=(1, 2)
         ),
         "simhash_pairs": lambda sf: D.simhash_pairs(_docs(sf), max_hamming=3, concurrency=(1, 2)),
+        # --- multimodal columns (decode/resize/frames stubbed per docs) ---
+        "media_image_features": _q_media_image_features,
+        "media_audio_features": _q_media_audio_features,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_knn": _q_media_knn,
         # --- similarity search over embeddings ---
         "knn_brute": lambda sf: S.knn_brute(_embeddings(sf), _KNN_IDS, k=_KNN_K),
         "knn_lsh": lambda sf: S.lsh_bucket_knn(_embeddings(sf), _KNN_IDS, k=_KNN_K),

@@ -1,0 +1,72 @@
+"""Multimodal stages: synth media, decode, resize, audio, frames,
+embeddings (the plumbing is real; compressed decode is the documented
+stub)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from octoray.stages import multimodal as M
+
+
+def test_synth_deterministic_across_batching():
+    a = M.synth_media_batch(np.arange(10))
+    b = pa.concat_tables(
+        [M.synth_media_batch(np.arange(0, 5)), M.synth_media_batch(np.arange(5, 10))]
+    )
+    assert a.equals(b)
+    kinds = a.column("kind").to_pylist()
+    assert set(kinds) == {"image", "audio", "video"}
+
+
+def test_decode_roundtrip():
+    t = M.synth_media_batch(np.array([0]))  # id 0 -> image
+    dec = M.ImageDecoder()
+    img = dec.decode(t.column("payload")[0].as_py())
+    assert img.shape == (t.column("meta_h")[0].as_py(), t.column("meta_w")[0].as_py(), 3)
+    with pytest.raises(NotImplementedError):
+        dec.decode(b"\x89PNG1234567890123456")  # foreign format, no PIL
+
+
+def test_resize_real_math():
+    r = M.ImageResizer(out_w=8, out_h=8)
+    t = M.synth_media_batch(np.array([0]))
+    out = r(t)
+    img = M.ImageDecoder().decode(out.column("payload")[0].as_py())
+    assert img.shape == (8, 8, 3)
+    # nearest-neighbor: corner pixel preserved
+    src = M.ImageDecoder().decode(t.column("payload")[0].as_py())
+    assert (img[0, 0] == src[0, 0]).all()
+
+
+def test_pipeline_stages(ray_session):
+    media = M.media_dataset(30)
+    feats = M.image_features(media, concurrency=(1, 2)).take_all()
+    assert len(feats) == 10  # ids 0,3,6,... are images
+    assert all(0 <= r["mean_r"] <= 255 for r in feats)
+
+    au = M.audio_features(media).take_all()
+    assert len(au) == 10
+    assert all(r["n_samples"] == 1600 and r["rms"] > 0 for r in au)
+
+    fr = M.sample_frames(media, every=2).take_all()
+    assert len(fr) > 10  # 10 videos x >=2 sampled frames
+    # sampled frames decode as images
+    img = M.ImageDecoder().decode(fr[0]["payload"])
+    assert img.shape == (16, 16, 3)
+
+    emb = M.media_embeddings(media, dim=16).take_all()
+    assert len(emb) == 30
+    v = np.array(emb[0]["embedding"])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_media_embeddings_feed_knn(ray_session):
+    """Media embeddings compose with the similarity-search family."""
+    from octoray.stages.similarity import knn_brute
+
+    media = M.media_dataset(40)
+    emb = M.media_embeddings(media, dim=16)
+    out = knn_brute(emb, [0, 1], k=3).take_all()
+    assert {r["query_id"] for r in out} == {0, 1}
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
