@@ -131,6 +131,21 @@ def _q_prep_blast(sf_dir: str):
     return prep_blast(rd.from_arrow(synth_blast_table(_synth_n(sf_dir))))
 
 
+def _q_prep_genbank(sf_dir: str):
+    from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
+
+    return prep_genbank(gb_records_dataset(_synth_n(sf_dir, 10_000)))
+
+
+def _q_prep_gisaid(sf_dir: str):
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_gisaid
+    from octoray.sources.synth import synth_gisaid_table
+
+    return prep_gisaid(rd.from_arrow(synth_gisaid_table(_synth_n(sf_dir, 10_000))))
+
+
 def _q_report_constellations(sf_dir: str):
     import ray.data as rd
 
@@ -223,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prep_fasta": _q_prep_fasta,
         "prep_table": _q_prep_table,
         "prep_blast": _q_prep_blast,
+        "prep_genbank": _q_prep_genbank,
+        "prep_gisaid": _q_prep_gisaid,
         # --- report aggregations (A2/A3/A4; groupby + map_groups) ---
         "report_constellations": _q_report_constellations,
         "report_subtypes": _q_report_subtypes,

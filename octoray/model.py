@@ -128,11 +128,11 @@ def chksum(x: object) -> str:
 
 
 def uid(base: str, i: int, pad: int = 3) -> str:
-    """Deterministic per-record feature id ``fid:<base><i>`` zero-padded
-    (nomenclature.py:53-56 uidgen + util.py:83-85 padDigit).  Scoped to
-    one record, so safe under parallelism (SURVEY.md §2.10)."""
-    s = base.replace(" ", "_") + str(i)
-    return "fid:" + "0" * max(0, pad - len(s)) + s
+    """Deterministic per-record feature id string ``<base><i zero-padded>``
+    (nomenclature.py:53-56 uidgen + util.py:83-85 padDigit pad the
+    COUNTER, then mint via make_uri).  Scoped to one record, so safe
+    under parallelism (SURVEY.md §2.10)."""
+    return base + str(i).zfill(pad)
 
 
 # --- predicate vocabulary (nomenclature.py:131-230, class P) ------------
@@ -166,6 +166,22 @@ class P:
     bitscore = "f:bitscore"
     # sequence labels
     gb = "f:genbank_id"
+    # GenBank record metadata (nomenclature.py:186-204)
+    gb_locus = "f:locus"
+    gb_length = "f:length"
+    gb_strandedness = "f:strandedness"
+    gb_moltype = "f:moltype"
+    gb_topology = "f:topology"
+    gb_division = "f:division"
+    gb_update_date = "f:update_date"
+    gb_create_date = "f:create_date"
+    gb_definition = "f:definition"
+    gb_primary_accession = "f:primary_accession"
+    gb_accession_version = "f:accession_version"
+    gb_source = "f:source"
+    gb_organism = "f:organism"
+    gb_taxonomy = "f:taxonomy"
+    gb_location = "f:location"
     epi_id = "f:epi_id"
     # strain labels
     strain_name = "f:strain_name"

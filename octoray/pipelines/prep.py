@@ -225,6 +225,81 @@ def prep_blast(blast_ds, *, tag: Optional[str] = None, timestamp: str = "",
 
 
 # ----------------------------------------------------------------------
+# GISAID metadata recipe (S6, recipes.py:154-234)
+# ----------------------------------------------------------------------
+_GIS_SEGMENTS = ("PB2", "PB1", "PA", "HA", "NP", "NA", "MP", "NS")
+_GIS_EPI_TAIL = __import__("re").compile(r" *\|.*")
+
+
+def prep_gisaid(gis_ds, *, canonical: bool = True):
+    """GISAID metadata table -> triples (mk_gis, recipes.py:154-234).
+
+    One input row fans out into up to 8 segments x k comma-separated
+    (EPI seqid, INSDC id) pairs — the widest unnest in the reference
+    (SURVEY.md S6) — each pair re-connected as a Phrase with the
+    row-level strain/host/subtype/date tokens.  Expressed as one
+    ``map_batches`` (1 -> N row fan-out inside the batch, no shuffle).
+
+    Expected columns: Isolate_Id, Isolate_Name, Host, Subtype,
+    Lineage, Location, Collection_Date, Submission_Date, and per
+    segment "<SEG> Segment_Id" / "<SEG> INSDC_Upload" (nullable).
+    """
+    from octoray.functions.identifiers import match_strain
+
+    def row_triples(row: Dict[str, Optional[str]]):
+        triples = set()
+        iso = emit.make_mention(R.ISOLATE, row.get("Isolate_Id"))
+        name_raw = row.get("Isolate_Name") or ""
+        # strip parenthesized garbage after the strain name; keep the
+        # full ugly name under its own field (recipes.py:166-173)
+        cleaned = match_strain(name_raw)
+        strain = emit.make_mention(R.UNKNOWN, cleaned or name_raw or None,
+                                   field="strain_name")
+        full_name = emit.make_mention(R.UNKNOWN, name_raw or None,
+                                      field="gisaid_strain_name", na_str=("",))
+        host = emit.make_mention(R.HOST, row.get("Host"), field="host")
+        subtype = emit.make_mention(R.SUBTYPE, row.get("Subtype"), field="gisaid_subtype")
+        lineage = emit.make_mention(R.STRING, row.get("Lineage"), field="lineage",
+                                    na_str=("",))
+        loc = row.get("Location")
+        parts = loc.split(" / ") if loc else []
+        country = emit.make_mention(R.COUNTRY, parts[1] if len(parts) > 1 else None)
+        date = emit.make_mention(R.DATE, row.get("Collection_Date"), field="collection_date")
+        sub_date = emit.make_mention(R.DATE, row.get("Submission_Date"),
+                                     field="submission_date")
+        for seg in _GIS_SEGMENTS:
+            seg_ids = row.get(f"{seg} Segment_Id")
+            if not seg_ids:
+                continue
+            seg_tok = emit.make_mention(R.SEGMENT_NAME, seg)
+            epi_ids = [_GIS_EPI_TAIL.sub("", x) for x in str(seg_ids).split(",")]
+            insdc = row.get(f"{seg} INSDC_Upload")
+            gbk_ids: List[Optional[str]] = (
+                list(str(insdc).split(",")) if insdc else [None]
+            )
+            for epi_id, gbk_id in zip(epi_ids, gbk_ids):
+                mentions = [
+                    iso,
+                    emit.make_mention(R.EPI_SEQID, epi_id),
+                    emit.make_mention(R.GENBANK, gbk_id),
+                    strain, full_name, seg_tok, subtype, lineage, host,
+                    country, date, sub_date,
+                ]
+                triples |= emit.connect(mentions, levels=None)
+        return triples
+
+    def f(t: pa.Table) -> pa.Table:
+        triples = set()
+        cols = {c: t.column(c).to_pylist() for c in t.schema.names}
+        for i in range(t.num_rows):
+            triples |= row_triples({c: cols[c][i] for c in cols})
+        return triples_to_table(sorted(triples))
+
+    out = gis_ds.map_batches(f, batch_format="pyarrow")
+    return _finish(out, canonical)
+
+
+# ----------------------------------------------------------------------
 # id-list tagging (S10, ui.py:600-619 / 1099-1130)
 # ----------------------------------------------------------------------
 def tag_ids(ids_ds, tag: str, *, timestamp: str = "", id_col: str = "id",

@@ -76,6 +76,47 @@ def synth_blast_table(n: int, seed: int = 42) -> pa.Table:
     return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
 
 
+def synth_gisaid_table(n: int, seed: int = 42) -> pa.Table:
+    """GISAID-shaped metadata rows (recipes.py:154-234 input): fixed
+    identity columns + per-segment 'X Segment_Id'/'X INSDC_Upload'
+    comma-lists with the ' | garbage' suffixes the recipe strips."""
+    segs = ("PB2", "PB1", "PA", "HA", "NP", "NA", "MP", "NS")
+    cols: dict = {k: [] for k in
+                  ["Isolate_Id", "Isolate_Name", "Host", "Subtype", "Lineage",
+                   "Location", "Collection_Date", "Submission_Date"]}
+    for s in segs:
+        cols[f"{s} Segment_Id"] = []
+        cols[f"{s} INSDC_Upload"] = []
+    r = _streams(np.arange(n, dtype=np.uint64), seed ^ 0x61541D, 12)
+    hosts = ["swine", "human"]
+    for i in range(n):
+        strain = f"A/swine/Iowa/G{i:05d}/2019"
+        cols["Isolate_Id"].append(f"EPI_ISL_{int(r[i, 0]) % 500000}")
+        cols["Isolate_Name"].append(
+            strain + (" (H1N1)" if r[i, 1] % 2 == 0 else ""))
+        cols["Host"].append(hosts[int(r[i, 2]) % 2])
+        cols["Subtype"].append(SUBTYPES[int(r[i, 3]) % len(SUBTYPES)])
+        cols["Lineage"].append("swl" if r[i, 4] % 2 else "")
+        cols["Location"].append("North America / United States / Iowa")
+        cols["Collection_Date"].append(f"2019-0{1 + int(r[i, 5]) % 9}-12")
+        cols["Submission_Date"].append(f"2020-0{1 + int(r[i, 6]) % 9}-03")
+        for j, s in enumerate(segs):
+            if r[i, 7] >> np.uint64(j) & np.uint64(1):
+                k = 1 + int(r[i, 8] >> np.uint64(j * 4)) % 2
+                epis = ",".join(
+                    f"EPI{(int(r[i, 9]) + j * 7 + m) % 900000 + 100000} | junk"
+                    for m in range(k))
+                gbs = ",".join(
+                    f"MH{(int(r[i, 10]) + j * 11 + m) % 900000 + 100000}"
+                    for m in range(k))
+                cols[f"{s} Segment_Id"].append(epis)
+                cols[f"{s} INSDC_Upload"].append(gbs)
+            else:
+                cols[f"{s} Segment_Id"].append(None)
+                cols[f"{s} INSDC_Upload"].append(None)
+    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+
+
 def synth_segment_bindings(n_strains: int, seed: int = 42) -> pa.Table:
     """(strain, segment, clade) rows — constellation-assembly input
     (formatting.py:70-125).  Each strain gets 4-6 internal segments

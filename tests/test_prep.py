@@ -176,3 +176,34 @@ def test_sinks_roundtrip(ray_session, tmp_path):
     assert lines[0] == "strain\tsubtype\tseq"
     assert lines[1] == "A/x/1/2020\tH1N1\tACGT"
     assert lines[2] == "A/y/2/2021\t\tGGTT"
+
+
+def test_prep_gisaid(ray_session):
+    """mk_gis semantics (recipes.py:154-234): 8-segment unnest, EPI
+    tail-stripping, paren-free strain vs full gisaid name."""
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_gisaid
+    from octoray.sources.synth import synth_gisaid_table
+
+    t = synth_gisaid_table(20)
+    got = prep_gisaid(rd.from_arrow(t)).take_all()
+    trip = {(r["subject"], r["predicate"], r["object"]) for r in got}
+    # the ISOLATE is the strain-group entity (Isolate(StrainToken),
+    # classifier_flucrew.py:221): names attach to fid:epi_isl_*, and
+    # has_segment fans out to the EPI seqid + genbank segment URIs
+    iso_subjects = {s for s, p, o in trip if p == "f:strain_name"}
+    assert iso_subjects and all(s.startswith("fid:epi_isl_") for s in iso_subjects)
+    # cleaned vs full name on the same isolate (recipes.py:166-173)
+    full = {(s, o) for s, p, o in trip if p == "f:gisaid_strain_name"}
+    assert any("(H1N1)" in o for _, o in full)
+    clean = {(s, o) for s, p, o in trip if p == "f:strain_name"}
+    assert all("(" not in o for _, o in clean)
+    # EPI garbage suffix stripped: no object may contain ' | junk'
+    assert not any("junk" in o for _, _, o in trip)
+    # segment fan-out present, pointing at epi/genbank segment URIs
+    segs = {o for s, p, o in trip if p == "f:has_segment"}
+    assert segs and all(o.startswith(("fid:epi", "fid:mh")) for o in segs)
+    # deterministic
+    got2 = prep_gisaid(rd.from_arrow(synth_gisaid_table(20))).take_all()
+    assert got == got2
