@@ -131,6 +131,18 @@ def _q_prep_blast(sf_dir: str):
     return prep_blast(rd.from_arrow(synth_blast_table(_synth_n(sf_dir))))
 
 
+def _q_kg_rules(sf_dir: str):
+    """KG build + ontology expansion (subPropertyOf + transitive
+    locatedIn) — the GraphDB-reasoner semantics as explicit stages."""
+    from octoray.pipelines.kg import build_triples, pages_dataset
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.rules import expand_locations, expand_subproperties
+
+    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
+    triples = build_triples(pages_dataset(n_pages, seed=42))
+    return dedup_triples(expand_locations(expand_subproperties(triples)))
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -234,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_build": _q_kg_build,
         "kg_subject_degree": _q_kg_subject_degree,
         "kg_strain_pivot": _q_kg_strain_dates,
+        "kg_rules_expanded": _q_kg_rules,
         # --- prep family: delimited inputs -> triples (S1/S2/S9) ---
         "prep_fasta": _q_prep_fasta,
         "prep_table": _q_prep_table,

@@ -1,0 +1,196 @@
+"""Ontology rule expansion (reference schema.ttl + geography.ttl).
+
+The reference delegates rdfs:subPropertyOf and the transitive
+f:locatedIn hierarchy to GraphDB's reasoner (SURVEY.md §1.1); here
+they are finite expansion rules applied as Dataset transforms:
+
+  expand_subproperties  one vectorized map_batches — for each triple
+                        whose predicate has super-properties, emit the
+                        same triple under each super-predicate
+                        (schema.ttl:19-68, geography.ttl:9-10).
+  geography_facts       the static geo dimension as a triple table:
+                        state name/abbr records and the locatedIn
+                        hierarchy (state -> surveillance region ->
+                        country -> continent; geography.ttl:14-995).
+  transitive_closure    semi-naive closure over a (subject, object)
+                        edge Dataset via iterated hash joins — the
+                        distributed general form (f:locatedIn is
+                        owl:TransitiveProperty, geography.ttl:7).
+  expand_locations      strain-level f:state/f:country triples ->
+                        f:locatedIn + its transitive ancestors via the
+                        BROADCAST closed geo hierarchy (the dimension
+                        is tiny and static, so the closure is computed
+                        once and shipped via ray.put — J4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from octoray.functions import geography
+from octoray.model import DT_PLAIN, DT_URI, triples_to_table
+
+# --- rdfs:subPropertyOf (schema.ttl:19-68, geography.ttl:9-10) --------
+SUBPROPERTY: Dict[str, List[str]] = {
+    "f:collection_date": ["f:date"],
+    "rdfs:label": ["f:name"],
+    "f:genbank_id": ["f:seqid"],
+    "f:epi_id": ["f:seqid"],
+    "f:has_segment": ["f:has_part"],
+    "f:state": ["f:locatedIn"],
+    "f:country": ["f:locatedIn"],
+    **{f"f:{m}_motif": ["f:motif"] for m in ["h3", "cb", "sa", "sb", "ca1", "ca2"]},
+    **{f"f:h{i}": ["f:ha"] for i in range(1, 19)},
+    **{f"f:n{i}": ["f:na"] for i in range(1, 12)},
+    **{f"f:{g}": ["f:internalGene"] for g in ["pb2", "pb1", "pa", "np", "m", "ns1"]},
+}
+
+
+def expand_subproperties(triples, *, rules: Dict[str, List[str]] = SUBPROPERTY):
+    """Add (s, q, o, dt) for every (s, p, o, dt) with p ⊑ q.  One
+    vectorized filter per rule predicate actually present; the rule
+    table is finite and static, so this is a stateless map."""
+
+    def f(t: pa.Table) -> pa.Table:
+        preds = t.column("predicate")
+        extra = [t]
+        present = set(pc.unique(preds).to_pylist())
+        for p, supers in rules.items():
+            if p not in present:
+                continue
+            sel = t.filter(pc.equal(preds, pa.scalar(p)))
+            for q in supers:
+                extra.append(sel.set_column(
+                    sel.schema.get_field_index("predicate"),
+                    "predicate",
+                    pa.array([q] * sel.num_rows, pa.string()),
+                ))
+        return pa.concat_tables(extra)
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+# --- static geography dimension (geography.ttl:14-995) ----------------
+# US swine-surveillance regions (geography.ttl:119-170)
+_US_REGIONS: Dict[str, Sequence[str]] = {
+    "Region1": ["ME", "VT", "NH", "MA", "CT", "RI", "NY", "PA", "NJ", "DE",
+                "MD", "DC", "VA", "WV", "NC", "SC", "TN", "AL", "GA", "FL"],
+    "Region2": ["MN", "IA", "WI", "IL", "IN", "KY", "OH", "MI"],
+    "Region3": ["MO", "AR", "MS", "LA", "OK", "TX"],
+    "Region4": ["ID", "MT", "WY", "ND", "SD", "NE", "KS"],
+    "Region5": ["WA", "OR", "CA", "NV", "UT", "AZ", "CO", "NM"],
+}
+# continent assignment for the country vocabulary this engine ships
+# (geography.ttl maps every ISO country to a UN subregion; extend this
+# data table for full parity)
+_COUNTRY_REGION: Dict[str, str] = {
+    "CAN": "NorthernAmerica", "USA": "NorthernAmerica", "MEX": "CentralAmerica",
+    "BRA": "SouthAmerica", "CHN": "EasternAsia", "JPN": "EasternAsia",
+    "VNM": "SouthEasternAsia", "THA": "SouthEasternAsia",
+    "DEU": "WesternEurope", "DNK": "NorthernEurope", "ESP": "SouthernEurope",
+}
+
+
+def geography_facts() -> pa.Table:
+    """The geo dimension as triples: usa:XX f:name/f:abbr literals plus
+    the locatedIn edges (state -> region -> USA; country -> subregion)."""
+    rows: List[Tuple[str, str, str, str]] = []
+    for name, code in geography.STATE_NAME2ABBR.items():
+        rows.append((f"usa:{code}", "f:name", name.title(), DT_PLAIN))
+        rows.append((f"usa:{code}", "f:abbr", code, DT_PLAIN))
+    for region, states in _US_REGIONS.items():
+        for st in states:
+            rows.append((f"usa:{st}", "f:locatedIn", f"usa:{region}", DT_URI))
+        rows.append((f"usa:{region}", "f:locatedIn", "world:USA", DT_URI))
+    for code, region in _COUNTRY_REGION.items():
+        rows.append((f"world:{code}", "f:locatedIn", f"world:{region}", DT_URI))
+    return triples_to_table(sorted(set(rows)))
+
+
+def closure_edges(edges: Sequence[Tuple[str, str]]) -> set:
+    """In-memory transitive closure of a small edge set."""
+    adj: Dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    out = set()
+    for a in adj:
+        stack = list(adj[a])
+        seen = set()
+        while stack:
+            b = stack.pop()
+            if b in seen:
+                continue
+            seen.add(b)
+            out.add((a, b))
+            stack.extend(adj.get(b, ()))
+    return out
+
+
+def transitive_closure(edges_ds, *, subject_col: str = "subject",
+                       object_col: str = "object", max_iters: int = 16,
+                       num_partitions: int = 8):
+    """Distributed semi-naive closure: repeat edges ∪ (new ⋈ edges)
+    until no growth.  Each round is ONE hash join keyed on the
+    frontier's object = base's subject; growth is checked with a cheap
+    count.  For hierarchies of depth d it runs ceil(log-ish d) rounds;
+    the static geography dimension instead uses the in-memory
+    ``closure_edges`` (broadcast, J4)."""
+
+    def dedup(ds):
+        return ds.groupby([subject_col, object_col]).count().select_columns(
+            [subject_col, object_col])
+
+    # materialize() per round: bounds the lineage (otherwise each round
+    # re-executes every previous join, and deeply stacked lazy joins
+    # stall the executor) — the per-round checkpoint any iterative
+    # fixpoint needs at scale
+    all_edges = dedup(edges_ds).materialize()
+    n = all_edges.count()
+    for _ in range(max_iters):
+        base_b = all_edges.rename_columns({subject_col: "_mid", object_col: "_dst"})
+        stepped = all_edges.rename_columns({object_col: "_mid"}).join(
+            base_b, join_type="inner", num_partitions=num_partitions, on=("_mid",),
+        ).select_columns([subject_col, "_dst"]).rename_columns({"_dst": object_col})
+        grown = dedup(all_edges.union(stepped)).materialize()
+        m = grown.count()
+        if m == n:
+            break
+        all_edges, n = grown, m
+    return all_edges
+
+
+def expand_locations(triples):
+    """f:locatedIn ancestors for every subject with f:state/f:country:
+    subproperty step emits (s, locatedIn, loc); this adds
+    (s, locatedIn, ancestor) for each ancestor of loc in the closed
+    static hierarchy.  The closure is built once on the driver (the
+    dimension is ~1k rows) and broadcast via ray.put."""
+    import ray
+
+    geo = geography_facts()
+    sel = geo.filter(pc.equal(geo.column("predicate"), pa.scalar("f:locatedIn")))
+    closed = closure_edges(
+        list(zip(sel.column("subject").to_pylist(), sel.column("object").to_pylist()))
+    )
+    anc: Dict[str, List[str]] = {}
+    for a, b in closed:
+        anc.setdefault(a, []).append(b)
+    anc_ref = ray.put({k: sorted(v) for k, v in anc.items()})
+
+    def f(t: pa.Table) -> pa.Table:
+        amap = ray.get(anc_ref) if not isinstance(anc_ref, dict) else anc_ref
+        mask = pc.is_in(t.column("predicate"),
+                        value_set=pa.array(["f:state", "f:country"], pa.string()))
+        sel_t = t.filter(mask)
+        rows: List[Tuple[str, str, str, str]] = []
+        for s, o in zip(sel_t.column("subject").to_pylist(),
+                        sel_t.column("object").to_pylist()):
+            rows.append((s, "f:locatedIn", o, DT_URI))
+            for a in amap.get(o, ()):
+                rows.append((s, "f:locatedIn", a, DT_URI))
+        return pa.concat_tables([t, triples_to_table(sorted(set(rows)))])
+
+    return triples.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,80 @@
+"""Ontology rule expansion (schema.ttl / geography.ttl semantics)."""
+
+import pyarrow as pa
+
+from octoray.model import triples_to_table
+from octoray.stages.rules import (
+    closure_edges,
+    expand_locations,
+    expand_subproperties,
+    geography_facts,
+    transitive_closure,
+)
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(triples_to_table(rows))
+
+
+def test_subproperty_expansion(ray_session):
+    rows = [
+        ("fid:s1", "f:collection_date", "2020-01-01", "xsd:date"),
+        ("fid:s1", "f:h1", "1A.1", ""),
+        ("fid:s1", "f:n2", "x", ""),
+        ("fid:seg", "f:sa_motif", "AAAA", ""),
+        ("fid:s1", "f:has_segment", "fid:seg", "uri"),
+        ("fid:s1", "f:subtype", "H1N1", ""),  # no rule -> untouched
+    ]
+    got = {tuple(r.values()) for r in expand_subproperties(_ds(rows)).take_all()}
+    assert ("fid:s1", "f:date", "2020-01-01", "xsd:date") in got
+    assert ("fid:s1", "f:ha", "1A.1", "") in got
+    assert ("fid:s1", "f:na", "x", "") in got
+    assert ("fid:seg", "f:motif", "AAAA", "") in got
+    assert ("fid:s1", "f:has_part", "fid:seg", "uri") in got
+    assert len(got) == len(rows) + 5  # originals kept, one derived each
+
+
+def test_closure_edges_small():
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    got = closure_edges(edges)
+    assert ("a", "d") in got and ("b", "d") in got and ("x", "y") in got
+    assert ("a", "y") not in got
+    assert len(got) == 3 + 2 + 1 + 1
+
+
+def test_transitive_closure_distributed_matches_inmemory(ray_session):
+    import ray.data as rd
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("p", "q"), ("q", "r")]
+    t = pa.table(
+        {
+            "subject": pa.array([e[0] for e in edges]),
+            "object": pa.array([e[1] for e in edges]),
+        }
+    )
+    got = transitive_closure(rd.from_arrow(t)).take_all()
+    pairs = {(r["subject"], r["object"]) for r in got}
+    assert pairs == closure_edges(edges)
+
+
+def test_expand_locations(ray_session):
+    rows = [
+        ("fid:strain1", "f:state", "usa:IA", "uri"),
+        ("fid:strain2", "f:country", "world:CAN", "uri"),
+    ]
+    got = {tuple(r.values()) for r in expand_locations(_ds(rows)).take_all()}
+    # IA -> Region2 -> USA (geography.ttl:119-170)
+    assert ("fid:strain1", "f:locatedIn", "usa:IA", "uri") in got
+    assert ("fid:strain1", "f:locatedIn", "usa:Region2", "uri") in got
+    assert ("fid:strain1", "f:locatedIn", "world:USA", "uri") in got
+    assert ("fid:strain2", "f:locatedIn", "world:NorthernAmerica", "uri") in got
+
+
+def test_geography_facts_shape():
+    t = geography_facts()
+    trip = {(r["subject"], r["predicate"], r["object"]) for r in t.to_pylist()}
+    assert ("usa:IA", "f:name", "Iowa") in trip
+    assert ("usa:IA", "f:locatedIn", "usa:Region2") in trip
+    assert ("usa:Region2", "f:locatedIn", "world:USA") in trip
