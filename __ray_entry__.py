@@ -143,6 +143,22 @@ def _q_kg_rules(sf_dir: str):
     return dedup_triples(expand_locations(expand_subproperties(triples)))
 
 
+def _q_pull(sf_dir: str):
+    """Full incremental pull: sharded base build + fixpoint derived
+    steps (quarters, located), returned as the combined graph."""
+    import shutil
+    import tempfile
+
+    from octoray.pipelines.pull import pull, read_graph
+
+    d = tempfile.mkdtemp(prefix="octoray_pull_")
+    try:
+        pull(max(200, int(50_000 * _sf_of(sf_dir))), d, n_shards=4)
+        return read_graph(d).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -247,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_subject_degree": _q_kg_subject_degree,
         "kg_strain_pivot": _q_kg_strain_dates,
         "kg_rules_expanded": _q_kg_rules,
+        "kg_pull": _q_pull,
         # --- prep family: delimited inputs -> triples (S1/S2/S9) ---
         "prep_fasta": _q_prep_fasta,
         "prep_table": _q_prep_table,

@@ -124,6 +124,35 @@ def broadcast_anti_join(ds, col: str, keys_ref):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def anti_join(left, right_keys, on: str, *, num_partitions: int = 16):
+    """Distributed anti-join (J8): rows of ``left`` whose ``on`` value
+    does NOT appear in ``right_keys`` (a Dataset holding column ``on``).
+    Left-outer hash join + null-probe filter — use this when the right
+    side is too big to broadcast; ``broadcast_anti_join`` otherwise."""
+    import pyarrow.compute as pc  # noqa: F811
+
+    marked = (
+        right_keys.select_columns([on])
+        .groupby(on).count()
+        .map_batches(
+            lambda t: t.select([on]).append_column(
+                "_present", pa.array([1] * t.num_rows, pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    if marked.count() == 0:
+        # an empty right side loses its schema and breaks the hash
+        # join; semantically anti-join against nothing keeps everything
+        return left
+    joined = left.join(marked, join_type="left_outer", num_partitions=num_partitions, on=(on,))
+
+    def keep_missing(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("_present"))).drop_columns(["_present"])
+
+    return joined.map_batches(keep_missing, batch_format="pyarrow")
+
+
 ID_PREDICATES = ["f:strain_name", "f:barcode", "f:epi_isolate", "f:genbank_id", "f:epi_id"]
 
 

@@ -191,6 +191,11 @@ def expand_locations(triples):
             rows.append((s, "f:locatedIn", o, DT_URI))
             for a in amap.get(o, ()):
                 rows.append((s, "f:locatedIn", a, DT_URI))
-        return pa.concat_tables([t, triples_to_table(sorted(set(rows)))])
+        new = triples_to_table(sorted(set(rows)))
+        # upstream joins may have reordered the 4 triple columns;
+        # concat requires identical schema order
+        cols = [c for c in t.schema.names if c in new.schema.names]
+        left = t.select(cols)
+        return pa.concat_tables([left, new.select(cols).cast(left.schema)])
 
     return triples.map_batches(f, batch_format="pyarrow")
