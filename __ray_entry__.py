@@ -143,6 +143,53 @@ def _q_kg_rules(sf_dir: str):
     return dedup_triples(expand_locations(expand_subproperties(triples)))
 
 
+def _q_classify_clades(sf_dir: str):
+    import ray.data as rd
+
+    from octoray.stages.classify import classify_clades, synth_panel, synth_query_seqs
+
+    panel = synth_panel()
+    q = synth_query_seqs(_synth_n(sf_dir, 20_000), panel)
+    return classify_clades(
+        rd.from_arrow(q.select(["seqid", "dnaseq"])), panel, concurrency=(1, 4)
+    ).select_columns(["seqid", "segment_subtype", "clade", "gl_clade"])
+
+
+def _q_motifs(sf_dir: str):
+    import ray.data as rd
+
+    from octoray.stages.classify import extract_motifs, synth_panel, synth_query_seqs
+
+    q = synth_query_seqs(_synth_n(sf_dir, 20_000), synth_panel())
+    return extract_motifs(rd.from_arrow(q.select(["seqid", "dnaseq"])), subtype="H1")
+
+
+def _q_kg_monthly(sf_dir: str):
+    from octoray.pipelines.kg import build_triples, pages_dataset
+    from octoray.pipelines.reports import kg_monthly_report
+    from octoray.stages.canon import dedup_triples
+
+    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
+    return kg_monthly_report(dedup_triples(build_triples(pages_dataset(n_pages, seed=42))))
+
+
+def _q_kg_tagged_report(sf_dir: str):
+    from octoray.pipelines.kg import build_triples, pages_dataset
+    from octoray.pipelines.reports import tagged_strain_report
+    from octoray.sources.webtext import page_record
+    from octoray.stages.canon import dedup_triples
+
+    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
+    # tag the strains of the first 40 pages by their raw strain-name id
+    ids = []
+    for pid in range(40):
+        fields = page_record(pid, 42)[1]
+        if fields:
+            ids.append(fields[0])
+    triples = dedup_triples(build_triples(pages_dataset(n_pages, seed=42)))
+    return tagged_strain_report(triples, ids)
+
+
 def _q_pull(sf_dir: str):
     """Full incremental pull: sharded base build + fixpoint derived
     steps (quarters, located), returned as the combined graph."""
@@ -264,6 +311,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_strain_pivot": _q_kg_strain_dates,
         "kg_rules_expanded": _q_kg_rules,
         "kg_pull": _q_pull,
+        "kg_monthly_report": _q_kg_monthly,
+        "kg_tagged_report": _q_kg_tagged_report,
+        # --- stateful classification stages (X1/X2 analogues) ---
+        "classify_clades": _q_classify_clades,
+        "motifs": _q_motifs,
         # --- prep family: delimited inputs -> triples (S1/S2/S9) ---
         "prep_fasta": _q_prep_fasta,
         "prep_table": _q_prep_table,

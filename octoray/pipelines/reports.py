@@ -258,6 +258,81 @@ def masterlist_entry(rows: List[Dict[str, object]]) -> Dict[str, List[str]]:
     return entry
 
 
+def kg_monthly_report(triples):
+    """A5 (wgs.rq / monthly-context.rq): date-part projection then
+    GROUP BY (host, year, month) with a distinct-strain count and
+    GROUP_CONCAT(DISTINCT subtype) — run directly over the triple
+    table: one predicate-filtered pivot per subject, then a combined
+    groupby-aggregate."""
+    from octoray.query import pivot_subjects
+
+    per_subject = pivot_subjects(
+        triples, {"dates": "f:date", "hosts": "f:host", "subtypes": "f:subtype"}
+    )
+
+    def parts(df: pd.DataFrame) -> pd.DataFrame:
+        first_date = df["dates"].str.split("+").str[0]
+        ym = first_date.str.extract(r"^(\d{4})-?(\d{2})?")
+        out = pd.DataFrame(
+            {
+                "host": df["hosts"].str.split("+").str[0],
+                "year": ym[0].fillna(""),
+                "month": ym[1].fillna(""),
+                "subject": df["subject"],
+                "subtypes": df["subtypes"],
+            }
+        )
+        return out[(out["host"] != "") & (out["year"] != "")]
+
+    keyed = per_subject.map_batches(parts, batch_format="pandas")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        subs = sorted({s for row in g["subtypes"] for s in str(row).split("+") if s})
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "year": [g["year"].iloc[0]],
+                "month": [g["month"].iloc[0]],
+                "n_strains": [g["subject"].nunique()],
+                "subtypes": ["+".join(subs)],
+            }
+        )
+
+    return keyed.groupby(["host", "year", "month"]).map_groups(agg, batch_format="pandas")
+
+
+def tagged_strain_report(triples, ids):
+    """A6 (get-tagged-strain.rq): resolve free-form ids to subjects
+    (UNION id-resolution J6), restrict the graph (broadcast semi-join
+    J7 — tag sets are small), then per-strain GROUP_CONCAT(DISTINCT)
+    + MIN(date)."""
+    from octoray.query import broadcast_keys, broadcast_semi_join, tagged_subjects
+
+    subs = {r["subject"] for r in tagged_subjects(triples, ids).take_all()}
+    restricted = broadcast_semi_join(triples, "subject", broadcast_keys(subs))
+
+    def per_subject(g: pd.DataFrame) -> pd.DataFrame:
+        def vals(pred):
+            seen: List[str] = []
+            for v in g.loc[g["predicate"] == pred, "object"]:
+                if v not in seen:
+                    seen.append(v)
+            return seen
+
+        dates = vals("f:date")
+        return pd.DataFrame(
+            {
+                "subject": [g["subject"].iloc[0]],
+                "strain_name": ["+".join(vals("f:strain_name"))],
+                "subtypes": ["+".join(sorted(vals("f:subtype")))],
+                "min_date": [min(dates) if dates else ""],
+                "genbank_ids": ["+".join(sorted(vals("f:genbank_id")))],
+            }
+        )
+
+    return restricted.groupby("subject").map_groups(per_subject, batch_format="pandas")
+
+
 def masterlist(ds):
     """Binding rows (one per barcode x genbank_id x segment,
     masterlist.rq GROUP BY) -> 33-column pivot, one row per barcode;
