@@ -147,7 +147,9 @@ def nation_segments(sf_dir: str):
         segs = sorted(set(g["c_mktsegment"]))
         return pd.DataFrame({"n_name": [g["n_name"].iloc[0]], "segments": ["+".join(segs)]})
 
-    return j.groupby("n_name").map_groups(concat, batch_format="pandas")
+    from octoray.query import sorted_map_groups
+
+    return sorted_map_groups(j, ["n_name"], concat)
 
 
 def order_quarters(sf_dir: str):

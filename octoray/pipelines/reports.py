@@ -73,7 +73,9 @@ def constellations(ds, *, strain_col="strain", segment_col="segment", clade_col=
             {"strain_name": [r[0] for r in res], "constellation": [r[1] for r in res]}
         )
 
-    return ds.groupby(strain_col).map_groups(per_group, batch_format="pandas")
+    from octoray.query import sorted_map_groups
+
+    return sorted_map_groups(ds, [strain_col], per_group)
 
 
 # ----------------------------------------------------------------------
@@ -158,7 +160,9 @@ def synthesize_subtypes(ds):
             }
         )
 
-    return ds.groupby("strain_name").map_groups(per_group, batch_format="pandas")
+    from octoray.query import sorted_map_groups
+
+    return sorted_map_groups(ds, ["strain_name"], per_group)
 
 
 # ----------------------------------------------------------------------
@@ -298,7 +302,9 @@ def kg_monthly_report(triples):
             }
         )
 
-    return keyed.groupby(["host", "year", "month"]).map_groups(agg, batch_format="pandas")
+    from octoray.query import sorted_map_groups
+
+    return sorted_map_groups(keyed, ["host", "year", "month"], agg)
 
 
 def tagged_strain_report(triples, ids):
@@ -330,7 +336,9 @@ def tagged_strain_report(triples, ids):
             }
         )
 
-    return restricted.groupby("subject").map_groups(per_subject, batch_format="pandas")
+    from octoray.query import sorted_map_groups
+
+    return sorted_map_groups(restricted, ["subject"], per_subject)
 
 
 def masterlist(ds):
@@ -349,4 +357,6 @@ def masterlist(ds):
             {f: [",".join(x for x in entry[f] if x)] for f in MASTERLIST_HEADER}
         )
 
-    return ds.groupby("barcode").map_groups(per_group, batch_format="pandas")
+    from octoray.query import sorted_map_groups
+
+    return sorted_map_groups(ds, ["barcode"], per_group)

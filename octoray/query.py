@@ -70,7 +70,7 @@ def pivot_subjects(triples, spec: Dict[str, str], *, key: str = "subject"):
             out[col] = ["+".join(seen)]
         return pd.DataFrame(out)
 
-    return wanted.groupby("subject").map_groups(pivot, batch_format="pandas")
+    return sorted_map_groups(wanted, ["subject"], pivot)
 
 
 def hash_join(left, right, on: str, right_on: Optional[str] = None, *, how: str = "inner", num_partitions: int = 16):
@@ -122,6 +122,49 @@ def broadcast_anti_join(ds, col: str, keys_ref):
         return t.filter(pc.invert(pc.is_in(t.column(col), value_set=arr)))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sorted_groupby_count(ds, keys: Sequence[str], *, alias: str = "count"):
+    """Exact global count-per-group via ONE range-partitioned sort +
+    per-block Arrow group_by.  Equal keys land in one sort partition,
+    so block-local aggregation is globally exact — ~10x cheaper than
+    Ray's sort-aggregate, whose per-group accumulators dominate (see
+    BASELINE.md dedup note).  Output: keys + ``alias`` (int64)."""
+    keys = list(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys, use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(keys + [alias])
+
+    return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def block_map_groups(ds, keys: Sequence[str], fn):
+    """Apply ``fn`` per key-group WITHIN each block (pandas groupby —
+    per-group dispatch ~100x cheaper than Ray's map_groups).  Caller
+    must guarantee all rows of a key share one block (e.g. downstream
+    of ``ds.sort(keys)``, whose range partitioning co-locates equal
+    keys — the invariant the canon dedup tests pin)."""
+    import pandas as pd
+
+    keys = list(keys)
+
+    def apply_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return df
+        parts = [fn(g) for _, g in df.groupby(keys, sort=False, group_keys=False)]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return pd.DataFrame()
+        return pd.concat(parts, ignore_index=True)
+
+    return ds.map_batches(apply_block, batch_format="pandas", batch_size=None)
+
+
+def sorted_map_groups(ds, keys: Sequence[str], fn):
+    """``groupby(keys).map_groups(fn)`` replacement: one global sort,
+    then ``block_map_groups``."""
+    return block_map_groups(ds.sort(list(keys)), keys, fn)
 
 
 def anti_join(left, right_keys, on: str, *, num_partitions: int = 16):

@@ -101,29 +101,29 @@ def exact_dups(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def _keep_multi_member_groups(ds, keys: List[str], *, max_n: Optional[int] = None,
-                              num_partitions: int = 16):
+def _keep_multi_member_groups(ds, keys: List[str], *, max_n: Optional[int] = None):
     """Restrict ``ds`` to groups (by ``keys``) with >= 2 rows (and
-    optionally <= max_n rows) via a count-aggregate + inner join.
+    optionally <= max_n rows): ONE range-partitioned sort co-locates
+    each group in a block, then a vectorized pandas size-transform
+    filters in place — no aggregate, no join.
 
-    The pair-expansion ``map_groups`` that follows pays a Python call
-    per GROUP; at corpus scale the overwhelming majority of inverted-
-    index buckets are singletons that can never produce a pair, so
-    pruning them first turns millions of no-op group calls into one
-    vectorized aggregate + join.  Fully distributed — no driver-side
-    key set."""
-    from ray.data.aggregate import Count
+    At corpus scale the overwhelming majority of inverted-index
+    buckets are singletons that can never produce a pair, so this
+    pruning is what keeps the downstream pair expansion (a per-group
+    call) off the singleton tail.  The output stays sorted/co-located
+    by ``keys``, so the expansion can use ``block_map_groups`` with no
+    further shuffle."""
 
-    counts = ds.groupby(keys).aggregate(Count(alias_name="_gn"))
-
-    def flt(t: pa.Table) -> pa.Table:
-        m = pc.greater_equal(t.column("_gn"), pa.scalar(2))
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        sizes = df.groupby(keys, sort=False)[keys[0]].transform("size")
+        m = sizes >= 2
         if max_n is not None:
-            m = pc.and_(m, pc.less_equal(t.column("_gn"), pa.scalar(max_n)))
-        return t.filter(m)
+            m &= sizes <= max_n
+        return df[m]
 
-    keep = counts.map_batches(flt, batch_format="pyarrow").select_columns(keys)
-    return ds.join(keep, join_type="inner", num_partitions=num_partitions, on=tuple(keys))
+    return ds.sort(keys).map_batches(flt, batch_format="pandas", batch_size=None)
 
 
 # ----------------------------------------------------------------------
@@ -187,12 +187,15 @@ def jaccard_pairs(
                 b.append(ids[j])
         return pd.DataFrame({"id_a": a, "id_b": b})
 
-    pairs = sh_kept.groupby("shingle").map_groups(expand, batch_format="pandas")
-    common = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_common"))
+    from octoray.query import block_map_groups, sorted_groupby_count
+
+    # sh_kept is already sorted/co-located by shingle — no re-shuffle
+    pairs = block_map_groups(sh_kept, ["shingle"], expand)
+    common = sorted_groupby_count(pairs, ["id_a", "id_b"], alias="n_common")
 
     # per-doc distinct-shingle counts (over ALL shingles — the Jaccard
     # denominator is unfiltered even when max_df pruned the index)
-    counts = sh.groupby(id_col).aggregate(Count(alias_name="n_sh"))
+    counts = sorted_groupby_count(sh, [id_col], alias="n_sh")
 
     joined = common.join(
         counts.rename_columns({id_col: "id_a", "n_sh": "n_a"}),
@@ -340,11 +343,16 @@ def minhash_lsh_pairs(
                 est.append(float((sig[i] == sig[j]).mean()))
         return pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": est})
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(expand, batch_format="pandas")
-    # same pair can surface from several bands -> exact distinct w/ max est
-    from ray.data.aggregate import Max
+    from octoray.query import block_map_groups, sorted_map_groups
 
-    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    pairs = block_map_groups(banded, ["band", "bucket"], expand)
+    # same pair can surface from several bands -> exact distinct w/ max est
+
+    def max_est(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
+                             "est_jaccard": [float(g["est_jaccard"].max())]})
+
+    uniq = sorted_map_groups(pairs, ["id_a", "id_b"], max_est)
 
     def thresh(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t.column("est_jaccard"), pa.scalar(threshold)))
@@ -443,7 +451,12 @@ def simhash_pairs(docs, *, max_hamming: int = 3, id_col: str = "doc_id",
                     d.append(int(hv))
         return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
 
-    pairs = banded.groupby(["chunk", "val"]).map_groups(expand, batch_format="pandas")
-    from ray.data.aggregate import Min
+    from octoray.query import block_map_groups, sorted_map_groups
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    pairs = block_map_groups(banded, ["chunk", "val"], expand)
+
+    def min_ham(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
+                             "hamming": [int(g["hamming"].min())]})
+
+    return sorted_map_groups(pairs, ["id_a", "id_b"], min_ham)

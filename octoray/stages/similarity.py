@@ -262,7 +262,12 @@ def cosine_dup_pairs(
                     s.append(round_half_up_scalar(float(S[i, j]), 6))
         return pd.DataFrame({"id_a": a, "id_b": b, "score": s})
 
-    pairs = banded.groupby(["probe", "bucket"]).map_groups(verify, batch_format="pandas")
-    from ray.data.aggregate import Max
+    from octoray.query import sorted_map_groups
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("score", alias_name="score"))
+    pairs = sorted_map_groups(banded, ["probe", "bucket"], verify)
+
+    def max_score(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
+                             "score": [float(g["score"].max())]})
+
+    return sorted_map_groups(pairs, ["id_a", "id_b"], max_score)

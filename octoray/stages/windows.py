@@ -89,7 +89,9 @@ def sessionize(events, *, gap_minutes: float = 30.0, user_col: str = "user_id",
             }
         )
 
-    return events.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    from octoray.query import sorted_map_groups
+
+    return sorted_map_groups(events, [user_col], per_user)
 
 
 def session_stats(events, *, gap_minutes: float = 30.0, user_col: str = "user_id",
@@ -116,4 +118,6 @@ def session_stats(events, *, gap_minutes: float = 30.0, user_col: str = "user_id
             }
         )
 
-    return events.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    from octoray.query import sorted_map_groups
+
+    return sorted_map_groups(events, [user_col], per_user)
