@@ -1,0 +1,177 @@
+"""octoray CLI — the `octofludb` command-surface analogue.
+
+    python -m octoray build   --pages 100000 --out /tmp/kg [--shards 8]
+    python -m octoray pull    --pages 100000 --out /tmp/kg
+    python -m octoray prep    fasta|table|blast|gisaid IN [--out OUT.ttl] [--tag T]
+    python -m octoray report  masterlist|subtypes|constellations|monthly IN.parquet --out OUT.tsv
+    python -m octoray query   "s,p,o pattern" --graph DIR  (triple-pattern scan)
+
+Each subcommand owns its own local Ray session (`ray job submit` on a
+real cluster runs the same module; the driver-contract entrypoints in
+``__ray_entry__.py`` never init Ray themselves).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    from octoray.pipelines.kg import run_kg_build
+
+    res = run_kg_build(args.pages, args.out, n_shards=args.shards, resume=not args.no_resume)
+    print(json.dumps({"built": res["built"], "skipped": res["skipped"],
+                      "triples": sum(m["triples_out"] for m in res["manifests"])}))
+    return 0
+
+
+def cmd_pull(args) -> int:
+    from octoray.pipelines.pull import pull
+
+    res = pull(args.pages, args.out, n_shards=args.shards, resume=not args.no_resume)
+    print(json.dumps({"built": res["base"]["built"], "steps": res["steps"]}))
+    return 0
+
+
+def cmd_prep(args) -> int:
+    from octoray import sinks
+
+    if args.kind == "fasta":
+        from octoray.pipelines.prep import prep_fasta
+        from octoray.sources.fasta import fasta_rows
+
+        ds = prep_fasta(fasta_rows([args.input]), tag=args.tag, timestamp=args.timestamp)
+    elif args.kind == "table":
+        from octoray.pipelines.prep import prep_table
+        from octoray.sources.tables import tsv_rows
+
+        ds = prep_table(tsv_rows([args.input]), tag=args.tag, timestamp=args.timestamp)
+    elif args.kind == "blast":
+        from octoray.pipelines.prep import prep_blast
+        from octoray.sources.tables import tsv_rows
+
+        ds = prep_blast(tsv_rows([args.input]), tag=args.tag, timestamp=args.timestamp)
+    elif args.kind == "gisaid":
+        from octoray.pipelines.prep import prep_gisaid
+        from octoray.sources.tables import tsv_rows
+
+        ds = prep_gisaid(tsv_rows([args.input]))
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown prep kind {args.kind}")
+
+    if args.out.endswith(".ttl"):
+        sinks.write_turtle(ds, args.out)
+    else:
+        ds.write_parquet(args.out)
+    print(args.out)
+    return 0
+
+
+def cmd_report(args) -> int:
+    import ray.data as rd
+
+    from octoray import sinks
+    from octoray.pipelines import reports
+
+    if args.kind == "monthly":
+        from octoray.pipelines.pull import read_graph
+
+        out = reports.kg_monthly_report(read_graph(args.input))
+    else:
+        ds = rd.read_parquet(args.input)
+        if args.kind == "masterlist":
+            out = reports.masterlist(ds)
+        elif args.kind == "subtypes":
+            out = reports.synthesize_subtypes(ds)
+        elif args.kind == "constellations":
+            out = reports.constellations(ds)
+        else:  # pragma: no cover
+            raise SystemExit(f"unknown report kind {args.kind}")
+    sinks.write_tsv(out, args.out)
+    print(args.out)
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Triple-pattern scan: 's,p,o' with '?' wildcards, TSV to stdout."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from octoray.pipelines.pull import read_graph
+
+    s, p, o = (x.strip() for x in args.pattern.split(","))
+    ds = read_graph(args.graph)
+
+    def f(t: pa.Table) -> pa.Table:
+        for col, want in (("subject", s), ("predicate", p), ("object", o)):
+            if want != "?":
+                t = t.filter(pc.equal(t.column(col), pa.scalar(want)))
+        return t
+
+    n = 0
+    for batch in ds.map_batches(f, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for row in zip(*(batch.column(c).to_pylist() for c in batch.schema.names)):
+            print("\t".join(row))
+            n += 1
+            if args.limit and n >= args.limit:
+                return 0
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="octoray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build"); b.add_argument("--pages", type=int, required=True)
+    b.add_argument("--out", required=True); b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--no-resume", action="store_true"); b.set_defaults(fn=cmd_build)
+
+    pl = sub.add_parser("pull"); pl.add_argument("--pages", type=int, required=True)
+    pl.add_argument("--out", required=True); pl.add_argument("--shards", type=int, default=8)
+    pl.add_argument("--no-resume", action="store_true"); pl.set_defaults(fn=cmd_pull)
+
+    pr = sub.add_parser("prep"); pr.add_argument("kind",
+        choices=["fasta", "table", "blast", "gisaid"])
+    pr.add_argument("input"); pr.add_argument("--out", required=True)
+    pr.add_argument("--tag"); pr.add_argument("--timestamp", default="")
+    pr.set_defaults(fn=cmd_prep)
+
+    rp = sub.add_parser("report"); rp.add_argument("kind",
+        choices=["masterlist", "subtypes", "constellations", "monthly"])
+    rp.add_argument("input"); rp.add_argument("--out", required=True)
+    rp.set_defaults(fn=cmd_report)
+
+    q = sub.add_parser("query"); q.add_argument("pattern")
+    q.add_argument("--graph", required=True); q.add_argument("--limit", type=int, default=0)
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    _init_ray()
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,6 +33,30 @@ def parse_tsv(text: str, *, na_str: Sequence[str] = NA_DEFAULT) -> pa.Table:
     return pa.table({h: pa.array(c, pa.string()) for h, c in zip(header, cols)})
 
 
+def excel_rows(path: str, *, na_str: Sequence[str] = NA_DEFAULT, sheet: int = 0):
+    """Excel reader (S3, classes.py:258-268): pandas.read_excel into
+    the same stringly columns contract.  The xlsx codec (openpyxl) is
+    not in this container, so the reader is gated behind an import-try
+    — the TSV path (`tsv_rows`) is the canonical, fully-supported
+    ingest; this adapter exists for environment parity."""
+    import pandas as pd
+
+    try:
+        df = pd.read_excel(path, sheet_name=sheet, keep_default_na=False)
+    except ImportError as e:  # pragma: no cover - codec absent here
+        raise NotImplementedError(
+            "excel ingest requires an xlsx codec (openpyxl); convert to TSV "
+            "and use tsv_rows"
+        ) from e
+    import ray.data as rd
+
+    cols = {
+        str(c): [None if (v is None or str(v) in na_str) else str(v) for v in df[c]]
+        for c in df.columns
+    }
+    return rd.from_arrow(pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()}))
+
+
 def tsv_rows(src: Union[str, List[str]], *, na_str: Sequence[str] = NA_DEFAULT):
     """TSV -> Dataset of string columns.
 
