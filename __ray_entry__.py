@@ -346,6 +346,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family (D1/D2 + near-dup) ---
         "exact_dups": lambda sf: D.exact_dups(_docs(sf)),
         "jaccard_pairs": lambda sf: D.jaccard_pairs(_docs(sf), k=_JACCARD_K),
+        "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
+        "dup_components": lambda sf: D.dup_components(
+            D.minhash_lsh_pairs(_docs(sf), threshold=0.5, concurrency=(1, 2))
+        ),
         "minhash_lsh_pairs": lambda sf: D.minhash_lsh_pairs(
             _docs(sf), threshold=0.5, concurrency=(1, 2)
         ),
@@ -501,6 +505,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dups": f"""
             SELECT md5({_NORM}) AS md5, min(doc_id) AS rep_id, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "dedup_docs_kept": f"""
+            WITH f AS (SELECT doc_id, md5({_NORM}) AS md5 FROM documents)
+            SELECT md5, doc_id FROM f
+            QUALIFY row_number() OVER (PARTITION BY md5 ORDER BY doc_id) = 1
         """,
         "jaccard_pairs": f"""
             WITH norm AS (

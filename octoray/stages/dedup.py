@@ -460,3 +460,98 @@ def simhash_pairs(docs, *, max_hamming: int = 3, id_col: str = "doc_id",
                              "hamming": [int(g["hamming"].min())]})
 
     return sorted_map_groups(pairs, ["id_a", "id_b"], min_ham)
+
+
+# ----------------------------------------------------------------------
+# corpus-level dedup decisions
+# ----------------------------------------------------------------------
+def drop_exact_dups(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """The corpus after exact dedup: keep the min-id representative of
+    every normalized-text md5 group (the 'keep first' policy of
+    exact_dups).  One sort on the content address, then a vectorized
+    per-block group-min filter.  Returns (doc_id, md5)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        norm = _norm_ws(batch.column(text_col)).to_pylist()
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+        return pa.table({"md5": pa.array(md5s, pa.string()), id_col: batch.column(id_col)})
+
+    fps = docs.map_batches(fp, batch_format="pyarrow")
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        keep = df.groupby("md5", sort=False)[id_col].transform("min") == df[id_col]
+        return df[keep]
+
+    return fps.sort(["md5"]).map_batches(keep_first, batch_format="pandas", batch_size=None)
+
+
+def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iters: int = 25, num_partitions: int = 8):
+    """Near-dup pairs -> connected components by distributed min-label
+    propagation: each node starts as its own label; every round
+    propagates the min label across edges (one hash join + one
+    group-min) until no label changes.  Converges in O(component
+    diameter) rounds; each round materializes (bounded lineage, the
+    same checkpoint discipline as rules.transitive_closure).
+
+    Output: (id, component) where component = min id in the node's
+    component — the canonical representative to keep.
+    """
+    import ray.data as rd
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = t.column(id_a), t.column(id_b)
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.select_columns([id_a, id_b]).map_batches(sym, batch_format="pyarrow")
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t.column("src"), "component": t.column("src")})
+
+    def min_per_id(df: pd.DataFrame) -> pa.Table:
+        # emit Arrow so downstream rename_columns (arrow-block API)
+        # works regardless of this stage's pandas internals
+        if len(df) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "component": pa.array([], pa.int64())})
+        keep = df.groupby("id", sort=False)["component"].transform("min") == df["component"]
+        out = df[keep].drop_duplicates("id")
+        return pa.Table.from_pandas(out[["id", "component"]], preserve_index=False)
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .sort(["id"]).map_batches(min_per_id, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.rename_columns({"id": "src"}),
+                       join_type="inner", num_partitions=num_partitions, on=("src",))
+            .select_columns(["dst", "component"]).rename_columns({"dst": "id"})
+        )
+        new_labels = (
+            labels.union(prop)
+            .sort(["id"]).map_batches(min_per_id, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+        # converged when no (id, component) assignment changed
+        diff = new_labels.join(
+            labels.rename_columns({"component": "_old"}),
+            join_type="inner", num_partitions=num_partitions, on=("id",),
+        ).map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t.column("component"), t.column("_old")))),
+            batch_format="pyarrow",
+        )
+        changed = diff.count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,52 @@
+"""Corpus dedup decisions: exact-dup removal and connected components."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_drop_exact_dups(ray_session):
+    import ray.data as rd
+
+    from octoray.stages.dedup import drop_exact_dups
+
+    texts = ["hello world", "Hello   WORLD", "unique one", "another", "hello world"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)})
+    kept = sorted(r["doc_id"] for r in drop_exact_dups(rd.from_arrow(t)).take_all())
+    # 0,1,4 normalize identically -> keep 0; plus 2 and 3
+    assert kept == [0, 2, 3]
+
+
+def _union_find(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_dup_components_matches_union_find(ray_session):
+    import ray.data as rd
+
+    from octoray.stages.dedup import dup_components
+
+    rng = np.random.default_rng(11)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 120, (150, 2)) if a != b]
+    pairs = [(min(a, b), max(a, b)) for a, b in pairs]
+    t = pa.table({
+        "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+    })
+    got = {r["id"]: r["component"] for r in dup_components(rd.from_arrow(t)).take_all()}
+    nodes = {x for p in pairs for x in p}
+    want = _union_find(pairs, nodes)
+    # min-label propagation labels every node with its component min;
+    # union-find with min-root merging gives the same representative
+    assert got == want
