@@ -25,6 +25,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # expansion is join-based)
 SUITE = [
     "kg_build",
+    "kg_rules_expanded",
+    "prep_genbank",
+    "prep_gisaid",
+    "classify_clades",
+    "dedup_docs_kept",
     "pricing_summary",
     "orders_per_nation",
     "building_priority",
