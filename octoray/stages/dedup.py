@@ -177,20 +177,30 @@ def jaccard_pairs(
     # f(f-1)/2 fan-out is the skew hazard
     sh_kept = _keep_multi_member_groups(sh, ["shingle"], max_n=max_df)
 
-    def expand(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        a: List[int] = []
-        b: List[int] = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    def expand_block(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized pair expansion: np.triu_indices per shingle group
+        # (the doubly-nested Python loop was the remaining hot spot at
+        # ~1M pairs)
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for _, g in df.groupby("shingle", sort=False):
+            ids = np.sort(g[id_col].to_numpy())
+            m = len(ids)
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
 
-    from octoray.query import block_map_groups, sorted_groupby_count
+    from octoray.query import sorted_groupby_count
 
     # sh_kept is already sorted/co-located by shingle — no re-shuffle
-    pairs = block_map_groups(sh_kept, ["shingle"], expand)
+    pairs = sh_kept.map_batches(expand_block, batch_format="pandas", batch_size=None)
     common = sorted_groupby_count(pairs, ["id_a", "id_b"], alias="n_common")
 
     # per-doc distinct-shingle counts (over ALL shingles — the Jaccard
