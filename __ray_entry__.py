@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_scores,
         "lang_id": lang_id,
         "fingerprints": fingerprints,
+        "train_val_split": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["train_val_split"]
+        ).train_val_split(_docs(sf), val_frac=0.1),
         "fingerprints_full": doc_fingerprints_full,
         # --- dedup family (D1/D2 + near-dup) ---
         "exact_dups": lambda sf: D.exact_dups(_docs(sf)),
@@ -501,6 +504,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": f"""
             SELECT doc_id, md5({_NORM}) AS md5 FROM documents
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) / 4294967296.0 < 0.1
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
         """,
         "exact_dups": f"""
             SELECT md5({_NORM}) AS md5, min(doc_id) AS rep_id, count(*) AS n_docs

@@ -118,6 +118,27 @@ class LangId:
         )
 
 
+def train_val_split(docs, *, val_frac: float = 0.1, id_col: str = "doc_id"):
+    """Deterministic hash-based train/val assignment — the export-side
+    op a training pipeline runs before writing shards.  split = 'val'
+    iff md5(str(id))[:8] as a 32-bit fraction < val_frac; stable under
+    any partitioning/parallelism and reproducible in SQL (the DuckDB
+    oracle computes the identical expression)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        fracs = [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) / 4294967296.0
+            for v in ids.to_pylist()
+        ]
+        split = ["val" if x < val_frac else "train" for x in fracs]
+        return pa.table(
+            {id_col: ids, "split": pa.array(split, pa.string())}
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def _norm_ws(batch_text: pa.Array) -> pa.Array:
     """Whitespace-collapse + lowercase normalization (shared with the
     DuckDB oracle: lower(regexp_replace(text, '\\s+', ' ', 'g')))."""
