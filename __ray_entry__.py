@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_quarters": R.order_quarters,
         # --- windowed / sessionized aggregates (A5 family) ---
         "monthly_rollup": lambda sf: W.monthly_rollup(_events(sf)),
+        "tumbling_window": lambda sf: W.tumbling_window(_events(sf), minutes=15),
+        "top_users": lambda sf: W.top_users_by_events(_events(sf), k=10),
         "sessionize": lambda sf: W.sessionize(_events(sf), gap_minutes=_GAP_MIN),
         "session_stats": lambda sf: W.session_stats(_events(sf), gap_minutes=_GAP_MIN),
         # --- text analysis ops ---
@@ -452,6 +454,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "tumbling_window": """
+            SELECT event_type,
+                   time_bucket(INTERVAL 15 minutes, ts) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top_users": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY 1
+            ORDER BY n_events DESC, user_id ASC LIMIT 10
         """,
         "sessionize": sessionize_sql,
         "session_stats": f"""

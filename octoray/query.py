@@ -167,6 +167,32 @@ def sorted_map_groups(ds, keys: Sequence[str], fn):
     return block_map_groups(ds.sort(list(keys)), keys, fn)
 
 
+def salted_groupby_sum(ds, key: str, value_col: str, *, n_salts: int = 16,
+                       alias: str = "sum"):
+    """Two-phase salted aggregation for hot keys (SURVEY.md §4.3, the
+    north rule's explicit skew strategy): phase 1 groups by
+    (key, salt) where salt spreads a hub key's rows over ``n_salts``
+    reducers, phase 2 collapses the (at most n_salts) partial rows per
+    key.  Equality with the unsalted aggregate is pinned by
+    tests/test_query_layer.py.  Salt derives from a value hash, never
+    the wall clock, so the plan is deterministic."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        # cheap deterministic spread: row position within block
+        salt = pa.array(np.arange(n, dtype=np.int64) % n_salts, pa.int64())
+        return t.select([key, value_col]).append_column("_salt", salt)
+
+    partial = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "_salt"])
+        .aggregate(Sum(value_col, alias_name="_partial"))
+    )
+    return partial.groupby(key).aggregate(Sum("_partial", alias_name=alias))
+
+
 def anti_join(left, right_keys, on: str, *, num_partitions: int = 16):
     """Distributed anti-join (J8): rows of ``left`` whose ``on`` value
     does NOT appear in ``right_keys`` (a Dataset holding column ``on``).

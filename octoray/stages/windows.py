@@ -121,3 +121,53 @@ def session_stats(events, *, gap_minutes: float = 30.0, user_col: str = "user_id
     from octoray.query import sorted_map_groups
 
     return sorted_map_groups(events, [user_col], per_user)
+
+
+def tumbling_window(events, *, minutes: int = 15, ts_col: str = "ts",
+                    type_col: str = "event_type", value_col: str = "value"):
+    """Fixed tumbling event-time windows: (event_type, window_start) ->
+    n_events, sum_value.  Window assignment is a vectorized epoch
+    floor inside map_batches; then one combined groupby-aggregate
+    (cents-exact sum, octoray.util)."""
+    from ray.data.aggregate import Count, Sum
+
+    from octoray.util import cents
+
+    span_us = minutes * 60 * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col), pa.int64())
+        start = pc.multiply(pc.divide(us, span_us), span_us)  # integer floor
+        return pa.table(
+            {
+                type_col: t.column(type_col),
+                "window_start": pc.cast(start, pa.timestamp("us")),
+                "value_c": cents(t.column(value_col)),
+            }
+        )
+
+    out = (
+        events.map_batches(assign, batch_format="pyarrow")
+        .groupby([type_col, "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_sum_c"))
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        sv = pc.divide(pc.cast(t.column("value_sum_c"), pa.float64()), 100.0)
+        return t.append_column("sum_value", sv).drop_columns(["value_sum_c"])
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+def top_users_by_events(events, *, k: int = 10, user_col: str = "user_id",
+                        id_col: str = "event_id"):
+    """Top-k users by event count: per-block partial counts -> small
+    final aggregate -> driver-side top-k of the (tiny) per-user table
+    is avoided — instead one more sorted-block pass keeps global top-k
+    deterministically (ties broken by user_id)."""
+    from octoray.query import sorted_groupby_count
+
+    counts = sorted_groupby_count(events.select_columns([user_col]), [user_col],
+                                  alias="n_events")
+    # global top-k: sort desc by (n_events, -user) then limit
+    return counts.sort(["n_events", user_col], descending=[True, False]).limit(k)

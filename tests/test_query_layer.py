@@ -87,3 +87,24 @@ def test_anti_join_distributed(ray_session):
     right = rd.from_arrow(pa.table({"subject": [f"s{i}" for i in range(0, 100, 2)]}))
     out = anti_join(left, right, on="subject").take_all()
     assert sorted(r["subject"] for r in out) == sorted(f"s{i}" for i in range(1, 100, 2))
+
+
+def test_salted_groupby_sum_equals_unsalted(ray_session):
+    """Salted two-phase == direct aggregate on hub-skewed data."""
+    import ray.data as rd
+
+    from octoray.query import salted_groupby_sum
+    from ray.data.aggregate import Sum
+
+    n = 10000
+    t = pa.table(
+        {
+            "k": pa.array(["hub"] * (n // 2) + [f"k{i % 50}" for i in range(n // 2)]),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(16)
+    got = {(r["k"], r["s"]) for r in salted_groupby_sum(ds, "k", "v", alias="s").take_all()}
+    want = {(r["k"], r["s"])
+            for r in rd.from_arrow(t).groupby("k").aggregate(Sum("v", alias_name="s")).take_all()}
+    assert got == want
