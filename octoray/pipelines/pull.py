@@ -143,5 +143,12 @@ def pull(n_pages: int, out_dir: str, *, seed: int = 42, n_shards: int = 4,
         n = derived.count()
         if n > 0:
             derived.write_parquet(ddir)
+        # per-step lineage manifest (same contract as base shards):
+        # inputs = the graph state the step's anti-join saw
+        with open(os.path.join(ddir, "_MANIFEST.json"), "w") as fh:
+            import json
+
+            json.dump({"step": name, "inputs": ["graph@" + out_dir],
+                       "triples_out": n}, fh)
         report["steps"][name] = n
     return report
