@@ -100,6 +100,7 @@ def run_kg_build(
     n_shards: int = 8,
     emitter_concurrency=None,
     resume: bool = True,
+    max_concurrent_shards: int = 1,
 ) -> dict:
     """Sharded, resumable KG build over the synthetic crawl.
 
@@ -108,6 +109,13 @@ def run_kg_build(
     lineage manifest — the scale analogue of the reference's per-month
     ttl cache (ui.py:756-758).  Dedup within a shard is exact; the
     optional ``compact`` pass gives global exactness.
+
+    ``max_concurrent_shards`` > 1 runs shard pipelines from driver
+    threads.  EXPERIMENTAL: with op_resource_reservation disabled
+    (octoray/__init__) concurrent streaming executions can contend
+    until stalling on this Ray version — keep the default (1) in
+    production paths; a shard that fails leaves no manifest, so resume
+    semantics are unchanged either way.
     """
     from octoray.state import manifest as mf
 
@@ -116,13 +124,12 @@ def run_kg_build(
     shard_ids = [f"{k:05d}" for k in range(n_shards)]
     todo = mf.pending_shards(out_dir, shard_ids) if resume else shard_ids
 
-    done = []
-    for sid in todo:
+    def build_shard(sid: str):
         k = int(sid)
         lo, hi = k * per, min((k + 1) * per, n_pages)
         if lo >= hi:
             mf.write_manifest(out_dir, sid, inputs=[], rows_in=0, triples_out=0)
-            continue
+            return None
         import ray.data as rd
 
         pages = rd.range(hi - lo).map_batches(
@@ -148,7 +155,39 @@ def run_kg_build(
             rows_in=hi - lo,
             triples_out=n_out,
         )
-        done.append(sid)
+        return sid
+
+    done = []
+    if max_concurrent_shards > 1 and len(todo) > 1:
+        # concurrent pipelines must share the CPU budget: cap threads
+        # so each pipeline gets >= ~6 CPUs, and force a floor-1
+        # autoscaling emitter pool per pipeline — N pipelines each
+        # pre-reserving a multi-actor floor deadlocks the cluster (the
+        # read tasks starve), exactly the fixed-pool hazard documented
+        # in build_triples
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        threads = max(1, min(max_concurrent_shards, cpus // 6))
+        if emitter_concurrency is None:
+            emitter_concurrency = (1, max(2, cpus // threads - 1))
+        if threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                for sid in ex.map(build_shard, todo):
+                    if sid is not None:
+                        done.append(sid)
+        else:
+            for sid in todo:
+                r = build_shard(sid)
+                if r is not None:
+                    done.append(r)
+    else:
+        for sid in todo:
+            r = build_shard(sid)
+            if r is not None:
+                done.append(r)
 
     return {
         "out_dir": out_dir,

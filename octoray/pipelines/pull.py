@@ -128,12 +128,13 @@ def read_graph(out_dir: str):
 
 def pull(n_pages: int, out_dir: str, *, seed: int = 42, n_shards: int = 4,
          steps: List[str] = ("quarters", "located"), resume: bool = True,
-         emitter_concurrency=None) -> dict:
+         emitter_concurrency=None, max_concurrent_shards: int = 1) -> dict:
     """Full incremental build: base KG (resumable shards) then each
     derived step at its fixpoint.  Returns per-step row counts; zero
     everywhere on a re-run."""
     base = run_kg_build(n_pages, out_dir, seed=seed, n_shards=n_shards,
-                        resume=resume, emitter_concurrency=emitter_concurrency)
+                        resume=resume, emitter_concurrency=emitter_concurrency,
+                        max_concurrent_shards=max_concurrent_shards)
     report = {"base": base, "steps": {}}
     for name in steps:
         graph = read_graph(out_dir)
