@@ -111,11 +111,31 @@ def cmd_report(args) -> int:
 
 
 def cmd_query(args) -> int:
-    """Triple-pattern scan: 's,p,o' with '?' wildcards, TSV to stdout."""
+    """Triple-pattern scan: 's,p,o' with '?' wildcards; multiple
+    ';'-separated clauses are a CONJUNCTION over the subject (the
+    SPARQL multi-clause family) — prints matching subjects."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from octoray.pipelines.pull import read_graph
+
+    clauses = [c for c in args.pattern.split(";") if c.strip()]
+    if len(clauses) > 1:
+        from octoray.query import subjects_matching_all
+
+        parsed = []
+        for c in clauses:
+            _s, p, o = (x.strip() for x in c.split(","))
+            parsed.append((p, None if o == "?" else o))
+        ds = read_graph(args.graph)
+        n = 0
+        for b in subjects_matching_all(ds, parsed).iter_batches(batch_format="pyarrow"):
+            for v in b.column("subject").to_pylist():
+                print(v)
+                n += 1
+                if args.limit and n >= args.limit:
+                    return 0
+        return 0
 
     s, p, o = (x.strip() for x in args.pattern.split(","))
     ds = read_graph(args.graph)

@@ -222,6 +222,48 @@ def anti_join(left, right_keys, on: str, *, num_partitions: int = 16):
     return joined.map_batches(keep_missing, batch_format="pyarrow")
 
 
+def subjects_matching_all(triples, clauses: Sequence[tuple]):
+    """Conjunctive triple-pattern match: subjects satisfying EVERY
+    clause — the SPARQL multi-clause subject self-join (J3), e.g.
+    [("f:subtype", "H1N1"), ("f:state", None)] = 'H1N1 strains with
+    any state'.  A clause is (predicate, object|None); None matches
+    any object.
+
+    ONE pass + ONE shuffle instead of N-1 joins: each triple maps to
+    (subject, clause_idx) for the clauses it satisfies; a subject
+    matches iff it hits all len(clauses) distinct clause indices."""
+    n_clauses = len(clauses)
+
+    def hits(t: pa.Table) -> pa.Table:
+        subs: List[str] = []
+        idxs: List[int] = []
+        preds = t.column("predicate").to_pylist()
+        objs = t.column("object").to_pylist()
+        sl = t.column("subject").to_pylist()
+        for s_, p_, o_ in zip(sl, preds, objs):
+            for i, (cp, co) in enumerate(clauses):
+                if p_ == cp and (co is None or o_ == co):
+                    subs.append(s_)
+                    idxs.append(i)
+        return pa.table(
+            {"subject": pa.array(subs, pa.string()),
+             "clause": pa.array(idxs, pa.int64())}
+        )
+
+    hit_ds = triples.map_batches(hits, batch_format="pyarrow")
+
+    def all_clauses(df):
+        import pandas as pd
+
+        ok = df.groupby("subject", sort=False)["clause"].nunique() == n_clauses
+        return pd.DataFrame({"subject": ok.index[ok].to_numpy()})
+
+    return hit_ds.sort(["subject"]).map_batches(
+        lambda df: all_clauses(df) if len(df) else df.iloc[0:0][["subject"]],
+        batch_format="pandas", batch_size=None,
+    )
+
+
 ID_PREDICATES = ["f:strain_name", "f:barcode", "f:epi_isolate", "f:genbank_id", "f:epi_id"]
 
 

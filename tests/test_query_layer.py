@@ -108,3 +108,25 @@ def test_salted_groupby_sum_equals_unsalted(ray_session):
     want = {(r["k"], r["s"])
             for r in rd.from_arrow(t).groupby("k").aggregate(Sum("v", alias_name="s")).take_all()}
     assert got == want
+
+
+def test_subjects_matching_all(ray_session):
+    import ray.data as rd
+
+    from octoray.model import triples_to_table
+    from octoray.query import subjects_matching_all
+
+    rows = [
+        ("fid:a", "f:subtype", "H1N1", ""),
+        ("fid:a", "f:state", "usa:IA", "uri"),
+        ("fid:b", "f:subtype", "H1N1", ""),
+        ("fid:c", "f:subtype", "H3N2", ""),
+        ("fid:c", "f:state", "usa:MN", "uri"),
+    ]
+    ds = rd.from_arrow(triples_to_table(rows)).repartition(3)
+    got = {r["subject"] for r in subjects_matching_all(
+        ds, [("f:subtype", "H1N1"), ("f:state", None)]).take_all()}
+    assert got == {"fid:a"}
+    got2 = {r["subject"] for r in subjects_matching_all(
+        ds, [("f:state", None)]).take_all()}
+    assert got2 == {"fid:a", "fid:c"}
