@@ -205,7 +205,45 @@ def jaccard_pairs(
 
     # per-doc distinct-shingle counts (over ALL shingles — the Jaccard
     # denominator is unfiltered even when max_df pruned the index)
-    counts = sorted_groupby_count(sh, [id_col], alias="n_sh")
+    counts = sorted_groupby_count(sh, [id_col], alias="n_sh").materialize()
+
+    # stats-based side selection (the classic map-side-join switch):
+    # the counts table has one row per doc — broadcast it via ray.put
+    # when it fits comfortably, else fall back to two hash joins
+    broadcast_limit = 2_000_000
+    use_broadcast = counts.count() <= broadcast_limit
+
+    def _score_cols(t: pa.Table, n_a: pa.Array, n_b: pa.Array) -> pa.Table:
+        c = pc.cast(t.column("n_common"), pa.float64())
+        union = pc.subtract(
+            pc.add(pc.cast(n_a, pa.float64()), pc.cast(n_b, pa.float64())), c
+        )
+        jac = pc.divide(c, union)
+        from octoray.util import round_half_up
+
+        t = t.append_column("jaccard", round_half_up(jac, 6))
+        if threshold > 0.0:
+            t = t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(threshold)))
+        return t
+
+    if use_broadcast:
+        import ray
+
+        cmap = {}
+        for b in counts.iter_batches(batch_format="pyarrow"):
+            cmap.update(zip(b.column(id_col).to_pylist(), b.column("n_sh").to_pylist()))
+        cref = ray.put(cmap)
+
+        def score_bcast(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            m = _ray.get(cref) if not isinstance(cref, dict) else cref
+            n_a = pa.array([m[i] for i in t.column("id_a").to_pylist()], pa.int64())
+            n_b = pa.array([m[i] for i in t.column("id_b").to_pylist()], pa.int64())
+            t = t.append_column("n_a", n_a).append_column("n_b", n_b)
+            return _score_cols(t, n_a, n_b)
+
+        return common.map_batches(score_bcast, batch_format="pyarrow")
 
     joined = common.join(
         counts.rename_columns({id_col: "id_a", "n_sh": "n_a"}),
@@ -216,17 +254,7 @@ def jaccard_pairs(
     )
 
     def score(t: pa.Table) -> pa.Table:
-        c = pc.cast(t.column("n_common"), pa.float64())
-        union = pc.subtract(
-            pc.add(pc.cast(t.column("n_a"), pa.float64()), pc.cast(t.column("n_b"), pa.float64())), c
-        )
-        jac = pc.divide(c, union)
-        from octoray.util import round_half_up
-
-        t = t.append_column("jaccard", round_half_up(jac, 6))
-        if threshold > 0.0:
-            t = t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(threshold)))
-        return t
+        return _score_cols(t, t.column("n_a"), t.column("n_b"))
 
     return joined.map_batches(score, batch_format="pyarrow")
 
