@@ -141,36 +141,51 @@ def lsh_bucket_knn(
     *,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
 ):
-    """Approximate top-k: score only corpus vectors whose hyperplane
-    bucket matches a query bucket.  Recall < 1 by design (bench
-    comparison against knn_brute measures it); candidate volume drops
-    ~2^n_planes-fold.  Multi-probe = re-run with different seeds."""
+    """Approximate top-k with MULTI-TABLE random-hyperplane LSH: a
+    corpus row is a candidate for query q iff their p-bit signs match
+    in ANY of the L tables (OR-amplification — per-neighbor recall
+    1-(1-(1-θ/π)^p)^L; single-table recall on weakly-clustered data is
+    (1-θ/π)^p ≈ a few percent, measured).  Candidate volume grows
+    linearly in L but stays ~L/2^p of brute force.  The L plane
+    matrices and query signatures are ONE broadcast.
+
+    Measured on the sf0.1 embeddings (adversarial for LSH: vectors are
+    UNclustered, true top-10 at cosine ~0.4-0.5 => θ≈60-66°):
+    recall@10 = 0.16 / 0.32 / 0.51 at L = 8 / 16 / 32 with p=8 —
+    matching 1-(1-(1-θ/π)^p)^L.  On clustered corpora (near-dups at
+    cosine ≥0.9, θ≈26°) the same L=16 predicts recall ≈0.99; tune
+    (p, L) to the corpus's neighbor angle."""
     import ray
 
     qids, Q = load_queries(embeddings, query_ids, id_col=id_col, vec_col=vec_col)
     Qn = _normalize(Q)
     dim = Q.shape[1]
-    H = _hyperplanes(dim, n_planes, seed)
-    q_buckets = _bucket_of(Qn, H)
-    wanted = set(int(b) for b in q_buckets)
-    q_ref = ray.put((qids, Qn, q_buckets, H, frozenset(wanted)))
+    tables = [_hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)]
+    q_buckets = np.stack([_bucket_of(Qn, H) for H in tables])  # (L, q)
+    q_ref = ray.put((qids, Qn, q_buckets, tables))
 
     def local_topk(t: pa.Table) -> pa.Table:
-        qids_, Qn_, q_buckets_, H_, wanted_ = ray.get(q_ref)
+        qids_, Qn_, q_buckets_, tables_ = ray.get(q_ref)
         ids = np.asarray(t.column(id_col))
         M = _normalize(_as_matrix(t.column(vec_col)))
-        buckets = _bucket_of(M, H_)
-        keep = np.isin(buckets, list(wanted_))
+        # (L, n) corpus bucket codes
+        buckets = np.stack([_bucket_of(M, H) for H in tables_])
+        # candidate mask (n, q): collide in >= 1 table
+        cand = np.zeros((len(ids), len(qids_)), dtype=bool)
+        for l in range(buckets.shape[0]):
+            cand |= buckets[l][:, None] == q_buckets_[l][None, :]
         out_q, out_n, out_s = [], [], []
-        if keep.any():
-            Mk, idk, bk = M[keep], ids[keep], buckets[keep]
+        any_rows = cand.any(axis=1)
+        if any_rows.any():
+            Mk, idk, candk = M[any_rows], ids[any_rows], cand[any_rows]
             scores = Mk @ Qn_.T
-            for j, (qid, qb) in enumerate(zip(qids_, q_buckets_)):
-                mask = bk == qb
+            for j, qid in enumerate(qids_):
+                mask = candk[:, j]
                 if not mask.any():
                     continue
                 col = scores[mask, j]
