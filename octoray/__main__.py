@@ -110,6 +110,15 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Global exact dedup + canonical sort across all shards (the
+    whole-graph idempotent materialization, K4)."""
+    from octoray.pipelines.kg import compact
+
+    print(compact(args.input, args.out))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Triple-pattern scan: 's,p,o' with '?' wildcards; multiple
     ';'-separated clauses are a CONJUNCTION over the subject (the
@@ -178,6 +187,9 @@ def main(argv=None) -> int:
         choices=["masterlist", "subtypes", "constellations", "monthly"])
     rp.add_argument("input"); rp.add_argument("--out", required=True)
     rp.set_defaults(fn=cmd_report)
+
+    cp = sub.add_parser("compact"); cp.add_argument("input")
+    cp.add_argument("--out", required=True); cp.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("query"); q.add_argument("pattern")
     q.add_argument("--graph", required=True); q.add_argument("--limit", type=int, default=0)

@@ -199,10 +199,27 @@ def run_kg_build(
 
 
 def read_kg(out_dir: str):
-    """Read a built KG (all shards) as one Dataset."""
+    """Read a built KG (all shards + derived steps) as one normalized
+    triple Dataset: parquet files only (manifests skipped), hive
+    partition column pruned, large_string cast back to the in-memory
+    schema (see pull.read_graph for the join-compat rationale)."""
+    import glob
+
+    import pyarrow as pa
     import ray.data as rd
 
-    return rd.read_parquet(out_dir)
+    from octoray.model import TRIPLE_SCHEMA
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+    )
+
+    def norm(t: "pa.Table") -> "pa.Table":
+        return t.select(TRIPLE_COLS).cast(TRIPLE_SCHEMA)
+
+    return rd.read_parquet(files if files else out_dir).map_batches(
+        norm, batch_format="pyarrow"
+    )
 
 
 def compact(out_dir: str, compact_dir: str):

@@ -226,16 +226,18 @@ def cosine_dup_pairs(
     *,
     threshold: float = 0.9,
     n_planes: int = 8,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
 ):
     """Embedding near-dup pairs (cosine >= threshold) via LSH buckets:
-    bucket -> groupby(bucket).map_groups(within-bucket pairwise verify).
-    Within-bucket work is one small matmul; cross-bucket true dups can
-    be missed (approximate by construction — recall grows with fewer
-    planes / multiple probes)."""
-    probe_seeds = [seed, seed + 101]  # 2-probe: union of two plane sets
+    bucket -> per-bucket pairwise verify (one small matmul each).
+    OR-amplified across ``n_tables`` plane sets — per-pair recall
+    1-(1-(1-θ/π)^p)^L, so at the dup threshold (cosine 0.9, θ≈26°)
+    L=8 already gives ≈0.95; duplicate detections across tables
+    collapse in the final max-score group."""
+    probe_seeds = [seed + 101 * t for t in range(n_tables)]
 
     def bucketize(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(id_col))
