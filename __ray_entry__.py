@@ -22,6 +22,7 @@ from typing import Any
 # shared constants (must match the library defaults they mirror)
 # ----------------------------------------------------------------------
 _JACCARD_K = 3
+_JACCARD_MAXDF = 1000  # must mirror octoray.stages.dedup.jaccard_pairs default
 _KNN_IDS = [3, 7, 11, 19, 23]
 _KNN_K = 5
 _GAP_MIN = 30.0
@@ -290,9 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs(sf_dir).map_batches(T.quality_scores, batch_format="pyarrow")
 
     def lang_id(sf_dir):
-        return _docs(sf_dir).map_batches(
-            T.LangId, batch_format="pyarrow", concurrency=(1, 2), batch_size=256
-        )
+        # stateless Arrow regex scan -> plain task pool (no actor floor
+        # to starve at; r1 VERDICT #9)
+        return _docs(sf_dir).map_batches(T.lang_id_batch, batch_format="pyarrow")
 
     def fingerprints(sf_dir):
         return (
@@ -550,8 +551,14 @@ def oracle_sql() -> dict[str, str]:
                   END) AS shingle
                 FROM norm)),
             cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            -- identical stop-shingle cap to jaccard_pairs(max_df):
+            -- high-df shingles are excluded from PAIR GENERATION only;
+            -- the per-doc denominators above stay exact
+            live AS (SELECT shingle FROM sh GROUP BY 1
+                     HAVING count(*) <= {_JACCARD_MAXDF}),
+            shk AS (SELECT sh.* FROM sh JOIN live USING (shingle)),
             pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
             SELECT id_a, id_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
                    {_rnd("CAST(n_common AS DOUBLE) / (CAST(ca.n_sh AS DOUBLE) + CAST(cb.n_sh AS DOUBLE) - CAST(n_common AS DOUBLE))", 6)} AS jaccard

@@ -65,10 +65,16 @@ def cmd_prep(args) -> int:
 
         ds = prep_table(tsv_rows([args.input]), tag=args.tag, timestamp=args.timestamp)
     elif args.kind == "blast":
-        from octoray.pipelines.prep import prep_blast
+        from octoray.pipelines.prep import _BLAST_COLS, prep_blast
         from octoray.sources.tables import tsv_rows
 
-        ds = prep_blast(tsv_rows([args.input]), tag=args.tag, timestamp=args.timestamp)
+        # BLAST outfmt-6 has NO header row: read with explicit column
+        # names so the first alignment doesn't become the schema
+        # (reference recipes.py:29-43 reads headerless the same way)
+        ds = prep_blast(
+            tsv_rows([args.input], column_names=[c for c, _ in _BLAST_COLS]),
+            tag=args.tag, timestamp=args.timestamp,
+        )
     elif args.kind == "gisaid":
         from octoray.pipelines.prep import prep_gisaid
         from octoray.sources.tables import tsv_rows

@@ -139,6 +139,16 @@ def run_kg_build(
         )
         triples = kg_from_pages(pages, emitter_concurrency=emitter_concurrency)
         d = mf.shard_dir(out_dir, sid)
+        # crash-safe resume: a shard that died mid-write leaves stale
+        # partial parquet with execution-unique filenames; a bare
+        # re-write would ADD a second copy (manifests are only written
+        # after success, but read_graph/read_kg glob *.parquet).  Clear
+        # the shard dir first so a manifest always describes exactly
+        # one write's output.
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(d)
         triples.write_parquet(d)
         # count from parquet metadata, not a second pipeline run
         import pyarrow.parquet as pq

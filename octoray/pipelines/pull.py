@@ -140,6 +140,12 @@ def pull(n_pages: int, out_dir: str, *, seed: int = 42, n_shards: int = 4,
         graph = read_graph(out_dir)
         derived = canonicalize(STEPS[name](graph)).materialize()
         ddir = _derived_dir(out_dir, name)
+        # same crash-safety as run_kg_build: clear any partial output
+        # from a previous interrupted run before re-writing the step
+        if os.path.isdir(ddir):
+            import shutil
+
+            shutil.rmtree(ddir)
         os.makedirs(ddir, exist_ok=True)
         n = derived.count()
         if n > 0:

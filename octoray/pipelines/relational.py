@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from octoray.functions.dates import quarter_from_date
-from octoray.query import broadcast_anti_join, broadcast_keys, broadcast_semi_join, hash_join
+from octoray.query import hash_join
 from octoray.util import cents
 
 
@@ -107,31 +107,39 @@ def orders_per_nation(sf_dir: str):
 def customers_no_urgent_orders(sf_dir: str):
     """Customers with no 1-URGENT order (anti-join J8): (c_custkey).
 
-    The small side (distinct urgent custkeys) streams once into a
-    driver set and broadcasts via ray.put — the NOT-EXISTS pattern of
-    fetch-unclassified-swine.rq:8-12."""
+    The key set (distinct urgent custkeys) is computed DISTRIBUTED —
+    a filter + distinct aggregate, not a driver-side scan — then the
+    stats-gated broadcast-vs-hash-join switch applies it (the
+    NOT-EXISTS pattern of fetch-unclassified-swine.rq:8-12)."""
+    from octoray.query import semi_join_auto
+
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    keys = set()
-    for b in orders.iter_batches(batch_format="pyarrow"):
-        t = b.filter(pc.equal(b.column("o_orderpriority"), pa.scalar("1-URGENT")))
-        keys.update(t.column("o_custkey").to_pylist())
-    ref = broadcast_keys(keys)
-    return broadcast_anti_join(cust, "c_custkey", ref)
+    urgent = orders.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("o_orderpriority"), pa.scalar("1-URGENT"))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return semi_join_auto(cust, "c_custkey", urgent, key_col="o_custkey", anti=True)
 
 
 def building_priority(sf_dir: str):
-    """Orders from BUILDING-segment customers, per priority (semi-join J7)."""
+    """Orders from BUILDING-segment customers, per priority (semi-join
+    J7) — distributed distinct key set + broadcast switch."""
     from ray.data.aggregate import Count
 
+    from octoray.query import semi_join_auto
+
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys = set()
-    for b in cust.iter_batches(batch_format="pyarrow"):
-        t = b.filter(pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING")))
-        keys.update(t.column("c_custkey").to_pylist())
-    ref = broadcast_keys(keys)
+    building = cust.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("c_mktsegment"), pa.scalar("BUILDING"))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
-    sel = broadcast_semi_join(orders, "o_custkey", ref)
+    sel = semi_join_auto(orders, "o_custkey", building, key_col="c_custkey")
     return sel.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 
 

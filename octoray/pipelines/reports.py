@@ -312,10 +312,12 @@ def tagged_strain_report(triples, ids):
     (UNION id-resolution J6), restrict the graph (broadcast semi-join
     J7 — tag sets are small), then per-strain GROUP_CONCAT(DISTINCT)
     + MIN(date)."""
-    from octoray.query import broadcast_keys, broadcast_semi_join, tagged_subjects
+    from octoray.query import semi_join_auto, tagged_subjects
 
-    subs = {r["subject"] for r in tagged_subjects(triples, ids).take_all()}
-    restricted = broadcast_semi_join(triples, "subject", broadcast_keys(subs))
+    # the matched-subject set stays distributed: semi_join_auto counts
+    # it and broadcasts only when small, else hash-joins — a popular
+    # tag no longer drags every subject through the driver (r1 #8)
+    restricted = semi_join_auto(triples, "subject", tagged_subjects(triples, ids))
 
     def per_subject(g: pd.DataFrame) -> pd.DataFrame:
         def vals(pred):

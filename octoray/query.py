@@ -63,11 +63,12 @@ def pivot_subjects(triples, spec: Dict[str, str], *, key: str = "subject"):
         out = {key: [g["subject"].iloc[0]]}
         for col, pred in spec.items():
             vals = g.loc[g["predicate"] == pred, "object"]
-            seen: List[str] = []
-            for v in vals:
-                if v not in seen:
-                    seen.append(v)
-            out[col] = ["+".join(seen)]
+            # SORTED distinct values: within-group row order after a
+            # sort keyed only on subject is not stable across
+            # partitionings, so first-seen order would make the
+            # '+'-join nondeterministic run-to-run.  Sorting also makes
+            # `split('+')[0]` downstream a true min() (kg_monthly).
+            out[col] = ["+".join(sorted(set(vals)))]
         return pd.DataFrame(out)
 
     return sorted_map_groups(wanted, ["subject"], pivot)
@@ -139,15 +140,66 @@ def sorted_groupby_count(ds, keys: Sequence[str], *, alias: str = "count"):
     return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def assert_block_colocation(ds, keys: Sequence[str]) -> None:
+    """Debug-only guard for the block-local grouping family: verify
+    that no key straddles two blocks of ``ds`` (the invariant
+    ``block_map_groups``/``_sorted_block_dedup`` rely on downstream of
+    a range-partitioned sort).  Complete check: collect each block's
+    (first, last) key tuple; blocks partition a sorted range, so
+    co-location holds iff after ordering blocks by first key, each
+    block's last key < the next block's first key.  Costs one extra
+    execution of ``ds`` — run it from tests or behind
+    OCTORAY_CHECK_BLOCKS=1, never in production paths.
+
+    This exists because one-block-per-sort-partition is an
+    UNDOCUMENTED Ray internal (holds on ray 2.49, pinned in
+    pyproject); if a future Ray splits sort outputs at
+    target_max_block_size, this check (and
+    tests/test_block_invariant.py) is what fails loudly instead of
+    dedup silently missing rows."""
+    keys = list(keys)
+
+    def bounds(t: pa.Table) -> pa.Table:
+        # keep native key types so the range ordering below matches the
+        # sort's own ordering (casting ints to strings would mis-order)
+        cols = {}
+        for k in keys:
+            typ = t.schema.field(k).type
+            arr = t.column(k)
+            vals_lo = [arr[0].as_py()] if t.num_rows else []
+            vals_hi = [arr[len(arr) - 1].as_py()] if t.num_rows else []
+            cols[f"_lo_{k}"] = pa.array(vals_lo, typ)
+            cols[f"_hi_{k}"] = pa.array(vals_hi, typ)
+        return pa.table(cols)
+
+    rows = ds.map_batches(bounds, batch_format="pyarrow", batch_size=None).take_all()
+    ranges = sorted(
+        (tuple(r[f"_lo_{k}"] for k in keys), tuple(r[f"_hi_{k}"] for k in keys))
+        for r in rows
+    )
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        if hi >= lo2:
+            raise AssertionError(
+                f"sorted-block co-location violated: key {hi!r} reaches "
+                f"into the next block starting at {lo2!r} — a Ray sort "
+                "partition was split; block-local grouping is unsafe here"
+            )
+
+
 def block_map_groups(ds, keys: Sequence[str], fn):
     """Apply ``fn`` per key-group WITHIN each block (pandas groupby —
     per-group dispatch ~100x cheaper than Ray's map_groups).  Caller
     must guarantee all rows of a key share one block (e.g. downstream
     of ``ds.sort(keys)``, whose range partitioning co-locates equal
-    keys — the invariant the canon dedup tests pin)."""
+    keys — the invariant the canon dedup tests pin and
+    ``assert_block_colocation`` checks)."""
+    import os
+
     import pandas as pd
 
     keys = list(keys)
+    if os.environ.get("OCTORAY_CHECK_BLOCKS"):
+        assert_block_colocation(ds, keys)
 
     def apply_block(df: "pd.DataFrame") -> "pd.DataFrame":
         if len(df) == 0:
@@ -191,6 +243,33 @@ def salted_groupby_sum(ds, key: str, value_col: str, *, n_salts: int = 16,
         .aggregate(Sum(value_col, alias_name="_partial"))
     )
     return partial.groupby(key).aggregate(Sum("_partial", alias_name=alias))
+
+
+def semi_join_auto(left, col: str, keys_ds, *, key_col: Optional[str] = None,
+                   anti: bool = False, broadcast_limit: int = 2_000_000,
+                   num_partitions: int = 16):
+    """Stats-gated semi/anti-join against a key Dataset: the key set is
+    computed DISTRIBUTED (distinct aggregate — never an
+    iter_batches/take_all scan of the raw table through the driver),
+    then EITHER broadcast via ray.put when it fits comfortably, or
+    hash-joined when it doesn't — the same map-side-join switch
+    jaccard_pairs uses.  This is the scale-safe replacement for
+    driver-side key-set builds (VERDICT r1 #3/#8)."""
+    kc = key_col or col
+    distinct = keys_ds.select_columns([kc]).groupby(kc).count().select_columns([kc])
+    distinct = distinct.materialize()
+    n = distinct.count()
+    if n == 0:
+        return left if anti else left.limit(0)
+    if n <= broadcast_limit:
+        keys = {r[kc] for r in distinct.take_all()}
+        ref = broadcast_keys(keys)
+        return (broadcast_anti_join if anti else broadcast_semi_join)(left, col, ref)
+    if anti:
+        return anti_join(left, distinct.rename_columns({kc: col}) if kc != col
+                         else distinct, on=col, num_partitions=num_partitions)
+    right = distinct if kc == col else distinct.rename_columns({kc: col})
+    return left.join(right, join_type="inner", num_partitions=num_partitions, on=(col,))
 
 
 def anti_join(left, right_keys, on: str, *, num_partitions: int = 16):

@@ -57,12 +57,15 @@ def excel_rows(path: str, *, na_str: Sequence[str] = NA_DEFAULT, sheet: int = 0)
     return rd.from_arrow(pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()}))
 
 
-def tsv_rows(src: Union[str, List[str]], *, na_str: Sequence[str] = NA_DEFAULT):
+def tsv_rows(src: Union[str, List[str]], *, na_str: Sequence[str] = NA_DEFAULT,
+             column_names: Optional[List[str]] = None):
     """TSV -> Dataset of string columns.
 
     ``src`` is raw TSV text (small, driver-side) or file path(s) —
     files are read with ``ray.data.read_csv`` (distributed, header per
-    file) and NA-folded to null inside map_batches."""
+    file) and NA-folded to null inside map_batches.  ``column_names``
+    reads HEADERLESS input (BLAST outfmt-6, recipes.py:29-43 — the
+    first alignment row must NOT become the header)."""
     import ray.data as rd
 
     if isinstance(src, str) and "\t" in src:
@@ -72,6 +75,8 @@ def tsv_rows(src: Union[str, List[str]], *, na_str: Sequence[str] = NA_DEFAULT):
 
     ds = rd.read_csv(
         src,
+        read_options=pacsv.ReadOptions(column_names=column_names)
+        if column_names else None,
         parse_options=pacsv.ParseOptions(delimiter="\t"),
         convert_options=pacsv.ConvertOptions(
             column_types=None, strings_can_be_null=True, null_values=list(na_str)

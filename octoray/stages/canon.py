@@ -59,7 +59,17 @@ def _sorted_block_dedup(batch: pa.Table) -> pa.Table:
         if c not in batch.schema.names:
             continue
         arr = batch.column(c).combine_chunks()
-        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        # not_equal yields null when either side is null, and
+        # Table.filter drops null-mask rows — which would silently
+        # DELETE rows with a null triple column (possible when
+        # compact()/read_kg ingests externally produced parquet).
+        # Treat null-vs-value as unequal (keep) and null-vs-null as
+        # equal (this column votes 'duplicate').
+        a, b = arr.slice(1), arr.slice(0, n - 1)
+        neq = pc.not_equal(a, b)
+        either_null = pc.or_(pc.is_null(a), pc.is_null(b))
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        neq = pc.if_else(either_null, pc.invert(both_null), neq)
         keep = neq if keep is None else pc.or_(keep, neq)
     mask = pa.concat_arrays([pa.array([True]), keep])
     return batch.filter(mask)

@@ -157,17 +157,30 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.0,
-    max_df: Optional[int] = None,
+    max_df: Optional[int] = 1000,
 ):
     """Exact pairwise n-gram Jaccard for every doc pair sharing >= 1
     (non-stop) shingle: (id_a, id_b, n_common, n_a, n_b, jaccard).
 
-    Plan:  shingles -> [optional max_df stop-shingle filter] ->
+    Plan:  shingles -> [max_df stop-shingle filter] ->
     groupby(shingle).map_groups(pair expansion) -> groupby(pair) count
     -> join per-doc shingle counts (inner, on each side) -> jaccard.
     id_a < id_b.  ``max_df`` drops shingles present in more than that
-    many docs before the quadratic expansion — required at scale.
+    many docs before the quadratic expansion — a corpus-wide
+    stop-shingle ("of the and") otherwise emits f(f-1)/2 pairs, so the
+    cap is ON by default (1000 -> <=500k pairs per stop-shingle
+    worst-case) and the DuckDB oracle applies the identical cap.
+    Pass ``max_df=None`` only on corpora known to have no hot
+    shingles; the pair set is then exact-complete.
     """
+    import logging
+
+    if max_df is not None:
+        logging.getLogger(__name__).info(
+            "jaccard_pairs: shingles with document frequency > %d are "
+            "excluded from pair generation (denominators stay exact)",
+            max_df,
+        )
     from ray.data.aggregate import Count
 
     sh = shingles(docs, id_col=id_col, text_col=text_col, k=k)

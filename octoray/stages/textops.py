@@ -85,6 +85,39 @@ def lang_pattern(lang: str) -> str:
     return rf"(?i)\b(?:{'|'.join(sorted(_LANG_PROFILES[lang]))})\b"
 
 
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Stateless language ID (stopword-profile voting) for the plain
+    TASK pool: the patterns are module-level strings and the scans are
+    Arrow C-level regex counts, so there is no per-actor state to
+    justify an actor pool — a fixed pool of 2 actors was measured to
+    STARVE this stage while sibling task-pool stages scaled (VERDICT
+    r1 #9)."""
+    return _lang_id(batch, {lang: lang_pattern(lang) for lang in _LANG_ORDER})
+
+
+def _lang_id(batch: pa.Table, patterns: Dict[str, str]) -> pa.Table:
+    text = batch.column("text")
+    counts = np.stack(
+        [
+            np.asarray(pc.count_substring_regex(text, pat).combine_chunks())
+            for pat in patterns.values()
+        ]
+    )  # (n_langs, n_docs)
+    best_idx = counts.argmax(axis=0)  # first max wins
+    best_n = counts.max(axis=0)
+    n_tok = np.maximum(
+        np.asarray(pc.count_substring_regex(text, _TOKEN_RE).combine_chunks()), 1
+    )
+    langs = np.where(best_n > 0, np.array(_LANG_ORDER)[best_idx], "unknown")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(langs.tolist(), pa.string()),
+            "lang_score": pa.array((best_n / n_tok).tolist(), pa.float64()),
+        }
+    )
+
+
 class LangId:
     """Actor-pool language ID: stopword-profile voting.
 
@@ -96,26 +129,7 @@ class LangId:
         self.patterns = {lang: lang_pattern(lang) for lang in _LANG_ORDER}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        counts = np.stack(
-            [
-                np.asarray(pc.count_substring_regex(text, pat).combine_chunks())
-                for pat in self.patterns.values()
-            ]
-        )  # (n_langs, n_docs)
-        best_idx = counts.argmax(axis=0)  # first max wins
-        best_n = counts.max(axis=0)
-        n_tok = np.maximum(
-            np.asarray(pc.count_substring_regex(text, _TOKEN_RE).combine_chunks()), 1
-        )
-        langs = np.where(best_n > 0, np.array(_LANG_ORDER)[best_idx], "unknown")
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "pred_lang": pa.array(langs.tolist(), pa.string()),
-                "lang_score": pa.array((best_n / n_tok).tolist(), pa.float64()),
-            }
-        )
+        return _lang_id(batch, self.patterns)
 
 
 def train_val_split(docs, *, val_frac: float = 0.1, id_col: str = "doc_id"):
