@@ -73,34 +73,49 @@ def entry() -> Any:
 # ----------------------------------------------------------------------
 # queries
 # ----------------------------------------------------------------------
-def _q_kg_build(sf_dir: str):
-    from octoray.pipelines.kg import synth_kg
+_PIVOT_SPEC = {"dates": "f:date", "subtypes": "f:subtype", "names": "f:strain_name"}
 
-    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
-    return synth_kg(n_pages, seed=42)
+
+def _kg_pages(sf_dir: str) -> int:
+    return max(200, int(200_000 * _sf_of(sf_dir)))
+
+
+def _kg_raw(sf_dir: str, dump_name: str):
+    """Raw (pre-dedup) emitted triples for the KG queries.  When oracle
+    dumping is on, the raw stream is materialized to parquet (the
+    DuckDB twin's hand-off artifact — emission upstream is covered by
+    the P/R gate, everything downstream by the oracle) and read back so
+    emission runs once; bench disables dumping and streams directly."""
+    from octoray import oracles as O
+    from octoray.pipelines.kg import build_triples, pages_dataset
+
+    raw = build_triples(pages_dataset(_kg_pages(sf_dir), seed=42))
+    if O.dump_enabled():
+        return O.read_triples(O.dump_dataset(dump_name, raw))
+    return raw
+
+
+def _q_kg_build(sf_dir: str):
+    from octoray.stages.canon import canonicalize
+
+    return canonicalize(_kg_raw(sf_dir, "kg_build_raw"))
 
 
 def _q_kg_subject_degree(sf_dir: str):
-    from octoray.pipelines.kg import build_triples, pages_dataset
     from octoray.stages.canon import dedup_triples, subject_degree
 
-    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
-    triples = dedup_triples(build_triples(pages_dataset(n_pages, seed=42)))
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_degree_raw"))
     return subject_degree(triples).sort("subject")
 
 
 def _q_kg_strain_dates(sf_dir: str):
     """Triple-pattern query layer (J3 pivot family) over the built KG:
     per strain subject, '+'-joined distinct dates and subtypes."""
-    from octoray.pipelines.kg import build_triples, pages_dataset
     from octoray.query import pivot_subjects
     from octoray.stages.canon import dedup_triples
 
-    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
-    triples = dedup_triples(build_triples(pages_dataset(n_pages, seed=42)))
-    return pivot_subjects(
-        triples, {"dates": "f:date", "subtypes": "f:subtype", "names": "f:strain_name"}
-    )
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_pivot_raw"))
+    return pivot_subjects(triples, _PIVOT_SPEC)
 
 
 def _synth_n(sf_dir: str, per_sf: int = 50_000, floor: int = 50) -> int:
@@ -126,83 +141,125 @@ def _q_prep_table(sf_dir: str):
 def _q_prep_blast(sf_dir: str):
     import ray.data as rd
 
+    from octoray import oracles as O
     from octoray.pipelines.prep import prep_blast
     from octoray.sources.synth import synth_blast_table
 
-    return prep_blast(rd.from_arrow(synth_blast_table(_synth_n(sf_dir))))
+    tbl = synth_blast_table(_synth_n(sf_dir))
+    if O.dump_enabled():
+        O.dump_table("prep_blast_input", tbl)
+    return prep_blast(rd.from_arrow(tbl))
 
 
 def _q_kg_rules(sf_dir: str):
     """KG build + ontology expansion (subPropertyOf + transitive
     locatedIn) — the GraphDB-reasoner semantics as explicit stages."""
-    from octoray.pipelines.kg import build_triples, pages_dataset
     from octoray.stages.canon import dedup_triples
     from octoray.stages.rules import expand_locations, expand_subproperties
 
-    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
-    triples = build_triples(pages_dataset(n_pages, seed=42))
+    triples = _kg_raw(sf_dir, "kg_rules_raw")
     return dedup_triples(expand_locations(expand_subproperties(triples)))
 
 
 def _q_classify_clades(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
     import ray.data as rd
 
+    from octoray import oracles as O
     from octoray.stages.classify import classify_clades, synth_panel, synth_query_seqs
 
     panel = synth_panel()
     q = synth_query_seqs(_synth_n(sf_dir, 20_000), panel)
+    if O.dump_enabled():
+        from octoray.stages.classify import _KMER, _kmer_profile
+
+        d = 4 ** _KMER
+        prof = np.stack([_kmer_profile(s) for s in q.column("dnaseq").to_pylist()])
+        O.dump_table("classify_profiles", pa.table({
+            "seqid": q.column("seqid"),
+            "profile": pa.FixedSizeListArray.from_arrays(
+                pa.array(prof.reshape(-1), pa.float64()), d),
+        }))
+        pprof = np.stack([_kmer_profile(s) for _, _, _, s in panel])
+        O.dump_table("classify_panel", pa.table({
+            "pidx": pa.array(range(len(panel)), pa.int64()),
+            "clade": pa.array([c for c, _, _, _ in panel], pa.string()),
+            "gl_clade": pa.array([g for _, g, _, _ in panel], pa.string()),
+            "segment_subtype": pa.array([s for _, _, s, _ in panel], pa.string()),
+            "profile": pa.FixedSizeListArray.from_arrays(
+                pa.array(pprof.reshape(-1), pa.float64()), d),
+        }))
     return classify_clades(
         rd.from_arrow(q.select(["seqid", "dnaseq"])), panel, concurrency=(1, 4)
     ).select_columns(["seqid", "segment_subtype", "clade", "gl_clade"])
 
 
 def _q_motifs(sf_dir: str):
+    import pyarrow as pa
     import ray.data as rd
 
+    from octoray import oracles as O
     from octoray.stages.classify import extract_motifs, synth_panel, synth_query_seqs
 
     q = synth_query_seqs(_synth_n(sf_dir, 20_000), synth_panel())
+    if O.dump_enabled():
+        from octoray.stages.classify import dna_to_aa
+
+        aa = [dna_to_aa(s) for s in q.column("dnaseq").to_pylist()]
+        O.dump_table("motifs_aa", pa.table({
+            "seqid": q.column("seqid"), "aa": pa.array(aa, pa.string())}))
     return extract_motifs(rd.from_arrow(q.select(["seqid", "dnaseq"])), subtype="H1")
 
 
 def _q_kg_monthly(sf_dir: str):
-    from octoray.pipelines.kg import build_triples, pages_dataset
     from octoray.pipelines.reports import kg_monthly_report
     from octoray.stages.canon import dedup_triples
 
-    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
-    return kg_monthly_report(dedup_triples(build_triples(pages_dataset(n_pages, seed=42))))
+    return kg_monthly_report(dedup_triples(_kg_raw(sf_dir, "kg_monthly_raw")))
 
 
 def _q_kg_tagged_report(sf_dir: str):
-    from octoray.pipelines.kg import build_triples, pages_dataset
+    import pyarrow as pa
+
+    from octoray import oracles as O
     from octoray.pipelines.reports import tagged_strain_report
     from octoray.sources.webtext import page_record
     from octoray.stages.canon import dedup_triples
 
-    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
     # tag the strains of the first 40 pages by their raw strain-name id
     ids = []
     for pid in range(40):
         fields = page_record(pid, 42)[1]
         if fields:
             ids.append(fields[0])
-    triples = dedup_triples(build_triples(pages_dataset(n_pages, seed=42)))
+    if O.dump_enabled():
+        O.dump_table("kg_tagged_ids", pa.table({"id": pa.array(ids, pa.string())}))
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_tagged_raw"))
     return tagged_strain_report(triples, ids)
 
 
 def _q_pull(sf_dir: str):
     """Full incremental pull: sharded base build + fixpoint derived
-    steps (quarters, located), returned as the combined graph."""
+    steps (quarters, located), returned as the globally-compacted
+    graph (dedup across shards = the compact() semantic, and the shape
+    the DuckDB twin re-derives from the raw base triples)."""
     import shutil
     import tempfile
 
+    from octoray import oracles as O
     from octoray.pipelines.pull import pull, read_graph
+    from octoray.stages.canon import dedup_triples
 
+    n = max(200, int(50_000 * _sf_of(sf_dir)))
+    if O.dump_enabled():
+        from octoray.pipelines.kg import build_triples, pages_dataset
+
+        O.dump_dataset("kg_pull_raw", build_triples(pages_dataset(n, seed=42)))
     d = tempfile.mkdtemp(prefix="octoray_pull_")
     try:
-        pull(max(200, int(50_000 * _sf_of(sf_dir))), d, n_shards=4)
-        return read_graph(d).materialize()
+        pull(n, d, n_shards=4)
+        return dedup_triples(read_graph(d)).materialize()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -222,59 +279,143 @@ def _q_prep_gisaid(sf_dir: str):
     return prep_gisaid(rd.from_arrow(synth_gisaid_table(_synth_n(sf_dir, 10_000))))
 
 
-def _q_report_constellations(sf_dir: str):
+def _binding_query(sf_dir: str, dump_name: str, synth_fn, pipeline_fn, per_sf: int):
     import ray.data as rd
 
+    from octoray import oracles as O
+
+    tbl = synth_fn(_synth_n(sf_dir, per_sf))
+    if O.dump_enabled():
+        O.dump_table(dump_name, tbl)
+    return pipeline_fn(rd.from_arrow(tbl))
+
+
+def _q_report_constellations(sf_dir: str):
     from octoray.pipelines.reports import constellations
     from octoray.sources.synth import synth_segment_bindings
 
-    return constellations(rd.from_arrow(synth_segment_bindings(_synth_n(sf_dir, 10_000))))
+    return _binding_query(sf_dir, "constellations_input", synth_segment_bindings,
+                          constellations, 10_000)
 
 
 def _q_report_subtypes(sf_dir: str):
-    import ray.data as rd
-
     from octoray.pipelines.reports import synthesize_subtypes
     from octoray.sources.synth import synth_subtype_bindings
 
-    return synthesize_subtypes(rd.from_arrow(synth_subtype_bindings(_synth_n(sf_dir, 10_000))))
+    return _binding_query(sf_dir, "subtypes_input", synth_subtype_bindings,
+                          synthesize_subtypes, 10_000)
 
 
 def _q_report_masterlist(sf_dir: str):
-    import ray.data as rd
-
     from octoray.pipelines.reports import masterlist
     from octoray.sources.synth import synth_masterlist_bindings
 
-    return masterlist(rd.from_arrow(synth_masterlist_bindings(_synth_n(sf_dir, 5_000))))
+    return _binding_query(sf_dir, "masterlist_input", synth_masterlist_bindings,
+                          masterlist, 5_000)
 
 
 def _q_media_image_features(sf_dir: str):
+    from octoray import oracles as O
     from octoray.stages import multimodal as M
 
-    return M.image_features(M.media_dataset(_synth_n(sf_dir, 5_000)), concurrency=(1, 4))
+    media = M.media_dataset(_synth_n(sf_dir, 5_000))
+    if O.dump_enabled():
+        O.dump_dataset("media_pixels", M.image_pixels(media))
+    return M.image_features(media, concurrency=(1, 4))
 
 
 def _q_media_audio_features(sf_dir: str):
+    from octoray import oracles as O
     from octoray.stages import multimodal as M
 
-    return M.audio_features(M.media_dataset(_synth_n(sf_dir, 5_000)))
+    media = M.media_dataset(_synth_n(sf_dir, 5_000))
+    if O.dump_enabled():
+        O.dump_dataset("media_pcm", M.audio_pcm(media))
+    return M.audio_features(media)
 
 
 def _q_media_frame_sample(sf_dir: str):
+    from octoray import oracles as O
     from octoray.stages import multimodal as M
 
-    return M.sample_frames(M.media_dataset(_synth_n(sf_dir, 5_000)), every=2).select_columns(
-        ["media_id", "frame_idx"]
-    )
+    media = M.media_dataset(_synth_n(sf_dir, 5_000))
+    if O.dump_enabled():
+        O.dump_dataset("media_meta", media.select_columns(["media_id", "kind", "meta_n"]))
+    return M.sample_frames(media, every=2).select_columns(["media_id", "frame_idx"])
 
 
 def _q_media_knn(sf_dir: str):
+    from octoray import oracles as O
     from octoray.stages import multimodal as M
     from octoray.stages.similarity import knn_brute
 
     emb = M.media_embeddings(M.media_dataset(_synth_n(sf_dir, 5_000)), dim=16)
+    if O.dump_enabled():
+        import ray.data as rd
+
+        src = O.dump_dataset("media_embeddings", emb)
+        emb = rd.read_parquet(src)
     return knn_brute(emb, [0, 1, 2], k=5)
+
+
+def _q_minhash_lsh_pairs(sf_dir: str):
+    from octoray import oracles as O
+    from octoray.stages import dedup as D
+
+    docs = _docs(sf_dir)
+    if O.dump_enabled():
+        import ray.data as rd
+
+        src = O.dump_dataset(
+            "minhash_sigs", D.minhash_signatures(docs, concurrency=(1, 2)))
+        return D.minhash_lsh_pairs(None, threshold=0.5, sigs=rd.read_parquet(src))
+    return D.minhash_lsh_pairs(docs, threshold=0.5, concurrency=(1, 2))
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from octoray import oracles as O
+    from octoray.stages import dedup as D
+
+    docs = _docs(sf_dir)
+    if O.dump_enabled():
+        import ray.data as rd
+
+        src = O.dump_dataset(
+            "simhash_sigs", D.simhash_signatures(docs, concurrency=(1, 2)))
+        return D.simhash_pairs(None, max_hamming=3, sigs=rd.read_parquet(src))
+    return D.simhash_pairs(docs, max_hamming=3, concurrency=(1, 2))
+
+
+def _q_dup_components(sf_dir: str):
+    from octoray import oracles as O
+    from octoray.stages import dedup as D
+
+    pairs = D.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5, concurrency=(1, 2))
+    if O.dump_enabled():
+        import ray.data as rd
+
+        pairs = rd.read_parquet(O.dump_dataset("dup_pairs", pairs))
+    return D.dup_components(pairs)
+
+
+def _q_knn_lsh(sf_dir: str):
+    from octoray import oracles as O
+    from octoray.stages import similarity as S
+
+    emb = _embeddings(sf_dir)
+    if O.dump_enabled():
+        O.dump_dataset("knn_lsh_buckets", S.bucket_codes(emb))
+    return S.lsh_bucket_knn(emb, _KNN_IDS, k=_KNN_K)
+
+
+def _q_cosine_dup_pairs(sf_dir: str):
+    from octoray import oracles as O
+    from octoray.stages import similarity as S
+
+    emb = _embeddings(sf_dir)
+    if O.dump_enabled():
+        O.dump_dataset("cosine_buckets", S.bucket_codes(emb))
+    return S.cosine_dup_pairs(emb, threshold=0.4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -353,13 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dups": lambda sf: D.exact_dups(_docs(sf)),
         "jaccard_pairs": lambda sf: D.jaccard_pairs(_docs(sf), k=_JACCARD_K),
         "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
-        "dup_components": lambda sf: D.dup_components(
-            D.minhash_lsh_pairs(_docs(sf), threshold=0.5, concurrency=(1, 2))
-        ),
-        "minhash_lsh_pairs": lambda sf: D.minhash_lsh_pairs(
-            _docs(sf), threshold=0.5, concurrency=(1, 2)
-        ),
-        "simhash_pairs": lambda sf: D.simhash_pairs(_docs(sf), max_hamming=3, concurrency=(1, 2)),
+        "dup_components": _q_dup_components,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_pairs": _q_simhash_pairs,
         # --- multimodal columns (decode/resize/frames stubbed per docs) ---
         "media_image_features": _q_media_image_features,
         "media_audio_features": _q_media_audio_features,
@@ -367,8 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_knn": _q_media_knn,
         # --- similarity search over embeddings ---
         "knn_brute": lambda sf: S.knn_brute(_embeddings(sf), _KNN_IDS, k=_KNN_K),
-        "knn_lsh": lambda sf: S.lsh_bucket_knn(_embeddings(sf), _KNN_IDS, k=_KNN_K),
-        "cosine_dup_pairs": lambda sf: S.cosine_dup_pairs(_embeddings(sf), threshold=0.4),
+        "knn_lsh": _q_knn_lsh,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
     }
 
 
@@ -390,6 +527,8 @@ def _rnd(expr: str, d: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from octoray import oracles as Q
+
     en, es, fr, de = (_stop_pattern(x) for x in ("en", "es", "fr", "de"))
     tok = r"len(regexp_extract_all(text, '\S+'))"
     knn_ids = ", ".join(str(i) for i in _KNN_IDS)
@@ -578,8 +717,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, {_rnd('s', 6)} AS score
             FROM ranked WHERE rn <= {_KNN_K}
         """,
-        # kg_build / kg_subject_degree / kg_strain_pivot, minhash_lsh_pairs,
-        # simhash_pairs, knn_lsh, cosine_dup_pairs, fingerprints_full:
-        # non-SQL-expressible (recognizer emission / sketching / ANN) ->
-        # driver records the weaker rows-only check.
+        # ------------------------------------------------------------
+        # KG / prep / report / media twins (octoray/oracles.py).  Each
+        # reads the parquet artifact its query callable materialized
+        # under /tmp/octoray_oracle; the per-builder docstrings state
+        # the verification boundary.  Only the prep_fasta/table/
+        # genbank/gisaid emitters stay rows-only (full recognizer
+        # emission is not SQL-expressible; covered by ~160 ported unit
+        # vectors + the P/R gate).
+        # ------------------------------------------------------------
+        "kg_build": Q.sql_kg_build(Q.rpd("kg_build_raw")),
+        "kg_subject_degree": Q.sql_subject_degree(Q.rpd("kg_degree_raw")),
+        "kg_strain_pivot": Q.sql_pivot(Q.rpd("kg_pivot_raw"), _PIVOT_SPEC),
+        "kg_rules_expanded": Q.sql_rules_expanded(Q.rpd("kg_rules_raw")),
+        "kg_monthly_report": Q.sql_monthly_report(Q.rpd("kg_monthly_raw")),
+        "kg_tagged_report": Q.sql_tagged_report(
+            Q.rpd("kg_tagged_raw"), Q.rp("kg_tagged_ids")),
+        "kg_pull": Q.sql_pull(Q.rpd("kg_pull_raw")),
+        "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),
+        "report_constellations": Q.sql_constellations(Q.rp("constellations_input")),
+        "report_subtypes": Q.sql_subtypes(Q.rp("subtypes_input")),
+        "report_masterlist": Q.sql_masterlist(Q.rp("masterlist_input")),
+        "classify_clades": Q.sql_classify(
+            Q.rp("classify_profiles"), Q.rp("classify_panel")),
+        "motifs": Q.sql_motifs(Q.rp("motifs_aa"), "H1"),
+        "fingerprints_full": Q.sql_fingerprints_full(_NORM),
+        "minhash_lsh_pairs": Q.sql_minhash_pairs(
+            Q.rpd("minhash_sigs"), n_perm=64, bands=16, threshold=0.5),
+        "simhash_pairs": Q.sql_simhash_pairs(Q.rpd("simhash_sigs"), max_hamming=3),
+        "dup_components": Q.sql_dup_components(Q.rpd("dup_pairs")),
+        "knn_lsh": Q.sql_knn_lsh(
+            Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=8),
+        "cosine_dup_pairs": Q.sql_cosine_dup(
+            Q.rpd("cosine_buckets"), threshold=0.4, n_tables=8),
+        "media_image_features": Q.sql_media_image(Q.rpd("media_pixels")),
+        "media_audio_features": Q.sql_media_audio(Q.rpd("media_pcm")),
+        "media_frame_sample": Q.sql_media_frames(Q.rpd("media_meta"), every=2),
+        "media_knn": Q.sql_media_knn(Q.rpd("media_embeddings"), [0, 1, 2], k=5),
     }

@@ -20,6 +20,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# benchmarks measure the pure streaming pipelines — skip the oracle
+# parquet dumps the correctness queries materialize for their DuckDB
+# twins (octoray/oracles.py)
+os.environ.setdefault("OCTORAY_NO_ORACLE_DUMP", "1")
+
 # queries from the driver contract that form the bench suite (each must
 # finish in seconds at sf0.1; jaccard_pairs is excluded until its pair
 # expansion is join-based)

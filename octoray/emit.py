@@ -74,7 +74,18 @@ class Mention:
         return self.field if self.field else self.typename
 
     def as_uri(self) -> Optional[str]:
-        """Token.as_uri variants."""
+        """Token.as_uri variants.  Memoized per mention: relate() calls
+        this O(k) times per record pair-loop (profiled 2x per mention
+        on the scan path) and the mint is pure."""
+        try:
+            return self.__dict__["_uri_memo"]
+        except KeyError:
+            pass
+        u = self._compute_uri()
+        self.__dict__["_uri_memo"] = u
+        return u
+
+    def _compute_uri(self) -> Optional[str]:
         if self.group in (R.G_STRAIN, R.G_SEGMENT):
             return make_uri(self.clean)
         if self.group == R.G_SEQUENCE:

@@ -222,9 +222,16 @@ def _parse_year(s: str) -> Optional[str]:
     return expand_year(y)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16384)
 def parse_any_date(s: str) -> Optional[Tuple[Optional[str], Optional[str], Optional[str]]]:
     """p_any_date with parse_strict semantics: (year, month, day) with
-    None for absent parts, or None when ``s`` is not a date."""
+    None for absent parts, or None when ``s`` is not a date.  Memoized
+    (pure, returns an immutable tuple): the emitter parses every date
+    span twice — once in the recognizer test, once for the literal —
+    and date strings repeat heavily across a corpus."""
     if not s:
         return None
     for f in (_parse_utc, _parse_polite, _parse_dmy, _parse_ymd, _parse_mdy):

@@ -1,0 +1,703 @@
+"""DuckDB oracle twins for the driver-contract queries.
+
+Round-1 left the whole KG / prep / report core with ``no_oracle``
+rows-only checks because those queries synthesize their inputs in
+Python where DuckDB can't see them (VERDICT r1, "What's wrong" #1).
+This module closes the gap: each query callable MATERIALIZES its
+deterministic input (or intermediate sketch) to parquet under
+``ORACLE_DIR``, and the matching SQL builder here reads it back with
+``read_parquet`` and re-derives the result independently in DuckDB.
+
+Verification boundary per oracle (stated in each builder's docstring):
+the materialized artifact is the hand-off point.  Everything
+DOWNSTREAM of the artifact — the distributed shuffles, dedups, joins,
+group-bys, pair expansions, top-k reductions — is what the oracle
+verifies.  Whatever is UPSTREAM (recognizer emission, hash/sketch
+computation, codec parsing) is covered by the unit suites and the P/R
+gate instead; oracles never re-use engine output as their own answer.
+
+The SQL is generated FROM the same Python rule tables the engine uses
+(SUBPROPERTY, MOTIF_POSITIONS, the geo closure, the masterlist
+routing) so the two sides cannot drift silently.
+
+Dumps are test-scale artifacts (the driver gates correctness at
+sf=0.01); ``bench.py`` disables them via OCTORAY_NO_ORACLE_DUMP so
+benchmarks measure the pure streaming pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Dict, List, Sequence
+
+import pyarrow as pa
+
+ORACLE_DIR = "/tmp/octoray_oracle"
+
+
+def dump_enabled() -> bool:
+    return not os.environ.get("OCTORAY_NO_ORACLE_DUMP")
+
+
+def table_path(name: str) -> str:
+    return os.path.join(ORACLE_DIR, name + ".parquet")
+
+
+def rp(name: str) -> str:
+    """SQL source for a single-file dump."""
+    return f"read_parquet('{table_path(name)}')"
+
+
+def rpd(name: str) -> str:
+    """SQL source for a Dataset (directory) dump."""
+    return f"read_parquet('{os.path.join(ORACLE_DIR, name)}/*.parquet')"
+
+
+def dump_table(name: str, tbl: pa.Table) -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    pq.write_table(tbl, table_path(name))
+    return table_path(name)
+
+
+def dump_dataset(name: str, ds) -> str:
+    """Materialize a (test-scale) Dataset to a dump directory.
+
+    The dir is cleared first: Ray's write_parquet uses execution-unique
+    filenames, so a bare re-write would accumulate stale copies (the
+    same crash-safety rule as kg.run_kg_build)."""
+    d = os.path.join(ORACLE_DIR, name)
+    shutil.rmtree(d, ignore_errors=True)
+    ds.write_parquet(d)
+    return d
+
+
+def read_triples(path_or_dir: str):
+    """Read a dumped triple table back as a normalized Dataset (cast to
+    the in-memory schema; see pull.read_graph for the rationale)."""
+    import ray.data as rd
+
+    from octoray.model import TRIPLE_SCHEMA
+    from octoray.stages.canon import TRIPLE_COLS
+
+    def norm(t: pa.Table) -> pa.Table:
+        return t.select(TRIPLE_COLS).cast(TRIPLE_SCHEMA)
+
+    return rd.read_parquet(path_or_dir).map_batches(norm, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# shared fragments
+# ----------------------------------------------------------------------
+def _rnd(expr: str, d: int) -> str:
+    scale = 10**d
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+_DISTINCT4 = "SELECT DISTINCT subject, predicate, object, object_datatype FROM {src}"
+
+
+def _agg_distinct(pred: str, alias: str) -> str:
+    return (
+        f"coalesce(string_agg(DISTINCT object, '+' ORDER BY object) "
+        f"FILTER (WHERE predicate = '{pred}'), '') AS {alias}"
+    )
+
+
+# ----------------------------------------------------------------------
+# KG core
+# ----------------------------------------------------------------------
+def sql_kg_build(src: str) -> str:
+    """Boundary: raw (pre-dedup) emitted triples.  Verifies the
+    canonicalization machinery — combiner, range-sort shuffle,
+    adjacent-block dedup (stages/canon.py) — against DuckDB DISTINCT."""
+    return _DISTINCT4.format(src=src)
+
+
+def sql_subject_degree(src: str) -> str:
+    """Boundary: raw triples.  Verifies dedup + the partial-combine
+    degree aggregate (canon.subject_degree)."""
+    return f"""
+        WITH d AS ({_DISTINCT4.format(src=src)})
+        SELECT subject, count(*) AS degree FROM d GROUP BY subject
+    """
+
+
+def sql_pivot(src: str, spec: Dict[str, str]) -> str:
+    """Boundary: raw triples.  Verifies dedup + the J3 subject pivot
+    (query.pivot_subjects '+'-joined sorted-distinct convention)."""
+    preds = ", ".join(f"'{p}'" for p in spec.values())
+    aggs = ",\n               ".join(_agg_distinct(p, col) for col, p in spec.items())
+    return f"""
+        WITH d AS (SELECT DISTINCT subject, predicate, object FROM {src}
+                   WHERE predicate IN ({preds}))
+        SELECT subject, {aggs}
+        FROM d GROUP BY subject
+    """
+
+
+def _geo_closure_values() -> str:
+    """(loc, ancestor) VALUES rows from the SAME closed geo hierarchy
+    rules.expand_locations broadcasts."""
+    import pyarrow.compute as pc
+
+    from octoray.stages.rules import closure_edges, geography_facts
+
+    geo = geography_facts()
+    sel = geo.filter(pc.equal(geo.column("predicate"), pa.scalar("f:locatedIn")))
+    closed = closure_edges(
+        list(zip(sel.column("subject").to_pylist(), sel.column("object").to_pylist()))
+    )
+    return ", ".join(f"('{a}', '{b}')" for a, b in sorted(closed))
+
+
+def sql_rules_expanded(src: str) -> str:
+    """Boundary: raw triples.  Verifies subPropertyOf expansion, the
+    broadcast locatedIn closure (J4) and the final dedup, with the rule
+    tables inlined from rules.SUBPROPERTY / the geo closure itself."""
+    from octoray.stages.rules import SUBPROPERTY
+
+    rules = ", ".join(
+        f"('{p}', '{q}')" for p, supers in SUBPROPERTY.items() for q in supers
+    )
+    return f"""
+        WITH raw AS (SELECT subject, predicate, object, object_datatype FROM {src}),
+        rules(p, super) AS (VALUES {rules}),
+        anc(loc, ancestor) AS (VALUES {_geo_closure_values()}),
+        sub AS (SELECT r.subject, ru.super AS predicate, r.object, r.object_datatype
+                FROM raw r JOIN rules ru ON r.predicate = ru.p),
+        geo AS (SELECT subject, object FROM raw
+                WHERE predicate IN ('f:state', 'f:country')),
+        loc AS (SELECT subject, 'f:locatedIn' AS predicate, object,
+                       'uri' AS object_datatype FROM geo
+                UNION ALL
+                SELECT g.subject, 'f:locatedIn', a.ancestor, 'uri'
+                FROM geo g JOIN anc a ON g.object = a.loc)
+        SELECT DISTINCT subject, predicate, object, object_datatype
+        FROM (SELECT * FROM raw UNION ALL SELECT * FROM sub UNION ALL SELECT * FROM loc)
+    """
+
+
+def sql_monthly_report(src: str) -> str:
+    """Boundary: raw triples.  Verifies the pivot -> date-part keying ->
+    grouped distinct-strain count + subtype union (reports.kg_monthly_report)."""
+    return r"""
+        WITH d AS (SELECT DISTINCT subject, predicate, object FROM {src}
+                   WHERE predicate IN ('f:date', 'f:host', 'f:subtype')),
+        per AS (SELECT subject,
+                  min(object) FILTER (WHERE predicate = 'f:host') AS host,
+                  min(object) FILTER (WHERE predicate = 'f:date') AS d0
+                FROM d GROUP BY subject),
+        keyed AS (SELECT subject, host,
+                    regexp_extract(d0, '^(\d{{4}})-?(\d{{2}})?', 1) AS year,
+                    regexp_extract(d0, '^(\d{{4}})-?(\d{{2}})?', 2) AS month
+                  FROM per
+                  WHERE host IS NOT NULL AND host <> ''
+                    AND regexp_extract(d0, '^(\d{{4}})-?(\d{{2}})?', 1) <> ''),
+        subs AS (SELECT subject, object AS subtype FROM d WHERE predicate = 'f:subtype')
+        SELECT host, year, month, count(DISTINCT k.subject) AS n_strains,
+               coalesce(string_agg(DISTINCT s.subtype, '+' ORDER BY s.subtype), '') AS subtypes
+        FROM keyed k LEFT JOIN subs s USING (subject)
+        GROUP BY 1, 2, 3
+    """.format(src=src)
+
+
+def sql_tagged_report(src: str, ids_src: str) -> str:
+    """Boundary: raw triples + the tag id list.  Verifies the UNION
+    id-resolution (J6), the stats-gated semi-join restriction (J7) and
+    the per-strain report aggregate."""
+    from octoray.query import ID_PREDICATES
+
+    preds = ", ".join(f"'{p}'" for p in ID_PREDICATES)
+    return f"""
+        WITH d AS (SELECT DISTINCT subject, predicate, object FROM {src}),
+        matched AS (SELECT DISTINCT subject FROM d
+                    WHERE predicate IN ({preds})
+                      AND object IN (SELECT id FROM {ids_src})),
+        r AS (SELECT d.* FROM d JOIN matched USING (subject))
+        SELECT subject,
+               {_agg_distinct("f:strain_name", "strain_name")},
+               {_agg_distinct("f:subtype", "subtypes")},
+               coalesce(min(object) FILTER (WHERE predicate = 'f:date'), '') AS min_date,
+               {_agg_distinct("f:genbank_id", "genbank_ids")}
+        FROM r GROUP BY subject
+    """
+
+
+def sql_pull(src: str) -> str:
+    """Boundary: raw BASE triples (pre-shard, pre-derive).  Verifies the
+    sharded resumable build + global dedup AND both derived fixpoint
+    steps (quarters F9, locatedIn expansion) against a from-scratch SQL
+    derivation."""
+    return r"""
+        WITH raw AS (SELECT subject, predicate, object, object_datatype FROM {src}),
+        anc(loc, ancestor) AS (VALUES {anc}),
+        dates AS (SELECT DISTINCT subject, object AS d FROM raw WHERE predicate = 'f:date'),
+        q AS (SELECT subject, 'f:collection_q' AS predicate,
+                     split_part(d, '-', 1) || 'Q' ||
+                     CAST((CAST(split_part(d, '-', 2) AS INTEGER) + 2) // 3 AS VARCHAR)
+                       AS object,
+                     '' AS object_datatype
+              FROM dates WHERE regexp_matches(split_part(d, '-', 2), '^\d+$')),
+        geo AS (SELECT DISTINCT subject, object FROM raw
+                WHERE predicate IN ('f:state', 'f:country')),
+        loc AS (SELECT subject, 'f:locatedIn' AS predicate, object,
+                       'uri' AS object_datatype FROM geo
+                UNION ALL
+                SELECT g.subject, 'f:locatedIn', a.ancestor, 'uri'
+                FROM geo g JOIN anc a ON g.object = a.loc)
+        SELECT DISTINCT subject, predicate, object, object_datatype
+        FROM (SELECT * FROM raw UNION ALL SELECT * FROM q UNION ALL SELECT * FROM loc)
+    """.format(src=src, anc=_geo_closure_values())
+
+
+# ----------------------------------------------------------------------
+# prep: BLAST projection (S9)
+# ----------------------------------------------------------------------
+def sql_prep_blast(src: str) -> str:
+    """Boundary: the synthetic outfmt-6 table itself (the true input).
+    Re-derives the ENTIRE prep_blast emission in SQL — huid minting
+    (make_uri percent-encoding of 'blast/{{q}}-{{s}}-{{bits}}'), URI
+    objects, float()/int() lexical normalization — then DISTINCT for
+    the canonicalization.  Assumes alnum-dot identifiers (the synth
+    grammar); make_uri's full charset handling is pytest-covered."""
+    from octoray.pipelines.prep import _BLAST_COLS
+    from octoray.model import DT_DOUBLE, DT_INT, DT_URI
+
+    huid = (
+        "'fid:blast%2F' || lower(qseqid) || '_' || lower(sseqid) || '_' || lower(bitscore)"
+    )
+    selects = []
+    for col, dt in _BLAST_COLS:
+        q = f'"{col}"'
+        if dt == DT_URI:
+            obj = f"'fid:' || lower({q})"
+            dts = "uri"
+        elif dt == DT_INT:
+            obj = f"CAST(CAST({q} AS BIGINT) AS VARCHAR)"
+            dts = "xsd:integer"
+        else:
+            obj = f"CAST(CAST({q} AS DOUBLE) AS VARCHAR)"
+            dts = "xsd:double"
+        selects.append(
+            f"SELECT {huid} AS subject, 'f:{col}' AS predicate, "
+            f"{obj} AS object, '{dts}' AS object_datatype FROM b"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH b AS (SELECT * FROM {src})
+        SELECT DISTINCT subject, predicate, object, object_datatype FROM ({union})
+    """
+
+
+# ----------------------------------------------------------------------
+# report layer (A2-A4)
+# ----------------------------------------------------------------------
+def sql_constellations(src: str) -> str:
+    """Boundary: the binding table (true input).  Re-derives the full
+    constellation assembly: slot routing, fuzzy clade chars, conflict
+    -> 'M', any-M -> 'mixed' (reports.make_constellations; the
+    first-wins/conflict rule is order-free: one distinct char keeps it,
+    two or more distinct chars always end at 'M')."""
+    from octoray.pipelines.reports import _CLADE_CHAR, _SEGMENT_SLOT
+
+    slot_case = (
+        "CASE "
+        + " ".join(f"WHEN segment = '{k}' THEN {v}" for k, v in _SEGMENT_SLOT.items())
+        + " END"
+    )
+    exact = " ".join(f"WHEN clade = '{k}' THEN '{v}'" for k, v in _CLADE_CHAR.items())
+    contains = " ".join(
+        f"WHEN contains(lower(clade), '{k.lower()}') THEN '{v}'"
+        for k, v in _CLADE_CHAR.items()
+    )
+    ch_case = (
+        f"CASE {exact} WHEN contains(lower(clade), '-like') THEN 'X' {contains} "
+        "ELSE 'X' END"
+    )
+    slots = ", ".join(
+        f"coalesce(max(CASE WHEN slot = {i} THEN c END), '-') AS c{i}" for i in range(6)
+    )
+    concat = " || ".join(f"c{i}" for i in range(6))
+    lst = ", ".join(f"c{i}" for i in range(6))
+    return f"""
+        WITH b AS (SELECT * FROM {src}),
+        strains AS (SELECT DISTINCT strain FROM b),
+        slotted AS (SELECT strain, {slot_case} AS slot, {ch_case} AS ch
+                    FROM b WHERE ({slot_case}) IS NOT NULL),
+        chars AS (SELECT strain, slot,
+                         CASE WHEN count(DISTINCT ch) = 1 THEN min(ch) ELSE 'M' END AS c
+                  FROM slotted GROUP BY 1, 2),
+        asm AS (SELECT s.strain, {slots}
+                FROM strains s LEFT JOIN chars ch ON s.strain = ch.strain
+                GROUP BY s.strain)
+        SELECT strain AS strain_name,
+               CASE WHEN list_contains([{lst}], 'M') THEN 'mixed'
+                    ELSE {concat} END AS constellation
+        FROM asm
+    """
+
+
+def _clean_subtype_sql(col: str) -> str:
+    """flu.clean_subtype as SQL (greedy H#/N# capture; RE2 and Python
+    re produce identical captures for this pattern)."""
+    pat = r"'.*(H\d+).*(N\d+).*'"
+    up = f"upper(trim({col}))"
+    return (
+        f"CASE WHEN regexp_matches({up}, {pat}) "
+        f"THEN regexp_extract({up}, {pat}, 1) || regexp_extract({up}, {pat}, 2) "
+        f"ELSE '' END"
+    )
+
+
+def sql_subtypes(src: str) -> str:
+    """Boundary: the binding table (true input).  Re-derives the
+    complete A3 precedence matrix (reports.get_subtype /
+    synthesize_subtypes): single-H+N wins, any multiplicity -> mixed,
+    genbank > gisaid, strain + per-isolate fan-out."""
+    return f"""
+        WITH b AS (SELECT * FROM {src}),
+        allst AS (SELECT DISTINCT strain_name FROM b),
+        segl AS (SELECT strain_name,
+                        list_filter(string_split(segment_subtypes, '+'), x -> x <> '') AS l
+                 FROM b),
+        seg1 AS (SELECT strain_name, l[1] AS v FROM segl WHERE len(l) = 1),
+        segstat AS (
+          SELECT a.strain_name,
+            count(DISTINCT CASE WHEN regexp_matches(s.v, '^H\\d+$') THEN s.v END) AS has_ct,
+            min(CASE WHEN regexp_matches(s.v, '^H\\d+$') THEN s.v END) AS has_v,
+            count(DISTINCT CASE WHEN regexp_matches(s.v, '^N\\d+$') THEN s.v END) AS nas_ct,
+            min(CASE WHEN regexp_matches(s.v, '^N\\d+$') THEN s.v END) AS nas_v
+          FROM allst a LEFT JOIN seg1 s USING (strain_name) GROUP BY 1),
+        tok AS (SELECT strain_name, 'gb' AS cat,
+                       unnest(string_split(genbank_subtypes, '+')) AS v FROM b
+                UNION ALL
+                SELECT strain_name, 'gis', unnest(string_split(gisaid_subtypes, '+')) FROM b),
+        tokc AS (SELECT strain_name, cat, {_clean_subtype_sql('v')} AS cv
+                 FROM tok WHERE v <> ''),
+        tokstat AS (
+          SELECT a.strain_name,
+            count(DISTINCT CASE WHEN cat = 'gb' THEN cv END) AS gb_ct,
+            min(CASE WHEN cat = 'gb' THEN cv END) AS gb_v,
+            count(DISTINCT CASE WHEN cat = 'gis' THEN cv END) AS gis_ct,
+            min(CASE WHEN cat = 'gis' THEN cv END) AS gis_v
+          FROM allst a LEFT JOIN tokc t USING (strain_name) GROUP BY 1),
+        stats AS (
+          SELECT s.strain_name,
+            CASE WHEN has_ct = 1 AND nas_ct = 1 THEN has_v || nas_v
+                 WHEN gis_ct > 1 OR gb_ct > 1 OR nas_ct > 1 OR has_ct > 1 THEN 'mixed'
+                 WHEN gb_ct = 1 THEN gb_v
+                 WHEN gis_ct = 1 THEN gis_v
+                 ELSE NULL END AS subtype
+          FROM segstat s JOIN tokstat t USING (strain_name)),
+        final AS (SELECT strain_name, subtype FROM stats WHERE subtype IS NOT NULL),
+        isol AS (SELECT DISTINCT strain_name,
+                        unnest(string_split(isolates, '+')) AS iso FROM b)
+        SELECT strain_name AS id, 'strain' AS level, subtype FROM final
+        UNION ALL
+        SELECT i.iso AS id, 'isolate' AS level, f.subtype
+        FROM final f JOIN (SELECT DISTINCT strain_name, iso FROM isol WHERE iso <> '') i
+             USING (strain_name)
+    """
+
+
+def sql_masterlist(src: str) -> str:
+    """Boundary: the binding table (true input).  Re-derives the whole
+    33-column masterlist pivot (reports.masterlist_entry): per-barcode
+    rows ordered by (segment, genbank_id), segment-dependent column
+    routing, append_add first-seen-order dedup, comma-join skipping
+    empties.  The routing selects below are generated from the same
+    header/segment tables the engine uses."""
+    from octoray.pipelines.reports import MASTERLIST_HEADER
+
+    q0 = (
+        "CASE WHEN regexp_matches(split_part(split_part(earliest_date, '+', 1), '-', 2),"
+        " '^\\d+$') THEN split_part(split_part(earliest_date, '+', 1), '-', 1) || 'Q' || "
+        "CAST((CAST(split_part(split_part(earliest_date, '+', 1), '-', 2) AS INTEGER) + 2)"
+        " // 3 AS VARCHAR) ELSE '' END"
+    )
+    seg0 = "split_part(segment, '+', 1)"
+    ss0 = "CASE WHEN segment_subtypes <> '' THEN split_part(segment_subtypes, '+', 1) END"
+    gb0 = "split_part(genbank_id, '+', 1)"
+    routes: List[str] = [
+        # (col, list-expr, where)
+        f"SELECT barcode, rn, 'Date' AS col, [split_part(earliest_date, '+', 1)] AS lst FROM rows",
+        f"SELECT barcode, rn, 'Collection_Q', [{q0}] FROM rows",
+        "SELECT barcode, rn, 'State', string_split(states, '+') FROM rows",
+        "SELECT barcode, rn, 'Strain', string_split(strains, '+') FROM rows",
+        "SELECT barcode, rn, 'Subtype', [split_part(subtypes, '+', 1)] FROM rows",
+        "SELECT barcode, rn, 'Constellation', string_split(consts, '+') FROM rows",
+        f"SELECT barcode, rn, 'H_Genbank', [{gb0}] FROM rows WHERE {seg0} = 'HA'",
+        f"SELECT barcode, rn, 'US_Clade', string_split(us_clades, '+') FROM rows WHERE {seg0} = 'HA'",
+        f"SELECT barcode, rn, 'GL_Clade', string_split(gl_clades, '+') FROM rows WHERE {seg0} = 'HA'",
+        f"SELECT barcode, rn, 'N_Genbank', [{gb0}] FROM rows WHERE {seg0} = 'NA'",
+    ]
+    for seg in ["PB2", "PB1", "PA", "NP", "M", "NS"]:
+        routes.append(
+            f"SELECT barcode, rn, '{seg}_Genbank', [{gb0}] FROM rows WHERE {seg0} = '{seg}'"
+        )
+        routes.append(
+            f"SELECT barcode, rn, '{seg}', string_split(us_clades, '+') "
+            f"FROM rows WHERE {seg0} = '{seg}'"
+        )
+    for ss in ["H1", "H3", "N1", "N2"]:
+        routes.append(
+            f"SELECT barcode, rn, '{ss}', string_split(us_clades, '+') "
+            f"FROM rows WHERE ({ss0}) = '{ss}'"
+        )
+    union = " UNION ALL ".join(routes)
+    cells = []
+    for col in MASTERLIST_HEADER:
+        if col == "Barcode":
+            cells.append('b.barcode AS "Barcode"')
+        else:
+            cells.append(
+                f"coalesce(max(CASE WHEN c.col = '{col}' THEN c.cell END), '') AS \"{col}\""
+            )
+    sel = ",\n               ".join(cells)
+    return f"""
+        WITH rows AS (SELECT *,
+                 row_number() OVER (PARTITION BY barcode ORDER BY segment, genbank_id) AS rn
+               FROM {src}),
+        vals AS (SELECT barcode, rn, col, lst[k] AS val, k
+                 FROM ({union}) t,
+                      LATERAL unnest(generate_series(1, len(lst))) AS u(k)),
+        firsts AS (SELECT barcode, col, val, min(rn * 100000 + k) AS ord
+                   FROM vals WHERE val <> '' GROUP BY 1, 2, 3),
+        cellt AS (SELECT barcode, col, string_agg(val, ',' ORDER BY ord) AS cell
+                  FROM firsts GROUP BY 1, 2),
+        bcs AS (SELECT DISTINCT barcode FROM rows)
+        SELECT {sel}
+        FROM bcs b LEFT JOIN cellt c ON b.barcode = c.barcode
+        GROUP BY b.barcode
+    """
+
+
+# ----------------------------------------------------------------------
+# classification stages (X1/X2)
+# ----------------------------------------------------------------------
+def sql_motifs(src: str, subtype: str = "H1") -> str:
+    """Boundary: (seqid, aa) — the translated protein.  Verifies the
+    signal-peptide strip, 1-based mature-position picks and the '-'
+    gap convention (classify.extract_motifs); dna->aa translation
+    itself is pinned by tests/test_classify.py unit vectors."""
+    from octoray.stages.classify import MOTIF_POSITIONS, SIGNAL_LEN
+
+    sig = SIGNAL_LEN[subtype]
+    parts = []
+    for mname, pos in MOTIF_POSITIONS[subtype].items():
+        chars = " || ".join(
+            f"CASE WHEN length(aa) >= {sig + p} THEN substr(aa, {sig + p}, 1) ELSE '-' END"
+            for p in pos
+        )
+        parts.append(
+            f"SELECT seqid, '{mname}' AS motif_name, {chars} AS motif FROM {src}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def sql_classify(qsrc: str, psrc: str) -> str:
+    """Boundary: (seqid, k-mer profile) + the panel profile matrix.
+    Verifies the batched cosine-argmax classification and first-index
+    tie-break (classify.CladeClassifier); profile construction is
+    pytest-pinned."""
+    return f"""
+        WITH q AS (SELECT seqid, profile FROM {qsrc}),
+        p AS (SELECT pidx, clade, gl_clade, segment_subtype, profile FROM {psrc}),
+        sc AS (SELECT q.seqid, p.pidx, p.clade, p.gl_clade, p.segment_subtype,
+                      list_dot_product(q.profile, p.profile) AS s
+               FROM q, p),
+        r AS (SELECT *, row_number() OVER
+                 (PARTITION BY seqid ORDER BY s DESC, pidx ASC) AS rn
+              FROM sc)
+        SELECT seqid, segment_subtype, clade, gl_clade FROM r WHERE rn = 1
+    """
+
+
+# ----------------------------------------------------------------------
+# text / dedup family
+# ----------------------------------------------------------------------
+def sql_fingerprints_full(norm_expr: str) -> str:
+    """Over the documents view directly (no dump).  Re-derives BOTH
+    fingerprints: md5 of normalized text and the 64-bit polynomial
+    rolling hash (base 1000003 mod 2^61-1) via a HUGEINT list_reduce.
+    Valid for ASCII corpora (codepoint == byte; the test tables are
+    verified ASCII-only)."""
+    return f"""
+        WITH n AS (SELECT doc_id, {norm_expr} AS t FROM documents)
+        SELECT doc_id, md5(t) AS md5,
+               CAST(list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   list_transform(range(1, length(t) + 1),
+                                  i -> CAST(unicode(substr(t, i, 1)) AS HUGEINT))),
+                 (acc, c) -> (acc * 1000003 + c) % 2305843009213693951)
+               AS BIGINT) AS rolling64
+        FROM n
+    """
+
+
+def sql_minhash_pairs(src: str, *, n_perm: int, bands: int, threshold: float) -> str:
+    """Boundary: the per-doc minhash signatures.  Verifies the banded
+    LSH inverted index end-to-end against brute force over signatures:
+    a pair must share >= 1 full band AND its signature-Jaccard estimate
+    must clear the threshold — exactly minhash_lsh_pairs' candidate +
+    verify semantics, with no bucket hashing shortcuts."""
+    r = n_perm // bands
+    return f"""
+        WITH s AS (SELECT doc_id, sig FROM {src}),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+               FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        sc AS (SELECT id_a, id_b,
+                 CAST(len(list_filter(range(1, {n_perm} + 1), i -> sa[i] = sb[i]))
+                      AS DOUBLE) / {n_perm} AS est_jaccard,
+                 len(list_filter(range(0, {bands}),
+                     b -> sa[b * {r} + 1 : b * {r} + {r}] = sb[b * {r} + 1 : b * {r} + {r}]))
+                   AS nb
+               FROM pr)
+        SELECT id_a, id_b, est_jaccard FROM sc
+        WHERE nb > 0 AND est_jaccard >= {threshold}
+    """
+
+
+def sql_simhash_pairs(src: str, *, max_hamming: int) -> str:
+    """Boundary: the per-doc 64-bit simhashes.  Verifies the 4x16-bit
+    pigeonhole candidate generation + hamming verify against brute
+    force (the pigeonhole guarantees identical pair sets at
+    max_hamming <= 3)."""
+    return f"""
+        WITH s AS (SELECT doc_id, simhash FROM {src})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def sql_dup_components(src: str) -> str:
+    """Boundary: the near-dup pair list.  Verifies distributed min-label
+    propagation against a DuckDB recursive-CTE closure (the classic
+    reachability formulation; comp < dst prunes revisits without
+    blocking the min label)."""
+    return f"""
+        WITH RECURSIVE pr AS (SELECT id_a, id_b FROM {src}),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pr
+              UNION SELECT id_b, id_a FROM pr),
+        walk(id, comp) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, walk.comp FROM walk JOIN e ON walk.id = e.src
+          WHERE walk.comp < e.dst)
+        SELECT id, min(comp) AS component FROM walk GROUP BY id
+    """
+
+
+# ----------------------------------------------------------------------
+# similarity search
+# ----------------------------------------------------------------------
+def sql_knn_lsh(bsrc: str, query_ids: Sequence[int], *, k: int, n_tables: int,
+                emb: str = "embeddings") -> str:
+    """Boundary: the per-vector LSH bucket codes (one per table).
+    Verifies the OR-amplified candidate collision, cosine scoring and
+    global top-k tie-break against the real embeddings table."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH bk AS (SELECT vec_id, buckets FROM {bsrc}),
+        q AS (SELECT vec_id AS qid, buckets AS qb FROM bk WHERE vec_id IN ({ids})),
+        qe AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM {emb} WHERE vec_id IN ({ids})),
+        cand AS (SELECT q.qid, c.vec_id AS nid FROM bk c, q
+                 WHERE c.vec_id <> q.qid
+                   AND len(list_filter(range(1, {n_tables} + 1),
+                                       i -> c.buckets[i] = q.qb[i])) > 0),
+        sc AS (SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+                      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qe.qv) AS s
+               FROM cand JOIN {emb} e ON cand.nid = e.vec_id
+                         JOIN qe ON cand.qid = qe.qid),
+        r AS (SELECT query_id, neighbor_id, s, row_number() OVER
+                (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+              FROM sc)
+        SELECT query_id, neighbor_id, {_rnd('s', 6)} AS score FROM r WHERE rn <= {k}
+    """
+
+
+def sql_cosine_dup(bsrc: str, *, threshold: float, n_tables: int,
+                   emb: str = "embeddings") -> str:
+    """Boundary: the per-vector LSH bucket codes.  Verifies bucket
+    collision + per-pair cosine verify + cross-table pair dedup."""
+    return f"""
+        WITH bk AS (SELECT vec_id, buckets FROM {bsrc}),
+        pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+               WHERE len(list_filter(range(1, {n_tables} + 1),
+                                     i -> a.buckets[i] = b.buckets[i])) > 0),
+        sc AS (SELECT id_a, id_b,
+                      list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                             CAST(eb.embedding AS DOUBLE[])) AS s
+               FROM pr JOIN {emb} ea ON id_a = ea.vec_id
+                       JOIN {emb} eb ON id_b = eb.vec_id)
+        SELECT id_a, id_b, {_rnd('s', 6)} AS score FROM sc WHERE s >= {threshold}
+    """
+
+
+def sql_media_knn(esrc: str, query_ids: Sequence[int], *, k: int) -> str:
+    """Boundary: the (deterministic) media embeddings.  Verifies the
+    brute-force broadcast top-k over a dumped embedding table."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding FROM {esrc}),
+        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              FROM emb WHERE vec_id IN ({ids})),
+        sc AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+               FROM emb e, q WHERE e.vec_id <> q.qid),
+        r AS (SELECT query_id, neighbor_id, s, row_number() OVER
+                (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+              FROM sc)
+        SELECT query_id, neighbor_id, {_rnd('s', 6)} AS score FROM r WHERE rn <= {k}
+    """
+
+
+# ----------------------------------------------------------------------
+# multimodal
+# ----------------------------------------------------------------------
+def sql_media_image(src: str) -> str:
+    """Boundary: decoded raw pixel arrays.  Verifies the per-image
+    channel-mean feature math (integer sums are exact in float64 on
+    both engines); container parsing is pytest-pinned."""
+    mean = (
+        "list_sum(list_transform(range(0, width * height), "
+        "i -> CAST(pixels[i * 3 + {ch} + 1] AS DOUBLE))) / (width * height)"
+    )
+    return f"""
+        SELECT media_id, CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               {mean.format(ch=0)} AS mean_r,
+               {mean.format(ch=1)} AS mean_g,
+               {mean.format(ch=2)} AS mean_b
+        FROM {src}
+    """
+
+
+def sql_media_audio(src: str) -> str:
+    """Boundary: decoded PCM sample arrays.  Verifies RMS and
+    zero-crossing feature math."""
+    return f"""
+        SELECT media_id, CAST(len(pcm) AS BIGINT) AS n_samples,
+               sqrt(list_sum(list_transform(pcm, x -> CAST(x AS DOUBLE) * x))
+                    / len(pcm)) AS rms,
+               CAST(len(list_filter(range(2, len(pcm) + 1),
+                        i -> (pcm[i] < 0) <> (pcm[i - 1] < 0))) AS BIGINT)
+                 AS zero_crossings
+        FROM {src} WHERE len(pcm) > 0
+    """
+
+
+def sql_media_frames(src: str, *, every: int) -> str:
+    """Boundary: the media metadata table.  Verifies the fixed-stride
+    frame fan-out (one row per sampled frame index)."""
+    return f"""
+        SELECT media_id, CAST(unnest(range(0, meta_n, {every})) AS INTEGER) AS frame_idx
+        FROM {src} WHERE kind = 'video'
+    """

@@ -321,20 +321,21 @@ def tagged_strain_report(triples, ids):
 
     def per_subject(g: pd.DataFrame) -> pd.DataFrame:
         def vals(pred):
-            seen: List[str] = []
-            for v in g.loc[g["predicate"] == pred, "object"]:
-                if v not in seen:
-                    seen.append(v)
-            return seen
+            # SORTED distinct: within-group row order after a
+            # subject-keyed sort is not stable across partitionings, so
+            # first-seen order would be nondeterministic run-to-run
+            # (same fix as pivot_subjects; matches the DuckDB twin's
+            # string_agg(DISTINCT ... ORDER BY))
+            return sorted(set(g.loc[g["predicate"] == pred, "object"]))
 
         dates = vals("f:date")
         return pd.DataFrame(
             {
                 "subject": [g["subject"].iloc[0]],
                 "strain_name": ["+".join(vals("f:strain_name"))],
-                "subtypes": ["+".join(sorted(vals("f:subtype")))],
+                "subtypes": ["+".join(vals("f:subtype"))],
                 "min_date": [min(dates) if dates else ""],
-                "genbank_ids": ["+".join(sorted(vals("f:genbank_id")))],
+                "genbank_ids": ["+".join(vals("f:genbank_id"))],
             }
         )
 

@@ -334,6 +334,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     concurrency=(1, 4),
+    sigs=None,
 ):
     """Near-dup pairs by banded MinHash LSH.
 
@@ -348,8 +349,9 @@ def minhash_lsh_pairs(
     """
     assert n_perm % bands == 0
     r = n_perm // bands
-    sigs = minhash_signatures(docs, n_perm=n_perm, k=k, id_col=id_col,
-                              text_col=text_col, concurrency=concurrency)
+    if sigs is None:
+        sigs = minhash_signatures(docs, n_perm=n_perm, k=k, id_col=id_col,
+                                  text_col=text_col, concurrency=concurrency)
 
     def band_keys(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -446,8 +448,21 @@ class SimHasher:
         )
 
 
+def simhash_signatures(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                       concurrency=(1, 4), batch_size: int = 1024):
+    """Dataset[(id, simhash)] — the hand-off artifact for the pair
+    stage and its brute-force DuckDB oracle."""
+    return docs.map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def simhash_pairs(docs, *, max_hamming: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text", concurrency=(1, 4)):
+                  text_col: str = "text", concurrency=(1, 4), sigs=None):
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidate generation by the 4x16-bit chunk pigeonhole: two hashes
@@ -455,13 +470,9 @@ def simhash_pairs(docs, *, max_hamming: int = 3, id_col: str = "doc_id",
     by (chunk_idx, chunk_value) — an inverted index, not a cross join —
     then verify exact hamming inside the bucket.
     """
-    sigs = docs.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=concurrency,
-    )
+    if sigs is None:
+        sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col,
+                                  concurrency=concurrency)
 
     def chunk_keys(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()

@@ -245,6 +245,62 @@ def resize_images(media, *, out_w: int = 16, out_h: int = 16, concurrency=(1, 4)
     )
 
 
+def image_pixels(media):
+    """Images -> (media_id, width, height, pixels list<int32>): the
+    decoded raw RGB array flattened row-major — the oracle hand-off
+    artifact so DuckDB can re-derive the feature math from pixels."""
+    import pyarrow.compute as pc
+
+    dec = ImageDecoder()
+
+    def f(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("kind"), pa.scalar("image")))
+        ids, w_, h_, flat = [], [], [], []
+        for mid, data in zip(
+            sel.column("media_id").to_pylist(), sel.column("payload").to_pylist()
+        ):
+            img = dec.decode(data)
+            ids.append(mid)
+            h_.append(img.shape[0]); w_.append(img.shape[1])
+            flat.append(img.reshape(-1).astype(np.int32))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(w_, pa.int32()),
+                "height": pa.array(h_, pa.int32()),
+                "pixels": pa.array([x.tolist() for x in flat], pa.list_(pa.int32())),
+            }
+        )
+
+    return media.map_batches(f, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+
+
+def audio_pcm(media):
+    """Audio -> (media_id, pcm list<int32>): the decoded PCM samples
+    (oracle hand-off artifact for the feature-math twin)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("kind"), pa.scalar("audio")))
+        ids, pcm = [], []
+        for mid, data in zip(
+            sel.column("media_id").to_pylist(), sel.column("payload").to_pylist()
+        ):
+            parsed = _parse_payload(data)
+            if parsed is None or parsed[0] != 1:
+                continue
+            ids.append(mid)
+            pcm.append(np.frombuffer(parsed[4], np.int16).astype(np.int32).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "pcm": pa.array(pcm, pa.list_(pa.int32())),
+            }
+        )
+
+    return media.map_batches(f, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+
+
 # ----------------------------------------------------------------------
 # audio features (REAL: PCM math needs no codec)
 # ----------------------------------------------------------------------

@@ -97,6 +97,16 @@ class MentionEmitter:
         # force the edit-1 dictionaries to build now, once per actor
         geography.state_to_code("iowa")
         geography.country_to_code("canada")
+        # span -> Mention memo (per actor).  cast_datum runs the full
+        # classifier cascade per span; vocabulary terms, subtypes,
+        # clades and dates repeat across a corpus, so caching the cast
+        # (and the Mention's memoized URI with it) removes most of the
+        # per-page recognizer cost (profiled ~35% of emit_page).
+        # Sharing one Mention object for equal spans is semantics-
+        # preserving: relate()'s only identity check (`other is self`
+        # in _relate_strain) is subsumed by its clean-equality guard,
+        # and mentions are read-only after construction.
+        self._mcache: dict = {}
 
     def page_mentions(self, text: str) -> List[str]:
         """Candidate field strings in span order, masked left-to-right."""
@@ -118,7 +128,16 @@ class MentionEmitter:
         spans = self.page_mentions(text)
         if not spans:
             return []
-        mentions = [emit.make_mention(R.cast_datum(s), s) for s in spans]
+        cache = self._mcache
+        mentions = []
+        for s in spans:
+            m = cache.get(s)
+            if m is None:
+                if len(cache) > 200_000:  # bound actor memory
+                    cache.clear()
+                m = emit.make_mention(R.cast_datum(s), s)
+                cache[s] = m
+            mentions.append(m)
         return list(emit.connect(mentions, levels=None))
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -221,6 +221,45 @@ def lsh_bucket_knn(
     return cands.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def bucket_codes(
+    embeddings,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Per-vector LSH bucket code for each of the L tables, as one
+    fixed-width list column — the deterministic artifact both
+    ``lsh_bucket_knn`` and ``cosine_dup_pairs`` derive their candidate
+    sets from (identical plane seeds: seed + 101*t).  Used as the
+    oracle hand-off table so DuckDB can re-derive collisions by brute
+    force."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col))
+        M = _normalize(_as_matrix(t.column(vec_col)))
+        dim = M.shape[1]
+        cols = np.stack(
+            [
+                _bucket_of(M, _hyperplanes(dim, n_planes, seed + 101 * ti))
+                for ti in range(n_tables)
+            ],
+            axis=1,
+        ) if len(ids) else np.zeros((0, n_tables), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "buckets": pa.FixedSizeListArray.from_arrays(
+                    pa.array(cols.reshape(-1), pa.int64()), n_tables
+                ),
+            }
+        )
+
+    return embeddings.map_batches(f, batch_format="pyarrow")
+
+
 def cosine_dup_pairs(
     embeddings,
     *,
