@@ -264,6 +264,35 @@ def _q_pull(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_kg_delete(sf_dir: str):
+    """The delete-then-recompute update cycle (reference ui.py:544-560):
+    build + derive, retract a base predicate (partition rewrite) AND a
+    whole derived class (partition drop), re-pull to recompute, return
+    the compacted graph.  The oracle re-derives the same graph from the
+    raw triples with the deleted predicate excluded."""
+    import shutil
+    import tempfile
+
+    from octoray import oracles as O
+    from octoray.pipelines.pull import pull, read_graph
+    from octoray.pipelines.update import delete_where
+    from octoray.stages.canon import dedup_triples
+
+    n = max(200, int(50_000 * _sf_of(sf_dir)))
+    if O.dump_enabled():
+        from octoray.pipelines.kg import build_triples, pages_dataset
+
+        O.dump_dataset("kg_delete_raw", build_triples(pages_dataset(n, seed=42)))
+    d = tempfile.mkdtemp(prefix="octoray_del_")
+    try:
+        pull(n, d, n_shards=4)
+        delete_where(d, predicates=["f:genbank_id"])
+        pull(n, d, n_shards=4, refresh=["quarters"])
+        return dedup_triples(read_graph(d)).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -453,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_strain_pivot": _q_kg_strain_dates,
         "kg_rules_expanded": _q_kg_rules,
         "kg_pull": _q_pull,
+        "kg_delete": _q_kg_delete,
         "kg_monthly_report": _q_kg_monthly,
         "kg_tagged_report": _q_kg_tagged_report,
         # --- stateful classification stages (X1/X2 analogues) ---
@@ -734,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_tagged_report": Q.sql_tagged_report(
             Q.rpd("kg_tagged_raw"), Q.rp("kg_tagged_ids")),
         "kg_pull": Q.sql_pull(Q.rpd("kg_pull_raw")),
+        "kg_delete": Q.sql_pull(Q.rpd("kg_delete_raw"), exclude=["f:genbank_id"]),
         "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),
         "report_constellations": Q.sql_constellations(Q.rp("constellations_input")),
         "report_subtypes": Q.sql_subtypes(Q.rp("subtypes_input")),

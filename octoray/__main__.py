@@ -125,6 +125,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Scoped retraction (reference `octofludb update` delete templates,
+    ui.py:544-560): --pred / --tag / --step over a built graph dir."""
+    from octoray.pipelines.update import delete_where, retract_step
+
+    if args.step:
+        for s in args.step:
+            print(retract_step(args.graph, s))
+    if args.pred or args.tag:
+        print(delete_where(args.graph, predicates=args.pred or None, tag=args.tag))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Triple-pattern scan: 's,p,o' with '?' wildcards; multiple
     ';'-separated clauses are a CONJUNCTION over the subject (the
@@ -196,6 +209,12 @@ def main(argv=None) -> int:
 
     cp = sub.add_parser("compact"); cp.add_argument("input")
     cp.add_argument("--out", required=True); cp.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser("delete"); dl.add_argument("--graph", required=True)
+    dl.add_argument("--pred", action="append", help="retract all triples with this predicate")
+    dl.add_argument("--tag", help="retract this tag's assignment triples")
+    dl.add_argument("--step", action="append", help="drop a derived step partition")
+    dl.set_defaults(fn=cmd_delete)
 
     q = sub.add_parser("query"); q.add_argument("pattern")
     q.add_argument("--graph", required=True); q.add_argument("--limit", type=int, default=0)

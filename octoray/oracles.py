@@ -226,13 +226,20 @@ def sql_tagged_report(src: str, ids_src: str) -> str:
     """
 
 
-def sql_pull(src: str) -> str:
+def sql_pull(src: str, *, exclude: Sequence[str] = ()) -> str:
     """Boundary: raw BASE triples (pre-shard, pre-derive).  Verifies the
     sharded resumable build + global dedup AND both derived fixpoint
     steps (quarters F9, locatedIn expansion) against a from-scratch SQL
-    derivation."""
+    derivation.  ``exclude`` drops predicates from the base — the twin
+    for the delete-then-recompute cycle (kg_delete): retraction of a
+    base predicate must leave exactly the graph built without it."""
+    where = ""
+    if exclude:
+        preds = ", ".join(f"'{p}'" for p in exclude)
+        where = f" WHERE predicate NOT IN ({preds})"
     return r"""
-        WITH raw AS (SELECT subject, predicate, object, object_datatype FROM {src}),
+        WITH raw AS (SELECT subject, predicate, object, object_datatype
+                     FROM {src}{where}),
         anc(loc, ancestor) AS (VALUES {anc}),
         dates AS (SELECT DISTINCT subject, object AS d FROM raw WHERE predicate = 'f:date'),
         q AS (SELECT subject, 'f:collection_q' AS predicate,
@@ -250,7 +257,7 @@ def sql_pull(src: str) -> str:
                 FROM geo g JOIN anc a ON g.object = a.loc)
         SELECT DISTINCT subject, predicate, object, object_datatype
         FROM (SELECT * FROM raw UNION ALL SELECT * FROM q UNION ALL SELECT * FROM loc)
-    """.format(src=src, anc=_geo_closure_values())
+    """.format(src=src, where=where, anc=_geo_closure_values())
 
 
 # ----------------------------------------------------------------------

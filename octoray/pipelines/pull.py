@@ -98,21 +98,44 @@ def _derived_dir(out_dir: str, name: str) -> str:
     return os.path.join(out_dir, "derived", f"step={name}")
 
 
+def _step_run_dirs(ddir: str) -> List[str]:
+    """Completed + in-flight run partitions of one derived step."""
+    if not os.path.isdir(ddir):
+        return []
+    return [os.path.join(ddir, d) for d in sorted(os.listdir(ddir))
+            if d.startswith("run=")]
+
+
 def read_graph(out_dir: str):
-    """Base shards + every completed derived step as one Dataset."""
+    """Base shards + every completed derived run as one Dataset.
+
+    Derived steps are APPEND-ONLY run partitions
+    (derived/step=N/run=K/): each pull that finds pending entities
+    lands their new triples in a fresh run dir with its own manifest.
+    A run dir without a manifest is a crashed write — skipped here and
+    garbage-collected by the next pull.  (Round-1 overwrote the step
+    dir per pull, which silently DELETED all derived triples once the
+    step hit its fixpoint and produced an empty batch.)"""
     import ray.data as rd
 
     dirs = [os.path.join(out_dir, d) for d in sorted(os.listdir(out_dir))
             if d.startswith("shard=")]
     droot = os.path.join(out_dir, "derived")
     if os.path.isdir(droot):
-        dirs.extend(os.path.join(droot, d) for d in sorted(os.listdir(droot)))
+        for step in sorted(os.listdir(droot)):
+            for rdir in _step_run_dirs(os.path.join(droot, step)):
+                if os.path.exists(os.path.join(rdir, "_MANIFEST.json")):
+                    dirs.append(rdir)
     files = [
         os.path.join(d, f)
         for d in dirs
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+    if not files:
+        from octoray.model import TRIPLE_SCHEMA
+
+        return rd.from_arrow(TRIPLE_SCHEMA.empty_table())
     # the hive-style shard=K path segments would otherwise be inferred
     # as an extra partition column on the triple schema; parquet also
     # reads back large_string, which Arrow hash joins refuse to match
@@ -128,34 +151,53 @@ def read_graph(out_dir: str):
 
 def pull(n_pages: int, out_dir: str, *, seed: int = 42, n_shards: int = 4,
          steps: List[str] = ("quarters", "located"), resume: bool = True,
-         emitter_concurrency=None, max_concurrent_shards: int = 1) -> dict:
+         emitter_concurrency=None, max_concurrent_shards: int = 1,
+         refresh: List[str] = ()) -> dict:
     """Full incremental build: base KG (resumable shards) then each
     derived step at its fixpoint.  Returns per-step row counts; zero
-    everywhere on a re-run."""
+    everywhere on a re-run.
+
+    ``refresh`` names derived steps to RETRACT first (partition drop,
+    update.retract_step) so they recompute from the current graph —
+    the reference's delete-then-recompute update cycle
+    (ui.py:544-560): after a classifier or rule change the anti-join
+    alone would keep stale derivations forever."""
+    from octoray.pipelines.update import retract_step
+
+    for name in refresh:
+        retract_step(out_dir, name)
     base = run_kg_build(n_pages, out_dir, seed=seed, n_shards=n_shards,
                         resume=resume, emitter_concurrency=emitter_concurrency,
                         max_concurrent_shards=max_concurrent_shards)
     report = {"base": base, "steps": {}}
     for name in steps:
+        import json
+        import shutil
+
+        ddir = _derived_dir(out_dir, name)
+        # gc crashed writes: a run dir without a manifest never became
+        # visible to read_graph, so dropping it is safe and keeps the
+        # numbering dense
+        for rdir in _step_run_dirs(ddir):
+            if not os.path.exists(os.path.join(rdir, "_MANIFEST.json")):
+                shutil.rmtree(rdir)
         graph = read_graph(out_dir)
         derived = canonicalize(STEPS[name](graph)).materialize()
-        ddir = _derived_dir(out_dir, name)
-        # same crash-safety as run_kg_build: clear any partial output
-        # from a previous interrupted run before re-writing the step
-        if os.path.isdir(ddir):
-            import shutil
-
-            shutil.rmtree(ddir)
-        os.makedirs(ddir, exist_ok=True)
         n = derived.count()
         if n > 0:
-            derived.write_parquet(ddir)
-        # per-step lineage manifest (same contract as base shards):
-        # inputs = the graph state the step's anti-join saw
-        with open(os.path.join(ddir, "_MANIFEST.json"), "w") as fh:
-            import json
-
-            json.dump({"step": name, "inputs": ["graph@" + out_dir],
-                       "triples_out": n}, fh)
+            # append a new run partition atomically: write to tmp
+            # (data first, then its lineage manifest), one dir rename
+            # makes it visible — a crash at any point leaves either an
+            # invisible tmp dir or a manifest-less run dir, both gc'd
+            k = len(_step_run_dirs(ddir))
+            rdir = os.path.join(ddir, f"run={k:04d}")
+            tmp = rdir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            derived.write_parquet(tmp)
+            with open(os.path.join(tmp, "_MANIFEST.json"), "w") as fh:
+                json.dump({"step": name, "run": k,
+                           "inputs": ["graph@" + out_dir],
+                           "triples_out": n, "status": "complete"}, fh)
+            os.replace(tmp, rdir)
         report["steps"][name] = n
     return report

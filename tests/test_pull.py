@@ -29,3 +29,11 @@ def test_pull_fixpoint(ray_session, tmp_path):
     r2 = pull(300, out, n_shards=2, emitter_concurrency=2)
     assert r2["base"]["built"] == []
     assert r2["steps"] == {"quarters": 0, "located": 0}
+
+    # and the derived triples SURVIVED the no-op re-pull (regression:
+    # the round-1 overwrite-per-pull step layout deleted them once the
+    # fixpoint produced an empty batch)
+    rows2 = read_graph(out).take_all()
+    assert {(r["subject"], r["predicate"], r["object"]) for r in rows2} == {
+        (r["subject"], r["predicate"], r["object"]) for r in rows
+    }
