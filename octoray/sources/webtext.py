@@ -83,6 +83,11 @@ _MONTH_FULL = [
     "August", "September", "October", "November", "December",
 ]
 
+# fixed url grammar: prefix + zero-padded 12-digit page id.  The
+# sharded build recovers (page_id -> shard) from the url tail, so the
+# id width and prefix length are load-bearing.
+URL_PREFIX = "https://crawl.example.org/flu/"
+
 PAGES_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -121,7 +126,7 @@ def _build_page(page_id: int, r) -> Tuple[Dict[str, object], List[str]]:
     def pick(vocab, k):
         return vocab[int(r[k] % len(vocab))]
 
-    url = f"https://crawl.example.org/flu/{page_id:012d}"
+    url = f"{URL_PREFIX}{page_id:012d}"
     warc_ts = 1609459200_000000 + int(r[0] % (3 * 365 * 86400)) * 1_000_000
 
     has_record = (r[1] % 10) != 0  # ~10% pure-distractor pages

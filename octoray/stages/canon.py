@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 TRIPLE_COLS = ["subject", "predicate", "object", "object_datatype"]
 
 
-def _local_dedup(batch: pa.Table) -> pa.Table:
+def _local_dedup(batch: pa.Table, extra_cols=()) -> pa.Table:
     """Per-batch combiner: drop duplicate rows before the shuffle.
 
     Uses Arrow group-by on all columns — zero-copy in, one compact
@@ -42,11 +42,11 @@ def _local_dedup(batch: pa.Table) -> pa.Table:
     within-block (repeated mentions), so the all-to-all exchange
     shrinks before it happens.
     """
-    cols = [c for c in TRIPLE_COLS if c in batch.schema.names]
+    cols = [c for c in list(TRIPLE_COLS) + list(extra_cols) if c in batch.schema.names]
     return batch.group_by(cols, use_threads=False).aggregate([]).select(cols)
 
 
-def _sorted_block_dedup(batch: pa.Table) -> pa.Table:
+def _sorted_block_dedup(batch: pa.Table, extra_cols=()) -> pa.Table:
     """Drop adjacent duplicate rows of a SORTED block (vectorized:
     one shifted not-equal per column, no re-sort, no per-group calls).
     Globally exact downstream of a range-partitioned sort because all
@@ -55,7 +55,7 @@ def _sorted_block_dedup(batch: pa.Table) -> pa.Table:
     if n <= 1:
         return batch
     keep: Optional[pa.Array] = None
-    for c in TRIPLE_COLS:
+    for c in list(TRIPLE_COLS) + list(extra_cols):
         if c not in batch.schema.names:
             continue
         arr = batch.column(c).combine_chunks()
@@ -81,20 +81,25 @@ def sort_canonical(ds):
     return ds.sort(TRIPLE_COLS)
 
 
-def dedup_triples(ds, *, local_only: bool = False):
+def dedup_triples(ds, *, local_only: bool = False, extra_cols=()):
     """Exact distinct on the 4 triple columns (D1), returned in
     canonical (s,p,o,dt) order.
 
     combiner -> global sort -> adjacent dedup per block (batch_size
     None keeps sort partitions intact so the adjacency argument
     holds).  ``local_only`` skips the global exchange (per-shard
-    dedup; cross-block duplicates may remain).
+    dedup; cross-block duplicates may remain).  ``extra_cols`` become
+    LEADING dedup/sort keys — the sharded single-pipeline build passes
+    ``("shard",)`` so one sort yields per-shard-exact dedup with rows
+    grouped for a partitioned write.
     """
-    ds = ds.map_batches(_local_dedup, batch_format="pyarrow")
+    extra = tuple(extra_cols)
+    ds = ds.map_batches(lambda b: _local_dedup(b, extra), batch_format="pyarrow")
     if local_only:
         return ds
-    ds = ds.sort(TRIPLE_COLS)
-    return ds.map_batches(_sorted_block_dedup, batch_format="pyarrow", batch_size=None)
+    ds = ds.sort(list(extra) + TRIPLE_COLS)
+    return ds.map_batches(lambda b: _sorted_block_dedup(b, extra),
+                          batch_format="pyarrow", batch_size=None)
 
 
 def canonicalize(ds, *, local_only: bool = False):

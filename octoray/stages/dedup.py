@@ -324,6 +324,56 @@ def minhash_signatures(docs, *, n_perm: int = 64, k: int = 5, id_col: str = "doc
     )
 
 
+def _distinct_pairs(pairs):
+    """Exact distinct (id_a, id_b) rows via one sort + block-local
+    drop_duplicates (equal keys share a block downstream of the
+    range-partitioned sort)."""
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"]) if len(df) else df
+
+    return pairs.sort(["id_a", "id_b"]).map_batches(
+        dd, batch_format="pandas", batch_size=None
+    )
+
+
+def attach_pair_payloads(pairs, payload_ds, *, id_col: str, payload_col: str,
+                         broadcast_limit: int = 200_000, num_partitions: int = 8):
+    """Give each (id_a, id_b) row its two fixed-width binary payloads
+    (signature / packed vector) for verification — the shuffle-thrifty
+    half of the LSH family: candidates travel as bare id pairs and the
+    payload table is attached ONCE at the end, either broadcast via
+    ray.put (small corpora) or via two hash joins (the stats-gated
+    map-side-join switch jaccard_pairs uses).  This replaces shipping
+    the payload through the band shuffle itself, which amplified the
+    corpus x bands through the all-to-all (VERDICT r1 #5)."""
+    import ray
+
+    payload_ds = payload_ds.materialize()
+    if payload_ds.count() <= broadcast_limit:
+        m: dict = {}
+        for b in payload_ds.iter_batches(batch_format="pyarrow"):
+            m.update(zip(b.column(id_col).to_pylist(),
+                         b.column(payload_col).to_pylist()))
+        ref = ray.put(m)
+
+        def attach(t: pa.Table) -> pa.Table:
+            mm = ray.get(ref)
+            av = [mm[i] for i in t.column("id_a").to_pylist()]
+            bv = [mm[i] for i in t.column("id_b").to_pylist()]
+            return t.append_column("payload_a", pa.array(av, pa.binary())) \
+                    .append_column("payload_b", pa.array(bv, pa.binary()))
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
+    return pairs.join(
+        payload_ds.rename_columns({id_col: "id_a", payload_col: "payload_a"}),
+        join_type="inner", num_partitions=num_partitions, on=("id_a",),
+    ).join(
+        payload_ds.rename_columns({id_col: "id_b", payload_col: "payload_b"}),
+        join_type="inner", num_partitions=num_partitions, on=("id_b",),
+    )
+
+
 def minhash_lsh_pairs(
     docs,
     *,
@@ -338,20 +388,25 @@ def minhash_lsh_pairs(
 ):
     """Near-dup pairs by banded MinHash LSH.
 
-    signatures -> per-band bucket key (md5 of the band rows) ->
-    groupby(band, bucket).map_groups(pair expansion) -> distinct pairs
-    -> verify: estimated Jaccard = fraction of equal signature rows,
-    keep >= threshold.  Output: (id_a, id_b, est_jaccard).
+    signatures -> per-band bucket key rows (id, band, bucket) ONLY ->
+    multi-member-bucket prune -> block-local pair expansion -> distinct
+    pairs -> signatures attached once (broadcast or hash join) ->
+    verify: estimated Jaccard = fraction of equal signature rows, keep
+    >= threshold.  Output: (id_a, id_b, est_jaccard).
 
     The band groupby is the inverted index; bucket skew is bounded
     because a bucket only collects docs whose r-row band slice is
-    identical (r = n_perm // bands).
+    identical (r = n_perm // bands).  The shuffle moves ~24 bytes per
+    (doc, band) — the 512-byte signature no longer rides through the
+    all-to-all x bands (VERDICT r1 #5); it joins back against the
+    (much smaller) surviving candidate set instead.
     """
     assert n_perm % bands == 0
     r = n_perm // bands
     if sigs is None:
         sigs = minhash_signatures(docs, n_perm=n_perm, k=k, id_col=id_col,
                                   text_col=text_col, concurrency=concurrency)
+    sigs = sigs.materialize()  # consumed twice: band keys + verify join
 
     def band_keys(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -359,23 +414,17 @@ def minhash_lsh_pairs(
         out_id: List[int] = []
         out_band: List[int] = []
         out_bucket: List[str] = []
-        out_sig: List[bytes] = []
         for i, row in zip(ids, sig):
-            row_bytes = row.tobytes()
             for b in range(bands):
                 chunk = row[b * r : (b + 1) * r]
                 out_id.append(i)
                 out_band.append(b)
                 out_bucket.append(hashlib.md5(chunk.tobytes()).hexdigest())
-                out_sig.append(row_bytes)
-        # sig travels as a fixed-width binary blob: Arrow joins (used by
-        # the multi-member-bucket prune) reject list payload columns
         return pa.table(
             {
                 id_col: pa.array(out_id, t.schema.field(id_col).type),
                 "band": pa.array(out_band, pa.int64()),
                 "bucket": pa.array(out_bucket, pa.string()),
-                "sig": pa.array(out_sig, pa.binary()),
             }
         )
 
@@ -383,34 +432,38 @@ def minhash_lsh_pairs(
     banded = _keep_multi_member_groups(banded, ["band", "bucket"])
 
     def expand(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-        ids = g[id_col].tolist()
-        sig = np.stack([np.frombuffer(s, dtype=np.int64) for s in g["sig"]])
-        a, b, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-                est.append(float((sig[i] == sig[j]).mean()))
-        return pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": est})
+        ids = np.sort(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    from octoray.query import block_map_groups, sorted_map_groups
+    from octoray.query import block_map_groups
 
-    pairs = block_map_groups(banded, ["band", "bucket"], expand)
-    # same pair can surface from several bands -> exact distinct w/ max est
+    pairs = _distinct_pairs(block_map_groups(banded, ["band", "bucket"], expand))
 
-    def max_est(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
-                             "est_jaccard": [float(g["est_jaccard"].max())]})
+    def sig_bytes(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        sig = np.asarray(t.column("sig").combine_chunks().flatten()).reshape(len(ids), n_perm)
+        return pa.table({id_col: ids,
+                         "sigb": pa.array([row.tobytes() for row in sig], pa.binary())})
 
-    uniq = sorted_map_groups(pairs, ["id_a", "id_b"], max_est)
+    payloads = sigs.map_batches(sig_bytes, batch_format="pyarrow")
+    attached = attach_pair_payloads(pairs, payloads, id_col=id_col, payload_col="sigb")
 
-    def thresh(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("est_jaccard"), pa.scalar(threshold)))
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["id_a", "id_b"]).append_column(
+                "est_jaccard", pa.array([], pa.float64()))
+        sa = np.stack([np.frombuffer(b, np.int64) for b in t.column("payload_a").to_pylist()])
+        sb = np.stack([np.frombuffer(b, np.int64) for b in t.column("payload_b").to_pylist()])
+        est = (sa == sb).mean(axis=1)
+        out = pa.table({"id_a": t.column("id_a"), "id_b": t.column("id_b"),
+                        "est_jaccard": pa.array(est, pa.float64())})
+        return out.filter(pc.greater_equal(out.column("est_jaccard"),
+                                           pa.scalar(threshold)))
 
-    return uniq.map_batches(thresh, batch_format="pyarrow")
+    return attached.map_batches(verify, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------
