@@ -77,9 +77,14 @@ def cmd_prep(args) -> int:
         )
     elif args.kind == "gisaid":
         from octoray.pipelines.prep import prep_gisaid
-        from octoray.sources.tables import tsv_rows
+        from octoray.sources.tables import excel_rows, tsv_rows
 
-        ds = prep_gisaid(tsv_rows([args.input]))
+        # GISAID exports are .xls (reference recipes.py:158); the CFB
+        # magic decides, so TSV conversions keep working too
+        with open(args.input, "rb") as fh:
+            is_xls = fh.read(8) == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+        rows = excel_rows(args.input) if is_xls else tsv_rows([args.input])
+        ds = prep_gisaid(rows)
     else:  # pragma: no cover
         raise SystemExit(f"unknown prep kind {args.kind}")
 

@@ -34,22 +34,36 @@ def parse_tsv(text: str, *, na_str: Sequence[str] = NA_DEFAULT) -> pa.Table:
 
 
 def excel_rows(path: str, *, na_str: Sequence[str] = NA_DEFAULT, sheet: int = 0):
-    """Excel reader (S3, classes.py:258-268): pandas.read_excel into
-    the same stringly columns contract.  The xlsx codec (openpyxl) is
-    not in this container, so the reader is gated behind an import-try
-    — the TSV path (`tsv_rows`) is the canonical, fully-supported
-    ingest; this adapter exists for environment parity."""
+    """Excel reader (S3, classes.py:258-268 / recipes.py:158).
+
+    Legacy ``.xls`` (GISAID's export format) is read by the built-in
+    pure-Python BIFF8 parser (sources/xls.py — verified byte-identical
+    to the reference's golden on test-data/gisaid.xls); ``.xlsx`` goes
+    through pandas/openpyxl when that codec is installed."""
+    import ray.data as rd
+
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # CFB -> BIFF .xls
+        from octoray.sources.xls import read_xls_table
+
+        t = read_xls_table(path)
+        cols = {
+            c: [None if (v is None or v in na_str) else v
+                for v in t.column(c).to_pylist()]
+            for c in t.schema.names
+        }
+        return rd.from_arrow(
+            pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+        )
     import pandas as pd
 
     try:
         df = pd.read_excel(path, sheet_name=sheet, keep_default_na=False)
-    except ImportError as e:  # pragma: no cover - codec absent here
+    except ImportError as e:  # pragma: no cover - xlsx codec absent here
         raise NotImplementedError(
-            "excel ingest requires an xlsx codec (openpyxl); convert to TSV "
-            "and use tsv_rows"
+            "xlsx ingest requires openpyxl; legacy .xls is supported natively"
         ) from e
-    import ray.data as rd
-
     cols = {
         str(c): [None if (v is None or str(v) in na_str) else str(v) for v in df[c]]
         for c in df.columns

@@ -185,13 +185,33 @@ def expand_locations(triples):
         mask = pc.is_in(t.column("predicate"),
                         value_set=pa.array(["f:state", "f:country"], pa.string()))
         sel_t = t.filter(mask)
-        rows: List[Tuple[str, str, str, str]] = []
-        for s, o in zip(sel_t.column("subject").to_pylist(),
-                        sel_t.column("object").to_pylist()):
-            rows.append((s, "f:locatedIn", o, DT_URI))
-            for a in amap.get(o, ()):
-                rows.append((s, "f:locatedIn", a, DT_URI))
-        new = triples_to_table(sorted(set(rows)))
+        subs = sel_t.column("subject")
+        objs = sel_t.column("object")
+        n = sel_t.num_rows
+
+        def const(v: str, m: int) -> pa.Array:
+            return pa.array([v] * m, pa.string())
+
+        # vectorized fan-out (VERDICT r1 #7): one direct (s, locatedIn,
+        # o) block, then one constant-object block per (distinct loc,
+        # ancestor) pair — the ancestor map is tiny and static, so the
+        # loop is over VALUES (~dozens), never rows
+        parts = [pa.table({"subject": subs, "predicate": const("f:locatedIn", n),
+                           "object": objs, "object_datatype": const(DT_URI, n)})]
+        for loc in pc.unique(objs).to_pylist():
+            ancs = amap.get(loc)
+            if not ancs:
+                continue
+            s_loc = sel_t.filter(pc.equal(objs, pa.scalar(loc))).column("subject")
+            m = len(s_loc)
+            for a in ancs:
+                parts.append(pa.table({
+                    "subject": s_loc, "predicate": const("f:locatedIn", m),
+                    "object": const(a, m), "object_datatype": const(DT_URI, m)}))
+        new = pa.concat_tables(parts)
+        # batch-local distinct (the old sorted(set(...)) semantics)
+        new = new.group_by(new.schema.names, use_threads=False).aggregate([]) \
+                 .select(new.schema.names)
         # upstream joins may have reordered the 4 triple columns;
         # concat requires identical schema order
         cols = [c for c in t.schema.names if c in new.schema.names]
