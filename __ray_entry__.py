@@ -432,9 +432,10 @@ def _q_knn_lsh(sf_dir: str):
     from octoray.stages import similarity as S
 
     emb = _embeddings(sf_dir)
+    cfg = S.LSH_PRESETS["balanced"]  # recall >= 0.8 gate point
     if O.dump_enabled():
-        O.dump_dataset("knn_lsh_buckets", S.bucket_codes(emb))
-    return S.lsh_bucket_knn(emb, _KNN_IDS, k=_KNN_K)
+        O.dump_dataset("knn_lsh_buckets", S.bucket_codes(emb, **cfg))
+    return S.lsh_bucket_knn(emb, _KNN_IDS, k=_KNN_K, preset="balanced")
 
 
 def _q_cosine_dup_pairs(sf_dir: str):
@@ -778,7 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": Q.sql_simhash_pairs(Q.rpd("simhash_sigs"), max_hamming=3),
         "dup_components": Q.sql_dup_components(Q.rpd("dup_pairs")),
         "knn_lsh": Q.sql_knn_lsh(
-            Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=8),
+            Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=24),
         "cosine_dup_pairs": Q.sql_cosine_dup(
             Q.rpd("cosine_buckets"), threshold=0.4, n_tables=8),
         "media_image_features": Q.sql_media_image(Q.rpd("media_pixels")),

