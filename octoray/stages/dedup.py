@@ -603,18 +603,47 @@ def drop_exact_dups(docs, *, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iters: int = 25, num_partitions: int = 8):
-    """Near-dup pairs -> connected components by distributed min-label
-    propagation: each node starts as its own label; every round
-    propagates the min label across edges (one hash join + one
-    group-min) until no label changes.  Converges in O(component
-    diameter) rounds; each round materializes (bounded lineage, the
-    same checkpoint discipline as rules.transitive_closure).
+                   max_iters: int = 25, num_partitions: int = 8,
+                   driver_limit: int = 5_000_000):
+    """Near-dup pairs -> connected components.
+
+    Stats-gated two-path design (the map-side-join switch applied to
+    graph connectivity): the PAIR LIST is orders of magnitude smaller
+    than the corpus — it only holds near-duplicates — so when it fits
+    comfortably (<= ``driver_limit`` edges) a driver-side union-find
+    answers in O(E α) with zero shuffles, where the distributed
+    label-propagation loop pays ~2 pipeline executions PER ROUND just
+    in scheduling.  Above the limit, distributed min-label propagation
+    (one hash join + one group-min per round, materialized per round
+    to bound lineage) remains the scale path.
 
     Output: (id, component) where component = min id in the node's
     component — the canonical representative to keep.
     """
     import ray.data as rd
+
+    small = pairs.select_columns([id_a, id_b]).materialize()
+    if small.count() <= driver_limit:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in small.iter_batches(batch_format="pyarrow"):
+            for a_, b_ in zip(b.column(id_a).to_pylist(), b.column(id_b).to_pylist()):
+                ra, rb = find(a_), find(b_)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)  # min-root merge
+        nodes = sorted(set(parent) | {find(x) for x in list(parent)})
+        return rd.from_arrow(pa.table({
+            "id": pa.array(nodes, pa.int64()),
+            "component": pa.array([find(x) for x in nodes], pa.int64()),
+        }))
 
     def sym(t: pa.Table) -> pa.Table:
         a, b = t.column(id_a), t.column(id_b)
@@ -625,7 +654,7 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
             }
         )
 
-    edges = pairs.select_columns([id_a, id_b]).map_batches(sym, batch_format="pyarrow")
+    edges = small.map_batches(sym, batch_format="pyarrow")
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"id": t.column("src"), "component": t.column("src")})

@@ -50,3 +50,11 @@ def test_dup_components_matches_union_find(ray_session):
     # min-label propagation labels every node with its component min;
     # union-find with min-root merging gives the same representative
     assert got == want
+
+    # the distributed label-propagation path (driver_limit=0 forces it)
+    # must agree with the driver fast path exactly
+    got_dist = {
+        r["id"]: r["component"]
+        for r in dup_components(rd.from_arrow(t), driver_limit=0).take_all()
+    }
+    assert got_dist == want
