@@ -140,6 +140,24 @@ def sorted_groupby_count(ds, keys: Sequence[str], *, alias: str = "count"):
     return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def sorted_groupby_sum(ds, keys: Sequence[str], value_col: str, *,
+                       alias: str = "sum"):
+    """Exact global sum-per-group, same one-sort plan as
+    ``sorted_groupby_count``.  The combiner half of a pre-aggregated
+    count: callers that can cheaply produce PARTIAL counts per block
+    (e.g. jaccard pair expansion, where a pair repeats once per shared
+    shingle within a block) collapse them locally first, so this sort
+    moves partial rows, not raw ones.  Output: keys + ``alias``
+    (int64)."""
+    keys = list(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys, use_threads=False).aggregate([(value_col, "sum")])
+        return g.rename_columns(keys + [alias])
+
+    return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def assert_block_colocation(ds, keys: Sequence[str]) -> None:
     """Debug-only guard for the block-local grouping family: verify
     that no key straddles two blocks of ``ds`` (the invariant

@@ -205,20 +205,36 @@ def jaccard_pairs(
             out_a.append(ids[ia])
             out_b.append(ids[ib])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        return pd.DataFrame(
+            return pd.DataFrame({"id_a": [], "id_b": [], "_n": []})
+        raw = pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
+        # combiner: a pair repeats once per shared shingle; many shingle
+        # groups share a block, so collapsing locally shrinks the pair
+        # table BEFORE the global count's all-to-all (pre-aggregate,
+        # then sum partials — the classic map-side combine)
+        return (
+            raw.groupby(["id_a", "id_b"], sort=False)
+            .size().rename("_n").reset_index()
+        )
 
-    from octoray.query import sorted_groupby_count
+    from octoray.query import sorted_groupby_sum
 
     # sh_kept is already sorted/co-located by shingle — no re-shuffle
     pairs = sh_kept.map_batches(expand_block, batch_format="pandas", batch_size=None)
-    common = sorted_groupby_count(pairs, ["id_a", "id_b"], alias="n_common")
+    common = sorted_groupby_sum(pairs, ["id_a", "id_b"], "_n", alias="n_common")
 
     # per-doc distinct-shingle counts (over ALL shingles — the Jaccard
-    # denominator is unfiltered even when max_df pruned the index)
-    counts = sorted_groupby_count(sh, [id_col], alias="n_sh").materialize()
+    # denominator is unfiltered even when max_df pruned the index).
+    # _shingle_strings is distinct-per-doc and a doc is one input row,
+    # so the count is block-local: no sort, no shuffle — just a second
+    # cheap scan of the docs table.
+    def count_batch(batch: pa.Table) -> pa.Table:
+        norm = _norm_ws(batch.column(text_col)).to_pylist()
+        ns = pa.array([len(_shingle_strings(t, k)) for t in norm], pa.int64())
+        return pa.table({id_col: batch.column(id_col), "n_sh": ns})
+
+    counts = docs.map_batches(count_batch, batch_format="pyarrow").materialize()
 
     # stats-based side selection (the classic map-side-join switch):
     # the counts table has one row per doc — broadcast it via ray.put
