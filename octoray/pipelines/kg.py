@@ -42,16 +42,19 @@ def build_triples(
     if extract:
         ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
     if emitter_concurrency is None:
-        # actor pool sized to the session CPUs.  The minimum matters:
-        # an autoscaling pool starting at 1 ramps too slowly to ever
-        # saturate the run (measured 8s -> 5s on 100k pages by raising
-        # the floor), and a pool of exactly num_cpus starves the
-        # upstream read tasks — so floor cpus//4 (cap 8), ceiling
-        # cpus-2.
+        # FIXED actor pool sized cpus-2.  Profiling at 32 CPUs
+        # (scripts/profile_stats.py) showed every autoscaling variant —
+        # floor 8, even floor 24, ceiling 30 — holds the emitter at
+        # implied parallelism ~7-9 for the whole run (the pool never
+        # ramps under streaming backpressure), 27k pages/s; a fixed
+        # (30,30) pool hits 39k.  Everything upstream of the emitter is
+        # fused into the actor stage, so reserving more than 2 CPUs for
+        # "upstream reads" just idles them.  Tiny runs should pass
+        # emitter_concurrency=2 explicitly (actor startup dominates).
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        emitter_concurrency = (max(2, min(8, n // 4)), max(2, n - 2))
+        emitter_concurrency = max(2, n - 2)
     ds = ds.map_batches(
         MentionEmitter,
         batch_format="pyarrow",
