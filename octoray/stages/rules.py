@@ -187,22 +187,41 @@ def transitive_closure(edges_ds, *, subject_col: str = "subject",
     the static geography dimension instead uses the in-memory
     ``closure_edges`` (broadcast, J4)."""
 
+    schema = pa.schema([(subject_col, pa.string()), (object_col, pa.string())])
+
+    def norm(t: pa.Table) -> pa.Table:
+        # Ray 2.49's hash-shuffle groupby emits SCHEMA-LESS empty
+        # blocks for empty partitions; if one lands on a join input the
+        # join dies with "No match for FieldRef" (flaky by partition
+        # placement).  Rebuild every block against the edge schema.
+        if t.num_columns == 0:
+            return schema.empty_table()
+        return t.select([subject_col, object_col]).cast(schema)
+
     def dedup(ds):
-        return ds.groupby([subject_col, object_col]).count().select_columns(
-            [subject_col, object_col])
+        return ds.groupby([subject_col, object_col]).count().map_batches(
+            norm, batch_format="pyarrow")
+
+    from octoray.util import drop_empty_blocks
 
     # materialize() per round: bounds the lineage (otherwise each round
     # re-executes every previous join, and deeply stacked lazy joins
     # stall the executor) — the per-round checkpoint any iterative
-    # fixpoint needs at scale
-    all_edges = dedup(edges_ds).materialize()
+    # fixpoint needs at scale.  drop_empty_blocks after each
+    # checkpoint: the hash-shuffle join/groupby emit SCHEMA-LESS empty
+    # blocks for empty partitions, map operators pass empty blocks
+    # through without running the UDF, and a later join partition
+    # builder that receives one of them first dies on the key FieldRef
+    # (see util.drop_empty_blocks).
+    all_edges = drop_empty_blocks(dedup(edges_ds).materialize(), schema)
     n = all_edges.count()
     for _ in range(max_iters):
         base_b = all_edges.rename_columns({subject_col: "_mid", object_col: "_dst"})
         stepped = all_edges.rename_columns({object_col: "_mid"}).join(
             base_b, join_type="inner", num_partitions=num_partitions, on=("_mid",),
         ).select_columns([subject_col, "_dst"]).rename_columns({"_dst": object_col})
-        grown = dedup(all_edges.union(stepped)).materialize()
+        grown = drop_empty_blocks(
+            dedup(all_edges.union(stepped)).materialize(), schema)
         m = grown.count()
         if m == n:
             break

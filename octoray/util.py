@@ -50,3 +50,27 @@ def sql_round(expr: str, decimals: int) -> str:
     """The DuckDB-side twin of round_half_up."""
     scale = 10**decimals
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def drop_empty_blocks(materialized_ds, schema: pa.Schema):
+    """Rebuild a MATERIALIZED Dataset without its empty blocks.
+
+    On Ray 2.49 the hash-shuffle join/groupby operators emit
+    SCHEMA-LESS empty blocks for empty partitions, map operators skip
+    empty blocks entirely (so no map_batches UDF can normalize them),
+    and a downstream join whose partition builder receives such a
+    block first dies with "No match or multiple matches for key
+    FieldRef".  This guard filters them out driver-side using block
+    METADATA only (no block fetch, zero-copy refs), which is O(blocks)
+    and scale-safe.  ``schema`` supplies the result schema when every
+    block is empty."""
+    import ray.data as rd
+
+    refs = []
+    for bundle in materialized_ds.iter_internal_ref_bundles():
+        for bref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(bref)
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)
