@@ -293,6 +293,59 @@ def _q_kg_delete(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_kg_construct(sf_dir: str):
+    """SPARQL CONSTRUCT analogue (reference ui.py:523-541): BGP match
+    on the built KG (subtype + date per subject), then template
+    instantiation into a new derived graph.  Oracle re-derives with a
+    SQL join + UNION ALL + DISTINCT."""
+    from octoray.patterns import construct
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_construct_raw"))
+    return construct(
+        triples,
+        where=[("?s", "f:subtype", "?t"), ("?s", "f:date", "?d")],
+        template=[
+            ("?s", "f:dated_subtype", "?t"),
+            ("?s", "f:obs_date", "?d"),
+            ("?s", "f:has_observation", "yes"),
+        ],
+    )
+
+
+def _q_kg_optional(sf_dir: str):
+    """OPTIONAL clause (SPARQL left join) over the built KG: every
+    subject with a subtype, its state when known, null otherwise."""
+    from octoray.patterns import match_patterns, select_bindings
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_optional_raw"))
+    b = match_patterns(
+        triples,
+        [("?s", "f:subtype", "?t")],
+        optionals=[("?s", "f:state", "?st")],
+    )
+    return select_bindings(b, ["s", "t", "st"])
+
+
+def _q_kg_path(sf_dir: str):
+    """Transitive property path (f:locatedIn+, SPARQL `p+`) over the
+    full geography dimension via the distributed semi-naive closure;
+    oracle is DuckDB's recursive CTE over the same materialized
+    dimension."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.patterns import match_patterns, select_bindings
+    from octoray.stages.rules import geography_facts
+
+    geo = geography_facts()
+    if O.dump_enabled():
+        O.dump_table("kg_path_edges", geo)
+    b = match_patterns(rd.from_arrow(geo), [("?x", "f:locatedIn+", "?a")])
+    return select_bindings(b, ["x", "a"])
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -486,6 +539,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_delete": _q_kg_delete,
         "kg_monthly_report": _q_kg_monthly,
         "kg_tagged_report": _q_kg_tagged_report,
+        # --- SPARQL-shaped pattern layer (BGP/OPTIONAL/path/CONSTRUCT) ---
+        "kg_construct": _q_kg_construct,
+        "kg_optional": _q_kg_optional,
+        "kg_path": _q_kg_path,
         # --- stateful classification stages (X1/X2 analogues) ---
         "classify_clades": _q_classify_clades,
         "motifs": _q_motifs,
@@ -765,6 +822,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_tagged_report": Q.sql_tagged_report(
             Q.rpd("kg_tagged_raw"), Q.rp("kg_tagged_ids")),
         "kg_pull": Q.sql_pull(Q.rpd("kg_pull_raw")),
+        "kg_construct": Q.sql_construct_dated_subtype(Q.rpd("kg_construct_raw")),
+        "kg_optional": Q.sql_optional_bindings(Q.rpd("kg_optional_raw")),
+        "kg_path": Q.sql_path_closure(Q.rp("kg_path_edges")),
         "kg_delete": Q.sql_pull(Q.rpd("kg_delete_raw"), exclude=["f:genbank_id"]),
         "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),
         "report_constellations": Q.sql_constellations(Q.rp("constellations_input")),

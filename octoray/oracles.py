@@ -708,3 +708,61 @@ def sql_media_frames(src: str, *, every: int) -> str:
         SELECT media_id, CAST(unnest(range(0, meta_n, {every})) AS INTEGER) AS frame_idx
         FROM {src} WHERE kind = 'video'
     """
+
+
+# ----------------------------------------------------------------------
+# pattern layer (BGP / OPTIONAL / path / CONSTRUCT; patterns.py)
+# ----------------------------------------------------------------------
+def sql_construct_dated_subtype(src: str) -> str:
+    """Boundary: raw emitted triples.  Verifies the whole pattern
+    pipeline — dedup, the BGP fold-join on the shared subject
+    variable, template instantiation with datatype propagation, and
+    the CONSTRUCT set-dedup — against a plain SQL join + UNION ALL +
+    DISTINCT re-derivation."""
+    return f"""
+        WITH d AS ({_DISTINCT4.format(src=src)}),
+        t AS (SELECT subject, object, object_datatype FROM d
+              WHERE predicate = 'f:subtype'),
+        dt AS (SELECT subject, object, object_datatype FROM d
+               WHERE predicate = 'f:date'),
+        b AS (SELECT t.subject, t.object AS tv, t.object_datatype AS tdt,
+                     dt.object AS dv, dt.object_datatype AS ddt
+              FROM t JOIN dt USING (subject))
+        SELECT DISTINCT * FROM (
+            SELECT subject, 'f:dated_subtype' AS predicate,
+                   tv AS object, tdt AS object_datatype FROM b
+            UNION ALL
+            SELECT subject, 'f:obs_date', dv, ddt FROM b
+            UNION ALL
+            SELECT subject, 'f:has_observation', 'yes', '' FROM b)
+    """
+
+
+def sql_optional_bindings(src: str) -> str:
+    """Boundary: raw emitted triples.  Verifies OPTIONAL (left-outer
+    fold-join) bag semantics: subjects with a subtype, joined to their
+    states when present, null otherwise."""
+    return f"""
+        WITH d AS ({_DISTINCT4.format(src=src)}),
+        t AS (SELECT subject, object FROM d WHERE predicate = 'f:subtype'),
+        st AS (SELECT subject, object FROM d WHERE predicate = 'f:state')
+        SELECT t.subject AS s, t.object AS t, st.object AS st
+        FROM t LEFT JOIN st ON t.subject = st.subject
+    """
+
+
+def sql_path_closure(src: str) -> str:
+    """Boundary: the materialized geography-dimension triples.
+    Verifies the distributed transitive closure (iterated hash joins,
+    stages/rules.py) against DuckDB's recursive CTE."""
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT subject, object FROM {src}
+            WHERE predicate = 'f:locatedIn'
+        ), c AS (
+            SELECT subject, object FROM e
+            UNION
+            SELECT c.subject, e.object FROM c JOIN e ON c.object = e.subject
+        )
+        SELECT subject AS x, object AS a FROM c
+    """

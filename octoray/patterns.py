@@ -39,6 +39,11 @@ Pattern = Tuple[str, str, str]
 
 _SLOTS = ("subject", "predicate", "object")
 
+_TRIPLE_OUT_SCHEMA = pa.schema(
+    [("subject", pa.string()), ("predicate", pa.string()),
+     ("object", pa.string()), ("object_datatype", pa.string())]
+)
+
 
 def _is_var(slot: str) -> bool:
     return isinstance(slot, str) and slot.startswith("?")
@@ -244,7 +249,9 @@ def construct(triples, where: Sequence[Pattern],
             out = pa.table(cols)
             if valid is not None:
                 out = out.filter(valid)
-            parts.append(out)
+            # joins upstream emit large_string; constants are string —
+            # normalize so concat/downstream dedup see one schema
+            parts.append(out.cast(_TRIPLE_OUT_SCHEMA))
         return pa.concat_tables(parts)
 
     out = bindings.map_batches(inst, batch_format="pyarrow")
