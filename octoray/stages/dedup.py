@@ -685,11 +685,20 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
         out = df[keep].drop_duplicates("id")
         return pa.Table.from_pandas(out[["id", "component"]], preserve_index=False)
 
-    labels = (
+    from octoray.util import drop_empty_blocks
+
+    _lab_schema = pa.schema([("id", pa.int64()), ("component", pa.int64())])
+
+    labels = drop_empty_blocks(
         edges.map_batches(init_labels, batch_format="pyarrow")
         .sort(["id"]).map_batches(min_per_id, batch_format="pandas", batch_size=None)
-        .materialize()
+        .materialize(), _lab_schema
     )
+
+    def jump(t: pa.Table) -> pa.Table:
+        cc, comp = t.column("_cc"), t.column("component")
+        newc = pc.if_else(pc.is_valid(cc), pc.min_element_wise(cc, comp), comp)
+        return pa.table({"id": t.column("id"), "component": newc})
 
     for _ in range(max_iters):
         prop = (
@@ -697,10 +706,25 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
                        join_type="inner", num_partitions=num_partitions, on=("src",))
             .select_columns(["dst", "component"]).rename_columns({"dst": "id"})
         )
-        new_labels = (
+        new_labels = drop_empty_blocks(
             labels.union(prop)
             .sort(["id"]).map_batches(min_per_id, batch_format="pandas", batch_size=None)
-            .materialize()
+            .materialize(), _lab_schema
+        )
+        # pointer jumping (label <- label-of-label): one extra hash
+        # join per round halves the remaining chain depth, so a
+        # diameter-d component converges in O(log d) rounds instead of
+        # O(d) — the difference between 3 and 1000 rounds on a long
+        # near-dup chain at corpus scale
+        right = (new_labels.rename_columns({"component": "_cc"})
+                 .rename_columns({"id": "component"}))
+        jumped = new_labels.join(
+            right, join_type="left_outer", num_partitions=num_partitions,
+            on=("component",),
+        )
+        new_labels = drop_empty_blocks(
+            jumped.map_batches(jump, batch_format="pyarrow").materialize(),
+            _lab_schema,
         )
         # converged when no (id, component) assignment changed
         diff = new_labels.join(

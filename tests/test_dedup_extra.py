@@ -58,3 +58,25 @@ def test_dup_components_matches_union_find(ray_session):
         for r in dup_components(rd.from_arrow(t), driver_limit=0).take_all()
     }
     assert got_dist == want
+
+
+def test_dup_components_long_chain_converges_logarithmically(ray_session):
+    """Pointer jumping: a 200-node chain must converge well inside
+    max_iters=12 (log2(200) ~ 8); pure neighbor propagation would need
+    ~200 rounds, so passing here pins the O(log d) behavior."""
+    import ray.data as rd
+
+    from octoray.stages.dedup import dup_components
+
+    n = 200
+    t = pa.table({
+        "id_a": pa.array(list(range(n - 1)), pa.int64()),
+        "id_b": pa.array(list(range(1, n)), pa.int64()),
+    })
+    got = {
+        r["id"]: r["component"]
+        for r in dup_components(
+            rd.from_arrow(t), driver_limit=0, max_iters=12
+        ).take_all()
+    }
+    assert got == {i: 0 for i in range(n)}
