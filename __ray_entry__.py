@@ -352,6 +352,24 @@ def _q_prep_genbank(sf_dir: str):
     return prep_genbank(gb_records_dataset(_synth_n(sf_dir, 10_000)))
 
 
+def _q_prep_ivr(sf_dir: str):
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_ivr
+    from octoray.sources.synth import synth_ivr_table
+
+    return prep_ivr(rd.from_arrow(synth_ivr_table(_synth_n(sf_dir, 10_000))))
+
+
+def _q_prep_ird(sf_dir: str):
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_ird
+    from octoray.sources.synth import synth_ird_table
+
+    return prep_ird(rd.from_arrow(synth_ird_table(_synth_n(sf_dir, 10_000))))
+
+
 def _q_prep_gisaid(sf_dir: str):
     import ray.data as rd
 
@@ -552,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prep_blast": _q_prep_blast,
         "prep_genbank": _q_prep_genbank,
         "prep_gisaid": _q_prep_gisaid,
+        "prep_ivr": _q_prep_ivr,
+        "prep_ird": _q_prep_ird,
         # --- report aggregations (A2/A3/A4; groupby + map_groups) ---
         "report_constellations": _q_report_constellations,
         "report_subtypes": _q_report_subtypes,

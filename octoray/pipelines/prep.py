@@ -225,6 +225,79 @@ def prep_blast(blast_ds, *, tag: Optional[str] = None, timestamp: str = "",
 
 
 # ----------------------------------------------------------------------
+# IVR / IRD positional recipes (S7/S8, recipes.py:74-151)
+# ----------------------------------------------------------------------
+_IVR_STRAIN_PAT = __import__("re").compile(r"[ABCD]/[^()\[\]]+")
+
+
+def prep_ivr(ds, *, levels=None, canonical: bool = True):
+    """IVR 'influenza_na' table -> triples with the reference's FIXED
+    11-column positional map (mk_influenza_na, recipes.py:74-110):
+    genbank, host (lowered), segment number, subtype, country, date,
+    length, strain extracted from the garnished name via
+    [ABCD]/[^()\\[\\]]+, skip, skip, genome_status.  Columns by
+    position (c0..c10, headerless input)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        names = t.schema.names
+        cols = [t.column(c).to_pylist() for c in names]
+        triples = set()
+        for i in range(t.num_rows):
+            v = [c[i] for c in cols]
+            raw = v[7] or ""
+            m = _IVR_STRAIN_PAT.search(raw)
+            mentions = [
+                emit.make_mention(R.GENBANK, v[0]),
+                emit.make_mention(R.UNKNOWN, (v[1] or "").lower(), field="host"),
+                emit.make_mention(R.SEGMENT_NUMBER, v[2]),
+                emit.make_mention(R.SUBTYPE, v[3]),
+                emit.make_mention(R.COUNTRY, v[4]),
+                emit.make_mention(R.DATE, v[5]),
+                emit.make_mention(R.INTEGER, (v[6] or "").lower(), field="length"),
+                emit.make_mention(R.STRAIN, m.group(0) if m else None),
+                emit.make_mention(R.UNKNOWN, (v[10] or "").strip(),
+                                  field="genome_status"),
+            ]
+            triples |= emit.connect(mentions, levels=levels)
+        return triples_to_table(sorted(triples))
+
+    return _finish(ds.map_batches(f, batch_format="pyarrow"), canonical)
+
+
+def prep_ird(ds, *, levels=None, canonical: bool = True):
+    """IRD table -> triples with the reference's FIXED positional map
+    (mk_ird, recipes.py:113-151): segment number, (skip protein),
+    genbank as genbank_id, (skip complete-genome), length, subtype,
+    date, host with the 'IRD:' prefix stripped and lowered, country,
+    (skip state — parsed from the strain name), flu_season, strain as
+    strain_name; '-N/A-' folds to missing throughout."""
+    na = ("-N/A-",)
+
+    def f(t: pa.Table) -> pa.Table:
+        names = t.schema.names
+        cols = [t.column(c).to_pylist() for c in names]
+        triples = set()
+        for i in range(t.num_rows):
+            v = [c[i] for c in cols]
+            host = (v[7] or "").replace("IRD:", "").lower()
+            mentions = [
+                emit.make_mention(R.SEGMENT_NUMBER, v[0], na_str=na),
+                emit.make_mention(R.GENBANK, v[2], field="genbank_id", na_str=na),
+                emit.make_mention(R.INTEGER, v[4], field="length", na_str=na),
+                emit.make_mention(R.SUBTYPE, v[5], na_str=na),
+                emit.make_mention(R.DATE, v[6], na_str=na),
+                emit.make_mention(R.UNKNOWN, host, field="host", na_str=na),
+                emit.make_mention(R.COUNTRY, v[8]),
+                emit.make_mention(R.UNKNOWN, v[10], field="flu_season", na_str=na),
+                emit.make_mention(R.STRAIN, v[11], field="strain_name", na_str=na),
+            ]
+            triples |= emit.connect(mentions, levels=levels)
+        return triples_to_table(sorted(triples))
+
+    return _finish(ds.map_batches(f, batch_format="pyarrow"), canonical)
+
+
+# ----------------------------------------------------------------------
 # GISAID metadata recipe (S6, recipes.py:154-234)
 # ----------------------------------------------------------------------
 _GIS_SEGMENTS = ("PB2", "PB1", "PA", "HA", "NP", "NA", "MP", "NS")

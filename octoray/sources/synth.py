@@ -190,3 +190,58 @@ def synth_masterlist_bindings(n_barcodes: int, seed: int = 42) -> pa.Table:
             cols["gl_clades"].append(GLOBAL_CLADES[int(r[i, 8]) % len(GLOBAL_CLADES)])
             cols["consts"].append("TTTTPP" if r[i, 9] % 3 else "mixed")
     return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+
+
+def synth_ivr_table(n: int, seed: int = 42) -> pa.Table:
+    """IVR 'influenza_na' rows: the reference's fixed 11-column
+    positional layout (recipes.py:74-110) — genbank, host, segment
+    number, subtype, country, date, length, strain-with-garnish
+    (exercises the [ABCD]/... extraction), two skipped columns, and
+    genome status.  Headerless in the wild; here one string column per
+    position (c0..c10)."""
+    from octoray.sources.webtext import COUNTRIES
+
+    rows: List[List[str]] = []
+    for pid in range(n):
+        fields = _record_fields(pid, seed)
+        if len(fields) < 6:
+            continue
+        strain, subtype, date, host, _loc, gb = fields[:6]
+        r = _streams(np.array([pid], dtype=np.uint64), seed ^ 0x1784, 6)[0]
+        country = COUNTRIES[int(r[0] % len(COUNTRIES))]
+        seg = str(1 + int(r[1] % 8))
+        length = str(800 + int(r[2] % 1600))
+        status = ["c", "p"][int(r[3] % 2)]
+        garnish = f"Influenza A virus ({strain}({subtype}))"
+        rows.append([gb, host.upper(), seg, subtype, country, date,
+                     length, garnish, "na", "na", status])
+    cols = list(zip(*rows)) if rows else [[] for _ in range(11)]
+    return pa.table({f"c{i}": pa.array(list(c), pa.string())
+                     for i, c in enumerate(cols)})
+
+
+def synth_ird_table(n: int, seed: int = 42) -> pa.Table:
+    """IRD rows: the reference's fixed 12-column positional layout
+    (recipes.py:113-151) with '-N/A-' null tokens sprinkled the way
+    IRD exports do."""
+    from octoray.sources.webtext import COUNTRIES
+
+    NA = "-N/A-"
+    rows: List[List[str]] = []
+    for pid in range(n):
+        fields = _record_fields(pid, seed)
+        if len(fields) < 6:
+            continue
+        strain, subtype, date, host, _loc, gb = fields[:6]
+        r = _streams(np.array([pid], dtype=np.uint64), seed ^ 0x18D, 8)[0]
+        country = COUNTRIES[int(r[0] % len(COUNTRIES))]
+        seg = str(1 + int(r[1] % 8))
+        length = str(800 + int(r[2] % 1600))
+        season = f"{10 + int(r[3] % 10)}-{11 + int(r[3] % 10)}"
+        date_v = NA if int(r[4] % 7) == 0 else date
+        sub_v = NA if int(r[5] % 9) == 0 else subtype
+        rows.append([seg, "HA", gb, "Yes", length, sub_v, date_v,
+                     f"IRD:{host.title()}", country, "na", season, strain])
+    cols = list(zip(*rows)) if rows else [[] for _ in range(12)]
+    return pa.table({f"c{i}": pa.array(list(c), pa.string())
+                     for i, c in enumerate(cols)})

@@ -207,3 +207,48 @@ def test_prep_gisaid(ray_session):
     # deterministic
     got2 = prep_gisaid(rd.from_arrow(synth_gisaid_table(20))).take_all()
     assert got == got2
+
+
+def test_prep_ivr_positional_map(ray_session):
+    """mk_influenza_na parity (recipes.py:74-110): strain extracted
+    from the garnished name, host lowered, length typed, genome_status
+    kept as a literal field."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_ivr
+
+    row = ["MH201254", "SWINE", "4", "H1N1", "Canada", "2014-09-13",
+           "1701", "Influenza A virus (A/swine/Alberta/SD0222/2014(H1N1))",
+           "na", "na", " c\n"]
+    t = pa.table({f"c{i}": pa.array([v], pa.string()) for i, v in enumerate(row)})
+    got = {(r["predicate"], r["object"]) for r in prep_ivr(rd.from_arrow(t)).take_all()}
+    subj = "fid:a%2Fswine%2Falberta%2Fsd0222%2F2014"
+    assert ("f:strain_name", "A/swine/Alberta/SD0222/2014") in got
+    assert ("f:host", "swine") in got
+    assert ("f:genome_status", "c") in got
+    assert ("f:length", "1701") in got
+    assert ("f:segment_number", "4") in got
+    rows = {(r["subject"], r["predicate"], r["object"])
+            for r in prep_ivr(rd.from_arrow(t)).take_all()}
+    assert (subj, "f:has_segment", "fid:mh201254") in rows
+
+
+def test_prep_ird_na_folding(ray_session):
+    """mk_ird parity (recipes.py:113-151): '-N/A-' folds to missing,
+    IRD: host prefix stripped + lowered, flu_season literal kept."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_ird
+
+    row = ["4", "HA", "MH201254", "Yes", "-N/A-", "H1N1", "-N/A-",
+           "IRD:Swine", "USA", "na", "16-17", "A/swine/Iowa/1/2016"]
+    t = pa.table({f"c{i}": pa.array([v], pa.string()) for i, v in enumerate(row)})
+    got = {(r["predicate"], r["object"]) for r in prep_ird(rd.from_arrow(t)).take_all()}
+    assert ("f:host", "swine") in got
+    assert ("f:flu_season", "16-17") in got
+    assert ("f:strain_name", "A/swine/Iowa/1/2016") in got
+    # -N/A- length and date never emit
+    assert not any(p == "f:length" for p, _ in got)
+    assert not any(p == "f:date" for p, _ in got)
