@@ -26,11 +26,15 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 os.environ.setdefault("OCTORAY_NO_ORACLE_DUMP", "1")
 
 # queries from the driver contract that form the bench suite (each must
-# finish in seconds at sf0.1; jaccard_pairs is excluded until its pair
-# expansion is join-based)
+# finish in seconds at sf0.1; jaccard_pairs joined the suite in round 2
+# once its pair counts pre-combined map-side and its denominators went
+# shuffle-free)
 SUITE = [
     "kg_build",
     "kg_rules_expanded",
+    "kg_construct",
+    "kg_path",
+    "jaccard_pairs",
     "prep_genbank",
     "prep_gisaid",
     "classify_clades",
