@@ -155,6 +155,74 @@ def _fold_join(bindings, bcols: set, tbl, tvars: List[str], *, how: str,
     return joined
 
 
+def _tagged_hits(triples, pats: Sequence[Pattern]):
+    """ONE streaming pass over the graph: for every pattern, the
+    triples matching its constant slots, tagged with the pattern index.
+    Without this, each pattern would re-execute the whole upstream
+    pipeline (at bench scale that re-ran the mention emitter once PER
+    pattern); the tagged hit set is usually orders of magnitude smaller
+    than the graph, so materializing it is the scale-correct
+    checkpoint.  A path pattern contributes its base predicate's full
+    edge set."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        parts = []
+        for i, (s, p, o) in enumerate(pats):
+            mask = None
+            is_path = not _is_var(p) and p.endswith("+")
+            if not _is_var(p):
+                pred = p[:-1] if is_path else p
+                mask = pc.equal(t.column("predicate"), pa.scalar(pred))
+            # constant ENDPOINTS never prune a path pattern here: the
+            # closure needs every edge of the predicate (multi-hop
+            # paths pass through other subjects); _path_bindings
+            # applies the endpoint constants after expansion
+            if not _is_var(s) and not is_path:
+                m = pc.equal(t.column("subject"), pa.scalar(s))
+                mask = m if mask is None else pc.and_(mask, m)
+            if not _is_var(o) and not is_path:
+                m = pc.equal(t.column("object"), pa.scalar(o))
+                mask = m if mask is None else pc.and_(mask, m)
+            sel = t if mask is None else t.filter(mask)
+            parts.append(
+                sel.select(["subject", "predicate", "object", "object_datatype"])
+                .cast(_TRIPLE_OUT_SCHEMA)
+                .append_column("_pat", pa.array([i] * sel.num_rows, pa.int32()))
+            )
+        return pa.concat_tables(parts)
+
+    from octoray.util import drop_empty_blocks
+
+    hit_schema = _TRIPLE_OUT_SCHEMA.append(pa.field("_pat", pa.int32()))
+    hits = triples.map_batches(tag, batch_format="pyarrow").materialize()
+    return drop_empty_blocks(hits, hit_schema)
+
+
+def _bindings_from_hits(hits, idx: int, pat: Pattern):
+    """Pattern hits (pre-filtered on constants) -> binding columns."""
+    s, p, o = pat
+    if not _is_var(p) and p.endswith("+"):
+        return _path_bindings(
+            hits.map_batches(
+                lambda t: t.filter(pc.equal(t.column("_pat"), pa.scalar(idx, pa.int32()))),
+                batch_format="pyarrow",
+            ),
+            pat,
+        )
+
+    def shape(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("_pat"), pa.scalar(idx, pa.int32())))
+        cols = {}
+        for slot, col in zip((s, p, o), _SLOTS):
+            if _is_var(slot):
+                cols[slot[1:]] = sel.column(col)
+        if _is_var(o):
+            cols[o[1:] + "__dt"] = sel.column("object_datatype")
+        return pa.table(cols)
+
+    return hits.map_batches(shape, batch_format="pyarrow")
+
+
 def match_patterns(triples, where: Sequence[Pattern], *,
                    optionals: Sequence[Pattern] = (),
                    num_partitions: int = 8):
@@ -162,24 +230,32 @@ def match_patterns(triples, where: Sequence[Pattern], *,
     variable, plus hidden ``<var>__dt`` columns for object-position
     variables).  ``optionals`` fold in with left-outer joins (SPARQL
     OPTIONAL): unmatched rows keep their required bindings and carry
-    nulls for the optional-only variables."""
+    nulls for the optional-only variables.
+
+    The graph is scanned ONCE (``_tagged_hits``); the fold joins run
+    over the materialized per-pattern hit sets."""
     if not where:
         raise ValueError("empty WHERE")
-    ordered = _order_patterns(where)
-    bindings = _pattern_bindings(triples, ordered[0])
+    pats = list(where) + list(optionals)
+    hits = _tagged_hits(triples, pats)
+    pat_idx = {id(pat): i for i, pat in enumerate(pats)}
+
+    def tbl_of(pat: Pattern):
+        return _bindings_from_hits(hits, pat_idx[id(pat)], pat)
+
+    ordered = _order_patterns(list(where))
+    bindings = tbl_of(ordered[0])
     bcols = set(_binding_vars(ordered[0]))
     bcols |= {v + "__dt" for s_, p_, o_ in [ordered[0]] if _is_var(o_)
               for v in [o_[1:]]}
     for pat in ordered[1:]:
-        tbl = _pattern_bindings(triples, pat)
-        bindings = _fold_join(bindings, bcols, tbl, _binding_vars(pat),
+        bindings = _fold_join(bindings, bcols, tbl_of(pat), _binding_vars(pat),
                               how="inner", num_partitions=num_partitions)
         bcols |= set(_binding_vars(pat))
         if _is_var(pat[2]):
             bcols.add(pat[2][1:] + "__dt")
     for pat in optionals:
-        tbl = _pattern_bindings(triples, pat)
-        bindings = _fold_join(bindings, bcols, tbl, _binding_vars(pat),
+        bindings = _fold_join(bindings, bcols, tbl_of(pat), _binding_vars(pat),
                               how="left_outer", num_partitions=num_partitions)
         bcols |= set(_binding_vars(pat))
         if _is_var(pat[2]):
