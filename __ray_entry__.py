@@ -64,9 +64,9 @@ def entry() -> Any:
     from octoray.stages.canon import canonicalize
 
     pages = pages_dataset(500, seed=42)
-    t1 = build_triples(pages, extract=True)
+    t1 = build_triples(pages, extract=True, n_rows_hint=500)
     docs = _docs("/root/testdata/sf0.001")
-    t2 = build_triples(docs_as_pages(docs), extract=False)
+    t2 = build_triples(docs_as_pages(docs), extract=False, emitter_concurrency=2)
     return canonicalize(t1.union(t2))
 
 
@@ -89,7 +89,8 @@ def _kg_raw(sf_dir: str, dump_name: str):
     from octoray import oracles as O
     from octoray.pipelines.kg import build_triples, pages_dataset
 
-    raw = build_triples(pages_dataset(_kg_pages(sf_dir), seed=42))
+    n = _kg_pages(sf_dir)
+    raw = build_triples(pages_dataset(n, seed=42), n_rows_hint=n)
     if O.dump_enabled():
         return O.read_triples(O.dump_dataset(dump_name, raw))
     return raw
@@ -255,7 +256,7 @@ def _q_pull(sf_dir: str):
     if O.dump_enabled():
         from octoray.pipelines.kg import build_triples, pages_dataset
 
-        O.dump_dataset("kg_pull_raw", build_triples(pages_dataset(n, seed=42)))
+        O.dump_dataset("kg_pull_raw", build_triples(pages_dataset(n, seed=42), n_rows_hint=n))
     d = tempfile.mkdtemp(prefix="octoray_pull_")
     try:
         pull(n, d, n_shards=4)
@@ -282,7 +283,7 @@ def _q_kg_delete(sf_dir: str):
     if O.dump_enabled():
         from octoray.pipelines.kg import build_triples, pages_dataset
 
-        O.dump_dataset("kg_delete_raw", build_triples(pages_dataset(n, seed=42)))
+        O.dump_dataset("kg_delete_raw", build_triples(pages_dataset(n, seed=42), n_rows_hint=n))
     d = tempfile.mkdtemp(prefix="octoray_del_")
     try:
         pull(n, d, n_shards=4)

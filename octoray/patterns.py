@@ -149,10 +149,9 @@ def _fold_join(bindings, bcols: set, tbl, tvars: List[str], *, how: str,
             if v + "__dt" in bcols and v in shared]
     if drop:
         tbl = tbl.drop_columns(drop)
-    joined = bindings.join(
-        tbl, join_type=how, num_partitions=num_partitions, on=tuple(shared)
-    )
-    return joined
+    from octoray.query import merge_join
+
+    return merge_join(bindings, tbl, shared, how=how)
 
 
 def _tagged_hits(triples, pats: Sequence[Pattern]):

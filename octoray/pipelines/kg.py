@@ -33,11 +33,14 @@ def build_triples(
     batch_size: int = 4096,
     keep_src: bool = False,
     extract: bool = True,
+    n_rows_hint: Optional[int] = None,
 ):
     """pages Dataset -> raw (pre-dedup) triples Dataset.
 
     ``extract=False`` skips the html->text stage for inputs that carry
-    text directly (e.g. a documents table adapted via docs_as_pages)."""
+    text directly (e.g. a documents table adapted via docs_as_pages).
+    ``n_rows_hint`` (expected page count) caps the actor pool at the
+    number of batches the job actually has."""
     ds = pages_ds
     if extract:
         ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
@@ -49,12 +52,17 @@ def build_triples(
         # ramps under streaming backpressure), 27k pages/s; a fixed
         # (30,30) pool hits 39k.  Everything upstream of the emitter is
         # fused into the actor stage, so reserving more than 2 CPUs for
-        # "upstream reads" just idles them.  Tiny runs should pass
-        # emitter_concurrency=2 explicitly (actor startup dominates).
+        # "upstream reads" just idles them.  A pool larger than the
+        # job's batch count only pays startup (measured 4x on a
+        # 20k-page query), so the hint caps it; tiny runs without a
+        # hint should pass emitter_concurrency=2 explicitly.
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         emitter_concurrency = max(2, n - 2)
+        if n_rows_hint is not None:
+            n_batches = -(-int(n_rows_hint) // batch_size)
+            emitter_concurrency = max(2, min(emitter_concurrency, n_batches))
     ds = ds.map_batches(
         MentionEmitter,
         batch_format="pyarrow",
@@ -84,14 +92,17 @@ def docs_as_pages(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
     return docs_ds.map_batches(f, batch_format="pyarrow")
 
 
-def kg_from_pages(pages_ds, *, emitter_concurrency=None, local_only: bool = False, extract: bool = True):
+def kg_from_pages(pages_ds, *, emitter_concurrency=None, local_only: bool = False,
+                  extract: bool = True, n_rows_hint: Optional[int] = None):
     """pages -> canonical sorted+deduped triple Dataset."""
-    triples = build_triples(pages_ds, emitter_concurrency=emitter_concurrency, extract=extract)
+    triples = build_triples(pages_ds, emitter_concurrency=emitter_concurrency,
+                            extract=extract, n_rows_hint=n_rows_hint)
     return canonicalize(triples, local_only=local_only)
 
 
 def synth_kg(n_pages: int, seed: int = 42, **kwargs):
     """Synthesized pages -> canonical triples (test/bench entry)."""
+    kwargs.setdefault("n_rows_hint", n_pages)
     return kg_from_pages(pages_dataset(n_pages, seed=seed), **kwargs)
 
 
@@ -175,7 +186,8 @@ def run_kg_build(
             to_pages, batch_format="numpy", batch_size=4096
         )
         triples = build_triples(
-            pages, emitter_concurrency=emitter_concurrency, keep_src=True
+            pages, emitter_concurrency=emitter_concurrency, keep_src=True,
+            n_rows_hint=total,
         )
 
         def add_shard(t):

@@ -93,15 +93,19 @@ def pricing_summary(sf_dir: str):
 
 
 def orders_per_nation(sf_dir: str):
-    """orders -> customer -> nation chained hash joins, count per nation."""
-    from ray.data.aggregate import Count
+    """orders -> customer -> nation joins (stats-gated broadcast when
+    the dimension side is small), then a map-side-combined count per
+    nation (25 keys over 150k rows: the all-to-all moves ~25 partial
+    rows per block, not orders)."""
+    from octoray.query import combined_groupby_count
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
     j = hash_join(j, nation, on="c_nationkey", right_on="n_nationkey", num_partitions=8)
-    return j.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+    return combined_groupby_count(j.select_columns(["n_name"]), ["n_name"],
+                                  alias="n_orders")
 
 
 def customers_no_urgent_orders(sf_dir: str):
@@ -127,8 +131,6 @@ def customers_no_urgent_orders(sf_dir: str):
 def building_priority(sf_dir: str):
     """Orders from BUILDING-segment customers, per priority (semi-join
     J7) — distributed distinct key set + broadcast switch."""
-    from ray.data.aggregate import Count
-
     from octoray.query import semi_join_auto
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
@@ -140,7 +142,10 @@ def building_priority(sf_dir: str):
     )
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
     sel = semi_join_auto(orders, "o_custkey", building, key_col="c_custkey")
-    return sel.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+    from octoray.query import combined_groupby_count
+
+    return combined_groupby_count(sel.select_columns(["o_orderpriority"]),
+                                  ["o_orderpriority"], alias="n_orders")
 
 
 def nation_segments(sf_dir: str):

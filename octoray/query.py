@@ -74,15 +74,102 @@ def pivot_subjects(triples, spec: Dict[str, str], *, key: str = "subject"):
     return sorted_map_groups(wanted, ["subject"], pivot)
 
 
-def hash_join(left, right, on: str, right_on: Optional[str] = None, *, how: str = "inner", num_partitions: int = 16):
-    """Dataset.join wrapper with an explicit partition count."""
-    return left.join(
-        right,
-        join_type=how,
-        num_partitions=num_partitions,
-        on=(on,),
-        right_on=(right_on or on,),
+def hash_join(left, right, on: str, right_on: Optional[str] = None, *,
+              how: str = "inner", num_partitions: int = 16,
+              broadcast_limit: int = 2_000_000):
+    """Relational join, stats-gated (the map-side-join switch used
+    throughout this engine): when the RIGHT side fits comfortably it
+    is broadcast once via ``ray.put`` and every left batch does a
+    C-speed pandas merge against it — the whole join streams with ZERO
+    shuffle; otherwise fall back to ``merge_join`` (one task-based
+    range sort + per-block merge).
+
+    Neither path uses Ray 2.49's actor-based JoinOperator: measured in
+    this session, each JoinOperator execution leaves its hash-shuffle
+    aggregator worker processes behind, and a session that runs joins
+    repeatedly degrades 3-4x by the third execution (5.1s -> 4.7s ->
+    17.9s on the same query, 166 lingering workers).  Both replacement
+    paths use plain tasks — nothing lingers."""
+    import ray
+
+    if right_on and right_on != on:
+        right = right.rename_columns({right_on: on})
+    right = right.materialize()
+    if right.count() > broadcast_limit:
+        return merge_join(left, right, [on], how=how)
+    rdf = right.to_pandas()
+    ref = ray.put(rdf)
+    pd_how = "left" if how == "left_outer" else how
+
+    def f(df):
+        import ray as _ray
+
+        r = _ray.get(ref)
+        return df.merge(r, on=on, how=pd_how)
+
+    return left.map_batches(f, batch_format="pandas")
+
+
+def merge_join(left, right, on: Sequence[str], *, how: str = "inner"):
+    """Sort-merge join on the block-colocation machinery every other
+    wide op here already trusts: tag each side, union under a common
+    (nullable) schema, ONE range-partitioned sort on the keys, then a
+    vectorized per-block pandas merge of the two sides.  Equal keys
+    land in one block, so the block-local merge is globally exact.
+
+    ``how``: "inner" or "left_outer".  Non-key column-name collisions
+    between the sides are an error (rename first), matching the
+    engine's explicit-schema style."""
+    import pandas as pd
+
+    on = list(on)
+    ls = left.schema()
+    rs = right.schema()
+    lcols = [c for c in ls.names if c not in on]
+    rcols = [c for c in rs.names if c not in on]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(f"merge_join column collision: {sorted(clash)}")
+    types = {}
+    for sch in (ls, rs):
+        for name, typ in zip(sch.names, sch.types):
+            types[name] = typ
+    all_cols = on + lcols + rcols
+
+    def widen(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for c in all_cols:
+                if c in t.schema.names:
+                    cols[c] = t.column(c).cast(types[c])
+                else:
+                    cols[c] = pa.nulls(n, types[c])
+            cols["_side"] = pa.array([side] * n, pa.int8())
+            return pa.table(cols)
+
+        return f
+
+    both = left.map_batches(widen(0), batch_format="pyarrow").union(
+        right.map_batches(widen(1), batch_format="pyarrow")
     )
+
+    out_schema = pa.schema([(c, types[c]) for c in all_cols])
+
+    def block_merge(df: "pd.DataFrame") -> pa.Table:
+        # emit ARROW with the statically known schema: pandas would
+        # coerce unmatched left-outer ints to NaN floats and downstream
+        # arrow-block APIs (rename_columns etc.) reject pandas blocks
+        if len(df) == 0:
+            return out_schema.empty_table()
+        l = df[df["_side"] == 0][on + lcols]
+        r = df[df["_side"] == 1][on + rcols]
+        out = l.merge(r, on=on, how="left" if how == "left_outer" else "inner")
+        return pa.table({c: pa.array(out[c], type=types[c], from_pandas=True)
+                         for c in all_cols})
+
+    return both.sort(on).map_batches(block_merge, batch_format="pandas",
+                                     batch_size=None)
 
 
 def broadcast_keys(keys) -> "ray.ObjectRef":  # noqa: F821
@@ -156,6 +243,22 @@ def sorted_groupby_sum(ds, keys: Sequence[str], value_col: str, *,
         return g.rename_columns(keys + [alias])
 
     return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def combined_groupby_count(ds, keys: Sequence[str], *, alias: str = "count"):
+    """Count-per-group with a MAP-SIDE COMBINE: each block pre-counts
+    locally (low-cardinality keys collapse to a handful of partial
+    rows), then one tiny sort sums the partials.  Use when the key
+    cardinality is far below the row count (e.g. 25 nations over 150k
+    orders) — the all-to-all then moves partial rows, not data rows."""
+    keys = list(keys)
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys, use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["_n"])
+
+    partial = ds.map_batches(local, batch_format="pyarrow")
+    return sorted_groupby_sum(partial, keys, "_n", alias=alias)
 
 
 def assert_block_colocation(ds, keys: Sequence[str]) -> None:
@@ -287,7 +390,7 @@ def semi_join_auto(left, col: str, keys_ds, *, key_col: Optional[str] = None,
         return anti_join(left, distinct.rename_columns({kc: col}) if kc != col
                          else distinct, on=col, num_partitions=num_partitions)
     right = distinct if kc == col else distinct.rename_columns({kc: col})
-    return left.join(right, join_type="inner", num_partitions=num_partitions, on=(col,))
+    return merge_join(left, right, [col])
 
 
 def anti_join(left, right_keys, on: str, *, num_partitions: int = 16):
@@ -311,7 +414,7 @@ def anti_join(left, right_keys, on: str, *, num_partitions: int = 16):
         # an empty right side loses its schema and breaks the hash
         # join; semantically anti-join against nothing keeps everything
         return left
-    joined = left.join(marked, join_type="left_outer", num_partitions=num_partitions, on=(on,))
+    joined = merge_join(left, marked, [on], how="left_outer")
 
     def keep_missing(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_null(t.column("_present"))).drop_columns(["_present"])

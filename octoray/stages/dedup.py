@@ -274,12 +274,12 @@ def jaccard_pairs(
 
         return common.map_batches(score_bcast, batch_format="pyarrow")
 
-    joined = common.join(
-        counts.rename_columns({id_col: "id_a", "n_sh": "n_a"}),
-        join_type="inner", num_partitions=8, on=("id_a",),
-    ).join(
-        counts.rename_columns({id_col: "id_b", "n_sh": "n_b"}),
-        join_type="inner", num_partitions=8, on=("id_b",),
+    from octoray.query import merge_join
+
+    joined = merge_join(
+        merge_join(common, counts.rename_columns({id_col: "id_a", "n_sh": "n_a"}),
+                   ["id_a"]),
+        counts.rename_columns({id_col: "id_b", "n_sh": "n_b"}), ["id_b"],
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -381,12 +381,14 @@ def attach_pair_payloads(pairs, payload_ds, *, id_col: str, payload_col: str,
                     .append_column("payload_b", pa.array(bv, pa.binary()))
 
         return pairs.map_batches(attach, batch_format="pyarrow")
-    return pairs.join(
-        payload_ds.rename_columns({id_col: "id_a", payload_col: "payload_a"}),
-        join_type="inner", num_partitions=num_partitions, on=("id_a",),
-    ).join(
+    from octoray.query import merge_join
+
+    return merge_join(
+        merge_join(pairs,
+                   payload_ds.rename_columns({id_col: "id_a", payload_col: "payload_a"}),
+                   ["id_a"]),
         payload_ds.rename_columns({id_col: "id_b", payload_col: "payload_b"}),
-        join_type="inner", num_partitions=num_partitions, on=("id_b",),
+        ["id_b"],
     )
 
 
@@ -701,9 +703,10 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
         return pa.table({"id": t.column("id"), "component": newc})
 
     for _ in range(max_iters):
+        from octoray.query import merge_join
+
         prop = (
-            edges.join(labels.rename_columns({"id": "src"}),
-                       join_type="inner", num_partitions=num_partitions, on=("src",))
+            merge_join(edges, labels.rename_columns({"id": "src"}), ["src"])
             .select_columns(["dst", "component"]).rename_columns({"dst": "id"})
         )
         new_labels = drop_empty_blocks(
@@ -718,18 +721,14 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
         # near-dup chain at corpus scale
         right = (new_labels.rename_columns({"component": "_cc"})
                  .rename_columns({"id": "component"}))
-        jumped = new_labels.join(
-            right, join_type="left_outer", num_partitions=num_partitions,
-            on=("component",),
-        )
+        jumped = merge_join(new_labels, right, ["component"], how="left_outer")
         new_labels = drop_empty_blocks(
             jumped.map_batches(jump, batch_format="pyarrow").materialize(),
             _lab_schema,
         )
         # converged when no (id, component) assignment changed
-        diff = new_labels.join(
-            labels.rename_columns({"component": "_old"}),
-            join_type="inner", num_partitions=num_partitions, on=("id",),
+        diff = merge_join(
+            new_labels, labels.rename_columns({"component": "_old"}), ["id"],
         ).map_batches(
             lambda t: t.filter(pc.invert(pc.equal(t.column("component"), t.column("_old")))),
             batch_format="pyarrow",

@@ -216,9 +216,11 @@ def transitive_closure(edges_ds, *, subject_col: str = "subject",
     all_edges = drop_empty_blocks(dedup(edges_ds).materialize(), schema)
     n = all_edges.count()
     for _ in range(max_iters):
+        from octoray.query import merge_join
+
         base_b = all_edges.rename_columns({subject_col: "_mid", object_col: "_dst"})
-        stepped = all_edges.rename_columns({object_col: "_mid"}).join(
-            base_b, join_type="inner", num_partitions=num_partitions, on=("_mid",),
+        stepped = merge_join(
+            all_edges.rename_columns({object_col: "_mid"}), base_b, ["_mid"],
         ).select_columns([subject_col, "_dst"]).rename_columns({"_dst": object_col})
         grown = drop_empty_blocks(
             dedup(all_edges.union(stepped)).materialize(), schema)
