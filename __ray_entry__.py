@@ -123,12 +123,28 @@ def _synth_n(sf_dir: str, per_sf: int = 50_000, floor: int = 50) -> int:
     return max(floor, int(per_sf * _sf_of(sf_dir)))
 
 
+def _prep_canon(dump_name: str, raw_ds):
+    """Dump-boundary wrapper for the prep family: the raw pre-canonical
+    triple stream is the oracle hand-off artifact (recognizer emission
+    upstream is covered by the ~160 ported unit vectors + the P/R
+    gate); the canonicalization shuffle downstream of the artifact is
+    what the DuckDB twin verifies — the same boundary as kg_build."""
+    from octoray import oracles as O
+    from octoray.stages.canon import canonicalize
+
+    if O.dump_enabled():
+        raw_ds = O.read_triples(O.dump_dataset(dump_name, raw_ds))
+    return canonicalize(raw_ds)
+
+
 def _q_prep_fasta(sf_dir: str):
     from octoray.pipelines.prep import prep_fasta
     from octoray.sources.fasta import fasta_rows
     from octoray.sources.synth import synth_fasta_text
 
-    return prep_fasta(fasta_rows(synth_fasta_text(_synth_n(sf_dir, 20_000))))
+    raw = prep_fasta(fasta_rows(synth_fasta_text(_synth_n(sf_dir, 20_000))),
+                     canonical=False)
+    return _prep_canon("prep_fasta_raw", raw)
 
 
 def _q_prep_table(sf_dir: str):
@@ -136,7 +152,9 @@ def _q_prep_table(sf_dir: str):
     from octoray.sources.synth import synth_tsv_text
     from octoray.sources.tables import tsv_rows
 
-    return prep_table(tsv_rows(synth_tsv_text(_synth_n(sf_dir, 20_000))))
+    raw = prep_table(tsv_rows(synth_tsv_text(_synth_n(sf_dir, 20_000))),
+                     canonical=False)
+    return _prep_canon("prep_table_raw", raw)
 
 
 def _q_prep_blast(sf_dir: str):
@@ -350,7 +368,8 @@ def _q_kg_path(sf_dir: str):
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
-    return prep_genbank(gb_records_dataset(_synth_n(sf_dir, 10_000)))
+    raw = prep_genbank(gb_records_dataset(_synth_n(sf_dir, 10_000)), canonical=False)
+    return _prep_canon("prep_genbank_raw", raw)
 
 
 def _q_prep_ivr(sf_dir: str):
@@ -359,7 +378,9 @@ def _q_prep_ivr(sf_dir: str):
     from octoray.pipelines.prep import prep_ivr
     from octoray.sources.synth import synth_ivr_table
 
-    return prep_ivr(rd.from_arrow(synth_ivr_table(_synth_n(sf_dir, 10_000))))
+    raw = prep_ivr(rd.from_arrow(synth_ivr_table(_synth_n(sf_dir, 10_000))),
+                   canonical=False)
+    return _prep_canon("prep_ivr_raw", raw)
 
 
 def _q_prep_ird(sf_dir: str):
@@ -368,7 +389,9 @@ def _q_prep_ird(sf_dir: str):
     from octoray.pipelines.prep import prep_ird
     from octoray.sources.synth import synth_ird_table
 
-    return prep_ird(rd.from_arrow(synth_ird_table(_synth_n(sf_dir, 10_000))))
+    raw = prep_ird(rd.from_arrow(synth_ird_table(_synth_n(sf_dir, 10_000))),
+                   canonical=False)
+    return _prep_canon("prep_ird_raw", raw)
 
 
 def _q_prep_gisaid(sf_dir: str):
@@ -377,7 +400,9 @@ def _q_prep_gisaid(sf_dir: str):
     from octoray.pipelines.prep import prep_gisaid
     from octoray.sources.synth import synth_gisaid_table
 
-    return prep_gisaid(rd.from_arrow(synth_gisaid_table(_synth_n(sf_dir, 10_000))))
+    raw = prep_gisaid(rd.from_arrow(synth_gisaid_table(_synth_n(sf_dir, 10_000))),
+                      canonical=False)
+    return _prep_canon("prep_gisaid_raw", raw)
 
 
 def _binding_query(sf_dir: str, dump_name: str, synth_fn, pipeline_fn, per_sf: int):
@@ -830,10 +855,10 @@ def oracle_sql() -> dict[str, str]:
         # KG / prep / report / media twins (octoray/oracles.py).  Each
         # reads the parquet artifact its query callable materialized
         # under /tmp/octoray_oracle; the per-builder docstrings state
-        # the verification boundary.  Only the prep_fasta/table/
-        # genbank/gisaid emitters stay rows-only (full recognizer
-        # emission is not SQL-expressible; covered by ~160 ported unit
-        # vectors + the P/R gate).
+        # the verification boundary.  For the prep emitters the
+        # boundary is the raw pre-canonical triple stream (recognizer
+        # emission itself is not SQL-expressible; covered by ~160
+        # ported unit vectors + the P/R gate), matching kg_build.
         # ------------------------------------------------------------
         "kg_build": Q.sql_kg_build(Q.rpd("kg_build_raw")),
         "kg_subject_degree": Q.sql_subject_degree(Q.rpd("kg_degree_raw")),
@@ -848,6 +873,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_path": Q.sql_path_closure(Q.rp("kg_path_edges")),
         "kg_delete": Q.sql_pull(Q.rpd("kg_delete_raw"), exclude=["f:genbank_id"]),
         "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),
+        "prep_fasta": Q.sql_prep_triples(Q.rpd("prep_fasta_raw")),
+        "prep_table": Q.sql_prep_triples(Q.rpd("prep_table_raw")),
+        "prep_genbank": Q.sql_prep_triples(Q.rpd("prep_genbank_raw")),
+        "prep_gisaid": Q.sql_prep_triples(Q.rpd("prep_gisaid_raw")),
+        "prep_ivr": Q.sql_prep_triples(Q.rpd("prep_ivr_raw")),
+        "prep_ird": Q.sql_prep_triples(Q.rpd("prep_ird_raw")),
         "report_constellations": Q.sql_constellations(Q.rp("constellations_input")),
         "report_subtypes": Q.sql_subtypes(Q.rp("subtypes_input")),
         "report_masterlist": Q.sql_masterlist(Q.rp("masterlist_input")),

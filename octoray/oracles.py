@@ -299,6 +299,16 @@ def sql_prep_blast(src: str) -> str:
     """
 
 
+def sql_prep_triples(src: str) -> str:
+    """Boundary: raw pre-canonical emitted triples (the prep family's
+    hand-off artifact).  Recognizer emission UPSTREAM of the artifact
+    is covered by the ~160 ported unit vectors and the P/R gate;
+    the oracle verifies everything DOWNSTREAM — the distributed dedup
+    combiner, the range-sort shuffle and the adjacent-block keep-first
+    pass — exactly the sql_kg_build boundary."""
+    return _DISTINCT4.format(src=src)
+
+
 # ----------------------------------------------------------------------
 # report layer (A2-A4)
 # ----------------------------------------------------------------------
