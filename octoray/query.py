@@ -245,6 +245,21 @@ def sorted_groupby_sum(ds, keys: Sequence[str], value_col: str, *,
     return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def sorted_groupby_min(ds, keys: Sequence[str], value_col: str, *,
+                       alias: str = "min"):
+    """Exact global min-per-group, same one-sort plan as
+    ``sorted_groupby_count``.  Min is idempotent, so callers can (and
+    should) pre-combine per block first — the sort then moves one row
+    per (block, key), not one per raw row."""
+    keys = list(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys, use_threads=False).aggregate([(value_col, "min")])
+        return g.rename_columns(keys + [alias])
+
+    return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def combined_groupby_count(ds, keys: Sequence[str], *, alias: str = "count"):
     """Count-per-group with a MAP-SIDE COMBINE: each block pre-counts
     locally (low-cardinality keys collapse to a handful of partial

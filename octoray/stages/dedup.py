@@ -487,34 +487,68 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (bytes -> unpackbits)."""
+    if len(x) == 0:
+        return np.zeros(0, np.int64)
+    bits = np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+    return bits.reshape(len(x), 64).sum(axis=1).astype(np.int64)
+
+
+# unpackbits column j -> the uint64 bit it carries: bytes of a
+# little-endian uint64 hold bits 8k..8k+7 LSB-first, but unpackbits
+# emits each byte MSB-first
+_UNPACK_COLBITS = (
+    np.uint64(1)
+    << (8 * (np.arange(64) // 8) + (7 - np.arange(64) % 8)).astype(np.uint64)
+)
+
+
 class SimHasher:
-    """64-bit simhash over word-unigram hashes (weight 1 each)."""
+    """64-bit simhash over word-unigram hashes (weight 1 each).
+
+    The batch is hashed as ONE token stream and the hash bits unpacked
+    in a single np.unpackbits (the per-token broadcast `h & bit_cols`
+    is pathologically slow in numpy at batch scale — measured 5.6 s vs
+    2 ms for 120k tokens); only the per-doc vote reduction remains a
+    (64-wide, numpy-kernel) loop.  Bit-identical to the scalar
+    definition (exact integer ops)."""
 
     def __init__(self, *, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
-        self.bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def simhash(self, text: str) -> int:
-        toks = text.split()
-        if not toks:
-            return 0
-        h = _hash_shingles(toks)  # (T,) uint64
-        bits = ((h[:, None] & self.bit_cols[None, :]) != 0).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(toks)  # +1/-1 majority
-        out = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                out |= self.bit_cols[i]
-        return int(out)
+        """Single-doc reference path (tests / truth checks)."""
+        return int(self._batch_simhash([text.split()])[0])
+
+    def _batch_simhash(self, tok_lists) -> np.ndarray:
+        n = len(tok_lists)
+        lens = np.array([len(t) for t in tok_lists], np.int64)
+        out = np.zeros(n, np.uint64)
+        total = int(lens.sum())
+        if total == 0:
+            return out
+        all_toks = [tok for toks in tok_lists for tok in toks]
+        h = _hash_shingles(all_toks)  # (T,) uint64
+        bits = np.unpackbits(np.ascontiguousarray(h).view(np.uint8)).reshape(total, 64)
+        offsets = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        for i in range(n):
+            l = int(lens[i])
+            if l == 0:
+                continue
+            votes = 2 * bits[offsets[i] : offsets[i] + l].sum(axis=0, dtype=np.int64) - l
+            out[i] = ((votes > 0) * _UNPACK_COLBITS).sum(dtype=np.uint64)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         norm = _norm_ws(batch.column(self.text_col)).to_pylist()
-        hashes = [self.simhash(t) for t in norm]
+        hashes = self._batch_simhash([t.split() for t in norm])
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "simhash": pa.array(np.array(hashes, dtype=np.uint64).astype(np.int64), pa.int64()),
+                "simhash": pa.array(hashes.astype(np.int64), pa.int64()),
             }
         )
 
@@ -571,28 +605,27 @@ def simhash_pairs(docs, *, max_hamming: int = 3, id_col: str = "doc_id",
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-        ids = g[id_col].tolist()
+        ids = np.asarray(g[id_col])
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        a, b, d = [], [], []
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for jj, hv in enumerate(ham):
-                if hv <= max_hamming:
-                    a.append(ids[i])
-                    b.append(ids[i + 1 + jj])
-                    d.append(int(hv))
-        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = _popcount64(hs[ia] ^ hs[ib])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "hamming": ham[keep]})
 
-    from octoray.query import block_map_groups, sorted_map_groups
+    from octoray.query import block_map_groups, sorted_groupby_min
 
     pairs = block_map_groups(banded, ["chunk", "val"], expand)
 
-    def min_ham(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
-                             "hamming": [int(g["hamming"].min())]})
+    # a pair can surface from up to 4 chunk buckets: pre-min per block
+    # (combiner), then one sort carries one row per (block, pair)
+    def local_min(t: pa.Table) -> pa.Table:
+        g = t.group_by(["id_a", "id_b"], use_threads=False).aggregate(
+            [("hamming", "min")])
+        return g.rename_columns(["id_a", "id_b", "hamming"])
 
-    return sorted_map_groups(pairs, ["id_a", "id_b"], min_ham)
+    pre = pairs.map_batches(local_min, batch_format="pyarrow")
+    return sorted_groupby_min(pre, ["id_a", "id_b"], "hamming", alias="hamming")
 
 
 # ----------------------------------------------------------------------
