@@ -28,20 +28,20 @@ import pyarrow.compute as pc
 from octoray.functions.dates import quarter_from_date
 from octoray.model import DT_PLAIN, triples_to_table
 from octoray.pipelines.kg import read_kg, run_kg_build
-from octoray.query import anti_join, values_of
+from octoray.query import semi_join_auto, values_of
 from octoray.stages.canon import canonicalize
 from octoray.state import manifest as mf
 
 
 def _subjects_with(triples, predicate: str):
-    """Distinct subjects bearing ``predicate`` (small projection)."""
+    """Subjects bearing ``predicate`` (projection only — NOT distinct:
+    the consumer is semi_join_auto, which runs the one distinct)."""
 
     def f(t: pa.Table) -> pa.Table:
         sel = t.filter(pc.equal(t.column("predicate"), pa.scalar(predicate)))
         return pa.table({"subject": sel.column("subject")})
 
-    return triples.map_batches(f, batch_format="pyarrow").groupby("subject").count() \
-        .select_columns(["subject"])
+    return triples.map_batches(f, batch_format="pyarrow")
 
 
 def _derive_quarters(pending_triples):
@@ -59,10 +59,12 @@ def _derive_quarters(pending_triples):
 
 
 def step_quarters(graph):
-    """Pending = has f:date, lacks f:collection_q (anti-join J8)."""
+    """Pending = has f:date, lacks f:collection_q (anti-join J8,
+    via the stats-gated broadcast switch — derived-subject sets are
+    broadcast when small, hash-joined when not)."""
     dates = values_of(graph, "f:date")
     have = _subjects_with(graph, "f:collection_q")
-    pending = anti_join(dates, have, on="subject")
+    pending = semi_join_auto(dates, "subject", have, anti=True)
     return _derive_quarters(pending)
 
 
@@ -79,7 +81,7 @@ def step_located(graph):
 
     geo = graph.map_batches(geo_rows, batch_format="pyarrow")
     have = _subjects_with(graph, "f:locatedIn")
-    pending = anti_join(geo, have, on="subject")
+    pending = semi_join_auto(geo, "subject", have, anti=True)
     expanded = expand_locations(pending)
 
     def only_derived(t: pa.Table) -> pa.Table:

@@ -199,7 +199,9 @@ def transitive_closure(edges_ds, *, subject_col: str = "subject",
         return t.select([subject_col, object_col]).cast(schema)
 
     def dedup(ds):
-        return ds.groupby([subject_col, object_col]).count().map_batches(
+        from octoray.query import distinct_values
+
+        return distinct_values(ds, [subject_col, object_col]).map_batches(
             norm, batch_format="pyarrow")
 
     from octoray.util import drop_empty_blocks
