@@ -54,3 +54,75 @@ def setup_module(module):
     from octoray.stages.scan import MentionEmitter
 
     module._EMITTER = MentionEmitter()
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=field)
+def test_cast_datum_first_match_priority(s):
+    """The cascade semantic pinned as a property: the winner is exactly
+    the FIRST classifier in ALL_CLASSIFIERS registry order whose
+    test_one is truthy (Datum.cast, reference classes.py:85-92) — and
+    repeated casts are deterministic."""
+    c = R.cast_datum(s)
+    assert R.cast_datum(s) is c
+    if s == "":
+        assert c is R.MISSING
+        return
+    for cand in R.ALL_CLASSIFIERS:
+        m = cand.test_one(s)
+        if m is not None and m != "":
+            assert c is cand
+            return
+    assert c is R.UNKNOWN
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(st.lists(field, min_size=3, max_size=3), min_size=1, max_size=30),
+    cut=st.integers(min_value=0, max_value=29),
+)
+def test_vote_types_invariant_under_batch_split(rows, cut):
+    """The distributed column vote must not depend on where batch
+    boundaries fall: counting hits over [rows] equals counting over
+    [rows[:cut]] + [rows[cut:]] (A8; the driver-side argmax consumes
+    only summed counts)."""
+    cut = min(cut, len(rows))
+    cols = ["c0", "c1", "c2"]
+
+    def counts(chunks):
+        agg = {}
+        for chunk in chunks:
+            if not chunk:
+                continue
+            for j, col in enumerate(cols):
+                vals = [r[j] for r in chunk]
+                present = [x for x in vals if x is not None and x != ""]
+                for c in R.ALL_CLASSIFIERS:
+                    if c.is_sequence:
+                        h = sum(1 for x in present
+                                if len(str(x)) > 20 and c.test_one(x))
+                    else:
+                        h = sum(1 for x in present if c.test_one(x) is not None)
+                    k = (col, c.name)
+                    agg[k] = tuple(
+                        a + b for a, b in zip(agg.get(k, (0, 0, 0)),
+                                              (h, len(vals), len(present))))
+        return agg
+
+    assert counts([rows]) == counts([rows[:cut], rows[cut:]])
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(text=st.text(min_size=0, max_size=200))
+def test_emitter_cache_equivalence(text):
+    """The per-actor span->Mention memo must be semantics-preserving:
+    a cached emitter and a cache-cold emitter emit identical triple
+    sets for the same page."""
+    from octoray.stages.scan import MentionEmitter
+
+    cold = MentionEmitter()
+    cold._mcache.clear()
+    warm = _EMITTER  # long-lived, cache populated by earlier examples
+    assert set(warm.emit_page("u", text)) == set(cold.emit_page("u", text))
