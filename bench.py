@@ -34,6 +34,7 @@ SUITE = [
     "kg_rules_expanded",
     "kg_construct",
     "kg_path",
+    "kg_pull",  # joined round 2: broadcast-switch anti-joins, 12.5s -> ~7s
     "jaccard_pairs",
     "prep_genbank",
     "prep_gisaid",
