@@ -535,6 +535,33 @@ def _q_knn_lsh(sf_dir: str):
     return S.lsh_bucket_knn(emb, _KNN_IDS, k=_KNN_K, preset="balanced")
 
 
+_IVF_CENTROIDS = 64
+_IVF_NPROBE = 24  # recall@10 = 0.86 vs brute on the sf0.1 embeddings
+
+
+def _q_knn_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN: spherical k-means trained on a
+    deterministic sample, assignment + probe sets dumped as the oracle
+    hand-off; DuckDB re-derives candidate scoring + top-k from them."""
+    import numpy as np
+    import pyarrow as pa
+
+    from octoray import oracles as O
+    from octoray.stages import similarity as S
+
+    emb = _embeddings(sf_dir)
+    C = S.kmeans_centroids(emb, n_centroids=_IVF_CENTROIDS)
+    if O.dump_enabled():
+        O.dump_dataset("ivf_assign", S.ivf_assignments(emb, C))
+        qids, Q = S.load_queries(emb, _KNN_IDS)
+        probes = S.ivf_probe_sets(Q, C, nprobe=min(_IVF_NPROBE, len(C)))
+        O.dump_table("ivf_probes", pa.table({
+            "query_id": pa.array(np.repeat(qids, probes.shape[1]), pa.int64()),
+            "cluster": pa.array(probes.reshape(-1), pa.int64()),
+        }))
+    return S.ivf_knn(emb, _KNN_IDS, k=_KNN_K, centroids=C, nprobe=_IVF_NPROBE)
+
+
 def _q_cosine_dup_pairs(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import similarity as S
@@ -639,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "knn_brute": lambda sf: S.knn_brute(_embeddings(sf), _KNN_IDS, k=_KNN_K),
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
     }
 
@@ -892,6 +920,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_components": Q.sql_dup_components(Q.rpd("dup_pairs")),
         "knn_lsh": Q.sql_knn_lsh(
             Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=24),
+        "knn_ivf": Q.sql_knn_ivf(
+            Q.rpd("ivf_assign"), Q.rp("ivf_probes"), _KNN_IDS, k=_KNN_K),
         "cosine_dup_pairs": Q.sql_cosine_dup(
             Q.rpd("cosine_buckets"), threshold=0.4, n_tables=8),
         "media_image_features": Q.sql_media_image(Q.rpd("media_pixels")),

@@ -53,6 +53,7 @@ SUITE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "knn_brute",
+    "knn_ivf",
     "cosine_dup_pairs",
 ]
 

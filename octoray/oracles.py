@@ -639,6 +639,31 @@ def sql_knn_lsh(bsrc: str, query_ids: Sequence[int], *, k: int, n_tables: int,
     """
 
 
+def sql_knn_ivf(asrc: str, psrc: str, query_ids: Sequence[int], *, k: int,
+                emb: str = "embeddings") -> str:
+    """Boundary: the IVF artifacts — per-vector cluster assignments and
+    per-query probe sets (both deterministic given the corpus + seed).
+    Verifies the candidate restriction (cluster ∈ probe set), cosine
+    scoring against the real embeddings table, self-exclusion, and the
+    global top-k tie-break."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH qe AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM {emb} WHERE vec_id IN ({ids})),
+        cand AS (SELECT p.query_id AS qid, a.vec_id AS nid
+                 FROM {psrc} p JOIN {asrc} a ON a.cluster = p.cluster
+                 WHERE a.vec_id <> p.query_id),
+        sc AS (SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+                      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qe.qv) AS s
+               FROM cand JOIN {emb} e ON cand.nid = e.vec_id
+                         JOIN qe ON cand.qid = qe.qid),
+        r AS (SELECT query_id, neighbor_id, s, row_number() OVER
+                (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+              FROM sc)
+        SELECT query_id, neighbor_id, {_rnd('s', 6)} AS score FROM r WHERE rn <= {k}
+    """
+
+
 def sql_cosine_dup(bsrc: str, *, threshold: float, n_tables: int,
                    emb: str = "embeddings") -> str:
     """Boundary: the per-vector LSH bucket codes.  Verifies bucket

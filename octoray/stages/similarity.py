@@ -372,3 +372,182 @@ def cosine_dup_pairs(
         })
 
     return attached.map_batches(verify, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# IVF (coarse-quantizer) variant — the clustered-corpus scale path
+# ----------------------------------------------------------------------
+def _sample_matrix(embeddings, *, sample_size: int, id_col: str, vec_col: str):
+    """Deterministic ~sample_size training subset: keep ids where
+    id % stride == 0 — partitioning-independent, no RNG state.  The
+    driver-side take_all is bounded by sample_size, never the corpus."""
+    n = embeddings.count()
+    stride = max(1, n // max(1, sample_size))
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = (np.asarray(t.column(id_col)) % stride) == 0
+        return t.filter(pa.array(keep))
+
+    rows = embeddings.map_batches(f, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return np.stack([np.asarray(r[vec_col], np.float64) for r in rows])
+
+
+def kmeans_centroids(
+    embeddings,
+    *,
+    n_centroids: int = 64,
+    sample_size: int = 20_000,
+    n_iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    deterministic sample (the standard IVF recipe: training is tiny
+    and centralized, ASSIGNMENT is the distributed part).  Returns a
+    row-normalized (c, d) matrix; fully deterministic for a given
+    (corpus, seed)."""
+    S = _normalize(_sample_matrix(embeddings, sample_size=sample_size,
+                                  id_col=id_col, vec_col=vec_col))
+    n_centroids = min(n_centroids, len(S))
+    rng = np.random.default_rng(seed)
+    C = S[rng.choice(len(S), n_centroids, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(S @ C.T, axis=1)  # (s,)
+        for c in range(n_centroids):
+            members = S[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_assignments(
+    embeddings,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """(vec_id, cluster) via one broadcast + per-batch argmax matmul —
+    the inverted-file index.  At cluster scale this is the partitioning
+    key for the corpus parquet (write once per cluster; a query then
+    READS only its nprobe partitions); the oracle hand-off artifact
+    either way."""
+    import ray
+
+    c_ref = ray.put(np.ascontiguousarray(centroids))
+
+    def f(t: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        M = _normalize(_as_matrix(t.column(vec_col)))
+        assign = np.argmax(M @ C.T, axis=1).astype(np.int64) if len(M) else \
+            np.zeros(0, np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster": pa.array(assign, pa.int64()),
+        })
+
+    return embeddings.map_batches(f, batch_format="pyarrow")
+
+
+def ivf_probe_sets(queries_matrix: np.ndarray, centroids: np.ndarray,
+                   *, nprobe: int) -> np.ndarray:
+    """Per-query nprobe nearest clusters, (q, nprobe) int64.  Ties
+    break to the LOWER cluster id (stable argsort), matching the SQL
+    twin's ORDER BY sim DESC, cluster ASC."""
+    sims = _normalize(queries_matrix) @ centroids.T  # (q, c)
+    order = np.argsort(-sims, axis=1, kind="stable")
+    return order[:, :nprobe].astype(np.int64)
+
+
+def ivf_knn(
+    embeddings,
+    query_ids: Sequence[int],
+    *,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    centroids: Optional[np.ndarray] = None,
+):
+    """Approximate top-k via an IVF coarse quantizer: score a corpus
+    row for query q only if the row's nearest centroid is among q's
+    nprobe nearest.  Expected recall ~= the probability mass of q's
+    true neighbors inside its nprobe cells — on clustered corpora
+    (the 100 TB case for near-dup mining) a few probes of 1/64 of the
+    data each recover ~all of it; worst case nprobe=n_centroids IS
+    brute force.  Candidate volume ~= nprobe/n_centroids of brute.
+
+    Same broadcast discipline as knn_brute/lsh_bucket_knn: centroids +
+    query probe sets ship ONCE via ray.put; each batch does one
+    assignment matmul and one masked scoring matmul; the shuffle moves
+    only per-block top-k candidates."""
+    import ray
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids=n_centroids, sample_size=sample_size,
+            seed=seed, id_col=id_col, vec_col=vec_col)
+    qids, Q = load_queries(embeddings, query_ids, id_col=id_col, vec_col=vec_col)
+    Qn = _normalize(Q)
+    probes = ivf_probe_sets(Q, centroids, nprobe=min(nprobe, len(centroids)))
+    ref = ray.put((qids, Qn, np.ascontiguousarray(centroids), probes))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids_, Qn_, C, probes_ = ray.get(ref)
+        ids = np.asarray(t.column(id_col))
+        M = _normalize(_as_matrix(t.column(vec_col)))
+        out_q: List[int] = []
+        out_n: List[int] = []
+        out_s: List[float] = []
+        if len(ids):
+            assign = np.argmax(M @ C.T, axis=1)  # (n,)
+            cand = np.zeros((len(ids), len(qids_)), dtype=bool)
+            for j in range(len(qids_)):
+                cand[:, j] = np.isin(assign, probes_[j])
+            any_rows = cand.any(axis=1)
+            if any_rows.any():
+                Mk, idk, candk = M[any_rows], ids[any_rows], cand[any_rows]
+                scores = Mk @ Qn_.T
+                for j, qid in enumerate(qids_):
+                    mask = candk[:, j]
+                    if not mask.any():
+                        continue
+                    col = scores[mask, j]
+                    sub_ids = idk[mask]
+                    kk = min(k + 1, len(col))
+                    top = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) \
+                        else np.arange(len(col))
+                    for i in top:
+                        if sub_ids[i] == qid:
+                            continue
+                        out_q.append(qid)
+                        out_n.append(int(sub_ids[i]))
+                        out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cands = embeddings.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nlargest(k, g.itertuples(index=False),
+                             key=lambda r: (r.score, -r.neighbor_id))
+        return pd.DataFrame(
+            {
+                "query_id": [r.query_id for r in top],
+                "neighbor_id": [r.neighbor_id for r in top],
+                "score": [round_half_up_scalar(r.score, 6) for r in top],
+            }
+        )
+
+    return cands.groupby("query_id").map_groups(final_topk, batch_format="pandas")

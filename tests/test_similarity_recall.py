@@ -21,3 +21,28 @@ def test_lsh_knn_recall_gate(ray_session, preset, floor):
            for r in lsh_bucket_knn(emb, qids, k=10, preset=preset).take_all()}
     recall = len(got & want) / len(want)
     assert recall >= floor, f"recall@10={recall:.2f} below {floor} at {preset}"
+
+
+def test_ivf_knn_recall_gate(ray_session):
+    """IVF at the shipped driver point (64 centroids, 24 probes) must
+    hold recall@10 >= 0.8 vs brute on the same adversarial corpus —
+    scoring ~24/64 of it.  Also pins determinism: two builds from the
+    same corpus+seed produce identical results."""
+    import ray.data as rd
+
+    from octoray.stages.similarity import ivf_knn, knn_brute
+
+    emb = rd.read_parquet("/root/testdata/sf0.1/embeddings.parquet")
+    qids = [3, 7, 11, 19, 23]
+    want = {(r["query_id"], r["neighbor_id"])
+            for r in knn_brute(emb, qids, k=10).take_all()}
+    rows1 = sorted(map(tuple, (
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in ivf_knn(emb, qids, k=10, n_centroids=64, nprobe=24).take_all())))
+    rows2 = sorted(map(tuple, (
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in ivf_knn(emb, qids, k=10, n_centroids=64, nprobe=24).take_all())))
+    assert rows1 == rows2
+    got = {(q, n) for q, n, _ in rows1}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"recall@10={recall:.2f} below 0.8"
