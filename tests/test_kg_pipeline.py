@@ -134,3 +134,45 @@ def test_cross_block_dedup_exact(ray_session):
     b = build_triples(pages_dataset(300), emitter_concurrency=(1, 2))
     twice = pa.Table.from_pylist(canonicalize(a.union(b)).take_all())
     assert twice.equals(once)
+
+
+def test_crashed_partial_write_recovery(ray_session, tmp_path):
+    """Simulate a worker dying MID-WRITE (ADVICE r1 #1): the shard dir
+    holds stale partial parquet (with an extra duplicated file, as a
+    re-write without cleanup would leave) and no manifest.  Resume must
+    rebuild exactly that shard and converge to the byte-identical
+    graph — no duplicated triples, no losses."""
+    import glob
+    import os
+    import shutil
+
+    import duckdb
+
+    from octoray.pipelines import kg
+    from octoray.state import manifest as mf
+
+    out = str(tmp_path / "kg")
+    kg.run_kg_build(800, out, n_shards=2, emitter_concurrency=2)
+
+    def graph_sig():
+        files = glob.glob(os.path.join(out, "shard=*", "*.parquet"))
+        q = ("select count(*), count(distinct (subject||chr(0)||predicate||"
+             "chr(0)||object||chr(0)||object_datatype)) from read_parquet(?)")
+        return duckdb.execute(q, [files]).fetchone()
+
+    want = graph_sig()
+
+    # crash shard 00001: kill its manifest, leave its data files, and
+    # plant a stale duplicate file (execution-unique names mean a naive
+    # re-write would ADD a second copy instead of replacing)
+    sdir = mf.shard_dir(out, "00001")
+    os.remove(mf.manifest_path(out, "00001"))
+    victim = sorted(glob.glob(os.path.join(sdir, "*.parquet")))[0]
+    shutil.copy(victim, os.path.join(sdir, "zz-stale-partial.parquet"))
+
+    res = kg.run_kg_build(800, out, n_shards=2, emitter_concurrency=2)
+    assert res["built"] == ["00001"]
+    assert res["skipped"] == ["00000"]
+    got = graph_sig()
+    assert got == want, f"graph diverged after crash-resume: {got} != {want}"
+    assert not os.path.exists(os.path.join(sdir, "zz-stale-partial.parquet"))
