@@ -590,6 +590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to starve at; r1 VERDICT #9)
         return _docs(sf_dir).map_batches(T.lang_id_batch, batch_format="pyarrow")
 
+    def repetition_stats(sf_dir):
+        return _docs(sf_dir).map_batches(T.repetition_stats, batch_format="pyarrow")
+
     def fingerprints(sf_dir):
         return (
             _docs(sf_dir)
@@ -645,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ops ---
         "token_counts": token_counts,
         "quality_scores": quality_scores,
+        "repetition_stats": repetition_stats,
         "lang_id": lang_id,
         "fingerprints": fingerprints,
         "train_val_split": lambda sf: __import__(
@@ -820,6 +824,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": f"""
             SELECT doc_id, md5({_NORM}) AS md5 FROM documents
+        """,
+        "repetition_stats": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '\S+') AS t,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> trim(l) <> '') AS lines
+              FROM documents),
+            big AS (
+              SELECT doc_id, len(t) AS n_tokens, len(lines) AS n_lines,
+                     CASE WHEN len(lines) = 0 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                                     / len(lines) END AS dlf_raw,
+                     CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                          ELSE [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                     END AS b2,
+                     CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+                          ELSE [array_to_string(t[i:i+4], ' ')
+                                for i in range(1, len(t) - 3)]
+                     END AS g5
+              FROM base),
+            b2c AS (SELECT doc_id, max(cnt) AS max2, sum(cnt) AS tot2
+                    FROM (SELECT doc_id, bg, count(*) AS cnt
+                          FROM (SELECT doc_id, unnest(b2) AS bg FROM big)
+                          GROUP BY 1, 2)
+                    GROUP BY 1),
+            g5c AS (SELECT doc_id, count(*) AS tot5,
+                           count(DISTINCT g) AS d5
+                    FROM (SELECT doc_id, unnest(g5) AS g FROM big)
+                    GROUP BY 1)
+            SELECT big.doc_id, n_tokens, n_lines,
+                   floor(dlf_raw * 1000000 + 0.5) / 1000000 AS dup_line_frac,
+                   CASE WHEN b2c.doc_id IS NULL THEN 0.0
+                        ELSE floor(CAST(max2 AS DOUBLE) / tot2 * 1000000 + 0.5)
+                             / 1000000 END AS top_bigram_frac,
+                   CASE WHEN g5c.doc_id IS NULL THEN 0.0
+                        ELSE floor((1.0 - CAST(d5 AS DOUBLE) / tot5) * 1000000
+                                   + 0.5) / 1000000 END AS dup_5gram_frac
+            FROM big LEFT JOIN b2c ON big.doc_id = b2c.doc_id
+                     LEFT JOIN g5c ON big.doc_id = g5c.doc_id
         """,
         "train_val_split": """
             SELECT doc_id,

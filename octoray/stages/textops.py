@@ -182,3 +182,60 @@ def fingerprints(batch: pa.Table) -> pa.Table:
             "rolling64": pa.array(rolling, pa.int64()),
         }
     )
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document (the standard
+    LLM-corpus quality filters beyond length/ratio scores):
+
+      n_lines          non-blank lines
+      dup_line_frac    1 - distinct_lines / lines
+      top_bigram_frac  occurrences of the most frequent word bigram
+                       over all bigram occurrences
+      dup_5gram_frac   1 - distinct 5-grams / total 5-grams
+
+    Tokenization is whitespace (str.split == regex \\S+ — identical to
+    token_counts and the DuckDB twin).  Distinct-counting per doc is
+    inherently a per-doc hash aggregation; docs are a few hundred
+    tokens, so the per-batch Python loop is O(total tokens) with small
+    constants (same asymptotics as any vectorization of a ragged
+    nested distinct)."""
+    from collections import Counter
+
+    from octoray.util import round_half_up_scalar as r6
+
+    ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    n_tok: list = []
+    n_lines: list = []
+    dlf: list = []
+    top2: list = []
+    d5f: list = []
+    for text in texts:
+        toks = text.split()
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        n_tok.append(len(toks))
+        n_lines.append(len(lines))
+        dlf.append(r6(1.0 - len(set(lines)) / len(lines), 6) if lines else 0.0)
+        n_bi = len(toks) - 1
+        if n_bi > 0:
+            c = Counter(zip(toks, toks[1:]))
+            top2.append(r6(max(c.values()) / n_bi, 6))
+        else:
+            top2.append(0.0)
+        n_g5 = len(toks) - 4
+        if n_g5 > 0:
+            g5 = {tuple(toks[i:i + 5]) for i in range(n_g5)}
+            d5f.append(r6(1.0 - len(g5) / n_g5, 6))
+        else:
+            d5f.append(0.0)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac": pa.array(dlf, pa.float64()),
+            "top_bigram_frac": pa.array(top2, pa.float64()),
+            "dup_5gram_frac": pa.array(d5f, pa.float64()),
+        }
+    )
