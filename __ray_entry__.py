@@ -383,6 +383,25 @@ def _q_prep_ivr(sf_dir: str):
     return _prep_canon("prep_ivr_raw", raw)
 
 
+def _q_deidentify(sf_dir: str):
+    """Corpus-release redaction over the pages table: scrub contact
+    PII (email/phone/IP) and the domain's sample identifiers (EPI ids,
+    A0 barcodes, accessions) with sequential vectorized RE2 rules.
+    Boundary: the dumped (url, text) pages; the oracle re-derives the
+    counts and the redacted text from the same rule table in DuckDB."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.pipelines.kg import pages_dataset
+    from octoray.stages.redact import redact_batch
+
+    pages = pages_dataset(_kg_pages(sf_dir), seed=42).select_columns(
+        ["url", "text"])
+    if O.dump_enabled():
+        pages = rd.read_parquet(O.dump_dataset("deid_pages", pages))
+    return pages.map_batches(redact_batch, batch_format="pyarrow")
+
+
 def _q_prep_ird(sf_dir: str):
     import ray.data as rd
 
@@ -617,6 +636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct": _q_kg_construct,
         "kg_optional": _q_kg_optional,
         "kg_path": _q_kg_path,
+        # --- corpus-release ops over the pages table ---
+        "deidentify_pages": _q_deidentify,
         # --- stateful classification stages (X1/X2 analogues) ---
         "classify_clades": _q_classify_clades,
         "motifs": _q_motifs,
@@ -944,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_optional": Q.sql_optional_bindings(Q.rpd("kg_optional_raw")),
         "kg_path": Q.sql_path_closure(Q.rp("kg_path_edges")),
         "kg_delete": Q.sql_pull(Q.rpd("kg_delete_raw"), exclude=["f:genbank_id"]),
+        "deidentify_pages": Q.sql_redact(Q.rpd("deid_pages")),
         "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),
         "prep_fasta": Q.sql_prep_triples(Q.rpd("prep_fasta_raw")),
         "prep_table": Q.sql_prep_triples(Q.rpd("prep_table_raw")),

@@ -801,3 +801,35 @@ def sql_path_closure(src: str) -> str:
         )
         SELECT subject AS x, object AS a FROM c
     """
+
+
+def sql_redact(src: str) -> str:
+    """Boundary: the materialized pages table (url, text).  Verifies
+    the vectorized sequential redaction (stages/redact.py) — each
+    rule's count is taken on the text as left by the previous rule,
+    exactly as the pyarrow kernel applies them.  The SQL is generated
+    from the SAME REDACTION_RULES table the engine compiles; both
+    sides run RE2."""
+    from octoray.stages.redact import REDACTION_RULES
+
+    steps = [f"s0 AS (SELECT url, text AS t0 FROM {src})"]
+    for i, (name, pat, repl) in enumerate(REDACTION_RULES):
+        # standard SQL literals pass backslashes through untouched —
+        # only quotes need doubling
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        steps.append(
+            f"s{i + 1} AS (SELECT *,"
+            f" len(regexp_extract_all(t{i}, '{p}')) AS n_{name},"
+            f" regexp_replace(t{i}, '{p}', '{r}', 'g') AS t{i + 1}"
+            f" FROM s{i})"
+        )
+    k = len(REDACTION_RULES)
+    counts = ", ".join(f"CAST(n_{name} AS BIGINT) AS n_{name}"
+                       for name, _, _ in REDACTION_RULES)
+    total = " + ".join(f"n_{name}" for name, _, _ in REDACTION_RULES)
+    return (
+        "WITH " + ", ".join(steps) +
+        f" SELECT url, {counts}, t{k} AS text_clean,"
+        f" CAST({total} AS BIGINT) AS n_redactions FROM s{k}"
+    )
