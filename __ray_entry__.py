@@ -612,6 +612,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def repetition_stats(sf_dir):
         return _docs(sf_dir).map_batches(T.repetition_stats, batch_format="pyarrow")
 
+    def decontaminate(sf_dir):
+        # 3-grams (vs the published 13) so the small-vocab test corpus
+        # produces real overlap; the operator itself is n-agnostic
+        from octoray.stages.decontam import decontaminate as D
+
+        return D(_docs(sf_dir), n=3, bench_mod=20)
+
     def fingerprints(sf_dir):
         return (
             _docs(sf_dir)
@@ -670,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "repetition_stats": repetition_stats,
+        "decontaminate": decontaminate,
         "lang_id": lang_id,
         "fingerprints": fingerprints,
         "train_val_split": lambda sf: __import__(
@@ -885,6 +893,29 @@ def oracle_sql() -> dict[str, str]:
                                    + 0.5) / 1000000 END AS dup_5gram_frac
             FROM big LEFT JOIN b2c ON big.doc_id = b2c.doc_id
                      LEFT JOIN g5c ON big.doc_id = g5c.doc_id
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                              for i in range(1, len(t) - 1)])
+                     END AS g
+              FROM toks),
+            bset AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+                     WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT d.doc_id, count(*) AS n_hits
+              FROM (SELECT doc_id, unnest(g) AS gram FROM grams
+                    WHERE doc_id % 20 <> 0) d
+              JOIN bset USING (gram) GROUP BY 1)
+            SELECT g.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(n_hits, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM grams WHERE doc_id % 20 <> 0) g
+            LEFT JOIN hits ON g.doc_id = hits.doc_id
         """,
         "train_val_split": """
             SELECT doc_id,
