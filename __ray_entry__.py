@@ -402,6 +402,25 @@ def _q_deidentify(sf_dir: str):
     return pages.map_batches(redact_batch, batch_format="pyarrow")
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4-style corpus-wide sentence dedup over the pages table: every
+    line that repeats across the corpus keeps only its first
+    (min url, line_no) occurrence; docs reassemble from survivors.
+    The synthetic pages' boilerplate sentences repeat heavily, so this
+    removes real volume (the op C4 used to cut web-crawl bloat)."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.pipelines.kg import pages_dataset
+    from octoray.stages.linededup import line_dedup
+
+    pages = pages_dataset(_kg_pages(sf_dir), seed=42).select_columns(
+        ["url", "text"])
+    if O.dump_enabled():
+        pages = rd.read_parquet(O.dump_dataset("linededup_pages", pages))
+    return line_dedup(pages)
+
+
 def _q_prep_ird(sf_dir: str):
     import ray.data as rd
 
@@ -645,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path": _q_kg_path,
         # --- corpus-release ops over the pages table ---
         "deidentify_pages": _q_deidentify,
+        "line_dedup_pages": _q_line_dedup,
         # --- stateful classification stages (X1/X2 analogues) ---
         "classify_clades": _q_classify_clades,
         "motifs": _q_motifs,
@@ -997,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path": Q.sql_path_closure(Q.rp("kg_path_edges")),
         "kg_delete": Q.sql_pull(Q.rpd("kg_delete_raw"), exclude=["f:genbank_id"]),
         "deidentify_pages": Q.sql_redact(Q.rpd("deid_pages")),
+        "line_dedup_pages": Q.sql_line_dedup(Q.rpd("linededup_pages")),
         "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),
         "prep_fasta": Q.sql_prep_triples(Q.rpd("prep_fasta_raw")),
         "prep_table": Q.sql_prep_triples(Q.rpd("prep_table_raw")),

@@ -833,3 +833,23 @@ def sql_redact(src: str) -> str:
         f" SELECT url, {counts}, t{k} AS text_clean,"
         f" CAST({total} AS BIGINT) AS n_redactions FROM s{k}"
     )
+
+
+def sql_line_dedup(src: str, *, sep: str = ". ") -> str:
+    """Boundary: the materialized pages (url, text).  Verifies the
+    two-exchange C4 line dedup (stages/linededup.py): global
+    keep-first per line content (first = min (url, line_no)) and the
+    per-doc reassembly, against a window-function re-derivation."""
+    s = sep.replace("'", "''")
+    return f"""
+        WITH s AS (SELECT url, string_split(text, '{s}') AS parts FROM {src}),
+        l AS (SELECT url, unnest(range(1, len(parts) + 1)) AS line_no,
+                     parts, len(parts) AS n_lines FROM s),
+        l2 AS (SELECT url, line_no, parts[line_no] AS line, n_lines FROM l),
+        k AS (SELECT *, row_number() OVER (PARTITION BY line
+                                           ORDER BY url, line_no) AS rn
+              FROM l2)
+        SELECT url, string_agg(line, '{s}' ORDER BY line_no) AS text_dedup,
+               any_value(n_lines) AS n_lines, CAST(count(*) AS BIGINT) AS n_kept
+        FROM k WHERE rn = 1 GROUP BY url
+    """
