@@ -600,6 +600,17 @@ def _q_knn_ivf(sf_dir: str):
     return S.ivf_knn(emb, _KNN_IDS, k=_KNN_K, centroids=C, nprobe=_IVF_NPROBE)
 
 
+def _q_kmeans(sf_dir: str):
+    """Full-corpus distributed k-means (spherical Lloyd): per
+    iteration one streaming pass with a map-side combiner (k partial
+    rows per batch), driver reduce bounded by k x blocks, centroids
+    re-broadcast via ray.put — no shuffle anywhere.  The oracle
+    re-runs the identical deterministic iterations in scalar SQL."""
+    from octoray.stages import similarity as S
+
+    return S.kmeans_cluster(_embeddings(sf_dir), k=8, n_iters=3)
+
+
 def _q_cosine_dup_pairs(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import similarity as S
@@ -721,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "kmeans_clusters": _q_kmeans,
     }
 
 
@@ -1036,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
             Q.rpd("minhash_sigs"), n_perm=64, bands=16, threshold=0.5),
         "simhash_pairs": Q.sql_simhash_pairs(Q.rpd("simhash_sigs"), max_hamming=3),
         "dup_components": Q.sql_dup_components(Q.rpd("dup_pairs")),
+        "kmeans_clusters": Q.sql_kmeans("embeddings", k=8, n_iters=3),
         "knn_lsh": Q.sql_knn_lsh(
             Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=24),
         "knn_ivf": Q.sql_knn_ivf(

@@ -853,3 +853,52 @@ def sql_line_dedup(src: str, *, sep: str = ". ") -> str:
                any_value(n_lines) AS n_lines, CAST(count(*) AS BIGINT) AS n_kept
         FROM k WHERE rn = 1 GROUP BY url
     """
+
+
+def sql_kmeans(src: str, *, k: int, n_iters: int) -> str:
+    """Boundary: the embeddings table itself.  Re-derives the full
+    spherical Lloyd run (deterministic smallest-id init, argmax
+    assignment with lowest-index tie-break, empty clusters carrying
+    forward) in scalar SQL over the exploded vectors — one CTE chain
+    per iteration, generated for the same (k, n_iters) the engine
+    ran."""
+    parts = [
+        f"e AS (SELECT vec_id, embedding AS emb FROM {src})",
+        "x AS (SELECT vec_id, unnest(range(1, len(emb) + 1)) AS i, emb FROM e)",
+        "xv AS (SELECT vec_id, i, CAST(emb[i] AS DOUBLE) AS v FROM x)",
+        "nr AS (SELECT vec_id, sqrt(sum(v * v)) AS s FROM xv GROUP BY 1)",
+        "n AS (SELECT xv.vec_id, i, CASE WHEN s = 0 THEN v ELSE v / s END AS v"
+        " FROM xv JOIN nr ON xv.vec_id = nr.vec_id)",
+        f"ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster"
+        f" FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT {k}))",
+        "c0 AS (SELECT ids.cluster, n.i, n.v FROM n JOIN ids USING (vec_id))",
+    ]
+    for t in range(1, n_iters + 1):
+        p = t - 1
+        parts += [
+            f"s{t} AS (SELECT n.vec_id, c.cluster, sum(n.v * c.v) AS sim"
+            f" FROM n JOIN c{p} c ON n.i = c.i GROUP BY 1, 2)",
+            f"a{t} AS (SELECT vec_id, cluster FROM"
+            f" (SELECT vec_id, cluster, row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn FROM s{t})"
+            f" WHERE rn = 1)",
+            f"m{t} AS (SELECT a.cluster, n.i, sum(n.v) AS sv"
+            f" FROM a{t} a JOIN n ON a.vec_id = n.vec_id GROUP BY 1, 2)",
+            f"mn{t} AS (SELECT cluster, sqrt(sum(sv * sv)) AS s FROM m{t} GROUP BY 1)",
+            f"c{t} AS (SELECT m.cluster, m.i,"
+            f" CASE WHEN s = 0 THEN sv ELSE sv / s END AS v"
+            f" FROM m{t} m JOIN mn{t} USING (cluster)"
+            f" UNION ALL SELECT c.cluster, c.i, c.v FROM c{p} c"
+            f" WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM m{t}))",
+        ]
+    f = n_iters + 1
+    parts += [
+        f"s{f} AS (SELECT n.vec_id, c.cluster, sum(n.v * c.v) AS sim"
+        f" FROM n JOIN c{n_iters} c ON n.i = c.i GROUP BY 1, 2)",
+        f"a{f} AS (SELECT vec_id, cluster FROM"
+        f" (SELECT vec_id, cluster, row_number() OVER"
+        f" (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn FROM s{f})"
+        f" WHERE rn = 1)",
+    ]
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{f}")

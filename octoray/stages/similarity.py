@@ -551,3 +551,79 @@ def ivf_knn(
         )
 
     return cands.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# full-corpus distributed k-means (Lloyd) — clustering as a corpus op,
+# not just the IVF coarse quantizer trained on a driver sample above
+# ----------------------------------------------------------------------
+def kmeans_init_centroids(embeddings, *, k: int, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic init: the normalized vectors of the k smallest
+    ids, cluster j = j-th smallest.  limit(k) moves k rows, never the
+    corpus."""
+    rows = embeddings.sort(id_col).limit(k).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return _normalize(np.stack([np.asarray(r[vec_col], np.float64)
+                                for r in rows]))
+
+
+def kmeans_iterate(embeddings, centroids: np.ndarray, *, n_iters: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> np.ndarray:
+    """Spherical Lloyd iterations over the FULL corpus.
+
+    Per iteration: broadcast centroids (ray.put once), one streaming
+    pass emitting k partial rows per batch (cluster, count, vector
+    sum) — a map-side combiner, so the driver reduce is bounded by
+    k x blocks regardless of corpus size; no shuffle at all.  Empty
+    clusters keep their previous centroid (same rule as the SQL twin).
+    """
+    import ray
+
+    k, d = centroids.shape
+    C = centroids
+    for _ in range(n_iters):
+        c_ref = ray.put(np.ascontiguousarray(C))
+
+        def partial(t: pa.Table) -> pa.Table:
+            Cb = ray.get(c_ref)
+            M = _normalize(_as_matrix(t.column(vec_col)))
+            if not len(M):
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            assign = np.argmax(M @ Cb.T, axis=1)
+            sums = np.zeros((len(Cb), M.shape[1]), np.float64)
+            np.add.at(sums, assign, M)
+            counts = np.bincount(assign, minlength=len(Cb))
+            present = np.flatnonzero(counts)
+            return pa.table({
+                "cluster": pa.array(present, pa.int64()),
+                "n": pa.array(counts[present], pa.int64()),
+                "vsum": pa.array([sums[c].tolist() for c in present],
+                                 pa.list_(pa.float64())),
+            })
+
+        rows = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, d), np.float64)
+        counts = np.zeros(k, np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vsum"], np.float64)
+            counts[r["cluster"]] += r["n"]
+        nxt = C.copy()
+        present = counts > 0
+        nxt[present] = sums[present] / counts[present, None]
+        C = _normalize(nxt)
+    return C
+
+
+def kmeans_cluster(embeddings, *, k: int = 8, n_iters: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Full distributed k-means: init -> n_iters Lloyd passes ->
+    one assignment pass.  Output (id, cluster)."""
+    C = kmeans_init_centroids(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    C = kmeans_iterate(embeddings, C, n_iters=n_iters,
+                       id_col=id_col, vec_col=vec_col)
+    out = ivf_assignments(embeddings, C, id_col=id_col, vec_col=vec_col)
+    return out

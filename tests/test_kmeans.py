@@ -1,0 +1,63 @@
+"""Distributed Lloyd k-means: exactness vs a local numpy reference."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from octoray.stages.similarity import (
+    _normalize,
+    kmeans_cluster,
+    kmeans_init_centroids,
+    kmeans_iterate,
+)
+
+
+def _emb_table(M):
+    return pa.table(
+        {
+            "vec_id": pa.array(range(len(M)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in M],
+                                  pa.list_(pa.float32())),
+        }
+    )
+
+
+def _reference(M, k, n_iters):
+    X = _normalize(np.asarray(M, np.float64))
+    C = X[:k].copy()
+    for _ in range(n_iters):
+        a = np.argmax(X @ C.T, axis=1)
+        nxt = C.copy()
+        for c in range(k):
+            if (a == c).any():
+                nxt[c] = X[a == c].mean(axis=0)
+        C = _normalize(nxt)
+    return C, np.argmax(X @ C.T, axis=1)
+
+
+def test_matches_local_reference(ray_session):
+    rng = np.random.default_rng(11)
+    M = rng.normal(size=(120, 8)).astype(np.float32)
+    ds = rd.from_arrow(_emb_table(M))
+    C_ref, a_ref = _reference(M, k=5, n_iters=4)
+
+    C = kmeans_iterate(ds, kmeans_init_centroids(ds, k=5), n_iters=4)
+    assert np.allclose(C, C_ref, atol=1e-12)
+
+    out = kmeans_cluster(ds, k=5, n_iters=4).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    assert (out["cluster"].to_numpy() == a_ref).all()
+
+
+def test_empty_cluster_carries_forward(ray_session):
+    # two tight groups, k=3: the third centroid (init = vector 2, which
+    # sits inside group A) empties out after reassignment and must keep
+    # its previous position instead of becoming NaN
+    A = np.tile([1.0, 0.0], (3, 1)) + 1e-3
+    B = np.tile([0.0, 1.0], (3, 1)) + 1e-3
+    M = np.vstack([A, B]).astype(np.float32)
+    ds = rd.from_arrow(_emb_table(M))
+    C = kmeans_iterate(ds, kmeans_init_centroids(ds, k=3), n_iters=3)
+    assert np.isfinite(C).all()
+    out = kmeans_cluster(ds, k=3, n_iters=3).to_pandas()
+    assert out["cluster"].nunique() <= 3
