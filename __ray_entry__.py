@@ -642,6 +642,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def repetition_stats(sf_dir):
         return _docs(sf_dir).map_batches(T.repetition_stats, batch_format="pyarrow")
 
+    def top_ngrams(sf_dir):
+        from octoray.stages.vocab import top_ngrams as V
+
+        return V(_docs(sf_dir), n=2, k=100)
+
+    def tfidf_keywords(sf_dir):
+        from octoray.stages.tfidf import tfidf_keywords as TF
+
+        return TF(_docs(sf_dir), k=3)
+
     def decontaminate(sf_dir):
         # 3-grams (vs the published 13) so the small-vocab test corpus
         # produces real overlap; the operator itself is n-agnostic
@@ -709,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_scores,
         "repetition_stats": repetition_stats,
         "decontaminate": decontaminate,
+        "top_ngrams": top_ngrams,
+        "tfidf_keywords": tfidf_keywords,
         "lang_id": lang_id,
         "fingerprints": fingerprints,
         "train_val_split": lambda sf: __import__(
@@ -925,6 +937,34 @@ def oracle_sql() -> dict[str, str]:
                                    + 0.5) / 1000000 END AS dup_5gram_frac
             FROM big LEFT JOIN b2c ON big.doc_id = b2c.doc_id
                      LEFT JOIN g5c ON big.doc_id = g5c.doc_id
+        """,
+        "top_ngrams": r"""
+            WITH tk AS (SELECT regexp_extract_all(text, '\S+') AS t
+                        FROM documents),
+            g AS (SELECT unnest(
+                    CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE [t[i] || ' ' || t[i+1]
+                               for i in range(1, len(t))] END) AS gram
+                  FROM tk)
+            SELECT gram, CAST(count(*) AS BIGINT) AS "count"
+            FROM g GROUP BY gram
+            ORDER BY "count" DESC, gram LIMIT 100
+        """,
+        "tfidf_keywords": r"""
+            WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                        FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents),
+            sc AS (SELECT doc_id, tf.token,
+                          tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df) AS s
+                   FROM tf CROSS JOIN nn JOIN dfq ON tf.token = dfq.token),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY s DESC, token) AS rn
+                  FROM sc)
+            SELECT doc_id, token, floor(s * 1000000 + 0.5) / 1000000 AS tfidf
+            FROM r WHERE rn <= 3
         """,
         "decontaminate": r"""
             WITH toks AS (
