@@ -647,6 +647,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return V(_docs(sf_dir), n=2, k=100)
 
+    def jsonl_roundtrip(sf_dir):
+        # documents -> JSONL shards -> read back (S-family interchange
+        # reader for the LLM-corpus world).  The JSONL artifact is the
+        # oracle hand-off: DuckDB re-reads the same shards.
+        import os
+
+        from octoray import oracles as O
+        from octoray.sources.jsonl import read_docs_jsonl, write_docs_jsonl
+
+        d = os.path.join(O.ORACLE_DIR, "docs_jsonl")
+        write_docs_jsonl(_docs(sf_dir), d)
+        return read_docs_jsonl(d).map_batches(
+            T.token_counts, batch_format="pyarrow")
+
     def tfidf_keywords(sf_dir):
         from octoray.stages.tfidf import tfidf_keywords as TF
 
@@ -721,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "top_ngrams": top_ngrams,
         "tfidf_keywords": tfidf_keywords,
+        "jsonl_roundtrip": jsonl_roundtrip,
         "lang_id": lang_id,
         "fingerprints": fingerprints,
         "train_val_split": lambda sf: __import__(
@@ -949,6 +964,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, CAST(count(*) AS BIGINT) AS "count"
             FROM g GROUP BY gram
             ORDER BY "count" DESC, gram LIMIT 100
+        """,
+        "jsonl_roundtrip": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+            FROM read_json_auto('""" + Q.ORACLE_DIR + r"""/docs_jsonl/*.json')
         """,
         "tfidf_keywords": r"""
             WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
