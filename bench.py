@@ -55,6 +55,13 @@ SUITE = [
     "knn_brute",
     "knn_ivf",
     "cosine_dup_pairs",
+    # round-2 additions: corpus-release + statistics + clustering ops
+    "deidentify_pages",
+    "line_dedup_pages",
+    "decontaminate",
+    "top_ngrams",
+    "tfidf_keywords",
+    "kmeans_clusters",
 ]
 
 

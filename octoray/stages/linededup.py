@@ -20,10 +20,12 @@ the same contract as the SQL twin (group over kept lines).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 
-from octoray.query import block_map_groups
+from octoray.query import assert_block_colocation
 
 
 def explode_lines(batch: pa.Table, *, id_col: str, text_col: str,
@@ -69,15 +71,27 @@ def line_dedup(docs, *, id_col: str = "url", text_col: str = "text",
     kept = exploded.sort(["line"]).map_batches(
         first_per_line, batch_format="pandas", batch_size=None)
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("line_no")
-        return pd.DataFrame({
-            id_col: [g[id_col].iloc[0]],
-            "text_dedup": [sep.join(g["line"])],
-            "n_lines": [int(g["n_lines"].iloc[0])],
-            "n_kept": [len(g)],
-        })
+    def rebuild_block(df: pd.DataFrame) -> pd.DataFrame:
+        # one whole-block groupby-agg (NOT a DataFrame per group — that
+        # costs ~0.5 ms per doc and dominated the stage at 20k docs)
+        if not len(df):
+            return pd.DataFrame({id_col: [], "text_dedup": [],
+                                 "n_lines": [], "n_kept": []})
+        df = df.sort_values([id_col, "line_no"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        out = pd.DataFrame({
+            "text_dedup": g["line"].agg(sep.join),
+            "n_lines": g["n_lines"].first(),
+            "n_kept": g.size(),
+        }).reset_index()
+        return out
 
     # sort key == group key only (same prefix-split rule as above);
-    # rebuild() establishes line_no order inside the group
-    return block_map_groups(kept.sort([id_col]), [id_col], rebuild)
+    # rebuild_block() establishes line_no order inside the block
+
+
+    by_doc = kept.sort([id_col])
+    if os.environ.get("OCTORAY_CHECK_BLOCKS"):
+        assert_block_colocation(by_doc, [id_col])
+    return by_doc.map_batches(rebuild_block, batch_format="pandas",
+                              batch_size=None)
