@@ -22,7 +22,7 @@ from collections import Counter
 import pandas as pd
 import pyarrow as pa
 
-from octoray.query import block_map_groups, hash_join, sorted_groupby_count
+from octoray.query import hash_join, sorted_groupby_count
 from octoray.util import round_half_up_scalar
 
 
@@ -66,12 +66,19 @@ def tfidf_keywords(docs, *, k: int = 3, id_col: str = "doc_id",
 
     scored = joined.map_batches(score, batch_format="pandas")
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["_s", "token"], ascending=[False, True],
-                          kind="mergesort").head(k)
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-block top-k: one sort + cumcount, no per-group
+        # DataFrame dispatch (docs co-locate per the sorted-block
+        # invariant — sort key == group key)
+        if not len(df):
+            return pd.DataFrame({id_col: [], "token": [], "tfidf": []})
+        df = df.sort_values([id_col, "_s", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df[df.groupby(id_col, sort=False).cumcount() < k]
         return pd.DataFrame({
-            id_col: g[id_col], "token": g["token"],
-            "tfidf": [round_half_up_scalar(v, 6) for v in g["_s"]],
+            id_col: df[id_col], "token": df["token"],
+            "tfidf": [round_half_up_scalar(v, 6) for v in df["_s"]],
         })
 
-    return block_map_groups(scored.sort([id_col]), [id_col], topk)
+    return scored.sort([id_col]).map_batches(
+        topk_block, batch_format="pandas", batch_size=None)
