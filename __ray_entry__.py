@@ -383,6 +383,17 @@ def _q_prep_ivr(sf_dir: str):
     return _prep_canon("prep_ivr_raw", raw)
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Entity importance over the built KG: 5 PageRank iterations on
+    the uri->uri edge graph (one broadcast join + one combine-sum per
+    iteration; rank table is node-sized and re-broadcast per round)."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import pagerank
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_pagerank_raw"))
+    return pagerank(triples, damping=0.85, n_iters=5)
+
+
 def _q_deidentify(sf_dir: str):
     """Corpus-release redaction over the pages table: scrub contact
     PII (email/phone/IP) and the domain's sample identifiers (EPI ids,
@@ -697,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct": _q_kg_construct,
         "kg_optional": _q_kg_optional,
         "kg_path": _q_kg_path,
+        "kg_pagerank": _q_kg_pagerank,
         # --- corpus-release ops over the pages table ---
         "deidentify_pages": _q_deidentify,
         "line_dedup_pages": _q_line_dedup,
@@ -1090,6 +1102,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_optional": Q.sql_optional_bindings(Q.rpd("kg_optional_raw")),
         "kg_path": Q.sql_path_closure(Q.rp("kg_path_edges")),
         "kg_delete": Q.sql_pull(Q.rpd("kg_delete_raw"), exclude=["f:genbank_id"]),
+        "kg_pagerank": Q.sql_pagerank(Q.rpd("kg_pagerank_raw"),
+                                      damping=0.85, n_iters=5),
         "deidentify_pages": Q.sql_redact(Q.rpd("deid_pages")),
         "line_dedup_pages": Q.sql_line_dedup(Q.rpd("linededup_pages")),
         "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),

@@ -902,3 +902,33 @@ def sql_kmeans(src: str, *, k: int, n_iters: int) -> str:
     ]
     return ("WITH " + ", ".join(parts) +
             f" SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{f}")
+
+
+def sql_pagerank(src: str, *, damping: float, n_iters: int) -> str:
+    """Boundary: raw emitted triples.  Re-derives dedup, the uri->uri
+    edge projection, and every PageRank iteration (simplified variant,
+    no dangling redistribution) as a generated CTE chain; ranks
+    rounded half-up to 6 decimals on both sides."""
+    d = repr(damping)
+    parts = [
+        f"e AS (SELECT DISTINCT subject AS src, object AS dst FROM {src}"
+        f" WHERE object_datatype = 'uri')",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, n_iters + 1):
+        p = t - 1
+        parts += [
+            f"c{t} AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS m"
+            f" FROM e JOIN r{p} r ON e.src = r.node"
+            f" JOIN deg ON e.src = deg.src GROUP BY 1)",
+            f"r{t} AS (SELECT nodes.node,"
+            f" (1.0 - {d}) / nn.n + {d} * coalesce(c.m, 0.0) AS rank"
+            f" FROM nodes CROSS JOIN nn LEFT JOIN c{t} c"
+            f" ON nodes.node = c.node)",
+        ]
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT node, floor(rank * 1000000 + 0.5) / 1000000 AS rank"
+            f" FROM r{n_iters}")

@@ -1,0 +1,107 @@
+"""Iterative graph analytics over the triple store: PageRank.
+
+Entity-importance ranking over the KG's uri->uri edges — the
+canonical iterative join + aggregate workload (reference analogue:
+octofludb has no ranking, but "which strains/clades are hubs" is the
+first question its users ask of the graph; SURVEY §2.5 J1's skew
+discussion is literally about these hub nodes).
+
+Per iteration (the Pregel-shaped plan, one hash join + one small-row
+combine sum):
+  contrib = edges JOIN ranks ON src  ->  (dst, rank/out_degree)
+  ranks'  = (1-d)/N + d * sum(contrib) per dst, 0 for no-inbound
+The rank table is node-sized (far smaller than the corpus triples),
+so hash_join's stats gate broadcasts it while it fits and falls back
+to a merge join beyond that.  Simplified variant: dangling-node mass
+is NOT redistributed (matches the SQL twin exactly).
+
+Determinism: fixed iteration count, float64 throughout, final round
+half-up to 6 decimals — cross-engine FP sum-order drift is ~1e-15,
+far under the rounding grain.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from octoray.query import hash_join, sorted_groupby_count, sorted_groupby_sum
+from octoray.util import round_half_up_scalar
+
+DT_URI = "uri"
+
+
+def uri_edges(triples):
+    """Distinct (src, dst) uri->uri edges from a deduped triple
+    Dataset."""
+    import pyarrow.compute as pc
+
+    from octoray.query import distinct_values
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("object_datatype"),
+                              pa.scalar(DT_URI)))
+        return pa.table({"src": t.column("subject"),
+                         "dst": t.column("object")})
+
+    return distinct_values(triples.map_batches(f, batch_format="pyarrow"),
+                           ["src", "dst"])
+
+
+def pagerank(triples, *, damping: float = 0.85, n_iters: int = 5):
+    """(node, rank) over the uri->uri edge graph of ``triples``."""
+    edges = uri_edges(triples).materialize()
+
+    # node set = src ∪ dst (distinct of a 2-column stack)
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("src").combine_chunks().cast(pa.string()),
+             t.column("dst").combine_chunks().cast(pa.string())])})
+
+    from octoray.query import distinct_values
+
+    nodes = distinct_values(edges.map_batches(both, batch_format="pyarrow"),
+                            ["node"]).materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes
+
+    deg = sorted_groupby_count(edges.select_columns(["src"]), ["src"],
+                               alias="deg")
+    # edges with the source's out-degree attached (loop-invariant)
+    edeg = hash_join(edges, deg, on="src").materialize()
+
+    base = (1.0 - damping) / n
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "rank": pa.array([1.0 / n] * t.num_rows,
+                                             pa.float64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_iters):
+        r = ranks.map_batches(
+            lambda t: t.rename_columns(["src", "rank"]),
+            batch_format="pyarrow")
+        contrib = hash_join(edeg, r, on="src").map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["dst"], "c": df["rank"] / df["deg"]}),
+            batch_format="pandas")
+        summed = sorted_groupby_sum(contrib, ["node"], "c", alias="in_mass")
+        joined = hash_join(nodes, summed, on="node", how="left_outer")
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            mass = df["in_mass"].fillna(0.0)
+            return pd.DataFrame({"node": df["node"],
+                                 "rank": base + damping * mass})
+
+        ranks = joined.map_batches(update,
+                                   batch_format="pandas").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        vals = [round_half_up_scalar(v, 6)
+                for v in t.column("rank").to_pylist()]
+        return pa.table({"node": t.column("node"),
+                         "rank": pa.array(vals, pa.float64())})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
