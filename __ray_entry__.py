@@ -658,6 +658,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return V(_docs(sf_dir), n=2, k=100)
 
+    _MIX_RATES = {"en": 1.0, "es": 0.5, "fr": 0.25, "de": 0.1}
+
+    def stratified_sample(sf_dir):
+        return T.stratified_sample(_docs(sf_dir), rates=_MIX_RATES,
+                                   default_rate=0.05)
+
+    def length_quantiles(sf_dir):
+        return T.length_quantiles(_docs(sf_dir))
+
     def jsonl_roundtrip(sf_dir):
         # documents -> JSONL shards -> read back (S-family interchange
         # reader for the LLM-corpus world).  The JSONL artifact is the
@@ -748,6 +757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": top_ngrams,
         "tfidf_keywords": tfidf_keywords,
         "jsonl_roundtrip": jsonl_roundtrip,
+        "stratified_sample": stratified_sample,
+        "length_quantiles": length_quantiles,
         "lang_id": lang_id,
         "fingerprints": fingerprints,
         "train_val_split": lambda sf: __import__(
@@ -983,6 +994,28 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
             FROM read_json_auto('""" + Q.ORACLE_DIR + r"""/docs_jsonl/*.json')
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5
+                              WHEN 'fr' THEN 0.25 WHEN 'de' THEN 0.1
+                              ELSE 0.05 END
+        """,
+        "length_quantiles": """
+            WITH c AS (SELECT lang, n_chars, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            w AS (SELECT lang, n_chars,
+                         sum(n) OVER (PARTITION BY lang
+                                      ORDER BY n_chars) AS cum,
+                         sum(n) OVER (PARTITION BY lang) AS tot
+                  FROM c)
+            SELECT lang,
+              min(n_chars) FILTER (WHERE cum >= ceil(0.50 * tot)) AS p50,
+              min(n_chars) FILTER (WHERE cum >= ceil(0.90 * tot)) AS p90,
+              min(n_chars) FILTER (WHERE cum >= ceil(0.99 * tot)) AS p99
+            FROM w GROUP BY lang
         """,
         "tfidf_keywords": r"""
             WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t

@@ -239,3 +239,68 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
             "dup_5gram_frac": pa.array(d5f, pa.float64()),
         }
     )
+
+
+def stratified_sample(docs, *, rates: Dict[str, float],
+                      default_rate: float = 0.0,
+                      id_col: str = "doc_id", stratum_col: str = "lang"):
+    """Deterministic per-stratum subsampling — the data-mixing op
+    (downweight overrepresented languages/sources when composing a
+    training mix).  keep iff md5(str(id))[:8] as a 32-bit fraction <
+    rate(stratum); the same hash convention as train_val_split, so
+    mixing and splitting are consistent and reproducible in SQL.
+    Stateless streaming filter: no shuffle, stable under any
+    partitioning."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        strata = batch.column(stratum_col).to_pylist()
+        keep = []
+        for v, s in zip(ids.to_pylist(), strata):
+            r = rates.get(s, default_rate)
+            x = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) / 4294967296.0
+            keep.append(x < r)
+        return batch.filter(pa.array(keep)).select([id_col, stratum_col])
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def length_quantiles(docs, *, probs=(0.5, 0.9, 0.99),
+                     value_col: str = "n_chars", stratum_col: str = "lang"):
+    """Exact per-stratum quantiles of a bounded-domain value via the
+    counting-sort plan: one (stratum, value) count shuffle (small —
+    bounded by distinct value levels, NOT corpus rows), then the
+    cumulative pick on the driver.  quantile(p) = smallest v with
+    cum_count >= ceil(p * total), the inverted-CDF definition the SQL
+    twin replicates with window functions.  Returns a pandas frame
+    (one row per stratum) — a driver-sized result by construction."""
+    import math as _math
+
+    import pandas as _pd
+
+    from octoray.query import sorted_groupby_count
+
+    counts = sorted_groupby_count(
+        docs.select_columns([stratum_col, value_col]),
+        [stratum_col, value_col], alias="n").take_all()
+    by_stratum: Dict[str, list] = {}
+    for r in counts:
+        by_stratum.setdefault(r[stratum_col], []).append(
+            (r[value_col], r["n"]))
+    rows = []
+    for s in sorted(by_stratum):
+        vals = sorted(by_stratum[s])
+        total = sum(n for _, n in vals)
+        row = {stratum_col: s}
+        for p in probs:
+            target = _math.ceil(p * total)
+            cum = 0
+            q = vals[-1][0]
+            for v, n in vals:
+                cum += n
+                if cum >= target:
+                    q = v
+                    break
+            row[f"p{int(p * 100)}"] = q
+        rows.append(row)
+    return _pd.DataFrame(rows)

@@ -1,0 +1,60 @@
+"""Stratified sampling and exact quantiles."""
+
+import hashlib
+
+import pyarrow as pa
+import ray.data as rd
+
+from octoray.stages.textops import length_quantiles, stratified_sample
+
+
+def _docs(n=200):
+    langs = ["en", "es", "fr"]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array([langs[i % 3] for i in range(n)], pa.string()),
+        "n_chars": pa.array([(i * 7) % 100 for i in range(n)], pa.int64()),
+    }))
+
+
+def _frac(i):
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_stratified_rates_exact(ray_session):
+    out = stratified_sample(
+        _docs(), rates={"en": 1.0, "es": 0.5}, default_rate=0.0,
+        stratum_col="lang").to_pandas()
+    # en: all kept; es: exactly those under the hash threshold; fr: none
+    kept = set(out["doc_id"])
+    for i in range(200):
+        lang = ["en", "es", "fr"][i % 3]
+        want = (lang == "en") or (lang == "es" and _frac(i) < 0.5)
+        assert (i in kept) == want, i
+
+
+def test_stratified_deterministic_across_runs(ray_session):
+    a = stratified_sample(_docs(), rates={"es": 0.3}, default_rate=0.1,
+                          stratum_col="lang").to_pandas()
+    b = stratified_sample(_docs(), rates={"es": 0.3}, default_rate=0.1,
+                          stratum_col="lang").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_length_quantiles_inverted_cdf(ray_session):
+    # single stratum 1..10: p50 -> 5th value, p90 -> 9th, p99 -> 10th
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "lang": pa.array(["en"] * 10, pa.string()),
+        "n_chars": pa.array(range(1, 11), pa.int64()),
+    }))
+    out = length_quantiles(ds).set_index("lang")
+    assert out.loc["en", "p50"] == 5
+    assert out.loc["en", "p90"] == 9
+    assert out.loc["en", "p99"] == 10
+
+
+def test_length_quantiles_per_stratum(ray_session):
+    out = length_quantiles(_docs()).set_index("lang")
+    assert set(out.index) == {"en", "es", "fr"}
+    assert (out["p50"] <= out["p90"]).all() and (out["p90"] <= out["p99"]).all()
