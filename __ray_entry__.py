@@ -573,6 +573,22 @@ def _q_dup_components(sf_dir: str):
     return D.dup_components(pairs)
 
 
+def _q_near_dup_kept(sf_dir: str):
+    """The full near-dedup decision a corpus release runs: MinHash-LSH
+    pairs -> connected components -> keep min-id representative per
+    component + every untouched doc."""
+    from octoray import oracles as O
+    from octoray.stages import dedup as D
+
+    docs = _docs(sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, concurrency=(1, 2))
+    if O.dump_enabled():
+        import ray.data as rd
+
+        pairs = rd.read_parquet(O.dump_dataset("near_dup_pairs", pairs))
+    return D.near_dup_kept(docs, pairs)
+
+
 def _q_knn_lsh(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import similarity as S
@@ -770,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": lambda sf: D.jaccard_pairs(_docs(sf), k=_JACCARD_K),
         "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
         "dup_components": _q_dup_components,
+        "near_dup_kept": _q_near_dup_kept,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         # --- multimodal columns (decode/resize/frames stubbed per docs) ---
@@ -1157,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
             Q.rpd("minhash_sigs"), n_perm=64, bands=16, threshold=0.5),
         "simhash_pairs": Q.sql_simhash_pairs(Q.rpd("simhash_sigs"), max_hamming=3),
         "dup_components": Q.sql_dup_components(Q.rpd("dup_pairs")),
+        "near_dup_kept": Q.sql_near_dup_kept(Q.rpd("near_dup_pairs")),
         "kmeans_clusters": Q.sql_kmeans("embeddings", k=8, n_iters=3),
         "knn_lsh": Q.sql_knn_lsh(
             Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=24),

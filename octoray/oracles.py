@@ -932,3 +932,24 @@ def sql_pagerank(src: str, *, damping: float, n_iters: int) -> str:
     return ("WITH " + ", ".join(parts) +
             f" SELECT node, floor(rank * 1000000 + 0.5) / 1000000 AS rank"
             f" FROM r{n_iters}")
+
+
+def sql_near_dup_kept(pairs_src: str) -> str:
+    """Boundary: the near-dup pair list.  Re-derives components (the
+    same recursive closure as sql_dup_components), drops every
+    non-representative member, keeps the rest of the corpus."""
+    return f"""
+        WITH RECURSIVE pr AS (SELECT id_a, id_b FROM {pairs_src}),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pr
+              UNION SELECT id_b, id_a FROM pr),
+        walk(id, comp) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, walk.comp FROM walk JOIN e ON walk.id = e.src
+          WHERE walk.comp < e.dst)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+          SELECT id FROM (SELECT id, min(comp) AS component
+                          FROM walk GROUP BY id)
+          WHERE id <> component)
+    """

@@ -771,3 +771,24 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
         if changed == 0:
             break
     return labels
+
+
+def near_dup_kept(docs, pairs, *, id_col: str = "doc_id"):
+    """End-to-end near-dup retention decision: pairs -> connected
+    components -> keep each component's min-id representative plus all
+    untouched docs.  The drop set (non-representative members) is
+    near-dup-sized, so it broadcasts; the docs side streams through
+    one anti-join filter with no shuffle."""
+    import pyarrow.compute as pc
+
+    from octoray.query import broadcast_anti_join, broadcast_keys
+
+    comp = dup_components(pairs)
+
+    def non_reps(t):
+        return t.filter(pc.not_equal(t.column("id"), t.column("component")))
+
+    drop_rows = comp.map_batches(non_reps, batch_format="pyarrow").take_all()
+    ref = broadcast_keys(r["id"] for r in drop_rows)
+    return broadcast_anti_join(
+        docs.select_columns([id_col]), id_col, ref)

@@ -80,3 +80,19 @@ def test_dup_components_long_chain_converges_logarithmically(ray_session):
         ).take_all()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_near_dup_kept_representatives(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.dedup import near_dup_kept
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64())}))
+    # components {1,2,3} and {5,6}; 4 untouched
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 5], pa.int64()),
+        "id_b": pa.array([2, 3, 6], pa.int64())}))
+    kept = sorted(near_dup_kept(docs, pairs).to_pandas()["doc_id"])
+    assert kept == [1, 4, 5]
