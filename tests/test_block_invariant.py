@@ -99,3 +99,40 @@ def test_sorted_block_dedup_null_safe(ray_session):
     # s1 keeps ONE null row; s2 keeps both its null and its value row
     assert got == {("s1", None), ("s2", "o"), ("s2", None), ("s3", "o")}
     assert len(out) == 4
+
+
+def test_line_dedup_exact_under_tiny_blocks(ray_session, tiny_blocks):
+    """The round-2 C4 line dedup relies twice on the invariant (keep-
+    first per line, doc rebuild) — stress both with heavy duplication
+    across many small blocks."""
+    from octoray.stages.linededup import line_dedup
+
+    rows = []
+    for i in range(400):
+        # every doc shares 'common one'/'common two'; unique tail
+        rows.append((f"u{i:04d}", f"common one. common two. unique {i}"))
+    docs = rd.from_arrow(pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "text": pa.array([t for _, t in rows], pa.string()),
+    })).repartition(16)
+    out = line_dedup(docs).to_pandas().set_index("url")
+    assert len(out) == 400
+    assert out.loc["u0000", "n_kept"] == 3
+    assert int((out["n_kept"] == 1).sum()) == 399
+    # every doc keeps its unique line exactly once
+    assert all(f"unique {i}" in out.loc[f"u{i:04d}", "text_dedup"]
+               for i in range(0, 400, 97))
+
+
+def test_tfidf_topk_exact_under_tiny_blocks(ray_session, tiny_blocks):
+    from octoray.stages.tfidf import tfidf_keywords
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "text": pa.array([f"tok{i % 5} shared words tok{i % 5}"
+                          for i in range(300)], pa.string()),
+    })).repartition(16)
+    out = tfidf_keywords(docs, k=2).to_pandas()
+    # exactly 2 keywords per doc, and every doc present
+    assert sorted(out["doc_id"].unique()) == list(range(300))
+    assert (out.groupby("doc_id").size() == 2).all()
