@@ -62,6 +62,10 @@ SUITE = [
     "top_ngrams",
     "tfidf_keywords",
     "kmeans_clusters",
+    "kg_pagerank",
+    "near_dup_kept",
+    "stratified_sample",
+    "length_quantiles",
 ]
 
 
