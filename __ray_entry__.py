@@ -674,6 +674,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return V(_docs(sf_dir), n=2, k=100)
 
+    def asof_attribution(sf_dir):
+        # purchase -> most recent prior click per user (classic
+        # attribution) via the distributed backward as-of join;
+        # DuckDB's native ASOF LEFT JOIN is the oracle
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from octoray.query import asof_join
+
+        ev = _events(sf_dir)
+
+        def pick(etype, cols):
+            def f(t):
+                t = t.filter(pc.equal(t.column("event_type"),
+                                      pa.scalar(etype)))
+                return t.select(list(cols))
+            return ev.map_batches(f, batch_format="pyarrow")
+
+        purchases = pick("purchase", ("event_id", "user_id", "ts"))
+        clicks = pick("click", ("user_id", "ts", "event_id")).map_batches(
+            lambda t: t.rename_columns(["user_id", "ts", "click_id"]),
+            batch_format="pyarrow")
+        return asof_join(purchases, clicks, by="user_id", on="ts")
+
     _MIX_RATES = {"en": 1.0, "es": 0.5, "fr": 0.25, "de": 0.1}
 
     def stratified_sample(sf_dir):
@@ -774,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": tfidf_keywords,
         "jsonl_roundtrip": jsonl_roundtrip,
         "stratified_sample": stratified_sample,
+        "asof_attribution": asof_attribution,
         "length_quantiles": length_quantiles,
         "lang_id": lang_id,
         "fingerprints": fingerprints,
@@ -1011,6 +1036,15 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
             FROM read_json_auto('""" + Q.ORACLE_DIR + r"""/docs_jsonl/*.json')
+        """,
+        "asof_attribution": """
+            SELECT p.event_id, p.user_id, p.ts, c.click_id,
+                   c.ts AS ts_r
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT event_id AS click_id, user_id, ts
+                            FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -516,3 +516,70 @@ def tagged_subjects(triples, ids: Sequence[str], *, id_predicates: Sequence[str]
     # runs its own single distinct — a second one here would double the
     # shuffle work for nothing
     return idt.map_batches(f, batch_format="pyarrow")
+
+
+def asof_join(left, right, *, by: str, on: str, right_suffix: str = "_r"):
+    """Distributed backward as-of join (the custom operator the brief
+    names as missing from Ray Data): for each left row, attach the
+    right row with the largest ``on`` <= left's ``on`` within the same
+    ``by`` group — event attribution, price-as-of-trade, sensor
+    alignment.
+
+    Plan: tag sides, align schemas with typed null columns, ONE range
+    sort on the group key (equal keys co-locate — the same pinned
+    invariant as the rest of the block-local family), then a
+    block-local vectorized ``pandas.merge_asof`` per block.  Right
+    rows' ``on`` value survives as ``on + right_suffix``.  Left rows
+    with no prior right row keep typed nulls."""
+    import numpy as np
+    import pandas as pd
+
+    lf_schema = left.schema().base_schema
+    rf_schema = right.schema().base_schema
+    lcols = list(lf_schema.names)
+    rextra = [c for c in rf_schema.names if c not in (by, on)]
+
+    # right's on value must survive the merge (merge_asof consumes the
+    # shared `on` column), so duplicate it under the suffixed name
+    def prep_right(t: pa.Table) -> pa.Table:
+        t = t.append_column(on + right_suffix, t.column(on))
+        return t
+
+    right = right.map_batches(prep_right, batch_format="pyarrow")
+    rcols = [by, on] + rextra + [on + right_suffix]
+
+    r_arrow = {f.name: f.type for f in rf_schema}
+    r_arrow[on + right_suffix] = r_arrow[on]
+    l_arrow = {f.name: f.type for f in lf_schema}
+
+    union_cols = lcols + rextra + [on + right_suffix]
+
+    def pad(t: pa.Table, missing: dict, side: int) -> pa.Table:
+        for name, typ in missing.items():
+            t = t.append_column(name, pa.nulls(t.num_rows, typ))
+        t = t.append_column(
+            "_side", pa.array(np.full(t.num_rows, side, np.int8)))
+        # both union sides must agree on column ORDER, not just names
+        return t.select(union_cols + ["_side"])
+
+    lpad = {c: r_arrow[c] for c in rextra + [on + right_suffix]}
+    rpad = {c: l_arrow[c] for c in lcols if c not in (by, on)}
+    both = left.map_batches(
+        lambda t: pad(t, lpad, 0), batch_format="pyarrow").union(
+        right.map_batches(lambda t: pad(t, rpad, 1), batch_format="pyarrow"))
+
+    out_cols = lcols + rextra + [on + right_suffix]
+
+    def block_asof(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["_side"] == 0][lcols]
+        rf = df[df["_side"] == 1][rcols]
+        if not len(lf):
+            return pd.DataFrame({c: [] for c in out_cols})
+        lf = lf.sort_values(on, kind="mergesort")
+        rf = rf.sort_values(on, kind="mergesort")
+        merged = pd.merge_asof(lf, rf, on=on, by=by, direction="backward",
+                               suffixes=("", "_dup"))
+        return merged[out_cols]
+
+    return both.sort([by]).map_batches(block_asof, batch_format="pandas",
+                                       batch_size=None)
