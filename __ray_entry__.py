@@ -698,6 +698,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return asof_join(purchases, clicks, by="user_id", on="ts")
 
+    def range_click_counts(sf_dir):
+        # range join: clicks in the 30 minutes up to each purchase —
+        # two merge_asof rank lookups per block, no pair expansion
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from octoray.query import range_join_count
+
+        ev = _events(sf_dir)
+
+        def pick(etype, cols):
+            def f(t):
+                t = t.filter(pc.equal(t.column("event_type"),
+                                      pa.scalar(etype)))
+                return t.select(list(cols))
+            return ev.map_batches(f, batch_format="pyarrow")
+
+        purchases = pick("purchase", ("event_id", "user_id", "ts"))
+        clicks = pick("click", ("user_id", "ts"))
+        return range_join_count(purchases, clicks, by="user_id", on="ts",
+                                window=pd.Timedelta(minutes=30),
+                                alias="n_clicks_30m")
+
     _MIX_RATES = {"en": 1.0, "es": 0.5, "fr": 0.25, "de": 0.1}
 
     def stratified_sample(sf_dir):
@@ -799,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": jsonl_roundtrip,
         "stratified_sample": stratified_sample,
         "asof_attribution": asof_attribution,
+        "range_click_counts": range_click_counts,
         "length_quantiles": length_quantiles,
         "lang_id": lang_id,
         "fingerprints": fingerprints,
@@ -1045,6 +1070,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT event_id AS click_id, user_id, ts
                             FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_click_counts": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   CAST(count(c.ts) AS BIGINT) AS n_clicks_30m
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+            GROUP BY 1, 2, 3
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
