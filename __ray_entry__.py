@@ -394,6 +394,26 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(triples, damping=0.85, n_iters=5)
 
 
+def _q_extract_text(sf_dir: str):
+    """The byte-identical HTML->text extraction itself (the north
+    rule's per-row invariant), verified against an INDEPENDENT SQL
+    re-derivation over the dumped raw html — previously only the P/R
+    gate covered this step."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.pipelines.kg import pages_dataset
+    from octoray.stages.extract import extract_text_batch
+
+    pages = pages_dataset(_kg_pages(sf_dir), seed=42).select_columns(
+        ["url", "html"])
+    if O.dump_enabled():
+        pages = rd.read_parquet(O.dump_dataset("extract_pages", pages))
+    return pages.map_batches(extract_text_batch,
+                             batch_format="pyarrow").select_columns(
+        ["url", "text"])
+
+
 def _q_deidentify(sf_dir: str):
     """Corpus-release redaction over the pages table: scrub contact
     PII (email/phone/IP) and the domain's sample identifiers (EPI ids,
@@ -783,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path": _q_kg_path,
         "kg_pagerank": _q_kg_pagerank,
         # --- corpus-release ops over the pages table ---
+        "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
         "line_dedup_pages": _q_line_dedup,
         # --- stateful classification stages (X1/X2 analogues) ---
@@ -1224,6 +1245,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_delete": Q.sql_pull(Q.rpd("kg_delete_raw"), exclude=["f:genbank_id"]),
         "kg_pagerank": Q.sql_pagerank(Q.rpd("kg_pagerank_raw"),
                                       damping=0.85, n_iters=5),
+        # entity order: &lt;/&gt; first, &amp; LAST — the inverse of
+        # html.escape(quote=False); '&amp;lt;' round-trips correctly
+        "extract_text": ("""
+            SELECT url, replace(replace(replace(
+                     coalesce(regexp_extract(decode(html),
+                              '<article>(.*?)</article>', 1), ''),
+                     '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS text
+            FROM """ + Q.rpd("extract_pages")),
         "deidentify_pages": Q.sql_redact(Q.rpd("deid_pages")),
         "line_dedup_pages": Q.sql_line_dedup(Q.rpd("linededup_pages")),
         "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),
