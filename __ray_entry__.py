@@ -770,6 +770,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return TF(_docs(sf_dir), k=3)
 
+    def inverted_index(sf_dir):
+        from octoray.stages.vocab import inverted_index as II
+
+        return II(_docs(sf_dir), min_df=2)
+
     def decontaminate(sf_dir):
         # 3-grams (vs the published 13) so the small-vocab test corpus
         # produces real overlap; the operator itself is n-agnostic
@@ -840,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": repetition_stats,
         "decontaminate": decontaminate,
         "top_ngrams": top_ngrams,
+        "inverted_index": inverted_index,
         "tfidf_keywords": tfidf_keywords,
         "jsonl_roundtrip": jsonl_roundtrip,
         "stratified_sample": stratified_sample,
@@ -1063,6 +1069,15 @@ def oracle_sql() -> dict[str, str]:
                                    + 0.5) / 1000000 END AS dup_5gram_frac
             FROM big LEFT JOIN b2c ON big.doc_id = b2c.doc_id
                      LEFT JOIN g5c ON big.doc_id = g5c.doc_id
+        """,
+        "inverted_index": r"""
+            WITH tok AS (SELECT DISTINCT doc_id,
+                                unnest(regexp_extract_all(text, '\S+')) AS token
+                         FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), '+'
+                              ORDER BY doc_id) AS postings
+            FROM tok GROUP BY token HAVING count(*) >= 2
         """,
         "top_ngrams": r"""
             WITH tk AS (SELECT regexp_extract_all(text, '\S+') AS t

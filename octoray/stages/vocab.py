@@ -55,3 +55,43 @@ def top_ngrams(docs, *, n: int = 2, k: int = 100,
     pruned = counts.map_batches(block_topk, batch_format="pyarrow",
                                 batch_size=None)
     return pruned.sort(["count", "gram"], descending=[True, False]).limit(k)
+
+
+def inverted_index(docs, *, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 1):
+    """Token -> '+'-joined sorted posting list (the search-index build;
+    list serialization follows the engine's pivot convention so the
+    SQL twin is a string_agg).  Plan: per-doc DISTINCT tokens -> one
+    row per (token, doc) -> one token-keyed sort -> block-local
+    vectorized group-concat.  ``min_df`` drops hapax tokens before
+    emission to keep the index small (logged effect visible in the
+    df column)."""
+    import pandas as pd
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: list = []
+        toks: list = []
+        for i, text in zip(t.column(id_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            for tok in set(text.split()):
+                ids.append(i)
+                toks.append(tok)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         id_col: pa.array(ids, t.schema.field(id_col).type)})
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+
+    def concat_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"token": [], "df": [], "postings": []})
+        df = df.sort_values(["token", id_col], kind="mergesort")
+        g = df.groupby("token", sort=False)
+        out = pd.DataFrame({
+            "df": g.size().astype("int64"),
+            "postings": g[id_col].agg(
+                lambda s: "+".join(str(v) for v in s)),
+        }).reset_index()
+        return out[out["df"] >= min_df]
+
+    return pairs.sort(["token"]).map_batches(
+        concat_block, batch_format="pandas", batch_size=None)

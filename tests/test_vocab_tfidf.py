@@ -47,3 +47,20 @@ def test_tfidf_exact_scores(ray_session):
 def test_tfidf_k_bound(ray_session):
     out = tfidf_keywords(_docs(["a b c d e f", "a b"]), k=3).to_pandas()
     assert (out.groupby("doc_id").size() <= 3).all()
+
+
+def test_inverted_index_postings_sorted(ray_session):
+    from octoray.stages.vocab import inverted_index
+
+    out = inverted_index(
+        _docs(["b a", "a c", "a b"]), min_df=1).to_pandas().set_index("token")
+    assert out.loc["a", "postings"] == "0+1+2" and out.loc["a", "df"] == 3
+    assert out.loc["b", "postings"] == "0+2"
+    assert out.loc["c", "postings"] == "1"
+
+
+def test_inverted_index_min_df_prunes(ray_session):
+    from octoray.stages.vocab import inverted_index
+
+    out = inverted_index(_docs(["x y", "y z"]), min_df=2).to_pandas()
+    assert list(out["token"]) == ["y"]
