@@ -770,6 +770,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return TF(_docs(sf_dir), k=3)
 
+    def chunk_documents(sf_dir):
+        return T.chunk_documents(_docs(sf_dir), chunk_tokens=64, overlap=8)
+
     def inverted_index(sf_dir):
         from octoray.stages.vocab import inverted_index as II
 
@@ -846,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "top_ngrams": top_ngrams,
         "inverted_index": inverted_index,
+        "chunk_documents": chunk_documents,
         "tfidf_keywords": tfidf_keywords,
         "jsonl_roundtrip": jsonl_roundtrip,
         "stratified_sample": stratified_sample,
@@ -1069,6 +1073,17 @@ def oracle_sql() -> dict[str, str]:
                                    + 0.5) / 1000000 END AS dup_5gram_frac
             FROM big LEFT JOIN b2c ON big.doc_id = b2c.doc_id
                      LEFT JOIN g5c ON big.doc_id = g5c.doc_id
+        """,
+        "chunk_documents": r"""
+            WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                        FROM documents),
+            c AS (SELECT doc_id, unnest(range(0, len(t), 56)) AS s, t
+                  FROM tk WHERE len(t) > 0)
+            SELECT doc_id, CAST(s / 56 AS BIGINT) AS chunk_id,
+                   array_to_string(t[s + 1 : least(s + 64, len(t))],
+                                   ' ') AS chunk_text,
+                   CAST(least(s + 64, len(t)) - s AS BIGINT) AS n_tokens
+            FROM c
         """,
         "inverted_index": r"""
             WITH tok AS (SELECT DISTINCT doc_id,

@@ -304,3 +304,39 @@ def length_quantiles(docs, *, probs=(0.5, 0.9, 0.99),
             row[f"p{int(p * 100)}"] = q
         rows.append(row)
     return _pd.DataFrame(rows)
+
+
+def chunk_documents(docs, *, chunk_tokens: int = 64, overlap: int = 8,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split documents into overlapping fixed-token chunks — the
+    context-window preparation step before training/embedding.  Chunks
+    start at offsets 0, stride, 2*stride, ... (stride = chunk_tokens -
+    overlap) while the offset is inside the doc; the final chunk may be
+    short.  Stateless streaming map — no shuffle; a 100 TB corpus
+    chunks at read speed."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        cids: list = []
+        texts: list = []
+        ntoks: list = []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            toks = text.split()
+            for k, start in enumerate(range(0, len(toks), stride)):
+                piece = toks[start:start + chunk_tokens]
+                ids.append(i)
+                cids.append(k)
+                texts.append(" ".join(piece))
+                ntoks.append(len(piece))
+        return pa.table({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            "chunk_id": pa.array(cids, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -58,3 +58,29 @@ def test_length_quantiles_per_stratum(ray_session):
     out = length_quantiles(_docs()).set_index("lang")
     assert set(out.index) == {"en", "es", "fr"}
     assert (out["p50"] <= out["p90"]).all() and (out["p90"] <= out["p99"]).all()
+
+
+def test_chunk_documents_offsets_and_tail(ray_session):
+    from octoray.stages.textops import chunk_documents
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([" ".join(f"t{i}" for i in range(10))], pa.string()),
+    }))
+    out = chunk_documents(ds, chunk_tokens=4, overlap=1).to_pandas()
+    # stride 3: starts 0,3,6,9 -> lengths 4,4,4,1
+    assert list(out["chunk_id"]) == [0, 1, 2, 3]
+    assert list(out["n_tokens"]) == [4, 4, 4, 1]
+    assert out.iloc[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out.iloc[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert out.iloc[3]["chunk_text"] == "t9"
+
+
+def test_chunk_documents_empty_doc_skipped(ray_session):
+    from octoray.stages.textops import chunk_documents
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([""], pa.string()),
+    }))
+    assert chunk_documents(ds).count() == 0
