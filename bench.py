@@ -66,6 +66,12 @@ SUITE = [
     "near_dup_kept",
     "stratified_sample",
     "length_quantiles",
+    "extract_text",
+    "asof_attribution",
+    "range_click_counts",
+    "inverted_index",
+    "chunk_documents",
+    "tumbling_window",
 ]
 
 
