@@ -48,9 +48,22 @@ def uri_edges(triples):
                            ["src", "dst"])
 
 
-def pagerank(triples, *, damping: float = 0.85, n_iters: int = 5):
-    """(node, rank) over the uri->uri edge graph of ``triples``."""
+def pagerank(triples, *, damping: float = 0.85, n_iters: int = 5,
+             driver_limit: int = 5_000_000):
+    """(node, rank) over the uri->uri edge graph of ``triples``.
+
+    Stats-gated two-path design (the dup_components pattern applied to
+    ranking): the EDGE LIST is much smaller than the raw triple corpus
+    (distinct uri->uri pairs), so when it fits (<= ``driver_limit``
+    edges) a driver-side numpy power iteration answers with zero
+    per-round pipeline executions; above the limit the distributed
+    loop (broadcast join + combine sum per round) is the scale path.
+    Both paths compute the identical float64 recurrence — equality is
+    pinned in pytest."""
     edges = uri_edges(triples).materialize()
+
+    if edges.count() <= driver_limit:
+        return _pagerank_driver(edges, damping=damping, n_iters=n_iters)
 
     # node set = src ∪ dst (distinct of a 2-column stack)
     def both(t: pa.Table) -> pa.Table:
@@ -105,3 +118,36 @@ def pagerank(triples, *, damping: float = 0.85, n_iters: int = 5):
                          "rank": pa.array(vals, pa.float64())})
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def _pagerank_driver(edges, *, damping: float, n_iters: int):
+    """Collected-edges numpy power iteration (the small-graph fast
+    path).  Same recurrence as the distributed loop: rank0 = 1/N,
+    rank' = (1-d)/N + d * sum(rank[src]/deg[src] over in-edges)."""
+    import numpy as np
+    import ray.data as rd
+
+    rows = edges.take_all()
+    if not rows:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64())}))
+    src = [r["src"] for r in rows]
+    dst = [r["dst"] for r in rows]
+    names = sorted(set(src) | set(dst))
+    idx = {v: i for i, v in enumerate(names)}
+    n = len(names)
+    si = np.fromiter((idx[s] for s in src), np.int64, len(src))
+    di = np.fromiter((idx[d] for d in dst), np.int64, len(dst))
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    base = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n, np.float64)
+    for _ in range(n_iters):
+        mass = np.zeros(n, np.float64)
+        np.add.at(mass, di, rank[si] / deg[si])
+        rank = base + damping * mass
+    return rd.from_arrow(pa.table({
+        "node": pa.array(names, pa.string()),
+        "rank": pa.array([round_half_up_scalar(v, 6) for v in rank],
+                         pa.float64()),
+    }))

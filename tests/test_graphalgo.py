@@ -47,3 +47,19 @@ def test_sink_accumulates(ray_session):
                             extra_literal=False),
                    n_iters=5).to_pandas().set_index("node")["rank"]
     assert out["c"] > out["a"] == out["b"] == out["d"]
+
+
+def test_fast_and_distributed_paths_identical(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 40, (150, 2))
+             if a != b}
+    tr = _triples([(f"n{a}", f"n{b}") for a, b in edges],
+                  extra_literal=False)
+    fast = pagerank(tr, n_iters=4).to_pandas().set_index("node")["rank"]
+    slow = pagerank(tr, n_iters=4, driver_limit=0).to_pandas(
+        ).set_index("node")["rank"]
+    assert sorted(fast.index) == sorted(slow.index)
+    for k in fast.index:
+        assert abs(fast[k] - slow[k]) < 1e-9, k
