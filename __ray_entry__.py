@@ -770,6 +770,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return TF(_docs(sf_dir), k=3)
 
+    def pack_sequences(sf_dir):
+        return T.pack_sequences(_docs(sf_dir), window_tokens=512)
+
     def chunk_documents(sf_dir):
         return T.chunk_documents(_docs(sf_dir), chunk_tokens=64, overlap=8)
 
@@ -850,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": top_ngrams,
         "inverted_index": inverted_index,
         "chunk_documents": chunk_documents,
+        "pack_sequences": pack_sequences,
         "tfidf_keywords": tfidf_keywords,
         "jsonl_roundtrip": jsonl_roundtrip,
         "stratified_sample": stratified_sample,
@@ -1073,6 +1077,19 @@ def oracle_sql() -> dict[str, str]:
                                    + 0.5) / 1000000 END AS dup_5gram_frac
             FROM big LEFT JOIN b2c ON big.doc_id = b2c.doc_id
                      LEFT JOIN g5c ON big.doc_id = g5c.doc_id
+        """,
+        "pack_sequences": r"""
+            WITH n AS (SELECT doc_id,
+                              len(regexp_extract_all(text, '\S+')) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens
+                              AS BIGINT) AS "offset"
+                  FROM n)
+            SELECT doc_id, n_tokens, "offset",
+                   CAST("offset" // 512 AS BIGINT) AS bin
+            FROM c
         """,
         "chunk_documents": r"""
             WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t

@@ -643,3 +643,49 @@ def range_join_count(left, right, *, by: str, on: str, window,
 
     return both.sort([by]).map_batches(block, batch_format="pandas",
                                        batch_size=None)
+
+
+def sorted_prefix_sum(ds, value_col: str, *, order_col: str,
+                      alias: str = "offset"):
+    """Distributed EXCLUSIVE prefix sum (the classic two-pass scan):
+    each output row gets the sum of ``value_col`` over all rows
+    strictly before it in ``order_col`` order.
+
+    Pass 1: sort + collect one (first_key, block_sum) pair per block —
+    a driver reduce bounded by BLOCK COUNT, not rows.  Pass 2:
+    broadcast the exclusive block offsets keyed by each block's first
+    row key; every block adds its offset to a local cumsum.  Requires
+    ``order_col`` values unique (id columns), so the first-key lookup
+    is unambiguous."""
+    import numpy as np
+    import ray
+
+    s = ds.sort([order_col]).materialize()
+
+    def bounds(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_kv": t.column(order_col).slice(0, min(1, t.num_rows)),
+            "_sum": pa.array(
+                [int(pc.sum(t.column(value_col)).as_py() or 0)]
+                if t.num_rows else [], pa.int64())})
+
+    blocks = s.map_batches(bounds, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    blocks.sort(key=lambda r: r["_kv"])
+    acc = 0
+    off_by_key = {}
+    for r in blocks:
+        off_by_key[r["_kv"]] = acc
+        acc += r["_sum"]
+    ref = ray.put(off_by_key)
+
+    def add(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t.append_column(alias, pa.array([], pa.int64()))
+        off = ray.get(ref)[t.column(order_col)[0].as_py()]
+        v = np.asarray(t.column(value_col).to_numpy(zero_copy_only=False),
+                       np.int64)
+        ex = off + np.cumsum(v) - v
+        return t.append_column(alias, pa.array(ex, pa.int64()))
+
+    return s.map_batches(add, batch_format="pyarrow", batch_size=None)

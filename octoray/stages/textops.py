@@ -340,3 +340,35 @@ def chunk_documents(docs, *, chunk_tokens: int = 64, overlap: int = 8,
         })
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def pack_sequences(docs, *, window_tokens: int = 512,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Sequential context-window packing: documents in id order are
+    laid end-to-end by token count; each doc is assigned the training
+    bin its first token falls in (offset // window).  Built on the
+    distributed exclusive prefix sum (query.sorted_prefix_sum — the
+    two-pass scan), so no driver-side row iteration.  Deterministic
+    under any partitioning: the scan is keyed by doc id, not block
+    layout."""
+    from octoray.query import sorted_prefix_sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column(text_col), _TOKEN_RE)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pc.cast(n, pa.int64()),
+        })
+
+    with_off = sorted_prefix_sum(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        "n_tokens", order_col=id_col, alias="offset")
+
+    def binify(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        off = np.asarray(t.column("offset").to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "bin", pa.array(off // window_tokens, pa.int64()))
+
+    return with_off.map_batches(binify, batch_format="pyarrow")

@@ -84,3 +84,34 @@ def test_chunk_documents_empty_doc_skipped(ray_session):
         "text": pa.array([""], pa.string()),
     }))
     assert chunk_documents(ds).count() == 0
+
+
+def test_prefix_sum_exclusive_and_partition_invariant(ray_session):
+    from octoray.query import sorted_prefix_sum
+
+    tbl = pa.table({
+        "id": pa.array(range(100), pa.int64()),
+        "v": pa.array([(i * 3) % 7 for i in range(100)], pa.int64()),
+    })
+    for parts in (1, 4, 16):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        out = sorted_prefix_sum(ds, "v", order_col="id").to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        want = 0
+        for i in range(100):
+            assert out.loc[i, "offset"] == want, (parts, i)
+            want += (i * 3) % 7
+
+
+def test_pack_sequences_bins(ray_session):
+    from octoray.stages.textops import pack_sequences
+
+    # 5 docs x 4 tokens, window 8 -> bins 0,0,1,1,2
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(["a b c d"] * 5, pa.string()),
+    }))
+    out = pack_sequences(ds, window_tokens=8).to_pandas()
+    out = out.sort_values("doc_id")
+    assert list(out["offset"]) == [0, 4, 8, 12, 16]
+    assert list(out["bin"]) == [0, 0, 1, 1, 2]
