@@ -37,3 +37,34 @@ def test_pull_fixpoint(ray_session, tmp_path):
     assert {(r["subject"], r["predicate"], r["object"]) for r in rows2} == {
         (r["subject"], r["predicate"], r["object"]) for r in rows
     }
+
+
+def test_pull_fused_equals_sequential(ray_session, tmp_path):
+    """The single-execution fused step path lands exactly the graph and
+    per-step counts of the per-step sequential path."""
+    from octoray.pipelines.pull import pull, read_graph
+
+    a, b = str(tmp_path / "fused"), str(tmp_path / "seq")
+    rf = pull(300, a, n_shards=2, emitter_concurrency=2, fused=True)
+    rs = pull(300, b, n_shards=2, emitter_concurrency=2, fused=False)
+    assert rf["steps"] == rs["steps"]
+    key = lambda r: (r["subject"], r["predicate"], r["object"], r["object_datatype"])
+    assert sorted(map(key, read_graph(a).take_all())) == sorted(
+        map(key, read_graph(b).take_all())
+    )
+
+
+def test_fusable_guard():
+    """Steps whose consumes/derives overlap — or undeclared plugin
+    steps — must refuse the fused path."""
+    from octoray.pipelines import pull as P
+
+    assert P._fusable(["quarters", "located"])
+    # a hypothetical step consuming another step's derived predicate
+    P.STEP_CONSUMES["followup"] = {"f:collection_q"}
+    P.STEP_DERIVES["followup"] = "f:followup"
+    try:
+        assert not P._fusable(["quarters", "followup"])
+        assert not P._fusable(["quarters", "undeclared_plugin_step"])
+    finally:
+        del P.STEP_CONSUMES["followup"], P.STEP_DERIVES["followup"]
