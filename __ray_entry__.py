@@ -365,6 +365,35 @@ def _q_kg_path(sf_dir: str):
     return select_bindings(b, ["x", "a"])
 
 
+def _q_kg_filter_path(sf_dir: str):
+    """The round-2 pattern-layer extensions in one query over
+    KG ∪ geography: sequence path (f:state/f:name), alternation
+    (f:genbank_id|f:barcode) and FILTER (regex + comparison).  The
+    oracle re-derives the joins/filters in SQL over the dumped raw
+    triples + the geo dimension."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.patterns import match_patterns, select_bindings
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.rules import geography_facts
+
+    geo = geography_facts()
+    if O.dump_enabled():
+        O.dump_table("kg_fp_geo", geo)
+    triples = dedup_triples(
+        _kg_raw(sf_dir, "kg_fp_raw").union(rd.from_arrow(geo))
+    )
+    b = match_patterns(
+        triples,
+        [("?s", "f:strain_name", "?n"),
+         ("?s", "f:state/f:name", "?state_name"),
+         ("?s", "f:genbank_id|f:barcode", "?acc")],
+        filters=[("n", "~", "^A/"), ("acc", "!=", "")],
+    )
+    return select_bindings(b, ["s", "n", "state_name", "acc"])
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -668,6 +697,50 @@ def _q_cosine_dup_pairs(sf_dir: str):
     return S.cosine_dup_pairs(emb, threshold=0.4)
 
 
+def _crawl_pages(sf_dir: str) -> int:
+    return _synth_n(sf_dir, 20_000, floor=100)
+
+
+_CRAWL_SNAPS = 4
+
+
+def _crawl_ds(sf_dir: str, dump_name: str):
+    """Multi-snapshot synthetic crawl; the dumped table is the oracle
+    hand-off (DuckDB re-derives md5/domain/latest from the same
+    rows)."""
+    from octoray import oracles as O
+    from octoray.sources.crawl import crawl_dataset
+
+    n = _crawl_pages(sf_dir)
+    if O.dump_enabled():
+        O.dump_dataset(dump_name, crawl_dataset(n, n_snapshots=_CRAWL_SNAPS))
+    return crawl_dataset(n, n_snapshots=_CRAWL_SNAPS)
+
+
+def _q_latest_per_url(sf_dir: str):
+    """CDX-style re-crawl collapse: newest fetch per url (two-phase
+    arg-max, one slim-row shuffle)."""
+    from octoray.stages.crawl import latest_per_url
+
+    return latest_per_url(_crawl_ds(sf_dir, "crawl_latest_raw"))
+
+
+def _q_crawl_delta(sf_dir: str):
+    """Snapshot diff: urls added/removed/changed between the first and
+    last crawl snapshot (one shared url sort + block-local pivot)."""
+    from octoray.stages.crawl import crawl_delta
+
+    return crawl_delta(_crawl_ds(sf_dir, "crawl_delta_raw"), 0, _CRAWL_SNAPS - 1)
+
+
+def _q_domain_stats(sf_dir: str):
+    """Per-domain fetch/url/char statistics (map-side partial
+    aggregates + one distinct pass)."""
+    from octoray.stages.crawl import domain_stats
+
+    return domain_stats(_crawl_ds(sf_dir, "crawl_domain_raw"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from octoray.pipelines import relational as R
     from octoray.stages import dedup as D
@@ -812,11 +885,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct": _q_kg_construct,
         "kg_optional": _q_kg_optional,
         "kg_path": _q_kg_path,
+        "kg_filter_path": _q_kg_filter_path,
         "kg_pagerank": _q_kg_pagerank,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
         "line_dedup_pages": _q_line_dedup,
+        # --- snapshot maintenance over the multi-snapshot crawl ---
+        "latest_per_url": _q_latest_per_url,
+        "crawl_delta": _q_crawl_delta,
+        "domain_stats": _q_domain_stats,
         # --- stateful classification stages (X1/X2 analogues) ---
         "classify_clades": _q_classify_clades,
         "motifs": _q_motifs,
@@ -848,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ops ---
         "token_counts": token_counts,
         "quality_scores": quality_scores,
+        "unigram_logprob": lambda sf: T.unigram_logprob(_docs(sf)),
         "repetition_stats": repetition_stats,
         "decontaminate": decontaminate,
         "top_ngrams": top_ngrams,
@@ -999,6 +1078,65 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\S+')) AS n_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
             FROM documents
+        """,
+        "kg_filter_path": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object, object_datatype
+                       FROM (SELECT subject, predicate, object, object_datatype
+                             FROM {Q.rpd('kg_fp_raw')}
+                             UNION ALL
+                             SELECT subject, predicate, object, object_datatype
+                             FROM {Q.rp('kg_fp_geo')})),
+            n AS (SELECT subject, object AS n FROM d
+                  WHERE predicate = 'f:strain_name'),
+            st AS (SELECT subject, object AS loc FROM d
+                   WHERE predicate = 'f:state'),
+            nm AS (SELECT subject AS loc, object AS state_name FROM d
+                   WHERE predicate = 'f:name'),
+            acc AS (SELECT subject, object AS acc FROM d
+                    WHERE predicate IN ('f:genbank_id', 'f:barcode'))
+            SELECT n.subject AS s, n.n, nm.state_name, acc.acc
+            FROM n JOIN st ON n.subject = st.subject
+                   JOIN nm ON st.loc = nm.loc
+                   JOIN acc ON n.subject = acc.subject
+            WHERE regexp_matches(n.n, '^A/') AND acc.acc <> ''
+        """,
+        "unigram_logprob": rf"""
+            WITH tokens AS (SELECT doc_id,
+                                   unnest(regexp_extract_all(text, '\S+')) AS t
+                            FROM documents),
+            cnt AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tokens GROUP BY t),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   {_rnd('avg(ln(c / tot.n))', 6)} AS mean_logprob
+            FROM tokens JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id
+        """,
+        "latest_per_url": f"""
+            WITH c AS (SELECT url, epoch_us(warc_ts) AS ts, md5(text) AS m
+                       FROM {Q.rpd('crawl_latest_raw')}),
+            r AS (SELECT url, ts, m, row_number() OVER
+                    (PARTITION BY url ORDER BY ts DESC, m DESC) AS rn FROM c)
+            SELECT url, ts AS warc_ts_us, m AS content_md5 FROM r WHERE rn = 1
+        """,
+        "crawl_delta": f"""
+            WITH c AS (SELECT url, CAST(snapshot AS BIGINT) AS s, md5(text) AS m
+                       FROM {Q.rpd('crawl_delta_raw')}
+                       WHERE snapshot IN (0, {_CRAWL_SNAPS - 1})),
+            a AS (SELECT url, m FROM c WHERE s = 0),
+            b AS (SELECT url, m FROM c WHERE s = {_CRAWL_SNAPS - 1})
+            SELECT coalesce(a.url, b.url) AS url,
+                   CASE WHEN a.url IS NULL THEN 'added'
+                        WHEN b.url IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL JOIN b ON a.url = b.url
+            WHERE a.url IS NULL OR b.url IS NULL OR a.m <> b.m
+        """,
+        "domain_stats": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+                   count(*) AS n_fetches,
+                   count(DISTINCT url) AS n_urls,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM {Q.rpd('crawl_domain_raw')}
+            GROUP BY 1
         """,
         "quality_scores": f"""
             SELECT doc_id,

@@ -72,6 +72,11 @@ SUITE = [
     "inverted_index",
     "chunk_documents",
     "tumbling_window",
+    # round-2 (cont.): snapshot maintenance + unigram LM quality
+    "latest_per_url",
+    "crawl_delta",
+    "domain_stats",
+    "unigram_logprob",
 ]
 
 

@@ -53,6 +53,81 @@ def _vars_of(pat: Pattern) -> List[str]:
     return [s[1:] for s in pat if _is_var(s)]
 
 
+def _slot_mask(t: pa.Table, col: str, const: str):
+    """Constant-slot filter mask; a predicate constant 'p1|p2' is
+    SPARQL alternation (matches any of the alternatives)."""
+    if col == "predicate" and "|" in const:
+        return pc.is_in(
+            t.column(col),
+            value_set=pa.array(const.split("|"), pa.string()),
+        )
+    return pc.equal(t.column(col), pa.scalar(const))
+
+
+def _rewrite_paths(pats: Sequence[Pattern]) -> List[Pattern]:
+    """Expand composite property paths into primitive patterns:
+
+      sequence  (?s, 'p1/p2', ?o)  ->  (?s, p1, ?__seqI_0),
+                                       (?__seqI_0, p2, ?o)
+      inverse   (?s, '^p', ?o)     ->  (?o, p, ?s)
+
+    Alternation ('p1|p2') stays one pattern (handled as a predicate
+    set in the masks); transitive '+' stays one pattern (closure).
+    Combining forms inside one predicate constant is not supported —
+    compose via explicit intermediate variables instead."""
+    out: List[Pattern] = []
+    for i, (s, p, o) in enumerate(pats):
+        if _is_var(p):
+            out.append((s, p, o))
+            continue
+        if p.startswith("^"):
+            out.append((o, p[1:], s))
+            continue
+        if "/" in p:
+            parts = p.split("/")
+            cur = s
+            for j, pp in enumerate(parts):
+                nxt = o if j == len(parts) - 1 else f"?__seq{i}_{j}"
+                out.append((cur, pp, nxt))
+                cur = nxt
+            continue
+        out.append((s, p, o))
+    return out
+
+
+def apply_filters(bindings, filters: Sequence[tuple]):
+    """SPARQL FILTER analogue over a bindings Dataset, vectorized per
+    batch.  A filter is (var, op, value) with op one of
+    '=' '!=' '<' '<=' '>' '>=' (lexical on strings, numeric when
+    ``value`` is an int/float — the column is cast), '~' (regex
+    search) or 'contains' (substring).  Null bindings (unmatched
+    OPTIONALs) fail every filter, as SPARQL errors do."""
+    if not filters:
+        return bindings
+    _CMP = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+            "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = None
+        for var, op, val in filters:
+            col = t.column(var.lstrip("?"))
+            if op == "~":
+                m = pc.match_substring_regex(col, val)
+            elif op == "contains":
+                m = pc.match_substring(col, val)
+            else:
+                if isinstance(val, bool) or not isinstance(val, (int, float)):
+                    m = _CMP[op](col, pa.scalar(str(val)))
+                else:
+                    m = _CMP[op](pc.cast(col, pa.float64()),
+                                 pa.scalar(float(val)))
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
+
+    return bindings.map_batches(f, batch_format="pyarrow")
+
+
 def _pattern_bindings(triples, pat: Pattern, *, keep_dt: bool = True):
     """One pattern -> Dataset of variable bindings (columns named after
     the variables, sans '?')."""
@@ -64,7 +139,7 @@ def _pattern_bindings(triples, pat: Pattern, *, keep_dt: bool = True):
         mask = None
         for slot, col in zip((s, p, o), _SLOTS):
             if not _is_var(slot):
-                m = pc.equal(t.column(col), pa.scalar(slot))
+                m = _slot_mask(t, col, slot)
                 mask = m if mask is None else pc.and_(mask, m)
         sel = t if mask is None else t.filter(mask)
         cols = {}
@@ -144,11 +219,17 @@ def _fold_join(bindings, bcols: set, tbl, tvars: List[str], *, how: str,
     if not shared:
         raise ValueError("pattern shares no variable with prior bindings")
     # drop duplicate hidden dt columns from the right side (the first
-    # binder of a variable owns its datatype)
+    # binder of a variable owns its datatype); a rewritten pattern may
+    # bind the shared variable in subject position and carry no dt
+    # column at all, so drop only what each batch actually has
     drop = [v + "__dt" for v in tvars
             if v + "__dt" in bcols and v in shared]
     if drop:
-        tbl = tbl.drop_columns(drop)
+        tbl = tbl.map_batches(
+            lambda t, drop=tuple(drop): t.drop_columns(
+                [c for c in drop if c in t.column_names]),
+            batch_format="pyarrow",
+        )
     from octoray.query import merge_join
 
     return merge_join(bindings, tbl, shared, how=how)
@@ -171,16 +252,16 @@ def _tagged_hits(triples, pats: Sequence[Pattern]):
             is_path = not _is_var(p) and p.endswith("+")
             if not _is_var(p):
                 pred = p[:-1] if is_path else p
-                mask = pc.equal(t.column("predicate"), pa.scalar(pred))
+                mask = _slot_mask(t, "predicate", pred)
             # constant ENDPOINTS never prune a path pattern here: the
             # closure needs every edge of the predicate (multi-hop
             # paths pass through other subjects); _path_bindings
             # applies the endpoint constants after expansion
             if not _is_var(s) and not is_path:
-                m = pc.equal(t.column("subject"), pa.scalar(s))
+                m = _slot_mask(t, "subject", s)
                 mask = m if mask is None else pc.and_(mask, m)
             if not _is_var(o) and not is_path:
-                m = pc.equal(t.column("object"), pa.scalar(o))
+                m = _slot_mask(t, "object", o)
                 mask = m if mask is None else pc.and_(mask, m)
             sel = t if mask is None else t.filter(mask)
             parts.append(
@@ -224,17 +305,24 @@ def _bindings_from_hits(hits, idx: int, pat: Pattern):
 
 def match_patterns(triples, where: Sequence[Pattern], *,
                    optionals: Sequence[Pattern] = (),
+                   filters: Sequence[tuple] = (),
                    num_partitions: int = 8):
     """Conjunctive BGP match -> bindings Dataset (one column per
     variable, plus hidden ``<var>__dt`` columns for object-position
     variables).  ``optionals`` fold in with left-outer joins (SPARQL
     OPTIONAL): unmatched rows keep their required bindings and carry
-    nulls for the optional-only variables.
+    nulls for the optional-only variables.  Predicates support the
+    path forms 'p+' (transitive), 'p1/p2' (sequence), 'p1|p2'
+    (alternation) and '^p' (inverse) — see _rewrite_paths.
+    ``filters`` apply SPARQL-FILTER row predicates to the final
+    bindings (see apply_filters).
 
     The graph is scanned ONCE (``_tagged_hits``); the fold joins run
     over the materialized per-pattern hit sets."""
     if not where:
         raise ValueError("empty WHERE")
+    where = _rewrite_paths(list(where))
+    optionals = _rewrite_paths(list(optionals))
     pats = list(where) + list(optionals)
     hits = _tagged_hits(triples, pats)
     pat_idx = {id(pat): i for i, pat in enumerate(pats)}
@@ -259,6 +347,16 @@ def match_patterns(triples, where: Sequence[Pattern], *,
         bcols |= set(_binding_vars(pat))
         if _is_var(pat[2]):
             bcols.add(pat[2][1:] + "__dt")
+    bindings = apply_filters(bindings, filters)
+    # hidden sequence-path variables never reach the caller
+    seq_cols = sorted({c for c in bcols if c.startswith("__seq")}
+                      | {c + "__dt" for c in bcols if c.startswith("__seq")})
+    if seq_cols:
+        bindings = bindings.map_batches(
+            lambda t, drop=tuple(seq_cols): t.drop_columns(
+                [c for c in drop if c in t.column_names]),
+            batch_format="pyarrow",
+        )
     return bindings
 
 

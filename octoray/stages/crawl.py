@@ -1,0 +1,218 @@
+"""Snapshot-maintenance operators over a multi-snapshot crawl table
+(url, warc_ts, snapshot, text) — the upkeep layer every recurring
+web-scale ingest needs in front of the KG/training pipelines:
+
+  latest_per_url   collapse re-crawls to each url's newest fetch (the
+                   CDX dedup step): idempotent two-phase arg-max — a
+                   per-block partial keeps one candidate row per
+                   (block, url), ONE url-keyed range sort co-locates
+                   the candidates, a block-local second pass finishes.
+                   The all-to-all moves <= one slim (url, ts, md5) row
+                   per block per url, never the text payload.
+  crawl_delta      what changed between two snapshots (added /
+                   removed / changed urls): both sides project to
+                   (url, md5, side) and ride ONE shared url sort;
+                   the per-url decision is a vectorized block-local
+                   pivot (a url has <= 1 row per snapshot).
+  domain_stats     per-domain fetch counts / distinct urls / bytes:
+                   regex domain extraction (Arrow C kernel), map-side
+                   partial aggregates so the shuffle moves one row per
+                   (block, domain), plus a distinct (domain, url) pass
+                   for the url count; merged with a broadcast-side
+                   join (domain cardinality is bounded).
+
+All three lean on the sorted-block grouping family in query.py and
+inherit its co-location guard (assert_block_colocation /
+OCTORAY_CHECK_BLOCKS).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from octoray.query import combined_groupby_count, distinct_values
+
+_DOMAIN_RE = r"^[a-z]+://(?P<domain>[^/]+)"
+
+
+def _domain_of(urls: pa.Array) -> pa.Array:
+    return pc.struct_field(pc.extract_regex(urls, _DOMAIN_RE), "domain")
+
+
+def _md5_col(text: pa.Array) -> pa.Array:
+    return pa.array(
+        [hashlib.md5(t.encode("utf-8")).hexdigest() for t in text.to_pylist()],
+        pa.string(),
+    )
+
+
+def _ts_us(col: pa.Array) -> pa.Array:
+    """timestamp -> int64 epoch microseconds (the cross-engine-stable
+    representation; DuckDB side is epoch_us(warc_ts))."""
+    return pc.cast(col, pa.int64())
+
+
+def latest_per_url(crawl, *, url_col: str = "url", ts_col: str = "warc_ts",
+                   text_col: str = "text"):
+    """(url, warc_ts_us, content_md5) of each url's newest fetch.
+
+    Phase 1 (map-side combine): project every row to a slim candidate
+    (url, ts, md5) and keep only the per-url max-ts row within the
+    block — idempotent, so phase 2 (one range sort on url + the same
+    block-local reduce) is globally exact.  Ties break on max md5 so
+    the result is a pure function of the input set."""
+
+    def project(t: pa.Table) -> pa.Table:
+        slim = pa.table(
+            {
+                "url": t.column(url_col),
+                "warc_ts_us": _ts_us(t.column(ts_col)),
+                "content_md5": _md5_col(t.column(text_col)),
+            }
+        )
+        return _block_latest(slim)
+
+    def _block_latest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        # vectorized per-url arg-max: sort puts the winner first, then
+        # one drop_duplicates keeps it (C-level, no per-group dispatch)
+        df = df.sort_values(
+            ["url", "warc_ts_us", "content_md5"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        ).drop_duplicates("url", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+
+    partial = crawl.map_batches(project, batch_format="pyarrow")
+    return partial.sort(["url"]).map_batches(
+        _block_latest, batch_format="pyarrow", batch_size=None
+    )
+
+
+def crawl_delta(crawl, snap_a: int, snap_b: int, *, url_col: str = "url",
+                text_col: str = "text", snap_col: str = "snapshot"):
+    """(url, status) for urls that differ between two snapshots:
+    'added' (only in b), 'removed' (only in a), 'changed' (both, text
+    differs by md5).  Unchanged urls are dropped.
+
+    One pass projects both snapshots to (url, side, md5) — a url has
+    at most one row per snapshot — and one url sort co-locates the
+    <=2 rows per url for a vectorized block-local pivot."""
+
+    def project(t: pa.Table) -> pa.Table:
+        snaps = pc.cast(t.column(snap_col), pa.int64())
+        sel = t.filter(
+            pc.or_(pc.equal(snaps, snap_a), pc.equal(snaps, snap_b))
+        )
+        if sel.num_rows == 0:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "side": pa.array([], pa.string()),
+                 "md5": pa.array([], pa.string())}
+            )
+        side = pc.if_else(
+            pc.equal(pc.cast(sel.column(snap_col), pa.int64()), snap_a),
+            pa.scalar("a"),
+            pa.scalar("b"),
+        )
+        return pa.table(
+            {
+                "url": sel.column(url_col),
+                "side": side,
+                "md5": _md5_col(sel.column(text_col)),
+            }
+        )
+
+    def decide(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "status": pa.array([], pa.string())})
+        df = t.to_pandas()
+        # '' marks "absent on this side" (md5 is never empty), keeping
+        # the aggregated columns pure-string for the object max
+        df["md5_a"] = df["md5"].where(df["side"] == "a", "")
+        df["md5_b"] = df["md5"].where(df["side"] == "b", "")
+        g = df.groupby("url", sort=False).agg(
+            md5_a=("md5_a", "max"), md5_b=("md5_b", "max")
+        )
+        has_a, has_b = g["md5_a"] != "", g["md5_b"] != ""
+        status = np.select(
+            [~has_a & has_b, has_a & ~has_b, g["md5_a"] != g["md5_b"]],
+            ["added", "removed", "changed"],
+            default="same",
+        )
+        out = pd.DataFrame({"url": g.index, "status": status})
+        out = out[out["status"] != "same"]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([("url", pa.string()), ("status", pa.string())])
+        )
+
+    rows = crawl.map_batches(project, batch_format="pyarrow")
+    return rows.sort(["url"]).map_batches(
+        decide, batch_format="pyarrow", batch_size=None
+    )
+
+
+def domain_stats(crawl, *, url_col: str = "url", text_col: str = "text"):
+    """Per-domain crawl statistics: (domain, n_fetches, n_urls,
+    total_chars).  Fetch counts and char sums pre-aggregate map-side;
+    the distinct-url count reuses the two-phase distinct.  The three
+    small per-domain tables merge on the driver (domain cardinality is
+    bounded by construction of the web: ~1e8 domains worst-case, a few
+    GiB of slim rows — at that scale swap the final merge for the
+    broadcast hash join in query.merge_join)."""
+
+    def with_domain(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "domain": _domain_of(t.column(url_col)),
+                "n_chars": pc.cast(pc.utf8_length(t.column(text_col)), pa.int64()),
+            }
+        )
+
+    slim = crawl.map_batches(with_domain, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["domain"], use_threads=False).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["domain", "_n", "_chars"])
+
+    per_block = slim.map_batches(partial, batch_format="pyarrow")
+
+    def final_sums(t: pa.Table) -> pa.Table:
+        g = t.group_by(["domain"], use_threads=False).aggregate(
+            [("_n", "sum"), ("_chars", "sum")]
+        )
+        return g.rename_columns(["domain", "n_fetches", "total_chars"])
+
+    # both metrics ride ONE tiny domain sort (partial rows only)
+    metrics = per_block.sort(["domain"]).map_batches(
+        final_sums, batch_format="pyarrow", batch_size=None
+    )
+
+    def url_domain(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"domain": _domain_of(t.column(url_col)), "url": t.column(url_col)}
+        )
+
+    urls = distinct_values(
+        crawl.map_batches(url_domain, batch_format="pyarrow"), ["domain", "url"]
+    )
+    n_urls = combined_groupby_count(urls, ["domain"], alias="n_urls")
+
+    m = metrics.to_pandas().set_index("domain")
+    u = n_urls.to_pandas().set_index("domain")
+    out = m.join(u, how="outer").reset_index()
+    out = out.sort_values("domain", kind="mergesort").reset_index(drop=True)
+    out = out[["domain", "n_fetches", "n_urls", "total_chars"]].astype(
+        {"n_fetches": "int64", "n_urls": "int64", "total_chars": "int64"}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -372,3 +372,125 @@ def pack_sequences(docs, *, window_tokens: int = 512,
             "bin", pa.array(off // window_tokens, pa.int64()))
 
     return with_off.map_batches(binify, batch_format="pyarrow")
+
+
+def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                    broadcast_limit: int = 2_000_000):
+    """Per-document mean unigram log-probability — the KenLM-style
+    perplexity quality filter of CCNet/Gopher pipelines, with the
+    language model replaced by the corpus's own unigram distribution
+    (self-contained: no external model, deterministic).
+
+    Pass 1 builds the model: block-local token Counters (map-side
+    combine, one partial row per distinct token per block) -> one
+    token-keyed sort-sum -> (token, n) vocabulary.  Pass 2 scores:
+    when the vocabulary fits it is broadcast once via ray.put and each
+    doc's tokens are scored in a single vectorized numpy lookup; a
+    too-large vocabulary falls back to the fully distributed path
+    (explode (doc, token), merge-join the model, per-doc sorted
+    sum/count) — same outputs, one extra shuffle.
+
+    Output: (doc_id, n_tokens, mean_logprob) with mean_logprob =
+    avg over tokens of ln(count(token) / total_tokens), rounded
+    half-up to 6 (the engine/SQL float convention).  Tokenization is
+    whitespace, shared with vocab/decontam and the DuckDB twin."""
+    from collections import Counter
+
+    import numpy as np
+
+    from octoray.query import sorted_groupby_sum
+    from octoray.util import round_half_up
+
+    def partials(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            c.update(text.split())
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "_n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    model = sorted_groupby_sum(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        ["token"], "_n", alias="n",
+    ).materialize()
+    vocab_size = model.count()
+    total = int(model.sum("n")) if vocab_size else 0
+
+    if vocab_size <= broadcast_limit:
+        import ray
+
+        counts: Dict[str, int] = {}
+        for b in model.iter_batches(batch_format="pyarrow"):
+            counts.update(zip(b.column("token").to_pylist(),
+                              b.column("n").to_pylist()))
+        ref = ray.put(counts)
+
+        def score(t: pa.Table) -> pa.Table:
+            cmap = ray.get(ref)
+            keep: List[bool] = []
+            n_toks: List[int] = []
+            means: List[float] = []
+            for text in t.column(text_col).to_pylist():
+                toks = text.split()
+                keep.append(bool(toks))
+                if toks:
+                    n_toks.append(len(toks))
+                    lp = np.log(
+                        np.array([cmap[w] for w in toks], dtype=np.float64)
+                        / total
+                    )
+                    means.append(float(lp.mean()))
+            # token-less docs are dropped (both paths and the SQL twin
+            # derive rows from the token stream)
+            return pa.table({
+                id_col: t.column(id_col).filter(pa.array(keep)),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "mean_logprob": round_half_up(
+                    pa.array(means, pa.float64()), 6),
+            })
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # distributed fallback: vocabulary too big to broadcast
+    from octoray.query import merge_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: List = []
+        toks: List[str] = []
+        for i, text in zip(t.column(id_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            for w in text.split():
+                ids.append(i)
+                toks.append(w)
+        return pa.table({
+            id_col: pa.array(ids, t.schema.field(id_col).type),
+            "token": pa.array(toks, pa.string()),
+        })
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+    joined = merge_join(pairs, model, ["token"])
+
+    def lp_partial(t: pa.Table) -> pa.Table:
+        lp = pc.ln(pc.divide(pc.cast(t.column("n"), pa.float64()),
+                             pa.scalar(float(total))))
+        slim = pa.table({id_col: t.column(id_col), "_lp": lp})
+        g = slim.group_by([id_col], use_threads=False).aggregate(
+            [("_lp", "sum"), ([], "count_all")])
+        return g.rename_columns([id_col, "_s", "_c"])
+
+    per_block = joined.map_batches(lp_partial, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col], use_threads=False).aggregate(
+            [("_s", "sum"), ("_c", "sum")])
+        g = g.rename_columns([id_col, "_s", "_c"])
+        mean = pc.divide(g.column("_s"), pc.cast(g.column("_c"), pa.float64()))
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_tokens": g.column("_c"),
+            "mean_logprob": round_half_up(mean, 6),
+        })
+
+    return per_block.sort([id_col]).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

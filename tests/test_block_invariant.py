@@ -136,3 +136,32 @@ def test_tfidf_topk_exact_under_tiny_blocks(ray_session, tiny_blocks):
     # exactly 2 keywords per doc, and every doc present
     assert sorted(out["doc_id"].unique()) == list(range(300))
     assert (out.groupby("doc_id").size() == 2).all()
+
+
+def test_latest_per_url_exact_under_tiny_blocks(ray_session, tiny_blocks):
+    """The crawl arg-max reduce (round-2 crawl family) rides the same
+    sorted-block invariant: many fetches per url spread over many tiny
+    blocks must still collapse to exactly one winner per url."""
+    from octoray.stages.crawl import latest_per_url
+
+    rows_url, rows_ts, rows_text = [], [], []
+    for u in range(120):
+        for f in range(17):  # 17 fetches per url
+            rows_url.append(f"https://d{u % 7}.org/p/{u:04d}")
+            rows_ts.append((u * 1000 + f * 13) * 1_000_000)
+            rows_text.append(f"content {u} v{f}")
+    crawl = rd.from_arrow(pa.table({
+        "url": pa.array(rows_url, pa.string()),
+        "warc_ts": pa.array(rows_ts, pa.timestamp("us")),
+        "text": pa.array(rows_text, pa.string()),
+    })).repartition(16)
+    out = latest_per_url(crawl).to_pandas()
+    assert len(out) == 120
+    assert out["url"].is_unique
+    # the winner is always the last fetch (highest ts)
+    import hashlib
+    want = {f"https://d{u % 7}.org/p/{u:04d}":
+            hashlib.md5(f"content {u} v16".encode()).hexdigest()
+            for u in range(120)}
+    got = dict(zip(out["url"], out["content_md5"]))
+    assert got == want

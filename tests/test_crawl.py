@@ -1,0 +1,150 @@
+"""Snapshot-maintenance operators (stages/crawl.py) + the
+multi-snapshot crawl synthesizer (sources/crawl.py) + the unigram
+log-probability quality scorer, each pinned against a driver-side
+brute-force re-derivation at small scale."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+from octoray.sources.crawl import crawl_batch, crawl_dataset
+
+
+def _md5(t: str) -> str:
+    return hashlib.md5(t.encode()).hexdigest()
+
+
+def test_crawl_batch_deterministic_under_splitting():
+    """Synthesis is a pure function of (seed, row id): any batch
+    partitioning produces identical rows."""
+    ids = np.arange(0, 400)
+    whole = crawl_batch(ids, seed=7, n_snapshots=3)
+    parts = pa.concat_tables(
+        [crawl_batch(ids[i:i + 37], seed=7, n_snapshots=3)
+         for i in range(0, 400, 37)]
+    )
+    assert whole.equals(parts)
+
+
+def test_crawl_content_versions_change_and_persist():
+    """A page's text is byte-stable until a change event and differs
+    after one; every (page, version) revision is itself stable."""
+    rows = crawl_batch(np.arange(0, 300 * 4), seed=42, n_snapshots=4).to_pylist()
+    by_url = defaultdict(list)
+    for r in rows:
+        by_url[r["url"]].append(r)
+    changed = same = 0
+    for url, fetches in by_url.items():
+        fetches.sort(key=lambda r: r["snapshot"])
+        for a, b in zip(fetches, fetches[1:]):
+            if a["text"] == b["text"]:
+                same += 1
+            else:
+                changed += 1
+    assert changed > 0 and same > 0  # both behaviors present
+
+
+def _crawl_rows(n_pages=250, snaps=4, seed=42):
+    return crawl_batch(
+        np.arange(0, n_pages * snaps), seed=seed, n_snapshots=snaps
+    ).to_pylist()
+
+
+def test_latest_per_url_matches_bruteforce(ray_session):
+    from octoray.stages.crawl import latest_per_url
+
+    rows = _crawl_rows()
+    want = {}
+    for r in rows:
+        ts = r["warc_ts"].timestamp() if hasattr(r["warc_ts"], "timestamp") else r["warc_ts"]
+        key = (r["warc_ts"], _md5(r["text"]))
+        cur = want.get(r["url"])
+        if cur is None or key > cur:
+            want[r["url"]] = key
+    got = latest_per_url(crawl_dataset(250, n_snapshots=4)).take_all()
+    assert len(got) == len(want)
+    for g in got:
+        ts, m = want[g["url"]]
+        assert g["content_md5"] == m
+        # arrow timestamp us -> the int64 epoch-us projection
+        import pandas as pd
+
+        assert g["warc_ts_us"] == int(pd.Timestamp(ts).value // 1000)
+
+
+def test_crawl_delta_matches_bruteforce(ray_session):
+    from octoray.stages.crawl import crawl_delta
+
+    rows = _crawl_rows()
+    a = {r["url"]: _md5(r["text"]) for r in rows if r["snapshot"] == 0}
+    b = {r["url"]: _md5(r["text"]) for r in rows if r["snapshot"] == 3}
+    want = {}
+    for url in set(a) | set(b):
+        if url not in a:
+            want[url] = "added"
+        elif url not in b:
+            want[url] = "removed"
+        elif a[url] != b[url]:
+            want[url] = "changed"
+    got = {r["url"]: r["status"]
+           for r in crawl_delta(crawl_dataset(250, n_snapshots=4), 0, 3).take_all()}
+    assert got == want
+
+
+def test_domain_stats_matches_bruteforce(ray_session):
+    from octoray.stages.crawl import domain_stats
+
+    rows = _crawl_rows()
+    want = defaultdict(lambda: [0, set(), 0])
+    for r in rows:
+        dom = r["url"].split("://")[1].split("/")[0]
+        s = want[dom]
+        s[0] += 1
+        s[1].add(r["url"])
+        s[2] += len(r["text"])
+    got = domain_stats(crawl_dataset(250, n_snapshots=4)).to_pylist()
+    assert len(got) == len(want)
+    for g in got:
+        n, urls, chars = want[g["domain"]]
+        assert (g["n_fetches"], g["n_urls"], g["total_chars"]) == (n, len(urls), chars)
+
+
+def test_unigram_logprob_paths_and_bruteforce(ray_session):
+    """Broadcast and distributed-join paths agree with each other AND
+    with a driver-side numpy re-derivation."""
+    import math
+
+    import ray.data as rd
+
+    from octoray.stages.textops import unigram_logprob
+    from octoray.util import round_half_up
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array([
+            "a b c", "a a b", "c c c c", "d", "a b c d e", "e e a",
+            "", "b b b a",
+        ], pa.string()),
+    })
+    counts = defaultdict(int)
+    for t in docs.column("text").to_pylist():
+        for w in t.split():
+            counts[w] += 1
+    total = sum(counts.values())
+    want = {}
+    for i, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        toks = t.split()
+        if not toks:
+            continue
+        lp = float(np.mean([math.log(counts[w] / total) for w in toks]))
+        want[i] = (len(toks), round_half_up(pa.array([lp]), 6)[0].as_py())
+
+    for limit in (2_000_000, 1):  # broadcast path, then forced join path
+        got = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+               for r in unigram_logprob(
+                   rd.from_arrow(docs), broadcast_limit=limit).take_all()}
+        assert got == want, f"limit={limit}"

@@ -115,3 +115,55 @@ def test_construct_uri_object_keeps_uri_dt(ray_session):
     assert ("geo:IA", "f:within", "geo:NorthAmerica", DT_URI) in rows
     assert all(r[3] == DT_URI for r in rows)
     assert len(rows) == 6
+
+
+GRAPH2 = [
+    ("fid:s1", "f:state", "geo:IA", "uri"),
+    ("fid:s2", "f:state", "geo:TX", "uri"),
+    ("fid:s3", "f:country", "geo:CAN", "uri"),
+    ("geo:IA", "f:name", "Iowa", ""),
+    ("geo:TX", "f:name", "Texas", ""),
+    ("fid:s1", "f:strain_name", "A/swine/Iowa/1/2020", ""),
+    ("fid:s2", "f:strain_name", "B/human/Texas/2/2021", ""),
+    ("fid:s3", "f:strain_name", "A/swine/Alberta/3/2019", ""),
+    ("fid:s1", "f:n", "7", "xsd:integer"),
+    ("fid:s2", "f:n", "12", "xsd:integer"),
+]
+
+
+def test_sequence_path(ray_session):
+    b = match_patterns(_ds(GRAPH2), [("?s", "f:state/f:name", "?nm")])
+    rows = {(r["s"], r["nm"]) for r in b.take_all()}
+    assert rows == {("fid:s1", "Iowa"), ("fid:s2", "Texas")}
+    # hidden sequence variables never leak
+    assert not any(c.startswith("__seq") for c in b.schema().names)
+
+
+def test_alternation_and_inverse(ray_session):
+    b = match_patterns(_ds(GRAPH2), [("?s", "f:state|f:country", "?loc")])
+    assert {r["loc"] for r in b.take_all()} == {"geo:IA", "geo:TX", "geo:CAN"}
+    b2 = match_patterns(_ds(GRAPH2), [("?loc", "^f:state", "?s")])
+    assert {(r["loc"], r["s"]) for r in b2.take_all()} == {
+        ("geo:IA", "fid:s1"), ("geo:TX", "fid:s2")
+    }
+
+
+def test_filters_regex_compare_null(ray_session):
+    # regex filter
+    b = match_patterns(
+        _ds(GRAPH2), [("?s", "f:strain_name", "?n")],
+        filters=[("n", "~", "^A/")],
+    )
+    assert {r["s"] for r in b.take_all()} == {"fid:s1", "fid:s3"}
+    # numeric comparison casts the lexical value
+    b2 = match_patterns(
+        _ds(GRAPH2), [("?s", "f:n", "?v")], filters=[("v", ">", 10)],
+    )
+    assert {r["s"] for r in b2.take_all()} == {"fid:s2"}
+    # null optional bindings fail filters (SPARQL error semantics)
+    b3 = match_patterns(
+        _ds(GRAPH2), [("?s", "f:strain_name", "?n")],
+        optionals=[("?s", "f:n", "?v")],
+        filters=[("v", ">=", 0)],
+    )
+    assert {r["s"] for r in b3.take_all()} == {"fid:s1", "fid:s2"}
