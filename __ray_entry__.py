@@ -861,6 +861,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return D(_docs(sf_dir), n=3, bench_mod=20)
 
+    def trim_spans(sf_dir):
+        from octoray.stages.spandedup import trim_duplicate_spans
+
+        return trim_duplicate_spans(_docs(sf_dir), k=8)
+
     def fingerprints(sf_dir):
         return (
             _docs(sf_dir)
@@ -946,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).train_val_split(_docs(sf), val_frac=0.1),
         "fingerprints_full": doc_fingerprints_full,
         # --- dedup family (D1/D2 + near-dup) ---
+        "trim_spans": trim_spans,
         "exact_dups": lambda sf: D.exact_dups(_docs(sf)),
         "jaccard_pairs": lambda sf: D.jaccard_pairs(_docs(sf), k=_JACCARD_K),
         "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
@@ -1109,6 +1115,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    {_rnd('avg(ln(c / tot.n))', 6)} AS mean_logprob
             FROM tokens JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id
+        """,
+        "trim_spans": r"""
+            WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+                       FROM documents),
+            g AS (SELECT doc_id, u.p AS pos,
+                         md5(array_to_string(ts[u.p + 1:u.p + 8], ' ')) AS gram
+                  FROM l, LATERAL unnest(generate_series(0, len(ts) - 8)) AS u(p)
+                  WHERE len(ts) >= 8),
+            r AS (SELECT doc_id, pos, row_number() OVER
+                    (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+            marks AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+            cover AS (SELECT DISTINCT m.doc_id, c.tp
+                      FROM marks m JOIN l USING (doc_id),
+                           LATERAL unnest(generate_series(
+                               m.pos, least(m.pos + 8, len(l.ts)) - 1)) AS c(tp)),
+            tok AS (SELECT doc_id, u.i AS tp, ts[u.i + 1] AS w
+                    FROM l, LATERAL unnest(generate_series(0, len(ts) - 1)) AS u(i)),
+            kept AS (SELECT t.doc_id, t.tp, t.w
+                     FROM tok t LEFT JOIN cover c
+                       ON t.doc_id = c.doc_id AND t.tp = c.tp
+                     WHERE c.tp IS NULL)
+            SELECT l.doc_id, CAST(len(l.ts) AS BIGINT) AS n_tokens,
+                   CAST(len(l.ts) - count(k.tp) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(k.w, ' ' ORDER BY k.tp), '') AS text_trimmed
+            FROM l LEFT JOIN kept k USING (doc_id)
+            GROUP BY l.doc_id, len(l.ts)
         """,
         "latest_per_url": f"""
             WITH c AS (SELECT url, epoch_us(warc_ts) AS ts, md5(text) AS m

@@ -77,6 +77,7 @@ SUITE = [
     "crawl_delta",
     "domain_stats",
     "unigram_logprob",
+    "trim_spans",
 ]
 
 
