@@ -365,6 +365,49 @@ def _q_kg_path(sf_dir: str):
     return select_bindings(b, ["x", "a"])
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC container codec: pages -> gzipped WARC/1.0 shards (one
+    gzip member per record, the Common Crawl layout) -> streaming
+    read-back.  The parquet dump of the same pages is the oracle
+    hand-off; equality of (url, second-truncated ts, byte length,
+    payload md5) proves the codec roundtrips byte-exactly.  WARC-Date
+    carries second resolution, so both sides truncate the timestamp."""
+    import os
+
+    from octoray import oracles as O
+    from octoray.sources.warc import read_warc, write_warc
+    from octoray.sources.webtext import pages_dataset
+
+    n = _synth_n(sf_dir, 20_000, floor=200)
+
+    def pages():
+        return pages_dataset(n, seed=42).map_batches(
+            lambda t: t.select(["url", "warc_ts", "html"]),
+            batch_format="pyarrow")
+
+    if O.dump_enabled():
+        O.dump_dataset("warc_pages", pages())
+    d = os.path.join(O.ORACLE_DIR, "warc_shards")
+    write_warc(pages(), d)
+
+    def project(t):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        payloads = t.column("payload").to_pylist()
+        return pa.table({
+            "url": t.column("url"),
+            "warc_ts_us": pc.cast(t.column("warc_ts"), pa.int64()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "payload_md5": pa.array(
+                [hashlib.md5(p).hexdigest() for p in payloads], pa.string()),
+        })
+
+    return read_warc(d).map_batches(project, batch_format="pyarrow")
+
+
 def _q_kg_filter_path(sf_dir: str):
     """The round-2 pattern-layer extensions in one query over
     KG ∪ geography: sequence path (f:state/f:name), alternation
@@ -940,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_sequences,
         "tfidf_keywords": tfidf_keywords,
         "jsonl_roundtrip": jsonl_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
         "stratified_sample": stratified_sample,
         "asof_attribution": asof_attribution,
         "range_click_counts": range_click_counts,
@@ -1115,6 +1159,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    {_rnd('avg(ln(c / tot.n))', 6)} AS mean_logprob
             FROM tokens JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id
+        """,
+        "warc_roundtrip": f"""
+            SELECT url,
+                   epoch_us(date_trunc('second', warc_ts)) AS warc_ts_us,
+                   CAST(octet_length(html) AS BIGINT) AS n_bytes,
+                   md5(decode(html)) AS payload_md5
+            FROM {Q.rpd('warc_pages')}
         """,
         "trim_spans": r"""
             WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts

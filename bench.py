@@ -78,6 +78,7 @@ SUITE = [
     "domain_stats",
     "unigram_logprob",
     "trim_spans",
+    "warc_roundtrip",
 ]
 
 
