@@ -5,6 +5,8 @@
     python -m octoray prep    fasta|table|blast|gisaid IN [--out OUT.ttl] [--tag T]
     python -m octoray report  masterlist|subtypes|constellations|monthly IN.parquet --out OUT.tsv
     python -m octoray query   "s,p,o pattern" --graph DIR  (triple-pattern scan)
+    python -m octoray crawl   latest|delta|domains [--input DIR | --pages N] --out OUT
+    python -m octoray warc    read|write IN --out OUT
 
 Each subcommand owns its own local Ray session (`ray job submit` on a
 real cluster runs the same module; the driver-contract entrypoints in
@@ -143,6 +145,54 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_crawl(args) -> int:
+    """Snapshot-maintenance ops over a crawl parquet dir (or the
+    deterministic synthetic crawl when --pages is given): latest
+    (CDX collapse), delta (added/removed/changed between --from/--to),
+    domains (per-domain stats)."""
+    from octoray.stages.crawl import crawl_delta, domain_stats, latest_per_url
+
+    if args.pages:
+        from octoray.sources.crawl import crawl_dataset
+
+        ds = crawl_dataset(args.pages, n_snapshots=args.snapshots)
+    else:
+        import ray.data as rd
+
+        ds = rd.read_parquet(args.input)
+    if args.kind == "latest":
+        out = latest_per_url(ds)
+    elif args.kind == "delta":
+        out = crawl_delta(ds, args.snap_from, args.snap_to)
+    else:
+        out = domain_stats(ds)
+    if hasattr(out, "write_parquet"):
+        out.write_parquet(args.out)
+    else:
+        import pyarrow.parquet as pq
+
+        pq.write_table(out, os.path.join(args.out, "part-0.parquet")
+                       if os.path.isdir(args.out) else args.out)
+    print(args.out)
+    return 0
+
+
+def cmd_warc(args) -> int:
+    """WARC container io: ``read`` parses shards to a pages parquet
+    dir; ``write`` packs a pages parquet dir into WARC shards."""
+    from octoray.sources.warc import read_warc, write_warc
+
+    if args.kind == "read":
+        read_warc(args.input).write_parquet(args.out)
+    else:
+        import ray.data as rd
+
+        write_warc(rd.read_parquet(args.input), args.out,
+                   payload_col=args.payload_col)
+    print(args.out)
+    return 0
+
+
 def cmd_query(args) -> int:
     """Triple-pattern scan: 's,p,o' with '?' wildcards; multiple
     ';'-separated clauses are a CONJUNCTION over the subject (the
@@ -220,6 +270,20 @@ def main(argv=None) -> int:
     dl.add_argument("--tag", help="retract this tag's assignment triples")
     dl.add_argument("--step", action="append", help="drop a derived step partition")
     dl.set_defaults(fn=cmd_delete)
+
+    cw = sub.add_parser("crawl"); cw.add_argument("kind",
+        choices=["latest", "delta", "domains"])
+    cw.add_argument("--input", help="crawl parquet dir")
+    cw.add_argument("--pages", type=int, default=0,
+                    help="synthesize this many pages instead of --input")
+    cw.add_argument("--snapshots", type=int, default=4)
+    cw.add_argument("--from", dest="snap_from", type=int, default=0)
+    cw.add_argument("--to", dest="snap_to", type=int, default=3)
+    cw.add_argument("--out", required=True); cw.set_defaults(fn=cmd_crawl)
+
+    wc = sub.add_parser("warc"); wc.add_argument("kind", choices=["read", "write"])
+    wc.add_argument("input"); wc.add_argument("--out", required=True)
+    wc.add_argument("--payload-col", default="html"); wc.set_defaults(fn=cmd_warc)
 
     q = sub.add_parser("query"); q.add_argument("pattern")
     q.add_argument("--graph", required=True); q.add_argument("--limit", type=int, default=0)
