@@ -68,3 +68,43 @@ def test_fusable_guard():
         assert not P._fusable(["quarters", "undeclared_plugin_step"])
     finally:
         del P.STEP_CONSUMES["followup"], P.STEP_DERIVES["followup"]
+
+
+def test_fused_crash_recovery(ray_session, tmp_path):
+    """A pull that dies mid-fused-step-write leaves only invisible
+    state (a .fused_tmp root and/or manifest-less run dirs); the next
+    pull gc's it and converges to the clean-run graph."""
+    import json
+    import os
+    import shutil
+
+    from octoray.pipelines.pull import pull, read_graph
+
+    out = str(tmp_path / "kg")
+    clean = str(tmp_path / "clean")
+    pull(300, clean, n_shards=2, emitter_concurrency=2)
+
+    # base build succeeds, then simulate a crash during the fused step
+    # write: a stale tmp root with partial parquet and a run dir whose
+    # manifest never landed
+    from octoray.pipelines.kg import run_kg_build
+
+    run_kg_build(300, out, n_shards=2, emitter_concurrency=2)
+    tmp = os.path.join(out, "derived", ".fused_tmp", "step=quarters")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "zz_partial.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    orphan = os.path.join(out, "derived", "step=located", "run=0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as fh:
+        fh.write(b"also not parquet")
+    # no _MANIFEST.json in orphan -> invisible to read_graph, gc'd
+
+    r = pull(300, out, n_shards=2, emitter_concurrency=2)
+    assert r["steps"]["quarters"] > 0 and r["steps"]["located"] > 0
+    assert not os.path.isdir(os.path.join(out, "derived", ".fused_tmp"))
+
+    key = lambda x: (x["subject"], x["predicate"], x["object"], x["object_datatype"])
+    assert sorted(map(key, read_graph(out).take_all())) == sorted(
+        map(key, read_graph(clean).take_all())
+    )
