@@ -365,6 +365,64 @@ def _q_kg_path(sf_dir: str):
     return select_bindings(b, ["x", "a"])
 
 
+def _q_kg_incremental(sf_dir: str):
+    """Incremental crawl -> KG ingestion (pipelines/ingest.py): four
+    snapshots of the re-crawl ingested in order — only changed pages
+    pay emission, superseded provenance is physically retracted.
+    Returns the store's final graph.  The oracle hand-off is the
+    immutable per-run emission log (each run's triples captured right
+    after its commit, before later retractions touch the store); the
+    SQL independently re-derives "per url, keep the latest run's
+    triples" and must equal the physically maintained store."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from octoray import oracles as O
+    from octoray.pipelines.ingest import ingest_snapshot, read_ingest_graph
+    from octoray.sources.crawl import crawl_dataset
+    from octoray.stages.canon import dedup_triples
+
+    n = max(100, int(20_000 * _sf_of(sf_dir)))
+    S = 4
+    store = tempfile.mkdtemp(prefix="octoray_ing_")
+    log_parts = []
+    try:
+        for s in range(S):
+            def snap(t: "pa.Table", s=s) -> "pa.Table":
+                sel = t.filter(pc.equal(
+                    pc.cast(t.column("snapshot"), pa.int64()), s))
+                return pa.table({"url": sel.column("url"),
+                                 "text": sel.column("text")})
+
+            pages = crawl_dataset(n, n_snapshots=S).map_batches(
+                snap, batch_format="pyarrow")
+            r = ingest_snapshot(pages, store)
+            if O.dump_enabled() and r["run"] is not None:
+                k = r["run"]
+                for f in sorted(glob.glob(os.path.join(
+                        store, "triples", f"run={k:04d}", "*.parquet"))):
+                    t = pq.read_table(f)
+                    log_parts.append(t.append_column(
+                        "run", pa.array([k] * t.num_rows, pa.int64())))
+        if O.dump_enabled():
+            O.dump_table("ingest_log", pa.concat_tables(log_parts))
+            # the ledger is append-only (never rewritten), so the runs
+            # on disk ARE the immutable re-ingestion record — a url
+            # re-ingested with ZERO triples appears here but not in
+            # the triple log, which is why the oracle keys on it
+            led = [pq.read_table(f) for f in sorted(glob.glob(
+                os.path.join(store, "ledger", "run=*", "*.parquet")))]
+            O.dump_table("ingest_ledger", pa.concat_tables(led))
+        return dedup_triples(read_ingest_graph(store)).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _q_warc_roundtrip(sf_dir: str):
     """WARC container codec: pages -> gzipped WARC/1.0 shards (one
     gzip member per record, the Common Crawl layout) -> streaming
@@ -927,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rules_expanded": _q_kg_rules,
         "kg_pull": _q_pull,
         "kg_delete": _q_kg_delete,
+        "kg_incremental": _q_kg_incremental,
         "kg_monthly_report": _q_kg_monthly,
         "kg_tagged_report": _q_kg_tagged_report,
         # --- SPARQL-shaped pattern layer (BGP/OPTIONAL/path/CONSTRUCT) ---
@@ -1159,6 +1218,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    {_rnd('avg(ln(c / tot.n))', 6)} AS mean_logprob
             FROM tokens JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id
+        """,
+        "kg_incremental": f"""
+            WITH log AS (SELECT * FROM {Q.rp('ingest_log')}),
+            led AS (SELECT url, max(run) AS r FROM {Q.rp('ingest_ledger')}
+                    GROUP BY url),
+            cur AS (SELECT l.subject, l.predicate, l.object, l.object_datatype
+                    FROM log l JOIN led ON l.src = led.url AND l.run = led.r)
+            SELECT DISTINCT subject, predicate, object, object_datatype FROM cur
         """,
         "warc_roundtrip": f"""
             SELECT url,

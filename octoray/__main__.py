@@ -7,6 +7,7 @@
     python -m octoray query   "s,p,o pattern" --graph DIR  (triple-pattern scan)
     python -m octoray crawl   latest|delta|domains [--input DIR | --pages N] --out OUT
     python -m octoray warc    read|write IN --out OUT
+    python -m octoray ingest  PAGES_PARQUET --store DIR  (incremental snapshot ingest)
 
 Each subcommand owns its own local Ray session (`ray job submit` on a
 real cluster runs the same module; the driver-contract entrypoints in
@@ -177,6 +178,19 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Incremental snapshot ingestion: a pages parquet dir (url, text)
+    into a provenance-tracked triple store — only changed content pays
+    emission, superseded triples are retracted (pipelines/ingest.py)."""
+    import ray.data as rd
+
+    from octoray.pipelines.ingest import ingest_snapshot
+
+    r = ingest_snapshot(rd.read_parquet(args.input), args.store)
+    print(json.dumps({k: v for k, v in r.items() if k != "pages_seen"}))
+    return 0
+
+
 def cmd_warc(args) -> int:
     """WARC container io: ``read`` parses shards to a pages parquet
     dir; ``write`` packs a pages parquet dir into WARC shards."""
@@ -280,6 +294,10 @@ def main(argv=None) -> int:
     cw.add_argument("--from", dest="snap_from", type=int, default=0)
     cw.add_argument("--to", dest="snap_to", type=int, default=3)
     cw.add_argument("--out", required=True); cw.set_defaults(fn=cmd_crawl)
+
+    ig = sub.add_parser("ingest"); ig.add_argument("input",
+        help="pages parquet dir (url, text)")
+    ig.add_argument("--store", required=True); ig.set_defaults(fn=cmd_ingest)
 
     wc = sub.add_parser("warc"); wc.add_argument("kind", choices=["read", "write"])
     wc.add_argument("input"); wc.add_argument("--out", required=True)

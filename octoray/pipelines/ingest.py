@@ -1,0 +1,347 @@
+"""Incremental crawl -> KG ingestion: the recurring-snapshot loop the
+north rule describes (10^12-page crawls are re-crawled; only changed
+content should pay emission).
+
+Store layout (self-describing, append-mostly):
+
+    store/
+      ledger/run=K/       (url, content_md5) of the pages (re)ingested
+                          by run K — current state of a url = its row
+                          in the HIGHEST run containing it (a url only
+                          re-appears when its content changed)
+      triples/run=K/      canonical triples of run K's changed pages,
+                          WITH per-triple provenance (src = url)
+      */_MANIFEST.json    per-partition lineage (state/manifest.py
+                          conventions: manifest-less dir = crashed
+                          write, gc'd)
+
+Ingesting snapshot S:
+
+  1. ledger state      arg-max-by-run collapse of the ledger runs
+                       (slim (url, md5) rows — the latest_per_url
+                       reduce shape)
+  2. change detection  snapshot pages -> (url, md5); urls whose md5
+                       matches the ledger are dropped (broadcast set
+                       when the ledger fits, J9's incremental-resume
+                       anti-join otherwise)
+  3. emission          ONLY changed pages go through the mention
+                       emitter (keep_src=True rides the url through
+                       as provenance); canonical dedup includes src
+                       as a leading key
+  4. retraction        urls changing content had triples in earlier
+                       runs: affected run partitions are rewritten in
+                       parallel Ray tasks with tmp+atomic-swap (the
+                       update.delete_where pattern, filter src IN
+                       changed) — parquet statistics skip untouched
+                       runs
+  5. append            triples/run=K + ledger/run=K land with
+                       manifests (write data, then manifest, then
+                       rename — crash leaves only invisible state)
+
+Idempotent: re-ingesting an already-seen snapshot finds no changed
+urls and writes nothing.  Convergence (pytest-pinned): ingesting
+snapshots 0..S in order produces byte-identically the graph built
+from scratch over each url's latest content.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MANIFEST = "_MANIFEST.json"
+_TRIPLE5 = ["subject", "predicate", "object", "object_datatype", "src"]
+
+
+def _runs(root: str) -> List[str]:
+    if not os.path.isdir(root):
+        return []
+    return [os.path.join(root, d) for d in sorted(os.listdir(root))
+            if d.startswith("run=")]
+
+
+def _gc(root: str) -> None:
+    """Drop crashed (manifest-less) run dirs and stale tmp dirs."""
+    for d in list(_runs(root)):
+        if not os.path.exists(os.path.join(d, MANIFEST)):
+            shutil.rmtree(d)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def _commit_run(root: str, k: int, ds_or_table, manifest: Dict) -> str:
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".tmp-run={k:04d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    if isinstance(ds_or_table, pa.Table):
+        import pyarrow.parquet as pq
+
+        pq.write_table(ds_or_table, os.path.join(tmp, "part-0.parquet"))
+    else:
+        # an all-empty dataset writes no files; the run dir (manifest
+        # only) still lands so the ledger/run numbering stays aligned
+        ds_or_table.write_parquet(tmp)
+    with open(os.path.join(tmp, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    dst = os.path.join(root, f"run={k:04d}")
+    os.replace(tmp, dst)
+    return dst
+
+
+def ledger_state(store_dir: str):
+    """Current (url, content_md5) per url: rows from the highest run
+    containing each url.  Two-phase arg-max over slim rows (the
+    latest_per_url reduce); returns a Dataset."""
+    import ray.data as rd
+
+    lroot = os.path.join(store_dir, "ledger")
+    runs = [d for d in _runs(lroot)
+            if os.path.exists(os.path.join(d, MANIFEST))]
+    if not runs:
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "content_md5": pa.array([], pa.string()),
+            "run": pa.array([], pa.int64())}))
+    parts = []
+    for d in runs:
+        k = int(os.path.basename(d).split("=")[1])
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        for f in files:
+            parts.append((k, f))
+    ds = rd.read_parquet([f for _, f in parts])
+    # run id from the file path is lost after read; re-derive it by
+    # tagging each run's files separately would need per-file reads —
+    # instead the ledger rows CARRY their run id as a column (written
+    # at commit time), so the collapse is pure data
+    def keep_latest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        import pandas as pd  # noqa: F401
+
+        df = t.to_pandas().sort_values(
+            ["url", "run"], ascending=[True, False], kind="mergesort"
+        ).drop_duplicates("url", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+
+    pre = ds.map_batches(keep_latest, batch_format="pyarrow")
+    return pre.sort(["url"]).map_batches(
+        keep_latest, batch_format="pyarrow", batch_size=None)
+
+
+def _next_run(store_dir: str) -> int:
+    ks = []
+    for sub in ("ledger", "triples"):
+        for d in _runs(os.path.join(store_dir, sub)):
+            ks.append(int(os.path.basename(d).split("=")[1]))
+    return max(ks) + 1 if ks else 0
+
+
+def _retract_srcs(store_dir: str, urls: List[str]) -> Dict:
+    """Rewrite triple runs dropping rows whose src is in ``urls``
+    (tmp + atomic swap per partition, parallel Ray tasks; parquet
+    statistics skip unaffected runs) — the update.delete_where shape
+    with provenance as the filter."""
+    import pyarrow.dataset as pads
+    import ray
+
+    troot = os.path.join(store_dir, "triples")
+    match = pads.field("src").isin(urls)
+    affected = []
+    for part in _runs(troot):
+        files = [os.path.join(part, f) for f in sorted(os.listdir(part))
+                 if f.endswith(".parquet")]
+        if files and pads.dataset(files).count_rows(filter=match) > 0:
+            affected.append(part)
+
+    def rewrite(part_dir: str) -> Dict:
+        import pyarrow.dataset as pads  # noqa: F811
+        import pyarrow.parquet as pq
+
+        files = [os.path.join(part_dir, f)
+                 for f in sorted(os.listdir(part_dir))
+                 if f.endswith(".parquet")]
+        tmp = os.path.join(os.path.dirname(part_dir),
+                           ".tmp-retract-" + os.path.basename(part_dir))
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        kept = 0
+        writer = None
+        dsx = pads.dataset(files)
+        try:
+            for batch in dsx.to_batches(filter=~match):
+                if batch.num_rows == 0:
+                    continue
+                kept += batch.num_rows
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(tmp, "part-0.parquet"), batch.schema)
+                writer.write_batch(batch)
+            deleted = dsx.count_rows(filter=match)
+        finally:
+            if writer is not None:
+                writer.close()
+        doc = {}
+        mp = os.path.join(part_dir, MANIFEST)
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                doc = json.load(fh)
+        doc["triples_out"] = kept
+        doc.setdefault("retractions", []).append(
+            {"srcs_n": len(urls), "rows_deleted": deleted})
+        with open(os.path.join(tmp, MANIFEST), "w") as fh:
+            json.dump(doc, fh, indent=1)
+        shutil.rmtree(part_dir)
+        os.replace(tmp, part_dir)
+        return {"partition": part_dir, "deleted": deleted}
+
+    r = ray.remote(rewrite)
+    results = ray.get([r.remote(p) for p in affected]) if affected else []
+    return {"partitions_rewritten": len(results),
+            "triples_deleted": sum(x["deleted"] for x in results)}
+
+
+def ingest_snapshot(pages_ds, store_dir: str, *,
+                    emitter_concurrency=None,
+                    broadcast_limit: int = 2_000_000,
+                    n_rows_hint: Optional[int] = None) -> Dict:
+    """One snapshot's (url, text) pages into the store.  Returns
+    counts; a no-change snapshot is a no-op (nothing written)."""
+    import hashlib
+
+    import ray
+
+    from octoray.pipelines.kg import build_triples
+    from octoray.stages.canon import dedup_triples
+
+    os.makedirs(store_dir, exist_ok=True)
+    _gc(os.path.join(store_dir, "ledger"))
+    _gc(os.path.join(store_dir, "triples"))
+
+    prev = ledger_state(store_dir).materialize()
+    prev_map: Optional[Dict[str, str]] = None
+    if prev.count() <= broadcast_limit:
+        prev_map = {}
+        for b in prev.iter_batches(batch_format="pyarrow"):
+            prev_map.update(zip(b.column("url").to_pylist(),
+                                b.column("content_md5").to_pylist()))
+    if prev_map is None:
+        raise NotImplementedError(
+            "ledger beyond broadcast_limit: swap the broadcast filter "
+            "below for query.anti_join on (url, content_md5) — the "
+            "J9 shape; not exercised at test scale")
+    ref = ray.put(prev_map)
+
+    def changed_pages(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        urls = t.column("url").to_pylist()
+        texts = t.column("text").to_pylist()
+        keep, md5s = [], []
+        for u, x in zip(urls, texts):
+            h = hashlib.md5(x.encode("utf-8")).hexdigest()
+            keep.append(m.get(u) != h)
+            md5s.append(h)
+        sel = pa.table({
+            "url": t.column("url"),
+            "text": t.column("text"),
+            "content_md5": pa.array(md5s, pa.string()),
+        }).filter(pa.array(keep))
+        return sel
+
+    changed = pages_ds.map_batches(
+        changed_pages, batch_format="pyarrow").materialize()
+    n_changed = changed.count()
+    report = {"run": None, "pages_seen": None, "pages_changed": n_changed,
+              "triples_out": 0, "retracted": 0}
+    if n_changed == 0:
+        return report
+
+    k = _next_run(store_dir)
+    report["run"] = k
+
+    # retract superseded provenance BEFORE appending the new run: urls
+    # already in the ledger whose content changed
+    stale = [u for b in changed.iter_batches(batch_format="pyarrow")
+             for u in b.column("url").to_pylist() if u in prev_map]
+    if stale:
+        report["retracted"] = _retract_srcs(store_dir, stale)[
+            "triples_deleted"]
+
+    triples = build_triples(
+        changed.map_batches(
+            lambda t: pa.table({"url": t.column("url"),
+                                "text": t.column("text")}),
+            batch_format="pyarrow"),
+        extract=False, keep_src=True,
+        emitter_concurrency=emitter_concurrency,
+        n_rows_hint=n_rows_hint if n_rows_hint is not None else n_changed,
+    )
+
+    def with_src(t: pa.Table) -> pa.Table:
+        return t.select(_TRIPLE5)
+
+    canon = dedup_triples(
+        triples.map_batches(with_src, batch_format="pyarrow"),
+        extra_cols=("src",))
+    tdir = _commit_run(
+        os.path.join(store_dir, "triples"), k, canon,
+        {"run": k, "kind": "triples", "status": "complete"})
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n_out = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(tdir, "*.parquet")))
+    report["triples_out"] = n_out
+
+    ledger_rows = changed.map_batches(
+        lambda t: pa.table({
+            "url": t.column("url"),
+            "content_md5": t.column("content_md5"),
+            "run": pa.array([k] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow")
+    _commit_run(os.path.join(store_dir, "ledger"), k, ledger_rows,
+                {"run": k, "kind": "ledger", "status": "complete"})
+    return report
+
+
+def read_ingest_graph(store_dir: str, *, with_src: bool = False):
+    """The store's current graph as a Dataset: all triple runs (the
+    physical retract+append maintenance already removed superseded
+    provenance).  4 triple columns, or 5 with ``with_src``."""
+    import ray.data as rd
+
+    from octoray.model import TRIPLE_SCHEMA
+    from octoray.stages.canon import TRIPLE_COLS
+
+    # manifest-less run dirs are crashed writes — invisible here, gc'd
+    # by the next ingest (the pull.read_graph rule)
+    files = [
+        os.path.join(d, f)
+        for d in _runs(os.path.join(store_dir, "triples"))
+        if os.path.exists(os.path.join(d, MANIFEST))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    cols = _TRIPLE5 if with_src else TRIPLE_COLS
+    if not files:
+        empty = TRIPLE_SCHEMA.empty_table()
+        if with_src:
+            empty = empty.append_column("src", pa.array([], pa.string()))
+        return rd.from_arrow(empty)
+
+    def norm(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        if not with_src:
+            t = t.cast(TRIPLE_SCHEMA)
+        return t
+
+    return rd.read_parquet(files).map_batches(norm, batch_format="pyarrow")

@@ -1,0 +1,116 @@
+"""Incremental crawl -> KG ingestion (pipelines/ingest.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def _snap(n, S, s):
+    from octoray.sources.crawl import crawl_dataset
+
+    def f(t: pa.Table, s=s) -> pa.Table:
+        sel = t.filter(pc.equal(pc.cast(t.column("snapshot"), pa.int64()), s))
+        return pa.table({"url": sel.column("url"), "text": sel.column("text")})
+
+    return crawl_dataset(n, n_snapshots=S).map_batches(f, batch_format="pyarrow")
+
+
+def _graph_set(ds):
+    return {
+        (r["subject"], r["predicate"], r["object"], r["object_datatype"])
+        for r in ds.take_all()
+    }
+
+
+def test_ingest_converges_to_full_rebuild(ray_session, tmp_path):
+    """Ingesting snapshots 0..S in order == building from scratch over
+    each url's latest content; later snapshots only pay for changed
+    pages; re-ingesting the last snapshot is a no-op."""
+    from octoray.pipelines.ingest import ingest_snapshot, read_ingest_graph
+    from octoray.pipelines.kg import build_triples
+    from octoray.sources.crawl import crawl_dataset
+    from octoray.stages.canon import dedup_triples
+
+    n, S = 150, 3
+    store = str(tmp_path / "store")
+    reports = [
+        ingest_snapshot(_snap(n, S, s), store, emitter_concurrency=2)
+        for s in range(S)
+    ]
+    assert reports[0]["pages_changed"] > reports[1]["pages_changed"]
+    assert all(r["retracted"] > 0 for r in reports[1:])
+
+    r_again = ingest_snapshot(_snap(n, S, S - 1), store, emitter_concurrency=2)
+    assert r_again["pages_changed"] == 0 and r_again["run"] is None
+
+    # latest content per url, driver-side
+    best = {}
+    for b in crawl_dataset(n, n_snapshots=S).iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = r["url"]
+            if k not in best or r["warc_ts"] > best[k]["warc_ts"]:
+                best[k] = r
+    latest = pa.table({
+        "url": pa.array([r["url"] for r in best.values()], pa.string()),
+        "text": pa.array([r["text"] for r in best.values()], pa.string()),
+    })
+    full = dedup_triples(build_triples(
+        rd.from_arrow(latest), extract=False, emitter_concurrency=2))
+    assert _graph_set(dedup_triples(read_ingest_graph(store))) == _graph_set(full)
+
+
+def test_ingest_zero_triple_revision_retracts(ray_session, tmp_path):
+    """A url whose new content emits NO triples must still lose its
+    old triples (the case a triple-log-only oracle cannot see)."""
+    from octoray.pipelines.ingest import ingest_snapshot, read_ingest_graph
+
+    def pages(text):
+        return rd.from_arrow(pa.table({
+            "url": pa.array(["https://x.org/1"], pa.string()),
+            "text": pa.array([text], pa.string()),
+        }))
+
+    store = str(tmp_path / "store")
+    r1 = ingest_snapshot(
+        pages("Specimen A/swine/Iowa/1/2020 typed as H1N1 was collected."),
+        store, emitter_concurrency=2)
+    assert r1["triples_out"] > 0
+    r2 = ingest_snapshot(pages("nothing recognizable here at all"),
+                         store, emitter_concurrency=2)
+    assert r2["pages_changed"] == 1 and r2["retracted"] == r1["triples_out"]
+    assert read_ingest_graph(store).count() == 0
+
+
+def test_ingest_crash_gc(ray_session, tmp_path):
+    """Manifest-less run dirs and stale tmp dirs are invisible and
+    gc'd; the next ingest converges."""
+    from octoray.pipelines.ingest import (
+        ingest_snapshot,
+        ledger_state,
+        read_ingest_graph,
+    )
+
+    store = str(tmp_path / "store")
+    ingest_snapshot(_snap(100, 2, 0), store, emitter_concurrency=2)
+    n0 = read_ingest_graph(store).count()
+
+    # fake a crashed second ingest: orphan run dirs without manifests
+    for sub in ("triples", "ledger"):
+        d = os.path.join(store, sub, "run=0001")
+        os.makedirs(d)
+        with open(os.path.join(d, "junk.parquet"), "wb") as fh:
+            fh.write(b"not parquet")
+    os.makedirs(os.path.join(store, "triples", ".tmp-run=0002"))
+
+    # manifest-less orphans are invisible to reads (junk parquet never
+    # touched) and gc'd by the next ingest
+    assert read_ingest_graph(store).count() == n0
+    r = ingest_snapshot(_snap(100, 2, 1), store, emitter_concurrency=2)
+    assert r["run"] == 1  # orphan was gc'd, numbering dense
+    assert not os.path.isdir(os.path.join(store, "triples", ".tmp-run=0002"))
+    led = {r["url"]: r["run"] for r in ledger_state(store).take_all()}
+    assert max(led.values()) == 1
