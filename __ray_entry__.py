@@ -524,6 +524,18 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(triples, damping=0.85, n_iters=5)
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Global triangle count over the KG's undirected uri--uri graph
+    (degree-oriented wedge join, stages/graphalgo.py).  Oracle: the
+    canonical a<b<c three-way self-join in SQL — orientation-free, so
+    equality also validates the degree-orientation bookkeeping."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import triangle_count
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_tri_raw"))
+    return triangle_count(triples)
+
+
 def _q_extract_text(sf_dir: str):
     """The byte-identical HTML->text extraction itself (the north
     rule's per-row invariant), verified against an INDEPENDENT SQL
@@ -994,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path": _q_kg_path,
         "kg_filter_path": _q_kg_filter_path,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -1218,6 +1231,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    {_rnd('avg(ln(c / tot.n))', 6)} AS mean_logprob
             FROM tokens JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id
+        """,
+        "kg_triangles": f"""
+            WITH raw AS (SELECT DISTINCT subject, object FROM {Q.rpd('kg_tri_raw')}
+                         WHERE object_datatype = 'uri' AND subject <> object),
+            e AS (SELECT DISTINCT least(subject, object) AS a,
+                         greatest(subject, object) AS b FROM raw)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "kg_incremental": f"""
             WITH log AS (SELECT * FROM {Q.rp('ingest_log')}),

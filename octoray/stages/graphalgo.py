@@ -151,3 +151,128 @@ def _pagerank_driver(edges, *, damping: float, n_iters: int):
         "rank": pa.array([round_half_up_scalar(v, 6) for v in rank],
                          pa.float64()),
     }))
+
+
+def triangle_count(triples):
+    """Global triangle count over the KG's undirected uri--uri graph —
+    the second classic iterative-free graph analytic beside PageRank
+    (clustering structure: how cliquish are the entity neighborhoods).
+
+    Degree-oriented node-iterator (the distributed-friendly classic):
+      1. canonical undirected edge set (min-id, max-id), self-loops
+         dropped, distinct — two-phase distinct, slim rows
+      2. per-node degree (map-side partial counts over the stacked
+         endpoints)
+      3. each edge oriented from its lower-(degree, id) endpoint: the
+         out-degree of every node is then O(sqrt(m)), so the wedge
+         fan-out is bounded even at hub nodes (no skew blow-up)
+      4. wedges per source (one src-keyed sort + block-local pair
+         expansion, jaccard-style np.triu) emitted in CANONICAL
+         (min, max) form
+      5. each wedge survives iff its closing edge exists: stats-gated
+         broadcast semi-join against the edge set (merge-join fallback
+         beyond the broadcast limit); every triangle is counted
+         exactly once (by its lowest-(degree, id) corner)
+
+    Returns a one-row (n_triangles) table."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from octoray.query import (
+        combined_groupby_count,
+        distinct_values,
+        hash_join,
+        merge_join,
+    )
+
+    edges = uri_edges(triples)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t.column("src"), t.column("dst"))
+        b = pc.max_element_wise(t.column("src"), t.column("dst"))
+        tbl = pa.table({"a": a, "b": b})
+        return tbl.filter(pc.not_equal(tbl.column("a"), tbl.column("b")))
+
+    und = distinct_values(
+        edges.map_batches(undirect, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+
+    def stack(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("a").combine_chunks().cast(pa.string()),
+             t.column("b").combine_chunks().cast(pa.string())])})
+
+    deg = combined_groupby_count(
+        und.map_batches(stack, batch_format="pyarrow"), ["node"], alias="deg")
+
+    e1 = hash_join(und, deg.map_batches(
+        lambda t: t.rename_columns(["a", "da"]), batch_format="pyarrow"),
+        on="a")
+    e2 = hash_join(e1, deg.map_batches(
+        lambda t: t.rename_columns(["b", "db"]), batch_format="pyarrow"),
+        on="b")
+
+    def orient(t: pa.Table) -> pa.Table:
+        da, db = t.column("da"), t.column("db")
+        a, b = t.column("a"), t.column("b")
+        lower = pc.or_(pc.less(da, db),
+                       pc.and_(pc.equal(da, db), pc.less(a, b)))
+        return pa.table({
+            "src": pc.if_else(lower, a, b),
+            "dst": pc.if_else(lower, b, a),
+        })
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_block(df):
+        import pandas as pd
+
+        out_a, out_b = [], []
+        for _, g in df.groupby("src", sort=False):
+            ds_ = np.sort(g["dst"].to_numpy())
+            m = len(ds_)
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ds_[ia])
+            out_b.append(ds_[ib])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    wedges = oriented.sort(["src"]).map_batches(
+        wedges_block, batch_format="pandas", batch_size=None)
+
+    # closing-edge membership: broadcast the edge set when it fits
+    n_edges = und.count()
+    if n_edges <= 2_000_000:
+        import ray
+
+        eset = set()
+        for blk in und.iter_batches(batch_format="pyarrow"):
+            eset.update(zip(blk.column("a").to_pylist(),
+                            blk.column("b").to_pylist()))
+        ref = ray.put(frozenset(eset))
+
+        def close_count(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            es = _ray.get(ref)
+            hits = sum((x, y) in es
+                       for x, y in zip(t.column("a").to_pylist(),
+                                       t.column("b").to_pylist()))
+            return pa.table({"n": pa.array([hits], pa.int64())})
+
+        partial = wedges.map_batches(close_count, batch_format="pyarrow")
+        total = partial.sum("n") or 0
+    else:
+        marked = und.map_batches(
+            lambda t: t.append_column(
+                "_e", pa.array([1] * t.num_rows, pa.int8())),
+            batch_format="pyarrow")
+        joined = merge_join(wedges, marked, ["a", "b"], how="left_outer")
+        total = joined.filter(
+            lambda r: r["_e"] is not None).count()
+    return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})

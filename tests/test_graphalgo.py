@@ -63,3 +63,36 @@ def test_fast_and_distributed_paths_identical(ray_session):
     assert sorted(fast.index) == sorted(slow.index)
     for k in fast.index:
         assert abs(fast[k] - slow[k]) < 1e-9, k
+
+
+def test_triangle_count_known_and_random(ray_session):
+    """K4 has exactly 4 triangles; a random graph matches the
+    brute-force enumeration (reverse edges, self-loops and literal
+    triples are ignored)."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from octoray.model import DT_URI, triples_to_table
+    from octoray.stages.graphalgo import triangle_count
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("d", "e"), ("x", "y")]
+    rows = [(s, "f:rel", o, DT_URI) for s, o in k4]
+    out = triangle_count(rd.from_arrow(triples_to_table(rows)))
+    assert out.to_pydict()["n_triangles"] == [4]
+
+    rng = np.random.default_rng(5)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    es = set()
+    for _ in range(120):
+        a, b = rng.choice(30, 2, replace=False)
+        es.add((min(nodes[a], nodes[b]), max(nodes[a], nodes[b])))
+    rows = [(a, "f:rel", b, DT_URI) for a, b in es]
+    rows += [(b, "f:rel2", a, DT_URI) for a, b in list(es)[:20]]
+    rows += [("n00", "f:rel", "n00", DT_URI), ("n01", "f:name", "lit", "")]
+    want = sum(1 for x, y, z in itertools.combinations(sorted(nodes), 3)
+               if (x, y) in es and (y, z) in es and (x, z) in es)
+    got = triangle_count(rd.from_arrow(triples_to_table(rows)))
+    assert got.to_pydict()["n_triangles"] == [want]
