@@ -974,6 +974,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return D(_docs(sf_dir), n=3, bench_mod=20)
 
+    def corpus_release(sf_dir):
+        from octoray.pipelines.release import corpus_release as CR
+
+        return CR(_docs(sf_dir))
+
     def trim_spans(sf_dir):
         from octoray.stages.spandedup import trim_duplicate_spans
 
@@ -1068,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints_full": doc_fingerprints_full,
         # --- dedup family (D1/D2 + near-dup) ---
         "trim_spans": trim_spans,
+        "corpus_release": corpus_release,
         "exact_dups": lambda sf: D.exact_dups(_docs(sf)),
         "jaccard_pairs": lambda sf: D.jaccard_pairs(_docs(sf), k=_JACCARD_K),
         "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
@@ -1611,6 +1617,7 @@ def oracle_sql() -> dict[str, str]:
                      '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS text
             FROM """ + Q.rpd("extract_pages")),
         "deidentify_pages": Q.sql_redact(Q.rpd("deid_pages")),
+        "corpus_release": Q.sql_corpus_release(),
         "line_dedup_pages": Q.sql_line_dedup(Q.rpd("linededup_pages")),
         "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),
         "prep_fasta": Q.sql_prep_triples(Q.rpd("prep_fasta_raw")),

@@ -79,6 +79,7 @@ SUITE = [
     "unigram_logprob",
     "trim_spans",
     "warc_roundtrip",
+    "corpus_release",
 ]
 
 

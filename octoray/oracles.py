@@ -953,3 +953,56 @@ def sql_near_dup_kept(pairs_src: str) -> str:
                           FROM walk GROUP BY id)
           WHERE id <> component)
     """
+
+
+def sql_corpus_release(*, min_tokens: int = 10, min_alpha: float = 0.5,
+                       val_frac: float = 0.1, sep: str = ". ") -> str:
+    """Over the documents view directly.  Chains the five release
+    stages — redaction (generated from the SAME rule table), C4 line
+    dedup, quality gate, exact keep-first dedup, hash split — as CTEs,
+    verifying the COMPOSITION the engine's pipelines/release.py runs
+    (each stage also has its own standalone oracle elsewhere)."""
+    from octoray.stages.redact import REDACTION_RULES
+
+    s = sep.replace("'", "''")
+    steps = ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    for i, (_, pat, repl) in enumerate(REDACTION_RULES):
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        steps.append(
+            f"s{i + 1} AS (SELECT doc_id,"
+            f" regexp_replace(t{i}, '{p}', '{r}', 'g') AS t{i + 1}"
+            f" FROM s{i})"
+        )
+    k = len(REDACTION_RULES)
+    return (
+        "WITH " + ", ".join(steps) + f""",
+        red AS (SELECT doc_id, t{k} AS text FROM s{k}),
+        sp AS (SELECT doc_id, string_split(text, '{s}') AS parts FROM red),
+        l AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS line_no,
+                     parts FROM sp),
+        l2 AS (SELECT doc_id, line_no, parts[line_no] AS line FROM l),
+        fk AS (SELECT *, row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, line_no) AS rn
+               FROM l2),
+        ld AS (SELECT doc_id, string_agg(line, '{s}' ORDER BY line_no) AS text
+               FROM fk WHERE rn = 1 GROUP BY doc_id),
+        qual AS (SELECT doc_id, text,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS ar
+                 FROM ld),
+        qf AS (SELECT doc_id, text, n_tokens FROM qual
+               WHERE n_tokens >= {min_tokens} AND ar >= {min_alpha}),
+        f AS (SELECT doc_id, n_tokens,
+                     md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS md5
+              FROM qf),
+        kept AS (SELECT * FROM f QUALIFY
+                   row_number() OVER (PARTITION BY md5 ORDER BY doc_id) = 1)
+        SELECT doc_id, md5, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN CAST(CONCAT('0x',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) / 4294967296.0 < {val_frac}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM kept
+    """)
