@@ -846,6 +846,57 @@ def _q_crawl_delta(sf_dir: str):
     return crawl_delta(_crawl_ds(sf_dir, "crawl_delta_raw"), 0, _CRAWL_SNAPS - 1)
 
 
+def _synth_messy_urls(n: int, seed: int = 42):
+    """Deterministic messy-url table: the canonicalization torture set
+    (mixed-case hosts, default ports, fragments, tracking params,
+    unsorted query params, trailing slashes, plain non-urls)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    urls = []
+    for i in range(n):
+        r = rng.integers(0, 1 << 30)
+        scheme = "https" if r % 2 else "http"
+        host = f"Site{r % 37:02d}.Example.ORG"
+        if r % 5 == 0:
+            host += ":443" if scheme == "https" else ":80"
+        elif r % 7 == 0:
+            host += ":8080"
+        path = f"/A/b{r % 100}" + ("/" * int(r % 3))
+        params = []
+        if r % 3 == 0:
+            params.append(f"utm_source=feed{r % 4}")
+        if r % 4 == 0:
+            params.append("z=9")
+        if r % 4 == 1:
+            params.append("a=1")
+        if r % 11 == 0:
+            params.append("fbclid=XYZ")
+        q = ("?" + "&".join(params)) if params else ""
+        frag = f"#sec{r % 6}" if r % 2 else ""
+        u = f"{scheme}://{host}{path}{q}{frag}"
+        if r % 23 == 0:
+            u = f"just text {i}"  # non-url rows pass through unchanged
+        urls.append(u)
+    return pa.table({"url": pa.array(urls, pa.string())})
+
+
+def _q_url_canon(sf_dir: str):
+    """URL canonicalization over the messy-url set; the SQL twin
+    applies the same regex grammar and rule order (see
+    stages/crawl.canonical_url)."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.stages.crawl import normalize_urls
+
+    tbl = _synth_messy_urls(_synth_n(sf_dir, 50_000))
+    if O.dump_enabled():
+        O.dump_table("messy_urls", tbl)
+    return normalize_urls(rd.from_arrow(tbl))
+
+
 def _q_domain_stats(sf_dir: str):
     """Per-domain fetch/url/char statistics (map-side partial
     aggregates + one distinct pass)."""
@@ -1020,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_per_url": _q_latest_per_url,
         "crawl_delta": _q_crawl_delta,
         "domain_stats": _q_domain_stats,
+        "url_canon": _q_url_canon,
         # --- stateful classification stages (X1/X2 analogues) ---
         "classify_clades": _q_classify_clades,
         "motifs": _q_motifs,
@@ -1308,6 +1360,40 @@ def oracle_sql() -> dict[str, str]:
             FROM a FULL JOIN b ON a.url = b.url
             WHERE a.url IS NULL OR b.url IS NULL OR a.m <> b.m
         """,
+        "url_canon": rf"""
+            WITH u AS (SELECT url FROM {{src}}),
+            p AS (SELECT url,
+              regexp_extract(url,
+                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 1) AS sr,
+              regexp_extract(url,
+                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2) AS hr,
+              regexp_extract(url,
+                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) AS pr,
+              regexp_extract(url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*\?([^#]*)', 1) AS qr
+              FROM u),
+            n AS (SELECT url, sr, lower(sr) AS scheme, lower(hr) AS h0,
+                         regexp_replace(pr, '/+$', '') AS p0, qr FROM p),
+            n2 AS (SELECT url, sr, scheme,
+                     CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
+                            THEN substr(h0, 1, length(h0) - 3)
+                          WHEN scheme = 'https' AND h0 LIKE '%:443'
+                            THEN substr(h0, 1, length(h0) - 4)
+                          ELSE h0 END AS host,
+                     CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+                     list_sort(list_filter(string_split(qr, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                              '^(utm_[^=&]*|fbclid|gclid)(=|$)'))) AS parts
+                   FROM n)
+            SELECT url,
+                   CASE WHEN sr = '' OR sr IS NULL THEN url
+                        ELSE scheme || '://' || host || path ||
+                             CASE WHEN len(parts) > 0
+                                  THEN '?' || array_to_string(parts, '&')
+                                  ELSE '' END
+                   END AS url_canon
+            FROM n2
+        """.format(src=Q.rp('messy_urls')),
         "domain_stats": f"""
             SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
                    count(*) AS n_fetches,

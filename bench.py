@@ -80,6 +80,7 @@ SUITE = [
     "trim_spans",
     "warc_roundtrip",
     "corpus_release",
+    "url_canon",
 ]
 
 

@@ -216,3 +216,63 @@ def domain_stats(crawl, *, url_col: str = "url", text_col: str = "text"):
         {"n_fetches": "int64", "n_urls": "int64", "total_chars": "int64"}
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# URL canonicalization rule set (applied in order; shared verbatim
+# with the SQL twin — both sides parse with the SAME regex grammar,
+# not a url library, so equality is byte-exact):
+#   1. scheme and host lowercased
+#   2. fragment dropped
+#   3. default port stripped (http:80, https:443)
+#   4. tracking params dropped (utm_*, fbclid, gclid)
+#   5. remaining query params sorted (whole 'k=v' string order)
+#   6. trailing slashes collapsed; empty path -> '/'
+# A string without a scheme://netloc prefix is returned unchanged.
+_URL_RE = None
+_TRACKING_RE = r"^(utm_[^=&]*|fbclid|gclid)(=|$)"
+
+
+def canonical_url(u: str) -> str:
+    import re
+
+    global _URL_RE
+    if _URL_RE is None:
+        _URL_RE = re.compile(
+            r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?"
+        )
+    m = _URL_RE.match(u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    host = m.group(2).lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    path = re.sub(r"/+$", "", m.group(3) or "")
+    if path == "":
+        path = "/"
+    query = m.group(4) or ""
+    parts = [p for p in query.split("&")
+             if p and not re.match(_TRACKING_RE, p)]
+    parts.sort()
+    out = f"{scheme}://{host}{path}"
+    if parts:
+        out += "?" + "&".join(parts)
+    return out
+
+
+def normalize_urls(ds, *, url_col: str = "url"):
+    """(url, url_canon) for every row — the canonicalization step in
+    front of any url-keyed dedup/join.  Stateless streaming map (the
+    per-row regex work is the op; no shuffle)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        return pa.table({
+            "url": t.column(url_col),
+            "url_canon": pa.array([canonical_url(u) for u in urls],
+                                  pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -148,3 +148,30 @@ def test_unigram_logprob_paths_and_bruteforce(ray_session):
                for r in unigram_logprob(
                    rd.from_arrow(docs), broadcast_limit=limit).take_all()}
         assert got == want, f"limit={limit}"
+
+
+def test_canonical_url_rules():
+    from octoray.stages.crawl import canonical_url as c
+
+    assert c("HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag") == \
+        "http://example.com/a/b?a=1&b=2"
+    assert c("https://h:443/") == "https://h/"
+    assert c("https://h:8080/p") == "https://h:8080/p"  # non-default kept
+    assert c("https://h") == "https://h/"
+    assert c("https://h/p///") == "https://h/p"
+    assert c("https://h/p?fbclid=1&gclid") == "https://h/p"
+    assert c("https://h/p?b=2&a=1&a=0") == "https://h/p?a=0&a=1&b=2"
+    assert c("not a url") == "not a url"
+    # '?' after '#' is part of the fragment, not a query
+    assert c("https://h/p#f?x=1") == "https://h/p"
+
+
+def test_normalize_urls_dataset(ray_session):
+    import ray.data as rd
+
+    from octoray.stages.crawl import canonical_url, normalize_urls
+
+    urls = ["HTTPS://A.ORG:443/x/?utm_medium=m&k=v#z", "plain", "http://b/"]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    got = {r["url"]: r["url_canon"] for r in normalize_urls(ds).take_all()}
+    assert got == {u: canonical_url(u) for u in urls}
