@@ -859,11 +859,19 @@ def _synth_messy_urls(n: int, seed: int = 42):
         r = rng.integers(0, 1 << 30)
         scheme = "https" if r % 2 else "http"
         host = f"Site{r % 37:02d}.Example.ORG"
+        if r % 13 == 0:
+            host = "Sub.SPAM.example.org"  # governance deny target
+        elif r % 29 == 0:
+            host = f"other{r % 9}.net"     # falls through to the regex rule
         if r % 5 == 0:
             host += ":443" if scheme == "https" else ":80"
         elif r % 7 == 0:
             host += ":8080"
         path = f"/A/b{r % 100}" + ("/" * int(r % 3))
+        if r % 17 == 0:
+            path = f"/private/doc{r % 50}"
+        elif r % 19 == 0:
+            path = f"/img/pic{r % 50}.jpg"
         params = []
         if r % 3 == 0:
             params.append(f"utm_source=feed{r % 4}")
@@ -895,6 +903,23 @@ def _q_url_canon(sf_dir: str):
     if O.dump_enabled():
         O.dump_table("messy_urls", tbl)
     return normalize_urls(rd.from_arrow(tbl))
+
+
+def _q_url_filter(sf_dir: str):
+    """Crawl governance: canonicalize the messy-url set, then apply
+    the first-match-wins allow/deny rule table (robots-style) to the
+    canonical form — a composition query; the twin chains the same
+    canonicalization CTE with a CASE generated from the SAME rules."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.stages.crawl import filter_urls, normalize_urls
+
+    tbl = _synth_messy_urls(_synth_n(sf_dir, 50_000))
+    if O.dump_enabled():
+        O.dump_table("filter_urls_in", tbl)
+    canon = normalize_urls(rd.from_arrow(tbl))
+    return filter_urls(canon, url_col="url_canon", keep_denied=True)
 
 
 def _q_domain_stats(sf_dir: str):
@@ -1072,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": _q_crawl_delta,
         "domain_stats": _q_domain_stats,
         "url_canon": _q_url_canon,
+        "url_filter": _q_url_filter,
         # --- stateful classification stages (X1/X2 analogues) ---
         "classify_clades": _q_classify_clades,
         "motifs": _q_motifs,
@@ -1162,6 +1188,75 @@ def _stop_pattern(lang: str) -> str:
 def _rnd(expr: str, d: int) -> str:
     scale = 10**d
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+
+def _url_canon_sql(src: str) -> str:
+    """The canonicalization CTE chain (same regex grammar and rule
+    order as stages/crawl.canonical_url)."""
+    return rf"""
+        WITH u AS (SELECT url FROM {src}),
+        p AS (SELECT url,
+          regexp_extract(url,
+            '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 1) AS sr,
+          regexp_extract(url,
+            '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2) AS hr,
+          regexp_extract(url,
+            '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) AS pr,
+          regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*\?([^#]*)', 1) AS qr
+          FROM u),
+        n AS (SELECT url, sr, lower(sr) AS scheme, lower(hr) AS h0,
+                     regexp_replace(pr, '/+$', '') AS p0, qr FROM p),
+        n2 AS (SELECT url, sr, scheme,
+                 CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
+                        THEN substr(h0, 1, length(h0) - 3)
+                      WHEN scheme = 'https' AND h0 LIKE '%:443'
+                        THEN substr(h0, 1, length(h0) - 4)
+                      ELSE h0 END AS host,
+                 CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+                 list_sort(list_filter(string_split(qr, '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                          '^(utm_[^=&]*|fbclid|gclid)(=|$)'))) AS parts
+               FROM n)
+        SELECT url,
+               CASE WHEN sr = '' OR sr IS NULL THEN url
+                    ELSE scheme || '://' || host || path ||
+                         CASE WHEN len(parts) > 0
+                              THEN '?' || array_to_string(parts, '&')
+                              ELSE '' END
+               END AS url_canon
+        FROM n2
+    """
+
+
+def _url_filter_sql(src: str) -> str:
+    """Canonicalize then apply the first-match-wins rule table as a
+    CASE chain generated from the SAME rules the engine evaluates
+    (stages/crawl.DEFAULT_URL_RULES); host/path extraction mirrors
+    _domain_of and the filter's path regex."""
+    from octoray.stages.crawl import DEFAULT_URL_RULES
+
+    whens = []
+    for act, kind, pat in DEFAULT_URL_RULES:
+        p = pat.replace("'", "''")
+        if kind == "domain":
+            c = f"(host = '{p}' OR host LIKE '%.{p}')"
+        elif kind == "path_prefix":
+            c = f"(path LIKE '{p}%')"
+        else:
+            c = f"regexp_matches(url_canon, '{p}')"
+        whens.append(f"WHEN {c} THEN '{act}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'allow' END"
+    return f"""
+        WITH canon AS ({_url_canon_sql(src)}),
+        px AS (SELECT url, url_canon,
+                 regexp_extract(url_canon, '^[a-z]+://([^/]+)', 1) AS host,
+                 regexp_extract(url_canon,
+                   '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path
+               FROM canon)
+        SELECT url, url_canon, {case} AS action FROM px
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1360,40 +1455,8 @@ def oracle_sql() -> dict[str, str]:
             FROM a FULL JOIN b ON a.url = b.url
             WHERE a.url IS NULL OR b.url IS NULL OR a.m <> b.m
         """,
-        "url_canon": rf"""
-            WITH u AS (SELECT url FROM {{src}}),
-            p AS (SELECT url,
-              regexp_extract(url,
-                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 1) AS sr,
-              regexp_extract(url,
-                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 2) AS hr,
-              regexp_extract(url,
-                '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) AS pr,
-              regexp_extract(url,
-                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*\?([^#]*)', 1) AS qr
-              FROM u),
-            n AS (SELECT url, sr, lower(sr) AS scheme, lower(hr) AS h0,
-                         regexp_replace(pr, '/+$', '') AS p0, qr FROM p),
-            n2 AS (SELECT url, sr, scheme,
-                     CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
-                            THEN substr(h0, 1, length(h0) - 3)
-                          WHEN scheme = 'https' AND h0 LIKE '%:443'
-                            THEN substr(h0, 1, length(h0) - 4)
-                          ELSE h0 END AS host,
-                     CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
-                     list_sort(list_filter(string_split(qr, '&'),
-                       x -> x <> '' AND NOT regexp_matches(x,
-                              '^(utm_[^=&]*|fbclid|gclid)(=|$)'))) AS parts
-                   FROM n)
-            SELECT url,
-                   CASE WHEN sr = '' OR sr IS NULL THEN url
-                        ELSE scheme || '://' || host || path ||
-                             CASE WHEN len(parts) > 0
-                                  THEN '?' || array_to_string(parts, '&')
-                                  ELSE '' END
-                   END AS url_canon
-            FROM n2
-        """.format(src=Q.rp('messy_urls')),
+        "url_canon": _url_canon_sql(Q.rp('messy_urls')),
+        "url_filter": _url_filter_sql(Q.rp('filter_urls_in')),
         "domain_stats": f"""
             SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
                    count(*) AS n_fetches,

@@ -81,6 +81,7 @@ SUITE = [
     "warc_roundtrip",
     "corpus_release",
     "url_canon",
+    "url_filter",
 ]
 
 

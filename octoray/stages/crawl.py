@@ -276,3 +276,64 @@ def normalize_urls(ds, *, url_col: str = "url"):
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# Crawl-governance filter rules: first-match-wins (the robots.txt
+# evaluation order), each rule (action, kind, pattern) with kind one
+# of 'domain' (exact host or any subdomain), 'path_prefix' (on the
+# path component), 'regex' (whole url).  A url matching no rule gets
+# ``default``.  The SQL twin is generated from the SAME table.
+DEFAULT_URL_RULES = [
+    ("deny", "domain", "spam.example.org"),
+    ("deny", "path_prefix", "/private"),
+    ("allow", "domain", "example.org"),
+    ("deny", "regex", r"\.(jpg|png|gif|css|js)$"),
+]
+
+
+def filter_urls(ds, *, rules=None, default: str = "allow",
+                url_col: str = "url", keep_denied: bool = False):
+    """(url, action) per row under first-match-wins rules; with
+    ``keep_denied=False`` (default) only allowed rows survive, ready
+    to feed the ingest/KG pipelines.  Evaluation is one vectorized
+    mask per rule (rules are few, rows many): an int8 'decided' lane
+    records the first matching rule's action."""
+    import re
+
+    rules = DEFAULT_URL_RULES if rules is None else rules
+
+    def f(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col)
+        host = _domain_of(urls)
+        host = pc.fill_null(host, "")
+        path = pc.struct_field(
+            pc.extract_regex(
+                pc.fill_null(urls, ""),
+                r"^[a-z]+://[^/?#]*(?P<path>[^?#]*)"),
+            "path")
+        path = pc.fill_null(path, "")
+        n = t.num_rows
+        action = np.full(n, default, dtype=object)
+        undecided = np.ones(n, dtype=bool)
+        for act, kind, pat in rules:
+            if kind == "domain":
+                m = pc.or_(
+                    pc.equal(host, pat),
+                    pc.ends_with(host, options=None, pattern="." + pat))
+            elif kind == "path_prefix":
+                m = pc.starts_with(path, pattern=pat)
+            elif kind == "regex":
+                m = pc.match_substring_regex(urls, pat)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown rule kind {kind}")
+            mask = np.asarray(pc.fill_null(m, False).to_numpy(
+                zero_copy_only=False), dtype=bool)
+            hit = mask & undecided
+            action[hit] = act
+            undecided &= ~mask
+        out = t.append_column("action", pa.array(list(action), pa.string()))
+        if not keep_denied:
+            out = out.filter(pc.equal(out.column("action"), pa.scalar("allow")))
+        return out
+
+    return ds.map_batches(f, batch_format="pyarrow")

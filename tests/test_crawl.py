@@ -175,3 +175,28 @@ def test_normalize_urls_dataset(ray_session):
     ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
     got = {r["url"]: r["url_canon"] for r in normalize_urls(ds).take_all()}
     assert got == {u: canonical_url(u) for u in urls}
+
+
+def test_filter_urls_first_match_wins(ray_session):
+    import ray.data as rd
+
+    from octoray.stages.crawl import filter_urls
+
+    urls = [
+        "https://spam.example.org/x",            # deny: domain
+        "https://a.spam.example.org/x",          # deny: subdomain
+        "https://site01.example.org/private/x",  # deny: path prefix
+        "https://site01.example.org/page",       # allow: example.org
+        "https://site01.example.org/pic.jpg",    # allow rule fires FIRST
+        "https://other.com/pic.jpg",             # deny: regex
+        "https://other.com/page",                # default allow
+        "plain text",                            # default allow
+    ]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    got = {r["url"]: r["action"]
+           for r in filter_urls(ds, keep_denied=True).take_all()}
+    assert [got[u] for u in urls] == [
+        "deny", "deny", "deny", "allow", "allow", "deny", "allow", "allow"]
+    kept = filter_urls(
+        rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))).count()
+    assert kept == 4
