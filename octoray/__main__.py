@@ -157,10 +157,12 @@ def cmd_crawl(args) -> int:
         from octoray.sources.crawl import crawl_dataset
 
         ds = crawl_dataset(args.pages, n_snapshots=args.snapshots)
-    else:
+    elif args.input:
         import ray.data as rd
 
         ds = rd.read_parquet(args.input)
+    else:
+        raise SystemExit("crawl: provide either --input DIR or --pages N")
     if args.kind == "latest":
         out = latest_per_url(ds)
     elif args.kind == "delta":

@@ -76,23 +76,31 @@ def _rewrite_paths(pats: Sequence[Pattern]) -> List[Pattern]:
     Combining forms inside one predicate constant is not supported —
     compose via explicit intermediate variables instead."""
     out: List[Pattern] = []
-    for i, (s, p, o) in enumerate(pats):
-        if _is_var(p):
-            out.append((s, p, o))
-            continue
-        if p.startswith("^"):
-            out.append((o, p[1:], s))
-            continue
-        if "/" in p:
-            parts = p.split("/")
-            cur = s
-            for j, pp in enumerate(parts):
-                nxt = o if j == len(parts) - 1 else f"?__seq{i}_{j}"
-                out.append((cur, pp, nxt))
-                cur = nxt
-            continue
-        out.append((s, p, o))
+    for i, pat in enumerate(pats):
+        out.extend(_rewrite_one(pat, f"__seq{i}"))
     return out
+
+
+def _rewrite_one(pat: Pattern, tag: str) -> List[Pattern]:
+    """One pattern -> its primitive expansion.  ``tag`` names the
+    hidden intermediate variables and MUST be unique per original
+    pattern across the whole query (where + optionals share one
+    namespace — a collision would silently join unrelated hops)."""
+    s, p, o = pat
+    if _is_var(p):
+        return [(s, p, o)]
+    if p.startswith("^"):
+        return [(o, p[1:], s)]
+    if "/" in p:
+        parts = p.split("/")
+        out: List[Pattern] = []
+        cur = s
+        for j, pp in enumerate(parts):
+            nxt = o if j == len(parts) - 1 else f"?{tag}_{j}"
+            out.append((cur, pp, nxt))
+            cur = nxt
+        return out
+    return [(s, p, o)]
 
 
 def apply_filters(bindings, filters: Sequence[tuple]):
@@ -119,7 +127,15 @@ def apply_filters(bindings, filters: Sequence[tuple]):
                 if isinstance(val, bool) or not isinstance(val, (int, float)):
                     m = _CMP[op](col, pa.scalar(str(val)))
                 else:
-                    m = _CMP[op](pc.cast(col, pa.float64()),
+                    # SPARQL type-error semantics: a non-numeric lexical
+                    # value fails the filter instead of crashing the
+                    # query — null out unparseable strings before the
+                    # cast (the null then falls through fill_null)
+                    numeric = pc.match_substring_regex(
+                        col, r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+                    safe = pc.if_else(pc.fill_null(numeric, False), col,
+                                      pa.scalar(None, pa.string()))
+                    m = _CMP[op](pc.cast(safe, pa.float64()),
                                  pa.scalar(float(val)))
             m = pc.fill_null(m, False)
             mask = m if mask is None else pc.and_(mask, m)
@@ -215,24 +231,44 @@ def _order_patterns(patterns: Sequence[Pattern]) -> List[Pattern]:
 
 def _fold_join(bindings, bcols: set, tbl, tvars: List[str], *, how: str,
                num_partitions: int):
+    """One fold step, SCHEMA-STABLE by construction: Ray drops 0-row
+    blocks end-to-end, so an empty side or an empty join result loses
+    its schema and crashes the next join — every fold therefore
+    normalizes its output through drop_empty_blocks with the known
+    all-string binding schema (the pattern layer's columns are always
+    strings).  The materialize this costs operates on hit-set-scale
+    bindings, which the layer materializes anyway."""
+    from octoray.query import merge_join
+    from octoray.util import drop_empty_blocks
+
     shared = sorted(bcols & set(tvars))
     if not shared:
         raise ValueError("pattern shares no variable with prior bindings")
+    ls = bindings.schema()
+    rs = tbl.schema()
     # drop duplicate hidden dt columns from the right side (the first
     # binder of a variable owns its datatype); a rewritten pattern may
     # bind the shared variable in subject position and carry no dt
     # column at all, so drop only what each batch actually has
     drop = [v + "__dt" for v in tvars
             if v + "__dt" in bcols and v in shared]
+    keep_right = [n for n in (rs.names if rs is not None else [])
+                  if n not in drop]
     if drop:
         tbl = tbl.map_batches(
             lambda t, drop=tuple(drop): t.drop_columns(
                 [c for c in drop if c in t.column_names]),
             batch_format="pyarrow",
         )
-    from octoray.query import merge_join
+        tbl = drop_empty_blocks(
+            tbl.materialize(),
+            pa.schema([(n, pa.string()) for n in keep_right]))
 
-    return merge_join(bindings, tbl, shared, how=how)
+    out = merge_join(bindings, tbl, shared, how=how)
+    out_names = list(ls.names) + [n for n in keep_right if n not in ls.names]
+    return drop_empty_blocks(
+        out.materialize(),
+        pa.schema([(n, pa.string()) for n in out_names]))
 
 
 def _tagged_hits(triples, pats: Sequence[Pattern]):
@@ -303,6 +339,19 @@ def _bindings_from_hits(hits, idx: int, pat: Pattern):
     return hits.map_batches(shape, batch_format="pyarrow")
 
 
+def _binding_schema(pat: Pattern) -> pa.Schema:
+    """The all-string schema a pattern's binding table carries (used
+    to keep empty binding sets schema-stable)."""
+    s, p, o = pat
+    fields = []
+    for slot in (s, p, o):
+        if _is_var(slot):
+            fields.append((slot[1:], pa.string()))
+    if _is_var(o):
+        fields.append((o[1:] + "__dt", pa.string()))
+    return pa.schema(fields)
+
+
 def match_patterns(triples, where: Sequence[Pattern], *,
                    optionals: Sequence[Pattern] = (),
                    filters: Sequence[tuple] = (),
@@ -322,13 +371,28 @@ def match_patterns(triples, where: Sequence[Pattern], *,
     if not where:
         raise ValueError("empty WHERE")
     where = _rewrite_paths(list(where))
-    optionals = _rewrite_paths(list(optionals))
-    pats = list(where) + list(optionals)
+    # each original OPTIONAL is an ATOMIC group: a composite path
+    # inside it expands to primitives that first inner-fold among
+    # themselves, and the GROUP result left-joins as one unit (two
+    # independent left joins would emit one row per dangling
+    # intermediate where SPARQL emits a single unmatched row).  Hidden
+    # variable tags are namespaced '__opt{g}' so they can never
+    # collide with the where-side '__seq{i}' chain.
+    opt_groups = [_rewrite_one(pat, f"__opt{g}")
+                  for g, pat in enumerate(optionals)]
+    pats = list(where) + [p for grp in opt_groups for p in grp]
     hits = _tagged_hits(triples, pats)
     pat_idx = {id(pat): i for i, pat in enumerate(pats)}
 
     def tbl_of(pat: Pattern):
-        return _bindings_from_hits(hits, pat_idx[id(pat)], pat)
+        # normalize to a schema-stable dataset: a pattern with ZERO
+        # hits otherwise yields schema-less empty blocks (the Ray 2.49
+        # quirk drop_empty_blocks exists for) and crashes the fold
+        # joins; the known all-string binding schema stands in
+        from octoray.util import drop_empty_blocks
+
+        ds_ = _bindings_from_hits(hits, pat_idx[id(pat)], pat)
+        return drop_empty_blocks(ds_.materialize(), _binding_schema(pat))
 
     ordered = _order_patterns(list(where))
     bindings = tbl_of(ordered[0])
@@ -341,12 +405,39 @@ def match_patterns(triples, where: Sequence[Pattern], *,
         bcols |= set(_binding_vars(pat))
         if _is_var(pat[2]):
             bcols.add(pat[2][1:] + "__dt")
-    for pat in optionals:
-        bindings = _fold_join(bindings, bcols, tbl_of(pat), _binding_vars(pat),
+    for grp in opt_groups:
+        # inner-fold the group's own primitives first (a composite
+        # path matches as a unit; schema stability through empty
+        # results is _fold_join's job)
+        g_ordered = _order_patterns(list(grp))
+        gtbl = tbl_of(g_ordered[0])
+        gcols = set(_binding_vars(g_ordered[0]))
+        if _is_var(g_ordered[0][2]):
+            gcols.add(g_ordered[0][2][1:] + "__dt")
+        for pat in g_ordered[1:]:
+            gtbl = _fold_join(gtbl, gcols, tbl_of(pat), _binding_vars(pat),
+                              how="inner", num_partitions=num_partitions)
+            gcols |= set(_binding_vars(pat))
+            if _is_var(pat[2]):
+                gcols.add(pat[2][1:] + "__dt")
+        # hidden intermediates never leave the group
+        hidden = sorted(c for c in gcols if c.startswith("__opt"))
+        if hidden:
+            from octoray.util import drop_empty_blocks
+
+            gtbl = gtbl.map_batches(
+                lambda t, drop=tuple(hidden): t.drop_columns(
+                    [c for c in drop if c in t.column_names]),
+                batch_format="pyarrow",
+            )
+            gcols -= set(hidden)
+            gtbl = drop_empty_blocks(
+                gtbl.materialize(),
+                pa.schema([(n, pa.string()) for n in sorted(gcols)]))
+        gvars = sorted(c for c in gcols if not c.endswith("__dt"))
+        bindings = _fold_join(bindings, bcols, gtbl, gvars,
                               how="left_outer", num_partitions=num_partitions)
-        bcols |= set(_binding_vars(pat))
-        if _is_var(pat[2]):
-            bcols.add(pat[2][1:] + "__dt")
+        bcols |= gcols
     bindings = apply_filters(bindings, filters)
     # hidden sequence-path variables never reach the caller
     seq_cols = sorted({c for c in bcols if c.startswith("__seq")}

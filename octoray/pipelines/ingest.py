@@ -66,14 +66,42 @@ def _runs(root: str) -> List[str]:
 
 
 def _gc(root: str) -> None:
-    """Drop crashed (manifest-less) run dirs and stale tmp dirs."""
+    """Drop crashed (manifest-less) run dirs; recover or drop tmp dirs.
+
+    A ``.tmp-retract-run=K`` dir WITH a manifest is a completed
+    retraction rewrite whose final rename did not land (the crash
+    window between removing the old partition and promoting the new
+    one): if the partition is missing, PROMOTE the tmp — dropping it
+    would permanently lose the run's surviving triples.  Every other
+    tmp is an incomplete write and is dropped."""
     for d in list(_runs(root)):
         if not os.path.exists(os.path.join(d, MANIFEST)):
             shutil.rmtree(d)
     if os.path.isdir(root):
         for d in os.listdir(root):
-            if d.startswith(".tmp-"):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            if not d.startswith(".tmp-"):
+                continue
+            full = os.path.join(root, d)
+            if d.startswith(".tmp-retract-run=") and os.path.exists(
+                    os.path.join(full, MANIFEST)):
+                dst = os.path.join(root, d[len(".tmp-retract-"):])
+                if not os.path.isdir(dst):
+                    os.replace(full, dst)
+                    continue
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _gc_unpaired(store_dir: str) -> None:
+    """Enforce the ledger/triples pairing invariant: a triples run
+    whose ledger run never landed is rolled back (the crash window
+    between the two commits — the ledger is the source of truth for
+    'these pages are ingested', so orphan triples would double once
+    the pages re-ingest)."""
+    led = {os.path.basename(d) for d in _runs(os.path.join(store_dir, "ledger"))
+           if os.path.exists(os.path.join(d, MANIFEST))}
+    for d in _runs(os.path.join(store_dir, "triples")):
+        if os.path.basename(d) not in led:
+            shutil.rmtree(d)
 
 
 def _commit_run(root: str, k: int, ds_or_table, manifest: Dict) -> str:
@@ -225,6 +253,7 @@ def ingest_snapshot(pages_ds, store_dir: str, *,
     os.makedirs(store_dir, exist_ok=True)
     _gc(os.path.join(store_dir, "ledger"))
     _gc(os.path.join(store_dir, "triples"))
+    _gc_unpaired(store_dir)
 
     prev = ledger_state(store_dir).materialize()
     prev_map: Optional[Dict[str, str]] = None
@@ -322,12 +351,17 @@ def read_ingest_graph(store_dir: str, *, with_src: bool = False):
     from octoray.model import TRIPLE_SCHEMA
     from octoray.stages.canon import TRIPLE_COLS
 
-    # manifest-less run dirs are crashed writes — invisible here, gc'd
-    # by the next ingest (the pull.read_graph rule)
+    # manifest-less run dirs are crashed writes, and a triples run
+    # without its paired ledger run is a torn commit — both invisible
+    # here, gc'd by the next ingest (the pull.read_graph rule)
+    led = {os.path.basename(d)
+           for d in _runs(os.path.join(store_dir, "ledger"))
+           if os.path.exists(os.path.join(d, MANIFEST))}
     files = [
         os.path.join(d, f)
         for d in _runs(os.path.join(store_dir, "triples"))
         if os.path.exists(os.path.join(d, MANIFEST))
+        and os.path.basename(d) in led
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]

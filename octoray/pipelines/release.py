@@ -33,8 +33,6 @@ import pyarrow.compute as pc
 def corpus_release(docs, *, min_tokens: int = 10, min_alpha: float = 0.5,
                    val_frac: float = 0.1, sep: str = ". ",
                    id_col: str = "doc_id", text_col: str = "text"):
-    from octoray.query import hash_join
-    from octoray.stages.dedup import drop_exact_dups
     from octoray.stages.linededup import line_dedup
     from octoray.stages.redact import redact_batch
 
@@ -61,12 +59,31 @@ def corpus_release(docs, *, min_tokens: int = 10, min_alpha: float = 0.5,
         return out.filter(keep)
 
     q = ld.map_batches(quality, batch_format="pyarrow")
-    kept = drop_exact_dups(q, id_col=id_col, text_col="text_dedup")
-    meta = q.map_batches(
-        lambda t: pa.table({id_col: t.column(id_col),
-                            "n_tokens": t.column("n_tokens")}),
-        batch_format="pyarrow")
-    joined = hash_join(kept, meta, on=id_col)
+
+    # keep-first exact dedup with n_tokens carried THROUGH the content
+    # sort (inlining drop_exact_dups here avoids consuming `q` twice —
+    # a second consumption re-executed redaction and both line-dedup
+    # sorts — and drops the join entirely)
+    from octoray.stages.dedup import _norm_ws
+
+    def fp(t: pa.Table) -> pa.Table:
+        norm = _norm_ws(t.column("text_dedup")).to_pylist()
+        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in norm]
+        return pa.table({
+            "md5": pa.array(md5s, pa.string()),
+            id_col: t.column(id_col),
+            "n_tokens": t.column("n_tokens"),
+        })
+
+    def keep_first(df):
+        if len(df) == 0:
+            return df
+        keep = (df.groupby("md5", sort=False)[id_col].transform("min")
+                == df[id_col])
+        return df[keep]
+
+    joined = q.map_batches(fp, batch_format="pyarrow").sort(["md5"]).map_batches(
+        keep_first, batch_format="pandas", batch_size=None)
 
     def with_split(t: pa.Table) -> pa.Table:
         fracs = [

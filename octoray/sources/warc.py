@@ -132,10 +132,20 @@ def write_warc(pages_ds, out_dir: str, *, url_col: str = "url",
 
     def dump(t: pa.Table) -> pa.Table:
         if t.num_rows:
-            from octoray.model import chksum
+            import hashlib
 
-            first = t.column(url_col)[0].as_py()
-            name = f"shard-{chksum(first + str(t.num_rows))[:16]}.warc"
+            # name from a digest of the FULL url+ts column content —
+            # first-url+count collided for per-snapshot dumps of the
+            # same crawl (same first url, same size) and silently
+            # overwrote a shard
+            h = hashlib.md5()
+            for u in t.column(url_col).to_pylist():
+                h.update(u.encode("utf-8"))
+            import pyarrow.compute as pc  # noqa: F811
+
+            for v in pc.cast(t.column(ts_col), pa.int64()).to_pylist():
+                h.update(str(v).encode())
+            name = f"shard-{h.hexdigest()[:16]}.warc"
             if compress:
                 name += ".gz"
             ts = pc.cast(t.column(ts_col), pa.int64()).to_pylist()

@@ -114,3 +114,57 @@ def test_ingest_crash_gc(ray_session, tmp_path):
     assert not os.path.isdir(os.path.join(store, "triples", ".tmp-run=0002"))
     led = {r["url"]: r["run"] for r in ledger_state(store).take_all()}
     assert max(led.values()) == 1
+
+
+def test_torn_commit_rolls_back_orphan_triples(ray_session, tmp_path):
+    """Crash between the triples commit and the ledger commit: the
+    orphan triples run must be rolled back (else re-ingest doubles
+    those urls' triples) and the retry must converge to the clean
+    graph."""
+    import shutil
+
+    from octoray.pipelines.ingest import ingest_snapshot, read_ingest_graph
+
+    store = str(tmp_path / "store")
+    clean = str(tmp_path / "clean")
+    ingest_snapshot(_snap(120, 2, 0), store, emitter_concurrency=2)
+    ingest_snapshot(_snap(120, 2, 0), clean, emitter_concurrency=2)
+    ingest_snapshot(_snap(120, 2, 1), clean, emitter_concurrency=2)
+
+    # simulate the torn second ingest on `store`: copy run=0001 triples
+    # from clean (a completed triples commit) WITHOUT its ledger run
+    run0_count = read_ingest_graph(store).count()
+    shutil.copytree(os.path.join(clean, "triples", "run=0001"),
+                    os.path.join(store, "triples", "run=0001"))
+    # a reader never sees the orphan (unpaired run is invisible)
+    assert read_ingest_graph(store).count() == run0_count
+
+    r = ingest_snapshot(_snap(120, 2, 1), store, emitter_concurrency=2)
+    assert r["run"] == 1  # orphan rolled back, run id reused
+    key = lambda x: (x["subject"], x["predicate"], x["object"],
+                     x["object_datatype"])
+    assert sorted(map(key, read_ingest_graph(store).take_all())) == sorted(
+        map(key, read_ingest_graph(clean).take_all()))
+
+
+def test_retraction_tmp_promotes_after_crash(ray_session, tmp_path):
+    """Crash between removing a partition and promoting its rewritten
+    tmp: the next ingest promotes the manifested tmp instead of
+    deleting the run's surviving triples."""
+    import shutil
+
+    from octoray.pipelines.ingest import _gc, read_ingest_graph, ingest_snapshot
+
+    store = str(tmp_path / "store")
+    ingest_snapshot(_snap(120, 2, 0), store, emitter_concurrency=2)
+    troot = os.path.join(store, "triples")
+    run0 = os.path.join(troot, "run=0000")
+    n0 = read_ingest_graph(store).count()
+
+    # simulate: rewrite completed into tmp (manifest included), old
+    # partition already removed, final rename never happened
+    tmp = os.path.join(troot, ".tmp-retract-run=0000")
+    shutil.move(run0, tmp)
+    assert read_ingest_graph(store).count() == 0
+    _gc(troot)
+    assert read_ingest_graph(store).count() == n0

@@ -167,3 +167,60 @@ def test_filters_regex_compare_null(ray_session):
         filters=[("v", ">=", 0)],
     )
     assert {r["s"] for r in b3.take_all()} == {"fid:s1", "fid:s2"}
+
+
+def test_seq_paths_in_where_and_optional_do_not_collide(ray_session):
+    """where[0] and optionals[0] both expand composite paths; their
+    hidden intermediates must be independent (a shared '__seq0' name
+    silently joined unrelated hops)."""
+    g = [
+        ("fid:s1", "f:p1", "geo:m1", "uri"),
+        ("geo:m1", "f:p2", "END1", ""),
+        ("fid:s1", "f:q1", "geo:k1", "uri"),
+        ("geo:k1", "f:q2", "END2", ""),
+        # a second s with p-path but a DIFFERENT q intermediate value
+        ("fid:s2", "f:p1", "geo:m2", "uri"),
+        ("geo:m2", "f:p2", "END3", ""),
+        ("fid:s2", "f:q1", "geo:k2", "uri"),
+        ("geo:k2", "f:q2", "END4", ""),
+    ]
+    b = match_patterns(
+        _ds(g),
+        [("?s", "f:p1/f:p2", "?o")],
+        optionals=[("?s", "f:q1/f:q2", "?y")],
+    )
+    rows = {(r["s"], r["o"], r["y"]) for r in b.take_all()}
+    assert rows == {("fid:s1", "END1", "END2"), ("fid:s2", "END3", "END4")}
+
+
+def test_optional_composite_path_is_atomic(ray_session):
+    """A partially-matching optional path yields ONE unmatched row,
+    not one per dangling intermediate."""
+    g = [
+        ("fid:s1", "f:name", "one", ""),
+        # three p1 hops, NONE of which completes with p2
+        ("fid:s1", "f:p1", "geo:a", "uri"),
+        ("fid:s1", "f:p1", "geo:b", "uri"),
+        ("fid:s1", "f:p1", "geo:c", "uri"),
+    ]
+    b = match_patterns(
+        _ds(g),
+        [("?s", "f:name", "?n")],
+        optionals=[("?s", "f:p1/f:p2", "?y")],
+    )
+    rows = [(r["s"], r["n"], r["y"]) for r in b.take_all()]
+    assert rows == [("fid:s1", "one", None)]
+
+
+def test_filter_numeric_on_mixed_lexicals(ray_session):
+    """A non-numeric bound value fails a numeric filter (SPARQL error
+    semantics) instead of crashing the cast."""
+    g = [
+        ("fid:s1", "f:v", "7", "xsd:integer"),
+        ("fid:s2", "f:v", "abc", ""),
+        ("fid:s3", "f:v", "12.5", "xsd:double"),
+        ("fid:s4", "f:v", "-3e1", "xsd:double"),
+    ]
+    b = match_patterns(_ds(g), [("?s", "f:v", "?v")],
+                       filters=[("v", ">", 5)])
+    assert {r["s"] for r in b.take_all()} == {"fid:s1", "fid:s3"}
