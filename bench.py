@@ -185,23 +185,36 @@ def run_scaling() -> dict:
     efficiency (frequency/memory-bandwidth ceiling), so measuring the
     ENGINE's scaling at 4->16 separates pipeline behavior from host
     saturation; both pairs are recorded in BASELINE.md."""
-    results = {}
+    import statistics
+
     pages = os.environ.get("GRAFT_PAGES", "100000")
     pair = [int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(",")]
-    for cpus in pair:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_PAGES=pages)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+    # median of GRAFT_SCALE_REPS fresh-process runs per leg: on this
+    # shared host a single-shot pair measures the NEIGHBORS (per-leg
+    # throughput swings ±40% minutes apart — BASELINE.md host-variance
+    # sections); the median per leg suppresses that noise while every
+    # individual run is still a full fresh-process measurement
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+    thr: dict[int, list] = {c: [] for c in pair}
+    wall: dict[int, list] = {c: [] for c in pair}
+    for _ in range(reps):
+        for cpus in pair:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_PAGES=pages)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            res = json.loads(line)
+            thr[cpus].append(res["pages_per_sec"])
+            wall[cpus].append(res["value"])
     lo, hi = pair
-    thr_lo = results[lo]["pages_per_sec"]
-    thr_hi = results[hi]["pages_per_sec"]
+    thr_lo = statistics.median(thr[lo])
+    thr_hi = statistics.median(thr[hi])
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -209,8 +222,11 @@ def run_scaling() -> dict:
         "unit": "ratio",
         f"pages_per_sec_{lo}cpu": thr_lo,
         f"pages_per_sec_{hi}cpu": thr_hi,
-        f"wall_{lo}cpu": results[lo]["value"],
-        f"wall_{hi}cpu": results[hi]["value"],
+        f"wall_{lo}cpu": statistics.median(wall[lo]),
+        f"wall_{hi}cpu": statistics.median(wall[hi]),
+        "reps": reps,
+        f"all_{lo}cpu": thr[lo],
+        f"all_{hi}cpu": thr[hi],
         "sf": _sf(),
         "num_cpus": pair,
     }
