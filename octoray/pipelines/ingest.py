@@ -372,10 +372,60 @@ def read_ingest_graph(store_dir: str, *, with_src: bool = False):
             empty = empty.append_column("src", pa.array([], pa.string()))
         return rd.from_arrow(empty)
 
+    schema5 = pa.schema([(c, pa.string()) for c in _TRIPLE5])
+
     def norm(t: pa.Table) -> pa.Table:
+        # parquet reads back large_string; downstream Arrow kernels
+        # (canon key join, hash joins) want plain string
         t = t.select(cols)
-        if not with_src:
-            t = t.cast(TRIPLE_SCHEMA)
-        return t
+        return t.cast(schema5 if with_src else TRIPLE_SCHEMA)
 
     return rd.read_parquet(files).map_batches(norm, batch_format="pyarrow")
+
+
+def compact_store(store_dir: str, dst_dir: str) -> Dict:
+    """Compact an ingest store: N ledger/triples run pairs -> ONE pair
+    in a fresh store at ``dst_dir`` (the run-count growth bound — a
+    long-lived recurring ingest otherwise accumulates a dir per
+    snapshot and every read fans over all of them).
+
+    Semantics preserved exactly:
+      * triples: the current graph with provenance, re-canonicalized
+        (src-leading dedup sort) into run=0000
+      * ledger: the collapsed (url, content_md5) state, all rows
+        re-stamped run=0 — recency collapses to a no-op and change
+        detection behaves identically afterwards
+    The destination is built complete and self-consistent; swap it in
+    (or point readers at it) only after this returns."""
+    import pyarrow.parquet as pq
+
+    from octoray.stages.canon import dedup_triples
+
+    if os.path.abspath(dst_dir) == os.path.abspath(store_dir):
+        raise ValueError("compact_store writes a FRESH store; dst == src")
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.makedirs(dst_dir, exist_ok=True)
+
+    triples = dedup_triples(
+        read_ingest_graph(store_dir, with_src=True), extra_cols=("src",))
+    tdir = _commit_run(os.path.join(dst_dir, "triples"), 0, triples,
+                       {"run": 0, "kind": "triples", "status": "complete",
+                        "compacted_from": store_dir})
+
+    def restamp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "content_md5": t.column("content_md5"),
+            "run": pa.array([0] * t.num_rows, pa.int64()),
+        })
+
+    led = ledger_state(store_dir).map_batches(restamp, batch_format="pyarrow")
+    _commit_run(os.path.join(dst_dir, "ledger"), 0, led,
+                {"run": 0, "kind": "ledger", "status": "complete",
+                 "compacted_from": store_dir})
+
+    import glob
+
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(tdir, "*.parquet")))
+    return {"dst": dst_dir, "triples": n}

@@ -168,3 +168,35 @@ def test_retraction_tmp_promotes_after_crash(ray_session, tmp_path):
     assert read_ingest_graph(store).count() == 0
     _gc(troot)
     assert read_ingest_graph(store).count() == n0
+
+
+def test_compact_store_preserves_semantics(ray_session, tmp_path):
+    """Compaction collapses N run pairs to one; the graph is
+    byte-identical and subsequent incremental ingests behave exactly
+    as on the uncompacted store."""
+    from octoray.pipelines.ingest import (
+        compact_store,
+        ingest_snapshot,
+        read_ingest_graph,
+    )
+
+    n, S = 120, 3
+    a = str(tmp_path / "a")
+    for s in range(S - 1):
+        ingest_snapshot(_snap(n, S, s), a, emitter_concurrency=2)
+
+    b = str(tmp_path / "b")
+    compact_store(a, b)
+    assert len(os.listdir(os.path.join(b, "triples"))) == 1
+    assert _graph_set(read_ingest_graph(a)) == _graph_set(read_ingest_graph(b))
+
+    # the final snapshot ingests identically on both stores
+    ra = ingest_snapshot(_snap(n, S, S - 1), a, emitter_concurrency=2)
+    rb = ingest_snapshot(_snap(n, S, S - 1), b, emitter_concurrency=2)
+    assert ra["pages_changed"] == rb["pages_changed"]
+    assert ra["triples_out"] == rb["triples_out"]
+    assert _graph_set(read_ingest_graph(a)) == _graph_set(read_ingest_graph(b))
+
+    # re-ingesting on the compacted store is still a no-op
+    r = ingest_snapshot(_snap(n, S, S - 1), b, emitter_concurrency=2)
+    assert r["pages_changed"] == 0
