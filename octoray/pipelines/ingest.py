@@ -20,23 +20,43 @@ Ingesting snapshot S:
   1. ledger state      arg-max-by-run collapse of the ledger runs
                        (slim (url, md5) rows — the latest_per_url
                        reduce shape)
-  2. change detection  snapshot pages -> (url, md5); urls whose md5
-                       matches the ledger are dropped (broadcast set
-                       when the ledger fits, J9's incremental-resume
-                       anti-join otherwise)
-  3. emission          ONLY changed pages go through the mention
+  2. change detection  snapshot pages -> (url, md5); pages whose
+                       (url, md5) pair is already in the ledger are
+                       dropped.  Stats-gated: the ledger state is
+                       broadcast as a dict when it fits
+                       ``broadcast_limit``; beyond that the SAME
+                       semantics run as a distributed anti-join on
+                       the composite (url NUL md5) key over slim rows
+                       (J9's incremental-resume shape — text never
+                       rides the anti-join shuffle; the changed-key
+                       set, which is snapshot-delta-sized, then
+                       semi-joins the pages to re-attach text, itself
+                       stats-gated broadcast-vs-merge)
+  3. intent            urls changing content had triples in earlier
+                       runs; their urls land in a durable
+                       retraction-intent file BEFORE anything is
+                       committed (crash recovery replays it)
+  4. emission          ONLY changed pages go through the mention
                        emitter (keep_src=True rides the url through
                        as provenance); canonical dedup includes src
                        as a leading key
-  4. retraction        urls changing content had triples in earlier
-                       runs: affected run partitions are rewritten in
-                       parallel Ray tasks with tmp+atomic-swap (the
-                       update.delete_where pattern, filter src IN
-                       changed) — parquet statistics skip untouched
-                       runs
   5. append            triples/run=K + ledger/run=K land with
                        manifests (write data, then manifest, then
                        rename — crash leaves only invisible state)
+  6. retraction        AFTER the commit, affected earlier run
+                       partitions are rewritten in parallel Ray tasks
+                       with tmp+atomic-swap (the update.delete_where
+                       pattern, filter src IN changed, runs < K only)
+                       — parquet statistics skip untouched runs; the
+                       intent file is removed last.  Commit-then-
+                       retract means a crash can only leave visible
+                       DUPLICATES (old + new triples for a changed
+                       url), never data loss — and even the duplicate
+                       window is invisible: ``read_ingest_graph``
+                       filters superseded provenance for any pending
+                       committed intent, and the next ingest's gc
+                       replays the retraction (idempotent) and clears
+                       the intent.
 
 Idempotent: re-ingesting an already-seen snapshot finds no changed
 urls and writes nothing.  Convergence (pytest-pinned): ingesting
@@ -173,11 +193,64 @@ def _next_run(store_dir: str) -> int:
     return max(ks) + 1 if ks else 0
 
 
-def _retract_srcs(store_dir: str, urls: List[str]) -> Dict:
+def _intent_path(store_dir: str, k: int) -> str:
+    return os.path.join(store_dir, f".retract-intent-run={k:04d}.json")
+
+
+def _pending_intents(store_dir: str) -> List[Dict]:
+    """Durable retraction intents not yet cleared: each records the
+    run K whose commit supersedes ``urls``' earlier triples.  An
+    intent is written BEFORE run K commits and removed AFTER the
+    retraction completes, so its presence marks the crash window."""
+    out = []
+    if not os.path.isdir(store_dir):
+        return out
+    for f in sorted(os.listdir(store_dir)):
+        if f.startswith(".retract-intent-run=") and f.endswith(".json"):
+            p = os.path.join(store_dir, f)
+            try:
+                with open(p) as fh:
+                    doc = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                # torn intent write: run K cannot have committed yet
+                # (intent lands first), so dropping it is safe
+                os.remove(p)
+                continue
+            doc["_path"] = p
+            out.append(doc)
+    return out
+
+
+def _run_committed(store_dir: str, k: int) -> bool:
+    return all(os.path.exists(os.path.join(
+        store_dir, sub, f"run={k:04d}", MANIFEST))
+        for sub in ("triples", "ledger"))
+
+
+def _gc_intents(store_dir: str) -> int:
+    """Replay pending retraction intents (crash recovery).  An intent
+    whose run K committed is replayed — idempotent: partitions already
+    rewritten have no matching src rows and are skipped — then
+    removed.  An intent whose run never landed is dropped (the paired
+    _gc/_gc_unpaired already rolled the partial run back; change
+    detection will redo that snapshot's work)."""
+    replayed = 0
+    for doc in _pending_intents(store_dir):
+        if _run_committed(store_dir, doc["run"]):
+            _retract_srcs(store_dir, doc["urls"], before_run=doc["run"])
+            replayed += 1
+        os.remove(doc["_path"])
+    return replayed
+
+
+def _retract_srcs(store_dir: str, urls: List[str], *,
+                  before_run: Optional[int] = None) -> Dict:
     """Rewrite triple runs dropping rows whose src is in ``urls``
     (tmp + atomic swap per partition, parallel Ray tasks; parquet
     statistics skip unaffected runs) — the update.delete_where shape
-    with provenance as the filter."""
+    with provenance as the filter.  ``before_run`` restricts the
+    rewrite to runs < K (the superseding run's own triples must
+    survive)."""
     import pyarrow.dataset as pads
     import ray
 
@@ -185,6 +258,9 @@ def _retract_srcs(store_dir: str, urls: List[str]) -> Dict:
     match = pads.field("src").isin(urls)
     affected = []
     for part in _runs(troot):
+        if before_run is not None and int(
+                os.path.basename(part).split("=")[1]) >= before_run:
+            continue
         files = [os.path.join(part, f) for f in sorted(os.listdir(part))
                  if f.endswith(".parquet")]
         if files and pads.dataset(files).count_rows(filter=match) > 0:
@@ -250,43 +326,99 @@ def ingest_snapshot(pages_ds, store_dir: str, *,
     from octoray.pipelines.kg import build_triples
     from octoray.stages.canon import dedup_triples
 
+    from octoray import query
+
     os.makedirs(store_dir, exist_ok=True)
     _gc(os.path.join(store_dir, "ledger"))
     _gc(os.path.join(store_dir, "triples"))
     _gc_unpaired(store_dir)
+    _gc_intents(store_dir)
 
     prev = ledger_state(store_dir).materialize()
-    prev_map: Optional[Dict[str, str]] = None
-    if prev.count() <= broadcast_limit:
-        prev_map = {}
+    n_prev = prev.count()
+
+    if n_prev <= broadcast_limit:
+        # ---- broadcast path: ledger state rides ray.put once, every
+        # page batch filters against it with zero shuffle
+        prev_map: Dict[str, str] = {}
         for b in prev.iter_batches(batch_format="pyarrow"):
             prev_map.update(zip(b.column("url").to_pylist(),
                                 b.column("content_md5").to_pylist()))
-    if prev_map is None:
-        raise NotImplementedError(
-            "ledger beyond broadcast_limit: swap the broadcast filter "
-            "below for query.anti_join on (url, content_md5) — the "
-            "J9 shape; not exercised at test scale")
-    ref = ray.put(prev_map)
+        ref = ray.put(prev_map)
 
-    def changed_pages(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        urls = t.column("url").to_pylist()
-        texts = t.column("text").to_pylist()
-        keep, md5s = [], []
-        for u, x in zip(urls, texts):
-            h = hashlib.md5(x.encode("utf-8")).hexdigest()
-            keep.append(m.get(u) != h)
-            md5s.append(h)
-        sel = pa.table({
-            "url": t.column("url"),
-            "text": t.column("text"),
-            "content_md5": pa.array(md5s, pa.string()),
-        }).filter(pa.array(keep))
-        return sel
+        def changed_pages(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            urls = t.column("url").to_pylist()
+            texts = t.column("text").to_pylist()
+            keep, md5s = [], []
+            for u, x in zip(urls, texts):
+                h = hashlib.md5(x.encode("utf-8")).hexdigest()
+                keep.append(m.get(u) != h)
+                md5s.append(h)
+            sel = pa.table({
+                "url": t.column("url"),
+                "text": t.column("text"),
+                "content_md5": pa.array(md5s, pa.string()),
+            }).filter(pa.array(keep))
+            return sel
 
-    changed = pages_ds.map_batches(
-        changed_pages, batch_format="pyarrow").materialize()
+        changed = pages_ds.map_batches(
+            changed_pages, batch_format="pyarrow").materialize()
+        stale = [u for b in changed.iter_batches(batch_format="pyarrow")
+                 for u in b.column("url").to_pylist() if u in prev_map]
+    else:
+        # ---- distributed path (J9 at scale): anti-join on the
+        # composite (url NUL md5) key over SLIM rows — page text never
+        # rides the anti-join shuffle.  The surviving key set is
+        # snapshot-delta-sized; a stats-gated semi-join re-attaches
+        # text (broadcast when the delta fits, merge-join otherwise).
+        def add_md5(t: pa.Table) -> pa.Table:
+            md5s = [hashlib.md5(x.encode("utf-8")).hexdigest()
+                    for x in t.column("text").to_pylist()]
+            return pa.table({
+                "url": t.column("url"),
+                "text": t.column("text"),
+                "content_md5": pa.array(md5s, pa.string())})
+
+        def add_ck(t: pa.Table) -> pa.Table:
+            return t.append_column("_ck", pc.binary_join_element_wise(
+                pc.cast(t.column("url"), pa.string()),
+                pc.cast(t.column("content_md5"), pa.string()), "\x00"))
+
+        from octoray.util import drop_empty_blocks
+
+        ck_schema = pa.schema([("url", pa.string()),
+                               ("content_md5", pa.string()),
+                               ("_ck", pa.string())])
+        pages_m = pages_ds.map_batches(add_md5, batch_format="pyarrow")
+        slim = pages_m.map_batches(
+            lambda t: add_ck(t.select(["url", "content_md5"])).cast(ck_schema),
+            batch_format="pyarrow")
+        ledger_ck = prev.map_batches(
+            lambda t: add_ck(t).select(["_ck"]), batch_format="pyarrow")
+        changed_keys = drop_empty_blocks(
+            query.anti_join(slim, ledger_ck, on="_ck").materialize(),
+            ck_schema)
+        if changed_keys.count() == 0:
+            return {"run": None, "pages_seen": None, "pages_changed": 0,
+                    "triples_out": 0, "retracted": 0}
+        changed = query.semi_join_auto(
+            pages_m.map_batches(add_ck, batch_format="pyarrow"),
+            "_ck", changed_keys, key_col="_ck",
+            broadcast_limit=broadcast_limit,
+        ).map_batches(lambda t: t.drop_columns(["_ck"]),
+                      batch_format="pyarrow").materialize()
+        # stale = changed urls that already had a ledger row (their
+        # earlier triples are superseded); delta-sized by construction,
+        # computed as a distributed semi-join before driver collection
+        stale_ds = query.semi_join_auto(
+            changed_keys.map_batches(lambda t: t.select(["url"]),
+                                     batch_format="pyarrow"),
+            "url", prev.map_batches(lambda t: t.select(["url"]),
+                                    batch_format="pyarrow"),
+            broadcast_limit=broadcast_limit)
+        stale = [r["url"] for r in stale_ds.take_all()]
+
     n_changed = changed.count()
     report = {"run": None, "pages_seen": None, "pages_changed": n_changed,
               "triples_out": 0, "retracted": 0}
@@ -296,13 +428,13 @@ def ingest_snapshot(pages_ds, store_dir: str, *,
     k = _next_run(store_dir)
     report["run"] = k
 
-    # retract superseded provenance BEFORE appending the new run: urls
-    # already in the ledger whose content changed
-    stale = [u for b in changed.iter_batches(batch_format="pyarrow")
-             for u in b.column("url").to_pylist() if u in prev_map]
+    # durable retraction intent BEFORE any commit: a crash anywhere
+    # after this point either rolls the run back (intent dropped) or
+    # replays the retraction (intent + committed run) — never loses
+    # the superseded urls' old triples NOR leaves them duplicated
     if stale:
-        report["retracted"] = _retract_srcs(store_dir, stale)[
-            "triples_deleted"]
+        with open(_intent_path(store_dir, k), "w") as fh:
+            json.dump({"run": k, "urls": stale}, fh)
 
     triples = build_triples(
         changed.map_batches(
@@ -339,13 +471,27 @@ def ingest_snapshot(pages_ds, store_dir: str, *,
         batch_format="pyarrow")
     _commit_run(os.path.join(store_dir, "ledger"), k, ledger_rows,
                 {"run": k, "kind": "ledger", "status": "complete"})
+
+    # retract superseded provenance AFTER the commit (runs < K only);
+    # the intent file outlives a crash in this window and is replayed
+    # idempotently by the next ingest's gc
+    if stale:
+        report["retracted"] = _retract_srcs(
+            store_dir, stale, before_run=k)["triples_deleted"]
+        os.remove(_intent_path(store_dir, k))
     return report
 
 
 def read_ingest_graph(store_dir: str, *, with_src: bool = False):
     """The store's current graph as a Dataset: all triple runs (the
     physical retract+append maintenance already removed superseded
-    provenance).  4 triple columns, or 5 with ``with_src``."""
+    provenance).  4 triple columns, or 5 with ``with_src``.
+
+    Read-only crash masking: if a committed run K's retraction intent
+    is still pending (the commit-then-retract crash window), rows from
+    runs < K whose src is in the intent are superseded and filtered
+    out here — readers never see the duplicate window; the next
+    ingest's gc makes the retraction physical."""
     import ray.data as rd
 
     from octoray.model import TRIPLE_SCHEMA
@@ -357,21 +503,26 @@ def read_ingest_graph(store_dir: str, *, with_src: bool = False):
     led = {os.path.basename(d)
            for d in _runs(os.path.join(store_dir, "ledger"))
            if os.path.exists(os.path.join(d, MANIFEST))}
-    files = [
-        os.path.join(d, f)
-        for d in _runs(os.path.join(store_dir, "triples"))
+    run_dirs = [
+        d for d in _runs(os.path.join(store_dir, "triples"))
         if os.path.exists(os.path.join(d, MANIFEST))
         and os.path.basename(d) in led
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
+    ]
+    intents = [doc for doc in _pending_intents(store_dir)
+               if _run_committed(store_dir, doc["run"])]
+    drop_by_dir: Dict[str, frozenset] = {}
+    for d in run_dirs:
+        j = int(os.path.basename(d).split("=")[1])
+        urls = {u for doc in intents if doc["run"] > j for u in doc["urls"]}
+        if urls:
+            drop_by_dir[d] = frozenset(urls)
+
+    clean_files = [
+        os.path.join(d, f)
+        for d in run_dirs if d not in drop_by_dir
+        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
     ]
     cols = _TRIPLE5 if with_src else TRIPLE_COLS
-    if not files:
-        empty = TRIPLE_SCHEMA.empty_table()
-        if with_src:
-            empty = empty.append_column("src", pa.array([], pa.string()))
-        return rd.from_arrow(empty)
-
     schema5 = pa.schema([(c, pa.string()) for c in _TRIPLE5])
 
     def norm(t: pa.Table) -> pa.Table:
@@ -380,7 +531,33 @@ def read_ingest_graph(store_dir: str, *, with_src: bool = False):
         t = t.select(cols)
         return t.cast(schema5 if with_src else TRIPLE_SCHEMA)
 
-    return rd.read_parquet(files).map_batches(norm, batch_format="pyarrow")
+    parts = []
+    if clean_files:
+        parts.append(rd.read_parquet(clean_files).map_batches(
+            norm, batch_format="pyarrow"))
+    for d, drop in sorted(drop_by_dir.items()):
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        if not files:
+            continue
+
+        def masked(t: pa.Table, drop=drop) -> pa.Table:
+            keep = pc.invert(pc.is_in(
+                pc.cast(t.column("src"), pa.string()),
+                value_set=pa.array(sorted(drop), pa.string())))
+            return norm(t.filter(keep))
+
+        parts.append(rd.read_parquet(files).map_batches(
+            masked, batch_format="pyarrow"))
+    if not parts:
+        empty = TRIPLE_SCHEMA.empty_table()
+        if with_src:
+            empty = empty.append_column("src", pa.array([], pa.string()))
+        return rd.from_arrow(empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def compact_store(store_dir: str, dst_dir: str) -> Dict:

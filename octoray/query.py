@@ -110,6 +110,25 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None, *,
     return left.map_batches(f, batch_format="pandas")
 
 
+def _schema_of(ds):
+    """Dataset schema, robust to Ray 2.49's schema-less empty blocks:
+    ``Dataset.schema(fetch_if_missing=True)`` returns None when the
+    first fetched block is one of the empty schema-less RefBundles the
+    hash-shuffle/filter operators emit (see util.drop_empty_blocks).
+    Fall back to streaming until a block that carries a schema; a
+    truly empty schema-less dataset is an error the caller must
+    normalize (explicit schema / drop_empty_blocks)."""
+    s = ds.schema(fetch_if_missing=True)
+    if s is not None:
+        return s
+    for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        if b.schema.names:
+            return b.schema
+    raise ValueError(
+        "dataset is empty AND schema-less (Ray empty-block quirk); "
+        "normalize upstream with an explicit schema")
+
+
 def merge_join(left, right, on: Sequence[str], *, how: str = "inner"):
     """Sort-merge join on the block-colocation machinery every other
     wide op here already trusts: tag each side, union under a common
@@ -123,8 +142,8 @@ def merge_join(left, right, on: Sequence[str], *, how: str = "inner"):
     import pandas as pd
 
     on = list(on)
-    ls = left.schema()
-    rs = right.schema()
+    ls = _schema_of(left)
+    rs = _schema_of(right)
     lcols = [c for c in ls.names if c not in on]
     rcols = [c for c in rs.names if c not in on]
     clash = set(lcols) & set(rcols)

@@ -170,6 +170,81 @@ def test_retraction_tmp_promotes_after_crash(ray_session, tmp_path):
     assert read_ingest_graph(store).count() == n0
 
 
+def test_ingest_distributed_change_detection_matches_broadcast(
+        ray_session, tmp_path):
+    """broadcast_limit=0 forces the distributed (url, md5) anti-join
+    change-detection path (J9 at scale); it must converge to the same
+    graph, change counts and retraction counts as the broadcast path."""
+    from octoray.pipelines.ingest import ingest_snapshot, read_ingest_graph
+
+    n, S = 120, 3
+    a = str(tmp_path / "bcast")
+    b = str(tmp_path / "dist")
+    for s in range(S):
+        ra = ingest_snapshot(_snap(n, S, s), a, emitter_concurrency=2)
+        rb = ingest_snapshot(_snap(n, S, s), b, emitter_concurrency=2,
+                             broadcast_limit=0)
+        assert ra["pages_changed"] == rb["pages_changed"]
+        assert ra["triples_out"] == rb["triples_out"]
+        assert ra["retracted"] == rb["retracted"]
+    assert _graph_set(read_ingest_graph(a)) == _graph_set(read_ingest_graph(b))
+
+    # re-ingesting the last snapshot through the join path is a no-op
+    r = ingest_snapshot(_snap(n, S, S - 1), b, emitter_concurrency=2,
+                        broadcast_limit=0)
+    assert r["pages_changed"] == 0 and r["run"] is None
+
+
+def test_crash_between_commit_and_retraction_heals(
+        ray_session, tmp_path, monkeypatch):
+    """Commit-then-retract crash window: the new run commits but the
+    retraction never happens.  Readers must NOT see the superseded
+    duplicates (pending-intent masking), and the next ingest must
+    replay the retraction idempotently and clear the intent."""
+    import octoray.pipelines.ingest as ing
+
+    store = str(tmp_path / "store")
+    clean = str(tmp_path / "clean")
+    ing.ingest_snapshot(_snap(120, 2, 0), store, emitter_concurrency=2)
+    ing.ingest_snapshot(_snap(120, 2, 0), clean, emitter_concurrency=2)
+    ing.ingest_snapshot(_snap(120, 2, 1), clean, emitter_concurrency=2)
+
+    real = ing._retract_srcs
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before retraction")
+
+    monkeypatch.setattr(ing, "_retract_srcs", boom)
+    try:
+        ing.ingest_snapshot(_snap(120, 2, 1), store, emitter_concurrency=2)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(ing, "_retract_srcs", real)
+
+    # the intent is pending and masks the duplicate window for readers
+    assert len(ing._pending_intents(store)) == 1
+    assert _graph_set(ing.read_ingest_graph(store)) == _graph_set(
+        ing.read_ingest_graph(clean))
+
+    # next ingest (a no-op snapshot) replays the retraction and clears
+    # the intent; the store is physically identical to the clean twin
+    r = ing.ingest_snapshot(_snap(120, 2, 1), store, emitter_concurrency=2)
+    assert r["pages_changed"] == 0
+    assert ing._pending_intents(store) == []
+    assert _graph_set(ing.read_ingest_graph(store)) == _graph_set(
+        ing.read_ingest_graph(clean))
+    # physically gone too: raw parquet row counts match
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def raw_rows(st):
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(
+            os.path.join(st, "triples", "run=*", "*.parquet")))
+
+    assert raw_rows(store) == raw_rows(clean)
+
+
 def test_compact_store_preserves_semantics(ray_session, tmp_path):
     """Compaction collapses N run pairs to one; the graph is
     byte-identical and subsequent incremental ingests behave exactly
