@@ -1251,9 +1251,10 @@ def _url_filter_sql(src: str) -> str:
     return f"""
         WITH canon AS ({_url_canon_sql(src)}),
         px AS (SELECT url, url_canon,
-                 regexp_extract(url_canon, '^[a-z]+://([^/]+)', 1) AS host,
+                 lower(regexp_extract(url_canon,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)) AS host,
                  regexp_extract(url_canon,
-                   '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
                FROM canon)
         SELECT url, url_canon, {case} AS action FROM px
     """
@@ -1446,8 +1447,13 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT url, CAST(snapshot AS BIGINT) AS s, md5(text) AS m
                        FROM {Q.rpd('crawl_delta_raw')}
                        WHERE snapshot IN (0, {_CRAWL_SNAPS - 1})),
-            a AS (SELECT url, m FROM c WHERE s = 0),
-            b AS (SELECT url, m FROM c WHERE s = {_CRAWL_SNAPS - 1})
+            -- max-per-side collapse mirrors the engine's decide():
+            -- duplicate (url, snapshot) fetches fold to one row per
+            -- side, so engine and oracle agree on ANY input, not just
+            -- the unique-fetch synthetic one
+            a AS (SELECT url, max(m) AS m FROM c WHERE s = 0 GROUP BY url),
+            b AS (SELECT url, max(m) AS m FROM c WHERE s = {_CRAWL_SNAPS - 1}
+                  GROUP BY url)
             SELECT coalesce(a.url, b.url) AS url,
                    CASE WHEN a.url IS NULL THEN 'added'
                         WHEN b.url IS NULL THEN 'removed'
@@ -1458,7 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canon": _url_canon_sql(Q.rp('messy_urls')),
         "url_filter": _url_filter_sql(Q.rp('filter_urls_in')),
         "domain_stats": f"""
-            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+            SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1) AS domain,
                    count(*) AS n_fetches,
                    count(DISTINCT url) AS n_urls,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars

@@ -172,10 +172,11 @@ def cmd_crawl(args) -> int:
     if hasattr(out, "write_parquet"):
         out.write_parquet(args.out)
     else:
+        # always a parquet DIRECTORY, same shape as the Dataset branch
         import pyarrow.parquet as pq
 
-        pq.write_table(out, os.path.join(args.out, "part-0.parquet")
-                       if os.path.isdir(args.out) else args.out)
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(out, os.path.join(args.out, "part-0.parquet"))
     print(args.out)
     return 0
 

@@ -78,6 +78,12 @@ def parse_warc(blob: bytes) -> List[Dict[str, object]]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
         length = int(headers["content-length"])
+        if end + 4 + length > n:
+            # a truncated shard must fail loudly, not read back as a
+            # plausible short payload with the tail records dropped
+            raise ValueError(
+                f"truncated WARC record at byte {i}: declared "
+                f"Content-Length {length} runs past end of shard ({n} bytes)")
         payload = blob[end + 4:end + 4 + length]
         i = end + 4 + length
         if headers.get("warc-type") == "response":

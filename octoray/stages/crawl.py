@@ -18,8 +18,8 @@ web-scale ingest needs in front of the KG/training pipelines:
                    regex domain extraction (Arrow C kernel), map-side
                    partial aggregates so the shuffle moves one row per
                    (block, domain), plus a distinct (domain, url) pass
-                   for the url count; merged with a broadcast-side
-                   join (domain cardinality is bounded).
+                   for the url count; combined with one distributed
+                   sort-merge join (nothing driver-side).
 
 All three lean on the sorted-block grouping family in query.py and
 inherit its co-location guard (assert_block_colocation /
@@ -35,9 +35,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from octoray.query import combined_groupby_count, distinct_values
+from octoray.query import combined_groupby_count, distinct_values, merge_join
 
-_DOMAIN_RE = r"^[a-z]+://(?P<domain>[^/]+)"
+# Scheme match is case-insensitive (RFC 3986 schemes are; raw crawls
+# carry 'HTTP://...') so un-canonicalized inputs don't silently fall
+# through domain/path rules with a null domain.
+_DOMAIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<domain>[^/]+)"
 
 
 def _domain_of(urls: pa.Array) -> pa.Array:
@@ -102,9 +105,11 @@ def crawl_delta(crawl, snap_a: int, snap_b: int, *, url_col: str = "url",
     'added' (only in b), 'removed' (only in a), 'changed' (both, text
     differs by md5).  Unchanged urls are dropped.
 
-    One pass projects both snapshots to (url, side, md5) — a url has
-    at most one row per snapshot — and one url sort co-locates the
-    <=2 rows per url for a vectorized block-local pivot."""
+    One pass projects both snapshots to (url, side, md5) and one url
+    sort co-locates a url's rows for a vectorized block-local pivot.
+    Duplicate (url, snapshot) fetches collapse deterministically to
+    the per-side max(md5) — the SQL twin applies the same collapse, so
+    engine and oracle agree on multi-fetch inputs too."""
 
     def project(t: pa.Table) -> pa.Table:
         snaps = pc.cast(t.column(snap_col), pa.int64())
@@ -161,13 +166,13 @@ def crawl_delta(crawl, snap_a: int, snap_b: int, *, url_col: str = "url",
 
 
 def domain_stats(crawl, *, url_col: str = "url", text_col: str = "text"):
-    """Per-domain crawl statistics: (domain, n_fetches, n_urls,
-    total_chars).  Fetch counts and char sums pre-aggregate map-side;
-    the distinct-url count reuses the two-phase distinct.  The three
-    small per-domain tables merge on the driver (domain cardinality is
-    bounded by construction of the web: ~1e8 domains worst-case, a few
-    GiB of slim rows — at that scale swap the final merge for the
-    broadcast hash join in query.merge_join)."""
+    """Per-domain crawl statistics Dataset: (domain, n_fetches, n_urls,
+    total_chars), sorted by domain.  Fetch counts and char sums
+    pre-aggregate map-side; the distinct-url count reuses the
+    two-phase distinct; the two per-domain partial tables combine via
+    the distributed sort-merge join (query.merge_join) — nothing ever
+    lands on the driver, so ~1e8 real-web domains stream like any
+    other keyed table."""
 
     def with_domain(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -208,14 +213,11 @@ def domain_stats(crawl, *, url_col: str = "url", text_col: str = "text"):
     )
     n_urls = combined_groupby_count(urls, ["domain"], alias="n_urls")
 
-    m = metrics.to_pandas().set_index("domain")
-    u = n_urls.to_pandas().set_index("domain")
-    out = m.join(u, how="outer").reset_index()
-    out = out.sort_values("domain", kind="mergesort").reset_index(drop=True)
-    out = out[["domain", "n_fetches", "n_urls", "total_chars"]].astype(
-        {"n_fetches": "int64", "n_urls": "int64", "total_chars": "int64"}
-    )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    # both sides derive from the same rows, so their domain sets are
+    # identical — inner merge == the outer join it replaces
+    joined = merge_join(metrics, n_urls, ["domain"])
+    return joined.select_columns(
+        ["domain", "n_fetches", "n_urls", "total_chars"])
 
 
 # URL canonicalization rule set (applied in order; shared verbatim
@@ -304,12 +306,14 @@ def filter_urls(ds, *, rules=None, default: str = "allow",
 
     def f(t: pa.Table) -> pa.Table:
         urls = t.column(url_col)
-        host = _domain_of(urls)
-        host = pc.fill_null(host, "")
+        # lowercase the host for rule matching: rule patterns are
+        # lowercase and hostnames are case-insensitive, so raw
+        # (un-canonicalized) urls still hit domain rules
+        host = pc.utf8_lower(pc.fill_null(_domain_of(urls), ""))
         path = pc.struct_field(
             pc.extract_regex(
                 pc.fill_null(urls, ""),
-                r"^[a-z]+://[^/?#]*(?P<path>[^?#]*)"),
+                r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(?P<path>[^?#]*)"),
             "path")
         path = pc.fill_null(path, "")
         n = t.num_rows

@@ -26,15 +26,18 @@ enters an all-to-all):
                         with single spaces (token-normalized output,
                         same as the SQL twin's string_agg)
 
-Grams are md5'd so the shuffle moves 32-byte keys instead of raw
-k-token strings; the DuckDB twin applies md5 to the same join key.
+Grams travel as 128-bit hashes (two uint64 columns, gram + gram2) so
+the shuffle moves 16 fixed bytes instead of raw k-token strings, and
+the hashing is ONE vectorized pass per batch (dedup._window_hashes)
+instead of a per-gram hashlib.md5 loop (the r2 CPU floor).  The hash
+never leaves the engine: the DuckDB twin re-derives duplicate spans
+from raw text, and equality is checked on the trimmed output.
 Within-doc repeats count as duplicates too (the second occurrence in
 the SAME doc is trimmed), exactly as the (doc_id, pos) order implies.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -42,42 +45,41 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from octoray.query import block_map_groups
+from octoray.stages.dedup import _window_hashes
 
 
 def _gram_rows(t: pa.Table, *, k: int, id_col: str, text_col: str) -> pa.Table:
-    ids: List = []
-    poss: List[int] = []
-    grams: List[str] = []
-    for i, text in zip(t.column(id_col).to_pylist(),
-                       t.column(text_col).to_pylist()):
-        ts = text.split()
-        for p in range(len(ts) - k + 1):
-            grams.append(hashlib.md5(" ".join(ts[p:p + k]).encode()).hexdigest())
-            ids.append(i)
-            poss.append(p)
+    doc_idx, pos, g1, g2 = _window_hashes(
+        t.column(text_col), k, short_gram=False)
     return pa.table({
-        "gram": pa.array(grams, pa.string()),
-        "doc_id": pa.array(ids, t.schema.field(id_col).type),
-        "pos": pa.array(poss, pa.int64()),
+        "gram": pa.array(g1),
+        "gram2": pa.array(g2),
+        "doc_id": t.column(id_col).take(pa.array(doc_idx, pa.int64())),
+        "pos": pa.array(pos, pa.int64()),
     })
 
 
 def _mark_non_first(t: pa.Table) -> pa.Table:
     """gram-sorted block -> rows that are NOT their gram's first
-    (doc_id, pos) occurrence.  The RANGE sort is keyed on gram ONLY
-    (equal grams co-locate; adding doc_id/pos to the shuffle key would
-    let a gram group straddle partition boundaries); the (doc_id, pos)
-    order is established locally here, then a row is first iff its
-    gram differs from the previous row's — all vectorized."""
+    (doc_id, pos) occurrence.  The RANGE sort is keyed on the gram
+    hash's FIRST half only (equal grams co-locate — (gram, gram2)
+    groups nest inside gram groups; adding doc_id/pos to the shuffle
+    key would let a gram group straddle partition boundaries); the
+    (gram2, doc_id, pos) order is established locally here, then a row
+    is first iff its full 128-bit gram differs from the previous
+    row's — all vectorized."""
     if t.num_rows == 0:
         return pa.table({"doc_id": t.column("doc_id"), "pos": t.column("pos")})
     idx = pc.sort_indices(
-        t, sort_keys=[("gram", "ascending"), ("doc_id", "ascending"),
-                      ("pos", "ascending")])
+        t, sort_keys=[("gram", "ascending"), ("gram2", "ascending"),
+                      ("doc_id", "ascending"), ("pos", "ascending")])
     t = t.take(idx)
-    g = t.column("gram").combine_chunks()
-    first = np.ones(len(g), dtype=bool)
-    eq_prev = pc.equal(g.slice(1), g.slice(0, len(g) - 1))
+    g1 = t.column("gram").combine_chunks()
+    g2 = t.column("gram2").combine_chunks()
+    first = np.ones(len(g1), dtype=bool)
+    eq1 = pc.equal(g1.slice(1), g1.slice(0, len(g1) - 1))
+    eq2 = pc.equal(g2.slice(1), g2.slice(0, len(g2) - 1))
+    eq_prev = pc.and_(eq1, eq2)
     first[1:] = np.invert(
         np.asarray(eq_prev.to_numpy(zero_copy_only=False), dtype=bool)
     )

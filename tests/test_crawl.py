@@ -106,8 +106,10 @@ def test_domain_stats_matches_bruteforce(ray_session):
         s[0] += 1
         s[1].add(r["url"])
         s[2] += len(r["text"])
-    got = domain_stats(crawl_dataset(250, n_snapshots=4)).to_pylist()
+    got = domain_stats(crawl_dataset(250, n_snapshots=4)).take_all()
     assert len(got) == len(want)
+    doms = [g["domain"] for g in got]
+    assert doms == sorted(doms)  # merge_join leaves it domain-sorted
     for g in got:
         n, urls, chars = want[g["domain"]]
         assert (g["n_fetches"], g["n_urls"], g["total_chars"]) == (n, len(urls), chars)
@@ -200,3 +202,22 @@ def test_filter_urls_first_match_wins(ray_session):
     kept = filter_urls(
         rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))).count()
     assert kept == 4
+
+
+def test_filter_urls_uppercase_scheme_and_host(ray_session):
+    """Raw (un-canonicalized) urls with uppercase scheme/host still hit
+    domain and path rules instead of silently falling through to the
+    default action."""
+    import ray.data as rd
+
+    from octoray.stages.crawl import filter_urls
+
+    urls = [
+        "HTTP://spam.example.org/a",      # deny: domain rule
+        "https://Example.ORG/ok",          # allow: domain rule
+        "HTTPS://other.net/private/x",     # deny: path_prefix rule
+    ]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    got = {r["url"]: r["action"]
+           for r in filter_urls(ds, keep_denied=True).take_all()}
+    assert got == {urls[0]: "deny", urls[1]: "allow", urls[2]: "deny"}

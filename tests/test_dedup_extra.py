@@ -96,3 +96,9 @@ def test_near_dup_kept_representatives(ray_session):
         "id_b": pa.array([2, 3, 6], pa.int64())}))
     kept = sorted(near_dup_kept(docs, pairs).to_pandas()["doc_id"])
     assert kept == [1, 4, 5]
+
+    # broadcast_limit=0 forces the distributed anti-join path; both
+    # gates must agree (the unigram_logprob path-equality pattern)
+    kept_join = sorted(
+        near_dup_kept(docs, pairs, broadcast_limit=0).to_pandas()["doc_id"])
+    assert kept_join == kept

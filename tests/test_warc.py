@@ -67,3 +67,13 @@ def test_uncompressed_shard(ray_session, tmp_path):
                      compress=False)
     out = parse_warc(open(p, "rb").read())
     assert len(out) == 1 and bytes(out[0]["payload"]) == b"payload"
+
+
+def test_truncated_shard_raises():
+    """A shard cut mid-payload must raise, not silently return a short
+    payload and drop the records after the cut."""
+    import pytest
+
+    rec = format_record("https://t.org", 0, b"0123456789")
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        parse_warc(rec[:-6])
