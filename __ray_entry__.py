@@ -147,6 +147,20 @@ def _q_prep_fasta(sf_dir: str):
     return _prep_canon("prep_fasta_raw", raw)
 
 
+def _q_prep_unpublished(sf_dir: str):
+    """§2.11 forced-role ingestion (IrregularFasta, recipes.py:510-543):
+    field 0 forced to strain_id, sequences auto-tagged 'unpublished'."""
+    from octoray.pipelines.prep import prep_unpublished
+    from octoray.sources.fasta import fasta_rows
+    from octoray.sources.synth import synth_unpublished_fasta_text
+
+    raw = prep_unpublished(
+        fasta_rows(synth_unpublished_fasta_text(_synth_n(sf_dir, 20_000))),
+        tag="unpub-batch", timestamp="2026-01-01T00:00:00",
+        canonical=False)
+    return _prep_canon("prep_unpublished_raw", raw)
+
+
 def _q_prep_table(sf_dir: str):
     from octoray.pipelines.prep import prep_table
     from octoray.sources.synth import synth_tsv_text
@@ -1103,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motifs": _q_motifs,
         # --- prep family: delimited inputs -> triples (S1/S2/S9) ---
         "prep_fasta": _q_prep_fasta,
+        "prep_unpublished": _q_prep_unpublished,
         "prep_table": _q_prep_table,
         "prep_blast": _q_prep_blast,
         "prep_genbank": _q_prep_genbank,
@@ -1776,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_pages": Q.sql_line_dedup(Q.rpd("linededup_pages")),
         "prep_blast": Q.sql_prep_blast(Q.rp("prep_blast_input")),
         "prep_fasta": Q.sql_prep_triples(Q.rpd("prep_fasta_raw")),
+        "prep_unpublished": Q.sql_prep_triples(Q.rpd("prep_unpublished_raw")),
         "prep_table": Q.sql_prep_triples(Q.rpd("prep_table_raw")),
         "prep_genbank": Q.sql_prep_triples(Q.rpd("prep_genbank_raw")),
         "prep_gisaid": Q.sql_prep_triples(Q.rpd("prep_gisaid_raw")),

@@ -2,7 +2,8 @@
 
     python -m octoray build   --pages 100000 --out /tmp/kg [--shards 8]
     python -m octoray pull    --pages 100000 --out /tmp/kg
-    python -m octoray prep    fasta|table|blast|gisaid IN [--out OUT.ttl] [--tag T]
+    python -m octoray prep    fasta|unpublished|table|blast|gisaid IN [--out OUT.ttl]
+                              [--tag T] [--include a,b] [--exclude c] [--segment-key]
     python -m octoray report  masterlist|subtypes|constellations|monthly IN.parquet --out OUT.tsv
     python -m octoray query   "s,p,o pattern" --graph DIR  (triple-pattern scan)
     python -m octoray crawl   latest|delta|domains [--input DIR | --pages N] --out OUT
@@ -57,16 +58,27 @@ def cmd_pull(args) -> int:
 def cmd_prep(args) -> int:
     from octoray import sinks
 
+    inc = tuple(s for s in (args.include or "").split(",") if s)
+    exc = tuple(s for s in (args.exclude or "").split(",") if s)
     if args.kind == "fasta":
         from octoray.pipelines.prep import prep_fasta
         from octoray.sources.fasta import fasta_rows
 
-        ds = prep_fasta(fasta_rows([args.input]), tag=args.tag, timestamp=args.timestamp)
+        ds = prep_fasta(fasta_rows([args.input]), tag=args.tag,
+                        timestamp=args.timestamp, include=inc, exclude=exc)
+    elif args.kind == "unpublished":
+        from octoray.pipelines.prep import prep_unpublished
+        from octoray.sources.fasta import fasta_rows
+
+        ds = prep_unpublished(fasta_rows([args.input]), tag=args.tag,
+                              timestamp=args.timestamp, include=inc, exclude=exc)
     elif args.kind == "table":
         from octoray.pipelines.prep import prep_table
         from octoray.sources.tables import tsv_rows
 
-        ds = prep_table(tsv_rows([args.input]), tag=args.tag, timestamp=args.timestamp)
+        ds = prep_table(tsv_rows([args.input]), tag=args.tag,
+                        timestamp=args.timestamp, include=inc, exclude=exc,
+                        segment_key=args.segment_key)
     elif args.kind == "blast":
         from octoray.pipelines.prep import _BLAST_COLS, prep_blast
         from octoray.sources.tables import tsv_rows
@@ -269,9 +281,15 @@ def main(argv=None) -> int:
     pl.add_argument("--no-resume", action="store_true"); pl.set_defaults(fn=cmd_pull)
 
     pr = sub.add_parser("prep"); pr.add_argument("kind",
-        choices=["fasta", "table", "blast", "gisaid"])
+        choices=["fasta", "unpublished", "table", "blast", "gisaid"])
     pr.add_argument("input"); pr.add_argument("--out", required=True)
     pr.add_argument("--tag"); pr.add_argument("--timestamp", default="")
+    pr.add_argument("--include", default="",
+                    help="only parse using these classifiers (comma list)")
+    pr.add_argument("--exclude", default="",
+                    help="remove these classifiers (comma list)")
+    pr.add_argument("--segment-key", action="store_true", dest="segment_key",
+                    help="table: treat the first column as a forced segment id")
     pr.set_defaults(fn=cmd_prep)
 
     rp = sub.add_parser("report"); rp.add_argument("kind",

@@ -41,21 +41,35 @@ def _finish(ds, canonical: bool):
     return canonicalize(ds) if canonical else ds
 
 
+def _schema_names(ds) -> List[str]:
+    return list(ds.schema(fetch_if_missing=True).names)
+
+
 # ----------------------------------------------------------------------
 # FASTA prep (ragged Datum-cast path, ui.py:903-929)
 # ----------------------------------------------------------------------
 def prep_fasta(rows_ds, *, tag: Optional[str] = None, timestamp: str = "", levels=None,
-               na_str: Sequence[str] = NA_DEFAULT, canonical: bool = True):
+               na_str: Sequence[str] = NA_DEFAULT, canonical: bool = True,
+               include: Sequence[str] = (), exclude: Sequence[str] = ()):
     """Dataset[fields: list<string>] -> triples.  Each ragged row is
-    Datum-cast per cell and connected (Phrase.connect)."""
+    Datum-cast per cell and connected (Phrase.connect).
+    ``include``/``exclude`` amend the classifier registry
+    (ui.py:812-818 / recognize.select_classifiers)."""
     taguri = make_tag_uri(tag) if tag else None
     tagset = emit.tag_triples(tag, timestamp) if tag else set()
+    inc, exc = tuple(include), tuple(exclude)
 
     def f(t: pa.Table) -> pa.Table:
+        # resolve the registry ON THE WORKER: shipping Classifier
+        # objects through the closure would pickle copies and break
+        # emit.py's identity checks (c is R.DATE etc.)
+        clfs = R.select_classifiers(inc, exc)
         triples = set()
         for fields in t.column("fields").to_pylist():
             mentions = [
-                emit.make_mention(R.cast_datum(x, na_str=na_str), x, na_str=na_str)
+                emit.make_mention(
+                    R.cast_datum(x, na_str=na_str, classifiers=clfs),
+                    x, na_str=na_str)
                 for x in fields
             ]
             triples |= emit.connect(mentions, levels=levels, taguri=taguri)
@@ -70,10 +84,61 @@ def prep_fasta(rows_ds, *, tag: Optional[str] = None, timestamp: str = "", level
 
 
 # ----------------------------------------------------------------------
+# Unpublished-sequence prep: forced-role first field (§2.11,
+# IrregularFasta/IrregularStrain, recipes.py:510-543 + ui.py:931-995)
+# ----------------------------------------------------------------------
+def prep_unpublished(rows_ds, *, tag: Optional[str] = None, timestamp: str = "",
+                     levels=None, na_str: Sequence[str] = NA_DEFAULT,
+                     canonical: bool = True,
+                     include: Sequence[str] = (), exclude: Sequence[str] = ()):
+    """FASTA-shaped ragged rows where field 0 is FORCED to be a strain
+    identifier (matches anything — idiosyncratic unpublished ids), the
+    remaining fields are Datum-cast normally, and every sequence token
+    is additionally tagged 'unpublished' (IrregularFasta.connect,
+    recipes.py:535-543).  The forced strain mention is appended AFTER
+    the others, matching the reference's token order."""
+    taguri = make_tag_uri(tag) if tag else None
+    tagset = emit.tag_triples(tag, timestamp) if tag else set()
+    inc, exc = tuple(include), tuple(exclude)
+    unpub = make_tag_uri("unpublished")
+
+    def f(t: pa.Table) -> pa.Table:
+        clfs = R.select_classifiers(inc, exc)  # worker-side, see prep_fasta
+        triples = set()
+        for fields in t.column("fields").to_pylist():
+            if not fields:
+                continue
+            strain = emit.make_mention(R.IRREGULAR_STRAIN, fields[0],
+                                       na_str=na_str)
+            mentions = [
+                emit.make_mention(
+                    R.cast_datum(x, na_str=na_str, classifiers=clfs),
+                    x, na_str=na_str)
+                for x in fields[1:]
+            ] + [strain]
+            triples |= emit.connect(mentions, levels=levels, taguri=taguri)
+            for m in mentions:
+                if m.group == R.G_SEQUENCE and m.clean is not None:
+                    uri = m.as_uri()
+                    if uri:
+                        triples.add((uri, P.tag, unpub, DT_URI))
+        return triples_to_table(sorted(triples))
+
+    out = rows_ds.map_batches(f, batch_format="pyarrow")
+    if tagset:
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(triples_to_table(sorted(tagset))))
+    return _finish(out, canonical)
+
+
+# ----------------------------------------------------------------------
 # Table prep with distributed column vote (A8)
 # ----------------------------------------------------------------------
 def vote_types(table_ds, *, na_str: Sequence[str] = NA_DEFAULT,
-               threshold: float = 0.8) -> Dict[str, str]:
+               threshold: float = 0.8,
+               include: Sequence[str] = (),
+               exclude: Sequence[str] = ()) -> Dict[str, str]:
     """Distributed HomoList.cast vote (classes.py:131-138): pass 1
     computes per-batch (column, classifier) match counts inside
     map_batches, a small sum-aggregate collapses them, and the driver
@@ -82,7 +147,7 @@ def vote_types(table_ds, *, na_str: Sequence[str] = NA_DEFAULT,
     batch) regardless of input size."""
     from ray.data.aggregate import Sum
 
-    names = [c.name for c in R.ALL_CLASSIFIERS]
+    registry = R.select_classifiers(include, exclude)
 
     def partial(t: pa.Table) -> pa.Table:
         cols: List[str] = []
@@ -93,7 +158,7 @@ def vote_types(table_ds, *, na_str: Sequence[str] = NA_DEFAULT,
         for col in t.schema.names:
             vals = t.column(col).to_pylist()
             present = [x for x in vals if x is not None and x not in na_str]
-            for c in R.ALL_CLASSIFIERS:
+            for c in registry:
                 if c.is_sequence:
                     h = sum(
                         1 for x in present if len(str(x)) > 20 and c.test_one(x)
@@ -132,7 +197,7 @@ def vote_types(table_ds, *, na_str: Sequence[str] = NA_DEFAULT,
     chosen: Dict[str, str] = {}
     for col, stats in by_col.items():
         pick = R.UNKNOWN.name
-        for c in R.ALL_CLASSIFIERS:
+        for c in registry:
             h, na, nn = stats.get(c.name, (0, 0, 0))
             denom = na if c.is_sequence else nn
             if denom > 0 and h / denom > threshold:
@@ -144,26 +209,52 @@ def vote_types(table_ds, *, na_str: Sequence[str] = NA_DEFAULT,
 
 def prep_table(table_ds, *, tag: Optional[str] = None, timestamp: str = "",
                na_str: Sequence[str] = NA_DEFAULT, levels=None,
-               types: Optional[Dict[str, str]] = None, canonical: bool = True):
+               types: Optional[Dict[str, str]] = None, canonical: bool = True,
+               include: Sequence[str] = (), exclude: Sequence[str] = (),
+               segment_key: bool = False):
     """String-column table -> triples.  Column types come from the
-    distributed vote (or the ``types`` override — the reference's
-    include/exclude knob family); each row becomes a Phrase whose
-    mention fields carry the column name (tabularTyping,
-    classes.py:192-226)."""
-    chosen = types or vote_types(table_ds, na_str=na_str)
+    distributed vote (or the ``types`` override); each row becomes a
+    Phrase whose mention fields carry the column name (tabularTyping,
+    classes.py:192-226).  ``include``/``exclude`` amend the classifier
+    registry for both the vote and the cast (ui.py:812-818).
+
+    ``segment_key=True`` is the IrregularSegmentTable mode
+    (recipes.py:559-573 + ui.py --segment-key): the FIRST column is
+    forced to be a segment identifier (matches anything, mints a
+    segment URI, emits no predicate of its own) and is excluded from
+    the vote; the remaining columns' literals attach to it."""
+    seg_col: Optional[str] = None
+    vote_ds = table_ds
+    if segment_key:
+        names_all = _schema_names(table_ds)
+        if not names_all:
+            raise ValueError("segment_key table must have at least 1 column")
+        seg_col = names_all[0]
+        rest = names_all[1:]
+        vote_ds = table_ds.select_columns(rest) if rest else None
+    chosen = types or (
+        vote_types(vote_ds, na_str=na_str, include=include, exclude=exclude)
+        if vote_ds is not None else {})
     taguri = make_tag_uri(tag) if tag else None
     tagset = emit.tag_triples(tag, timestamp) if tag else set()
 
     def f(t: pa.Table) -> pa.Table:
-        clfs = {col: R.BY_NAME[chosen.get(col, "unknown")] for col in t.schema.names}
-        cols = {col: t.column(col).to_pylist() for col in t.schema.names}
-        names = list(t.schema.names)
+        names = [c for c in t.schema.names if c != seg_col]
+        clfs = {col: R.BY_NAME[chosen.get(col, "unknown")] for col in names}
+        cols = {col: t.column(col).to_pylist() for col in names}
+        segs = t.column(seg_col).to_pylist() if seg_col is not None else None
         triples = set()
         for i in range(t.num_rows):
             mentions = [
                 emit.make_mention(clfs[col], cols[col][i], field=col, na_str=na_str)
                 for col in names
             ]
+            if segs is not None:
+                # appended after the others (IrregularSegmentTable.cast
+                # appends the forced token to each phrase); field=None so
+                # the token is addressable only as a URI
+                mentions.append(emit.make_mention(
+                    R.IRREGULAR_SEGMENT, segs[i], na_str=na_str))
             triples |= emit.connect(mentions, levels=levels, taguri=taguri)
         return triples_to_table(sorted(triples))
 

@@ -213,6 +213,41 @@ ALL_CLASSIFIERS: List[Classifier] = [
     UNKNOWN,
 ]
 
+# --- §2.11 forced-role classifiers (recipes.py:510-573) -----------------
+# Match ANYTHING and force a role — the ingestion mode real users hit
+# whenever headers are absent / identifiers are idiosyncratic.
+def _any(s: str) -> Optional[str]:
+    return s if s else None
+
+
+IRREGULAR_STRAIN = Classifier(
+    # IrregularStrain (recipes.py:510-519): typename "strain_id",
+    # parser '.+', StrainToken munge (spaces -> underscores)
+    "strain_id", _any, lambda x: x.replace(" ", "_"), G_STRAIN
+)
+IRREGULAR_SEGMENT = Classifier(
+    # IrregularSegment (recipes.py:545-555): typename None — the token
+    # mints a segment URI and receives object_of links, but emits no
+    # predicate of its own (Token.as_predicate returns None)
+    None, _any, _identity, G_SEGMENT
+)
+
+
+def select_classifiers(include: Sequence[str] = (),
+                       exclude: Sequence[str] = ()) -> List[Classifier]:
+    """The CLI ``--include``/``--exclude`` registry amendment
+    (reference ui.py:812-818): a non-empty ``include`` restricts the
+    registry to the named typenames (priority order preserved),
+    ``exclude`` removes typenames.  NOTE the reference's implementation
+    (classes.py:25-34) pops *included* names too — contradicting its
+    own help text ("Only parse using these tokens"); we implement the
+    documented semantics, not the bug."""
+    inc, exc = set(include), set(exclude)
+    out = [c for c in ALL_CLASSIFIERS if c.name not in exc
+           and (not inc or c.name in inc)]
+    return out or [UNKNOWN]
+
+
 BY_NAME: Dict[str, Classifier] = {}
 for _c in ALL_CLASSIFIERS:
     BY_NAME.setdefault(_c.name, _c)

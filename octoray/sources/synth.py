@@ -245,3 +245,27 @@ def synth_ird_table(n: int, seed: int = 42) -> pa.Table:
     cols = list(zip(*rows)) if rows else [[] for _ in range(12)]
     return pa.table({f"c{i}": pa.array(list(c), pa.string())
                      for i, c in enumerate(cols)})
+
+
+def synth_unpublished_fasta_text(n: int, seed: int = 42) -> str:
+    """Unpublished-sequence FASTA (ui.py:931-976 input shape): field 0
+    is an IDIOSYNCRATIC identifier that no regular classifier matches
+    (the whole point of the forced-role IrregularStrain), optionally
+    followed by a collection date and a country, then the sequence."""
+    entries: List[str] = []
+    countries = ["USA", "CAN", "United States", "MEX"]
+    for pid in range(n):
+        r = _streams(np.arange(3, dtype=np.uint64) + np.uint64(pid * 7),
+                     seed ^ 0x0DD1D5, 1)[:, 0]
+        ident = f"lab sample {int(r[0]) % 10_000:04d}"
+        fields = [ident]
+        if r[1] % 3 != 0:
+            fields.append(f"20{10 + int(r[1]) % 15}-{1 + int(r[1]) % 12:02d}-"
+                          f"{1 + int(r[1]) % 28:02d}")
+        if r[2] % 2 == 0:
+            fields.append(countries[int(r[2]) % len(countries)])
+        draws = _streams(np.arange(60, dtype=np.uint64) + np.uint64(pid * 61),
+                         seed ^ 0x5E0D7, 1)[:, 0]
+        seq = "".join(_ACGT[(draws & np.uint64(3)).astype(int)])
+        entries.append(">" + "|".join(fields) + "\n" + seq)
+    return "\n".join(entries) + "\n"

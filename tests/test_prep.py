@@ -252,3 +252,94 @@ def test_prep_ird_na_folding(ray_session):
     # -N/A- length and date never emit
     assert not any(p == "f:length" for p, _ in got)
     assert not any(p == "f:date" for p, _ in got)
+
+
+UNPUB_FASTA = """>weird lab id 001|2020-12-31|USA
+ACGTACGTACGTACGTACGTACGT
+>another-odd-id|CAN
+TTTTACGTACGTACGTACGTTTTT
+"""
+
+
+def test_prep_unpublished_forced_strain_and_tag(ray_session):
+    """IrregularFasta semantics (reference recipes.py:510-543): field 0
+    is forced to a strain id (even when no strain classifier matches),
+    sequences get the automatic 'unpublished' tag, and the --tag option
+    tags as usual on top."""
+    from octoray.model import chksum
+    from octoray.pipelines.prep import prep_unpublished
+    from octoray.sources.fasta import fasta_rows
+
+    rows = prep_unpublished(
+        fasta_rows(UNPUB_FASTA), tag="b1", timestamp="2026-01-01").take_all()
+    got = {(r["subject"], r["predicate"], r["object"]) for r in rows}
+
+    # forced strain id: spaces -> underscores (StrainToken.munge), any
+    # text accepted; URI minting folds remaining punctuation too
+    assert ("fid:weird_lab_id_001", "f:strain_id", "weird_lab_id_001") in got
+    assert ("fid:weird_lab_id_001", "f:date", "2020-12-31") in got
+    assert ("fid:weird_lab_id_001", "f:country", "world:USA") in got
+    # strain -> sequence link via md5 content address
+    md5_1 = chksum("ACGTACGTACGTACGTACGTACGT")
+    assert ("fid:weird_lab_id_001", "f:has_segment", "fid:" + md5_1) in got
+    # automatic unpublished tag on the SEQUENCE uri (recipes.py:535-543)
+    assert ("fid:" + md5_1, "f:tag", "tag:unpublished") in got
+    # the explicit --tag still applies
+    assert ("fid:weird_lab_id_001", "f:tag", "tag:b1") in got
+    # second record: no date, country only; dash folds to _ in the URI
+    assert ("fid:another_odd_id", "f:country", "world:CAN") in got
+    assert ("fid:another_odd_id", "f:strain_id", "another-odd-id") in got
+
+
+def test_prep_table_segment_key(ray_session):
+    """IrregularSegmentTable semantics (recipes.py:559-573): first
+    column forced to a segment id that mints a URI and receives the
+    other columns' literals, but emits no predicate of its own."""
+    import ray.data as rd
+
+    from octoray.pipelines.prep import prep_table
+    from octoray.sources.tables import parse_tsv
+
+    # column names deliberately OUTSIDE STRAIN_FIELDS: strain-field
+    # columns (date/host/...) route to strain tokens in relate() and
+    # there is no strain here — same as the reference's SegmentToken
+    # STRAIN_FIELDS guard (classifier_flucrew.py:343-347)
+    tsv = (
+        "seqid\tcollected\tpct\n"
+        "chk-0001\t2015-01-02\t0.75\n"
+        "chk-0002\t2016-03-04\t0.25\n"
+    )
+    rows = prep_table(rd.from_arrow(parse_tsv(tsv)), segment_key=True).take_all()
+    got = {(r["subject"], r["predicate"], r["object"]) for r in rows}
+    assert ("fid:chk_0001", "f:collected", "2015-01-02") in got
+    assert ("fid:chk_0001", "f:pct", "0.75") in got
+    assert ("fid:chk_0002", "f:pct", "0.25") in got
+    # the forced segment token itself emits NO predicate (typename None)
+    assert not any(o == "chk-0001" for _, _, o in got)
+
+
+def test_select_classifiers_include_exclude():
+    from octoray import recognize as R
+
+    names = [c.name for c in R.select_classifiers()]
+    assert names == [c.name for c in R.ALL_CLASSIFIERS]
+    only = R.select_classifiers(include=("date", "host"))
+    assert [c.name for c in only] == ["date", "host"]  # priority order kept
+    no_date = R.select_classifiers(exclude=("date",))
+    assert "date" not in [c.name for c in no_date]
+    # nonsense include falls back to unknown-only rather than empty
+    assert [c.name for c in R.select_classifiers(include=("nope",))] == ["unknown"]
+
+
+def test_prep_fasta_exclude_changes_typing(ray_session):
+    """--exclude removes a classifier: dates then fall through to the
+    next matcher (Unknown) and the date triples disappear."""
+    from octoray.pipelines.prep import prep_fasta
+    from octoray.sources.fasta import fasta_rows
+
+    base = {(r["subject"], r["predicate"], r["object"])
+            for r in prep_fasta(fasta_rows(FASTA)).take_all()}
+    nodate = {(r["subject"], r["predicate"], r["object"])
+              for r in prep_fasta(fasta_rows(FASTA), exclude=("date",)).take_all()}
+    assert any(p == "f:date" for _, p, _ in base)
+    assert not any(p == "f:date" for _, p, _ in nodate)
