@@ -509,6 +509,25 @@ def _q_kg_filter_path(sf_dir: str):
     return select_bindings(b, ["s", "n", "state_name", "acc"])
 
 
+def _q_kg_filter_year(sf_dir: str):
+    """Date-part accessors in the pattern-layer FILTER (reference
+    wgs.rq:46-50 uses YEAR()/MONTH() in SPARQL): strains collected in
+    H2 of a year.  Partial dates missing the month fail the MONTH()
+    filter (SPARQL error semantics), which the oracle mirrors with
+    try_cast -> NULL -> comparison false."""
+    from octoray.patterns import match_patterns, select_bindings
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_fy_raw"))
+    b = match_patterns(
+        triples,
+        [("?s", "f:strain_name", "?n"), ("?s", "f:date", "?d")],
+        filters=[("YEAR(?d)", ">=", 2017), ("YEAR(?d)", "<=", 2019),
+                 ("MONTH(?d)", ">", 6)],
+    )
+    return select_bindings(b, ["s", "n", "d"])
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -1100,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_optional": _q_kg_optional,
         "kg_path": _q_kg_path,
         "kg_filter_path": _q_kg_filter_path,
+        "kg_filter_year": _q_kg_filter_year,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
@@ -1390,6 +1410,20 @@ def oracle_sql() -> dict[str, str]:
                    JOIN nm ON st.loc = nm.loc
                    JOIN acc ON n.subject = acc.subject
             WHERE regexp_matches(n.n, '^A/') AND acc.acc <> ''
+        """,
+        "kg_filter_year": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('kg_fy_raw')}),
+            n AS (SELECT subject, object AS n FROM d
+                  WHERE predicate = 'f:strain_name'),
+            dt AS (SELECT subject, object AS dd FROM d
+                   WHERE predicate = 'f:date')
+            SELECT n.subject AS s, n.n, dt.dd AS d
+            FROM n JOIN dt ON n.subject = dt.subject
+            WHERE try_cast(nullif(regexp_extract(dt.dd,
+                      '^(\\d{{4}})', 1), '') AS INTEGER) BETWEEN 2017 AND 2019
+              AND try_cast(nullif(regexp_extract(dt.dd,
+                      '^\\d{{4}}-(\\d{{2}})', 1), '') AS INTEGER) > 6
         """,
         "unigram_logprob": rf"""
             WITH tokens AS (SELECT doc_id,

@@ -28,6 +28,7 @@ terms with their original type, as SPARQL does.
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional, Sequence, Tuple
 
 import pyarrow as pa
@@ -109,15 +110,37 @@ def apply_filters(bindings, filters: Sequence[tuple]):
     '=' '!=' '<' '<=' '>' '>=' (lexical on strings, numeric when
     ``value`` is an int/float — the column is cast), '~' (regex
     search) or 'contains' (substring).  Null bindings (unmatched
-    OPTIONALs) fail every filter, as SPARQL errors do."""
+    OPTIONALs) fail every filter, as SPARQL errors do.
+
+    Date-part accessors (reference wgs.rq:46-50 uses YEAR()/MONTH()/
+    DAY() inside FILTER): ``var`` may be ``"YEAR(?d)"`` / ``"MONTH(?d)"``
+    / ``"DAY(?d)"`` — the part is extracted from the binding's lexical
+    ISO form (partial dates yield null for absent parts, which fails
+    the filter per SPARQL error semantics) and compared numerically."""
     if not filters:
         return bindings
     _CMP = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
             "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+    _PART_RE = re.compile(r"(YEAR|MONTH|DAY)\(\s*\??(\w+)\s*\)", re.IGNORECASE)
+    _ISO = r"^(?P<Y>\d{4})(?:-(?P<M>\d{2}))?(?:-(?P<D>\d{2}))?"
 
     def f(t: pa.Table) -> pa.Table:
         mask = None
         for var, op, val in filters:
+            fm = _PART_RE.fullmatch(var)
+            if fm:
+                part = fm.group(1).upper()[0]  # Y / M / D
+                raw = t.column(fm.group(2))
+                iso = pc.extract_regex(raw, _ISO)
+                lex = pc.struct_field(iso, {"Y": "Y", "M": "M", "D": "D"}[part])
+                # RE2 yields '' for non-participating optional groups
+                lex = pc.if_else(pc.equal(lex, ""),
+                                 pa.scalar(None, pa.string()), lex)
+                num = pc.cast(lex, pa.int64())
+                m = _CMP[op](num, pa.scalar(int(val)))
+                m = pc.fill_null(m, False)
+                mask = m if mask is None else pc.and_(mask, m)
+                continue
             col = t.column(var.lstrip("?"))
             if op == "~":
                 m = pc.match_substring_regex(col, val)

@@ -38,8 +38,9 @@ def excel_rows(path: str, *, na_str: Sequence[str] = NA_DEFAULT, sheet: int = 0)
 
     Legacy ``.xls`` (GISAID's export format) is read by the built-in
     pure-Python BIFF8 parser (sources/xls.py — verified byte-identical
-    to the reference's golden on test-data/gisaid.xls); ``.xlsx`` goes
-    through pandas/openpyxl when that codec is installed."""
+    to the reference's golden on test-data/gisaid.xls); ``.xlsx`` by
+    the built-in SpreadsheetML parser (sources/xlsx.py) — no
+    third-party codec needed for either."""
     import ray.data as rd
 
     with open(path, "rb") as fh:
@@ -56,19 +57,17 @@ def excel_rows(path: str, *, na_str: Sequence[str] = NA_DEFAULT, sheet: int = 0)
         return rd.from_arrow(
             pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
         )
-    import pandas as pd
+    from octoray.sources.xlsx import read_xlsx_table
 
-    try:
-        df = pd.read_excel(path, sheet_name=sheet, keep_default_na=False)
-    except ImportError as e:  # pragma: no cover - xlsx codec absent here
-        raise NotImplementedError(
-            "xlsx ingest requires openpyxl; legacy .xls is supported natively"
-        ) from e
+    t = read_xlsx_table(path, sheet=sheet)
     cols = {
-        str(c): [None if (v is None or str(v) in na_str) else str(v) for v in df[c]]
-        for c in df.columns
+        c: [None if (v is None or v in na_str) else v
+            for v in t.column(c).to_pylist()]
+        for c in t.schema.names
     }
-    return rd.from_arrow(pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()}))
+    return rd.from_arrow(
+        pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+    )
 
 
 def tsv_rows(src: Union[str, List[str]], *, na_str: Sequence[str] = NA_DEFAULT,

@@ -224,3 +224,27 @@ def test_filter_numeric_on_mixed_lexicals(ray_session):
     b = match_patterns(_ds(g), [("?s", "f:v", "?v")],
                        filters=[("v", ">", 5)])
     assert {r["s"] for r in b.take_all()} == {"fid:s1", "fid:s3"}
+
+
+def test_filter_date_part_accessors(ray_session):
+    """YEAR()/MONTH()/DAY() in FILTER (reference wgs.rq:46-50): parts
+    extract from the lexical ISO form; partial dates missing the part
+    fail the filter (SPARQL error semantics); non-dates fail too."""
+    g = [
+        ("fid:s1", "f:date", "2019-08-15", "xsd:date"),
+        ("fid:s2", "f:date", "2019-03-15", "xsd:date"),
+        ("fid:s3", "f:date", "2019", "xsd:gYear"),          # no month
+        ("fid:s4", "f:date", "2018-12", "xsd:gYearMonth"),  # no day
+        ("fid:s5", "f:date", "not-a-date", ""),
+        ("fid:s6", "f:date", "2020-07-01", "xsd:date"),
+    ]
+    b = match_patterns(_ds(g), [("?s", "f:date", "?d")],
+                       filters=[("YEAR(?d)", "=", 2019), ("MONTH(?d)", ">", 6)])
+    assert {r["s"] for r in b.take_all()} == {"fid:s1"}
+    b2 = match_patterns(_ds(g), [("?s", "f:date", "?d")],
+                        filters=[("DAY(?d)", "=", 15)])
+    assert {r["s"] for r in b2.take_all()} == {"fid:s1", "fid:s2"}
+    b3 = match_patterns(_ds(g), [("?s", "f:date", "?d")],
+                        filters=[("YEAR(?d)", ">=", 2019)])
+    assert {r["s"] for r in b3.take_all()} == {
+        "fid:s1", "fid:s2", "fid:s3", "fid:s6"}

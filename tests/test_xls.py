@@ -62,3 +62,91 @@ def test_gisaid_golden_parity(ray_session):
     assert got == want
     assert len(want) == 224  # pin the fixture size so a parse
     # regression can't silently shrink both sides
+
+
+# ---------------------------------------------------------------------
+# native .xlsx reader (sources/xlsx.py)
+# ---------------------------------------------------------------------
+_XLSX_CT = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+</Types>"""
+_XLSX_ROOT_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+_XLSX_WB = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets>
+  <sheet name="data" sheetId="1" r:id="rId1"/>
+  <sheet name="extra" sheetId="2" r:id="rId2"/>
+ </sheets>
+</workbook>"""
+_XLSX_WB_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+_XLSX_SST = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+ <si><t>strain</t></si>
+ <si><t>count</t></si>
+ <si><r><t>A/swine/</t></r><r><t>Iowa/1/2015</t></r></si>
+</sst>"""
+_XLSX_SHEET1 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>ok</t></is></c></row>
+  <row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>7</v></c><c r="C2" t="b"><v>1</v></c></row>
+  <row r="3"><c r="B3"><v>2.5</v></c></row>
+ </sheetData>
+</worksheet>"""
+_XLSX_SHEET2 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="inlineStr"><is><t>only</t></is></c></row>
+  <row r="2"><c r="A2"><v>1</v></c></row>
+ </sheetData>
+</worksheet>"""
+
+
+def _write_xlsx(path):
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", _XLSX_CT)
+        z.writestr("_rels/.rels", _XLSX_ROOT_RELS)
+        z.writestr("xl/workbook.xml", _XLSX_WB)
+        z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        z.writestr("xl/sharedStrings.xml", _XLSX_SST)
+        z.writestr("xl/worksheets/sheet1.xml", _XLSX_SHEET1)
+        z.writestr("xl/worksheets/sheet2.xml", _XLSX_SHEET2)
+
+
+def test_read_xlsx_table(tmp_path):
+    """Shared strings (incl. rich-text runs), inline strings, numbers'
+    lexical form, booleans, skipped cells, ragged rows, sheet select."""
+    from octoray.sources.xlsx import read_xlsx_table
+
+    p = str(tmp_path / "t.xlsx")
+    _write_xlsx(p)
+    t = read_xlsx_table(p)
+    assert t.schema.names == ["strain", "count", "ok"]
+    assert t.column("strain").to_pylist() == ["A/swine/Iowa/1/2015", None]
+    assert t.column("count").to_pylist() == ["7", "2.5"]
+    assert t.column("ok").to_pylist() == ["TRUE", None]
+    t2 = read_xlsx_table(p, sheet=1)
+    assert t2.schema.names == ["only"]
+    assert t2.column("only").to_pylist() == ["1"]
+
+
+def test_excel_rows_dispatches_xlsx(ray_session, tmp_path):
+    from octoray.sources.tables import excel_rows
+
+    p = str(tmp_path / "t.xlsx")
+    _write_xlsx(p)
+    rows = excel_rows(p).take_all()
+    assert rows[0]["strain"] == "A/swine/Iowa/1/2015"
+    assert rows[1]["count"] == "2.5"
