@@ -97,11 +97,28 @@ class Mention:
         return None
 
     def as_predicate(self) -> Optional[str]:
+        try:
+            return self.__dict__["_pred_memo"]
+        except KeyError:
+            pass
         f = self.choose_field()
-        return make_property(f) if f is not None else None
+        p = make_property(f) if f is not None else None
+        self.__dict__["_pred_memo"] = p
+        return p
 
     def as_object(self) -> Optional[Tuple[str, str]]:
-        """(lexical, datatype) — Token.as_literal variants."""
+        """(lexical, datatype) — Token.as_literal variants.  Memoized:
+        pure in the mention, and relate() fan-out recomputes it once per
+        page the span appears on (dates re-parse otherwise)."""
+        try:
+            return self.__dict__["_obj_memo"]
+        except KeyError:
+            pass
+        o = self._compute_object()
+        self.__dict__["_obj_memo"] = o
+        return o
+
+    def _compute_object(self) -> Optional[Tuple[str, str]]:
         c = self.classifier
         if c is R.DATE:
             r = dates.parse_any_date(self.dirty)
@@ -159,6 +176,20 @@ class Mention:
 
     # --- add_triples (self-description) --------------------------------
     def add_triples(self) -> Set[Triple]:
+        """Memoized: a pure function of the mention, but connect()
+        calls it once per PAGE the span appears on — the strain branch
+        re-runs the per-element barcode/state scan each time otherwise
+        (52% of the emitter floor was this fan-out family, VERDICT r2
+        next-step 8).  Callers only union the result, never mutate."""
+        try:
+            return self.__dict__["_add_memo"]
+        except KeyError:
+            pass
+        g = self._compute_add_triples()
+        self.__dict__["_add_memo"] = g
+        return g
+
+    def _compute_add_triples(self) -> Set[Triple]:
         g: Set[Triple] = set()
         c = self.classifier
         if not self.clean:
