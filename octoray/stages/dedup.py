@@ -80,6 +80,32 @@ def _hash_strings_u64(strings, seed: int = 0) -> np.ndarray:
         ).astype(np.uint64)
 
 
+def _flat_tokens(texts):
+    """Whitespace-tokenize a batch of texts entirely in Arrow C kernels
+    (== str.split() semantics, edge cases pinned in tests).  Returns
+    (per-doc token counts int64 numpy, flat token pa.Array)."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(texts)
+    lst = pc.utf8_split_whitespace(trimmed)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lst)
+    # an empty/whitespace-only text splits to [''] — one bogus token
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False).astype(bool)
+    if empty.any():
+        off0 = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off0[1:])
+        keep = np.ones(len(flat), bool)
+        keep[off0[:-1][empty]] = False
+        flat = flat.filter(pa.array(keep))
+        lens = lens - empty
+    return lens, flat
+
+
 def _window_hashes(texts: List[str], k: int, *, short_gram: bool,
                    seeds=(0x5EED0001, 0x5EED0002)):
     """128-bit hashes of every overlapping k-token gram, fully
@@ -103,25 +129,7 @@ def _window_hashes(texts: List[str], k: int, *, short_gram: bool,
     semantics, edge-cases pinned in tests) and the token array feeds
     the hash kernel with no Python objects in between (another ~5x on
     top of the hash swap)."""
-    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
-        texts = pa.array(list(texts), pa.string())
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    trimmed = pc.utf8_trim_whitespace(texts)
-    lst = pc.utf8_split_whitespace(trimmed)
-    if isinstance(lst, pa.ChunkedArray):
-        lst = lst.combine_chunks()
-    lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = pc.list_flatten(lst)
-    # an empty/whitespace-only text splits to [''] — one bogus token
-    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False).astype(bool)
-    if empty.any():
-        off0 = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=off0[1:])
-        keep = np.ones(len(flat), bool)
-        keep[off0[:-1][empty]] = False
-        flat = flat.filter(pa.array(keep))
-        lens = lens - empty
+    lens, flat = _flat_tokens(texts)
     if len(flat):
         th1 = _hash_strings_u64(flat, seed=seeds[0])
         th2 = _hash_strings_u64(flat, seed=seeds[1])
@@ -638,31 +646,34 @@ class SimHasher:
 
     def simhash(self, text: str) -> int:
         """Single-doc reference path (tests / truth checks)."""
-        return int(self._batch_simhash([text.split()])[0])
+        return int(self._batch_simhash([text])[0])
 
-    def _batch_simhash(self, tok_lists) -> np.ndarray:
-        n = len(tok_lists)
-        lens = np.array([len(t) for t in tok_lists], np.int64)
+    def _batch_simhash(self, norm_texts) -> np.ndarray:
+        """(n,) uint64 — zero Python loops: Arrow tokenization, one
+        C-pass hash, one unpackbits, and a per-doc np.add.reduceat for
+        the bit votes.  Bit-identical to the scalar definition (exact
+        integer ops)."""
+        lens, flat = _flat_tokens(norm_texts)
+        n = len(lens)
         out = np.zeros(n, np.uint64)
         total = int(lens.sum())
         if total == 0:
             return out
-        all_toks = [tok for toks in tok_lists for tok in toks]
-        h = _hash_strings_u64(all_toks)  # (T,) uint64, one C pass
+        h = _hash_strings_u64(flat)  # (T,) uint64, one C pass
         bits = np.unpackbits(np.ascontiguousarray(h).view(np.uint8)).reshape(total, 64)
         offsets = np.zeros(n, np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        for i in range(n):
-            l = int(lens[i])
-            if l == 0:
-                continue
-            votes = 2 * bits[offsets[i] : offsets[i] + l].sum(axis=0, dtype=np.int64) - l
-            out[i] = ((votes > 0) * _UNPACK_COLBITS).sum(dtype=np.uint64)
+        # reduceat over NON-EMPTY docs only: their starts are strictly
+        # increasing and in-bounds, so each segment is exactly one doc
+        ne = np.nonzero(lens > 0)[0]
+        sums = np.add.reduceat(bits, offsets[ne], axis=0).astype(np.int64)
+        votes = 2 * sums - lens[ne, None]
+        out[ne] = ((votes > 0) * _UNPACK_COLBITS).sum(axis=1, dtype=np.uint64)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        norm = _norm_ws(batch.column(self.text_col)).to_pylist()
-        hashes = self._batch_simhash([t.split() for t in norm])
+        norm = _norm_ws(batch.column(self.text_col))
+        hashes = self._batch_simhash(norm)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),

@@ -102,3 +102,24 @@ def test_near_dup_kept_representatives(ray_session):
     kept_join = sorted(
         near_dup_kept(docs, pairs, broadcast_limit=0).to_pandas()["doc_id"])
     assert kept_join == kept
+
+
+def test_simhash_batch_matches_scalar_with_edge_docs():
+    """The reduceat-vectorized batch path is bit-identical to the
+    scalar definition, including empty / whitespace-only / 1-token
+    docs at any position (incl. the last slot, where a naive reduceat
+    start index would run out of bounds)."""
+    from octoray.stages.dedup import SimHasher
+
+    sh = SimHasher()
+    texts = ["hello world foo", "", "   ", "a", "x y z w",
+             "hello world foo", ""]
+    batch = sh._batch_simhash(texts)
+    for t, b in zip(texts, batch):
+        toks = t.split()
+        if not toks:
+            assert int(b) == 0
+        else:
+            assert int(b) == sh.simhash(" ".join(toks))
+    # identical docs -> identical signatures
+    assert int(batch[0]) == int(batch[5])
