@@ -422,9 +422,10 @@ class MinHasher:
 
     def _batch_signatures(self, norm_texts) -> np.ndarray:
         """(n_docs, n_perm) uint64.  Shingle hashing is ONE vectorized
-        pass over the whole batch (_window_hashes); only the per-doc
-        (S, P) min-reduce remains a Python-level loop, and its body is
-        a single numpy broadcast.  Duplicate shingles are harmless
+        pass over the whole batch (_window_hashes); the per-doc min
+        runs as np.minimum.reduceat over doc-bounded slabs (slab size
+        caps the (grams, n_perm) intermediate at ~16 MB so worker heap
+        stays flat at any batch size).  Duplicate shingles are harmless
         under min, so no per-doc dedup is needed."""
         n = len(norm_texts)
         out = np.full((n, self.n_perm), _MASK, dtype=np.uint64)
@@ -433,12 +434,21 @@ class MinHasher:
         if len(doc_idx) == 0:
             return out
         bounds = np.searchsorted(doc_idx, np.arange(n + 1))
-        for i in range(n):
-            s, e = bounds[i], bounds[i + 1]
-            if s == e:
-                continue
-            out[i] = _mix64(
-                g1[s:e, None] ^ self.seeds[None, :]).min(axis=0)
+        slab = max(1, (1 << 21) // self.n_perm)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and bounds[j + 1] - bounds[i] <= slab:
+                j += 1
+            s0, e0 = int(bounds[i]), int(bounds[j])
+            if e0 > s0:
+                m = _mix64(g1[s0:e0, None] ^ self.seeds[None, :])
+                # reduceat over NON-EMPTY docs only (strictly increasing
+                # in-bounds starts -> each segment is exactly one doc)
+                ne = np.nonzero(bounds[i + 1:j + 1] - bounds[i:j] > 0)[0]
+                starts = (bounds[i:j][ne] - s0).astype(np.int64)
+                out[i + ne] = np.minimum.reduceat(m, starts, axis=0)
+            i = j
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
