@@ -64,6 +64,13 @@ def _hash_strings_u64(strings, seed: int = 0) -> np.ndarray:
     if isinstance(strings, pa.ChunkedArray):
         strings = strings.combine_chunks()
     try:
+        # polars sizes its rayon pool to ALL host cores at import; in a
+        # Ray worker that means num_workers x num_cores threads fighting
+        # for the same CPUs (measured 3x slowdown on the sketch stages).
+        # One thread per worker is right: Ray owns the parallelism.
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
 
         if isinstance(strings, pa.Array):
@@ -107,7 +114,7 @@ def _flat_tokens(texts):
 
 
 def _window_hashes(texts: List[str], k: int, *, short_gram: bool,
-                   seeds=(0x5EED0001, 0x5EED0002)):
+                   seeds=(0x5EED0001, 0x5EED0002), dual: bool = True):
     """128-bit hashes of every overlapping k-token gram, fully
     vectorized: split texts to tokens, hash ALL tokens in two C-speed
     passes (independent seeds), then fold each k-window with k shifted
@@ -132,9 +139,12 @@ def _window_hashes(texts: List[str], k: int, *, short_gram: bool,
     lens, flat = _flat_tokens(texts)
     if len(flat):
         th1 = _hash_strings_u64(flat, seed=seeds[0])
-        th2 = _hash_strings_u64(flat, seed=seeds[1])
+        # callers that key on a single 64-bit half (MinHash min-sketch)
+        # skip the second hash pass + fold entirely (``dual=False``)
+        th2 = _hash_strings_u64(flat, seed=seeds[1]) if dual else None
     else:
-        th1 = th2 = np.empty(0, np.uint64)
+        th1 = np.empty(0, np.uint64)
+        th2 = th1 if dual else None
     off = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=off[1:])
     n_g = np.maximum(lens - k + 1, 0)
@@ -151,18 +161,21 @@ def _window_hashes(texts: List[str], k: int, *, short_gram: bool,
         short = lens[doc_idx] < k
         wlen[short] = lens[doc_idx][short]
     g1 = np.zeros(tot, np.uint64)
-    g2 = np.zeros(tot, np.uint64)
+    g2 = np.zeros(tot, np.uint64) if dual else None
     for j in range(k):
         m = wlen > j
         if not m.any():
             break
         if m.all():
-            g1 = _mix64(g1 ^ th1[starts + j])
-            g2 = _mix64(g2 ^ th2[starts + j])
+            sj = starts + j
+            g1 = _mix64(g1 ^ th1[sj])
+            if dual:
+                g2 = _mix64(g2 ^ th2[sj])
         else:
             sj = starts[m] + j
             g1[m] = _mix64(g1[m] ^ th1[sj])
-            g2[m] = _mix64(g2[m] ^ th2[sj])
+            if dual:
+                g2[m] = _mix64(g2[m] ^ th2[sj])
     return doc_idx, pos, g1, g2
 
 
@@ -430,7 +443,7 @@ class MinHasher:
         n = len(norm_texts)
         out = np.full((n, self.n_perm), _MASK, dtype=np.uint64)
         doc_idx, _, g1, _ = _window_hashes(norm_texts, self.k,
-                                           short_gram=True)
+                                           short_gram=True, dual=False)
         if len(doc_idx) == 0:
             return out
         bounds = np.searchsorted(doc_idx, np.arange(n + 1))
