@@ -784,6 +784,27 @@ def _q_near_dup_kept(sf_dir: str):
     return D.near_dup_kept(docs, pairs)
 
 
+def _q_semantic_dup_kept(sf_dir: str):
+    """SemDeDup-style retention decision (Abbas et al. 2023 shape):
+    embedding-cosine near-dup pairs (LSH buckets, vectors join back
+    only for surviving candidates) -> connected components -> keep each
+    component's min-id representative + every untouched vector.  The
+    100-TB shape is the same as text near-dedup: pairs are sketch-
+    bucketed (never all-pairs), components run distributed min-label
+    propagation with pointer jumping, the drop set is stats-gated."""
+    from octoray import oracles as O
+    from octoray.stages import dedup as D
+    from octoray.stages import similarity as S
+
+    emb = _embeddings(sf_dir)
+    pairs = S.cosine_dup_pairs(emb, threshold=0.4)
+    if O.dump_enabled():
+        import ray.data as rd
+
+        pairs = rd.read_parquet(O.dump_dataset("semantic_dup_pairs", pairs))
+    return D.near_dup_kept(emb, pairs, id_col="vec_id")
+
+
 def _q_knn_lsh(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import similarity as S
@@ -953,6 +974,15 @@ def _q_url_filter(sf_dir: str):
         O.dump_table("filter_urls_in", tbl)
     canon = normalize_urls(rd.from_arrow(tbl))
     return filter_urls(canon, url_col="url_canon", keep_denied=True)
+
+
+def _q_per_domain_cap(sf_dir: str):
+    """Crawl-curation quota: first 5 distinct urls per domain in url
+    order (two-phase combiner — the shuffle moves at most n slim rows
+    per block per domain)."""
+    from octoray.stages.crawl import per_domain_cap
+
+    return per_domain_cap(_crawl_ds(sf_dir, "crawl_cap_raw"), n=5)
 
 
 def _q_domain_stats(sf_dir: str):
@@ -1130,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_per_url": _q_latest_per_url,
         "crawl_delta": _q_crawl_delta,
         "domain_stats": _q_domain_stats,
+        "per_domain_cap": _q_per_domain_cap,
         "url_canon": _q_url_canon,
         "url_filter": _q_url_filter,
         # --- stateful classification stages (X1/X2 analogues) ---
@@ -1192,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
         "dup_components": _q_dup_components,
         "near_dup_kept": _q_near_dup_kept,
+        "semantic_dup_kept": _q_semantic_dup_kept,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         # --- multimodal columns (decode/resize/frames stubbed per docs) ---
@@ -1520,6 +1552,17 @@ def oracle_sql() -> dict[str, str]:
             FROM {Q.rpd('crawl_domain_raw')}
             GROUP BY 1
         """,
+        "per_domain_cap": f"""
+            WITH d AS (SELECT DISTINCT
+                         regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1) AS domain,
+                         url
+                       FROM {Q.rpd('crawl_cap_raw')}),
+            r AS (SELECT domain, url,
+                         row_number() OVER (PARTITION BY domain
+                                            ORDER BY url) AS rn FROM d)
+            SELECT domain, url FROM r WHERE rn <= 5
+        """,
         "quality_scores": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
@@ -1843,6 +1886,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": Q.sql_simhash_pairs(Q.rpd("simhash_sigs"), max_hamming=3),
         "dup_components": Q.sql_dup_components(Q.rpd("dup_pairs")),
         "near_dup_kept": Q.sql_near_dup_kept(Q.rpd("near_dup_pairs")),
+        "semantic_dup_kept": Q.sql_near_dup_kept(
+            Q.rpd("semantic_dup_pairs"), table="embeddings", id_col="vec_id"),
         "kmeans_clusters": Q.sql_kmeans("embeddings", k=8, n_iters=3),
         "knn_lsh": Q.sql_knn_lsh(
             Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=24),

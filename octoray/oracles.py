@@ -934,10 +934,13 @@ def sql_pagerank(src: str, *, damping: float, n_iters: int) -> str:
             f" FROM r{n_iters}")
 
 
-def sql_near_dup_kept(pairs_src: str) -> str:
+def sql_near_dup_kept(pairs_src: str, *, table: str = "documents",
+                      id_col: str = "doc_id") -> str:
     """Boundary: the near-dup pair list.  Re-derives components (the
     same recursive closure as sql_dup_components), drops every
-    non-representative member, keeps the rest of the corpus."""
+    non-representative member, keeps the rest of the corpus.  ``table``
+    / ``id_col`` select the corpus being deduplicated (documents for
+    text near-dedup, embeddings for the SemDeDup-style decision)."""
     return f"""
         WITH RECURSIVE pr AS (SELECT id_a, id_b FROM {pairs_src}),
         e AS (SELECT id_a AS src, id_b AS dst FROM pr
@@ -947,8 +950,8 @@ def sql_near_dup_kept(pairs_src: str) -> str:
           UNION
           SELECT e.dst, walk.comp FROM walk JOIN e ON walk.id = e.src
           WHERE walk.comp < e.dst)
-        SELECT doc_id FROM documents
-        WHERE doc_id NOT IN (
+        SELECT {id_col} FROM {table}
+        WHERE {id_col} NOT IN (
           SELECT id FROM (SELECT id, min(comp) AS component
                           FROM walk GROUP BY id)
           WHERE id <> component)

@@ -341,3 +341,37 @@ def filter_urls(ds, *, rules=None, default: str = "allow",
         return out
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def per_domain_cap(crawl, *, n: int, url_col: str = "url"):
+    """Crawl-curation quota: at most ``n`` DISTINCT urls per domain,
+    deterministically the first ``n`` in url order.  Returns a
+    (domain, url) Dataset.
+
+    Two-phase combiner (same family as latest_per_url): the block-local
+    pass distinct-sorts and keeps the first n per (block, domain) — a
+    sound pre-prune because the global first-n is a subset of the union
+    of per-block first-n — then ONE domain-keyed range sort co-locates
+    the survivors and the SAME pass finishes exactly.  The shuffle
+    moves at most n slim rows per (block, domain); page text never
+    rides it."""
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "domain": pc.fill_null(_domain_of(t.column(url_col)), ""),
+            "url": t.column(url_col),
+        })
+
+    def local_cap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas().drop_duplicates(["domain", "url"]).sort_values(
+            ["domain", "url"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("domain", sort=False).head(n), preserve_index=False
+        ).cast(t.schema)
+
+    pre = crawl.map_batches(slim, batch_format="pyarrow").map_batches(
+        local_cap, batch_format="pyarrow")
+    return pre.sort(["domain"]).map_batches(
+        local_cap, batch_format="pyarrow", batch_size=None)

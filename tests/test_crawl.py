@@ -221,3 +221,21 @@ def test_filter_urls_uppercase_scheme_and_host(ray_session):
     got = {r["url"]: r["action"]
            for r in filter_urls(ds, keep_denied=True).take_all()}
     assert got == {urls[0]: "deny", urls[1]: "allow", urls[2]: "deny"}
+
+
+def test_per_domain_cap_matches_bruteforce(ray_session):
+    """First-n-per-domain quota: two-phase combiner result equals the
+    driver-side re-derivation (distinct urls, url order, head n)."""
+    from octoray.stages.crawl import per_domain_cap
+
+    rows = _crawl_rows()
+    by_dom = defaultdict(set)
+    for r in rows:
+        dom = r["url"].split("://")[1].split("/")[0]
+        by_dom[dom].add(r["url"])
+    want = {(d, u) for d, urls in by_dom.items()
+            for u in sorted(urls)[:3]}
+    got = {(r["domain"], r["url"])
+           for r in per_domain_cap(
+               crawl_dataset(250, n_snapshots=4), n=3).take_all()}
+    assert got == want
