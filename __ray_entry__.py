@@ -528,6 +528,26 @@ def _q_kg_filter_year(sf_dir: str):
     return select_bindings(b, ["s", "n", "d"])
 
 
+def _q_kg_group_report(sf_dir: str):
+    """SPARQL GROUP BY + aggregate head (the reference's
+    get-tagged-strain.rq / masterlist.rq shape): BGP -> group by
+    strain -> GROUP_CONCAT(DISTINCT date; separator='+') + MIN(date) +
+    COUNT(DISTINCT segment)."""
+    from octoray.patterns import aggregate_bindings, match_patterns
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_ga_raw"))
+    b = match_patterns(
+        triples,
+        [("?s", "f:strain_name", "?n"), ("?s", "f:date", "?d"),
+         ("?s", "f:has_segment", "?g")],
+    )
+    return aggregate_bindings(
+        b, ["s", "n"],
+        [("d", "group_concat", "dates"), ("d", "min", "first_date"),
+         ("g", "count_distinct", "n_segments")])
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -1150,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path": _q_kg_path,
         "kg_filter_path": _q_kg_filter_path,
         "kg_filter_year": _q_kg_filter_year,
+        "kg_group_report": _q_kg_group_report,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
@@ -1442,6 +1463,23 @@ def oracle_sql() -> dict[str, str]:
                    JOIN nm ON st.loc = nm.loc
                    JOIN acc ON n.subject = acc.subject
             WHERE regexp_matches(n.n, '^A/') AND acc.acc <> ''
+        """,
+        "kg_group_report": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('kg_ga_raw')}),
+            n AS (SELECT subject, object AS n FROM d
+                  WHERE predicate = 'f:strain_name'),
+            dt AS (SELECT subject, object AS dd FROM d
+                   WHERE predicate = 'f:date'),
+            sg AS (SELECT subject, object AS g FROM d
+                   WHERE predicate = 'f:has_segment')
+            SELECT n.subject AS s, n.n,
+                   string_agg(DISTINCT dd, '+' ORDER BY dd) AS dates,
+                   min(dd) AS first_date,
+                   CAST(count(DISTINCT g) AS BIGINT) AS n_segments
+            FROM n JOIN dt ON n.subject = dt.subject
+                   JOIN sg ON n.subject = sg.subject
+            GROUP BY n.subject, n.n
         """,
         "kg_filter_year": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object

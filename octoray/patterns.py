@@ -480,6 +480,54 @@ def select_bindings(bindings, variables: Sequence[str]):
     return bindings.select_columns(list(variables))
 
 
+def aggregate_bindings(bindings, group_vars: Sequence[str],
+                       aggs: Sequence[tuple], *, sep: str = "+"):
+    """SPARQL GROUP BY + aggregate SELECT head over a bindings Dataset
+    (the reference's get-tagged-*.rq / masterlist.rq shape:
+    ``GROUP BY ?strain (GROUP_CONCAT(DISTINCT ?host; separator='+')
+    AS ?hosts) (MIN(?date) AS ?first)``).
+
+    ``aggs`` entries are (var, fn, alias) with fn one of
+    'group_concat' (DISTINCT values, SORTED then sep-joined — the
+    deterministic rendering of the reference's separator='+'
+    convention), 'min', 'max', 'count' (non-null bindings),
+    'count_distinct'.  Unbound (null) values are skipped, per SPARQL
+    aggregate semantics.
+
+    ONE range sort on the group variables co-locates each group
+    (sorted-block family, same colocation invariant as the reports
+    layer); every aggregate is then block-local and exact."""
+    import pandas as pd
+
+    group_vars = [v.lstrip("?") for v in group_vars]
+    aggs = [(v.lstrip("?"), fn, alias) for v, fn, alias in aggs]
+    from octoray.query import sorted_map_groups
+
+    keep = list(dict.fromkeys(
+        group_vars + [v for v, _, _ in aggs]))
+    slim = bindings.select_columns(keep)
+
+    def agg_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [g[k].iloc[0]] for k in group_vars}
+        for var, fn, alias in aggs:
+            vals = g[var].dropna()
+            if fn == "group_concat":
+                out[alias] = [sep.join(sorted(set(vals)))]
+            elif fn == "min":
+                out[alias] = [vals.min() if len(vals) else None]
+            elif fn == "max":
+                out[alias] = [vals.max() if len(vals) else None]
+            elif fn == "count":
+                out[alias] = [int(len(vals))]
+            elif fn == "count_distinct":
+                out[alias] = [int(vals.nunique())]
+            else:  # pragma: no cover
+                raise ValueError(f"unknown aggregate {fn}")
+        return pd.DataFrame(out)
+
+    return sorted_map_groups(slim, group_vars, agg_group)
+
+
 def construct(triples, where: Sequence[Pattern],
               template: Sequence[tuple], *,
               optionals: Sequence[Pattern] = (),

@@ -248,3 +248,29 @@ def test_filter_date_part_accessors(ray_session):
                         filters=[("YEAR(?d)", ">=", 2019)])
     assert {r["s"] for r in b3.take_all()} == {
         "fid:s1", "fid:s2", "fid:s3", "fid:s6"}
+
+
+def test_aggregate_bindings(ray_session):
+    """GROUP BY + aggregate head: group_concat is sorted-distinct,
+    min/max/count skip unbound values (SPARQL aggregate semantics)."""
+    from octoray.patterns import aggregate_bindings
+
+    g = [
+        ("fid:s1", "f:v", "b", ""),
+        ("fid:s1", "f:v", "a", ""),
+        ("fid:s1", "f:v", "b", ""),
+        ("fid:s2", "f:v", "z", ""),
+    ]
+    b = match_patterns(_ds(g), [("?s", "f:v", "?v")])
+    out = {r["s"]: r for r in aggregate_bindings(
+        b, ["s"],
+        [("v", "group_concat", "vals"), ("v", "min", "lo"),
+         ("v", "max", "hi"), ("v", "count", "n"),
+         ("v", "count_distinct", "nd")]).take_all()}
+    # NB: bindings mirror the INPUT multiset — canonical triple stores
+    # are deduped upstream, but this raw fixture carries ('s1','b')
+    # twice, so count == 3 while count_distinct == 2
+    assert out["fid:s1"]["vals"] == "a+b"
+    assert (out["fid:s1"]["lo"], out["fid:s1"]["hi"]) == ("a", "b")
+    assert (out["fid:s1"]["n"], out["fid:s1"]["nd"]) == (3, 2)
+    assert out["fid:s2"]["vals"] == "z" and out["fid:s2"]["n"] == 1
