@@ -548,6 +548,26 @@ def _q_kg_group_report(sf_dir: str):
          ("g", "count_distinct", "n_segments")])
 
 
+def _q_kg_monthly_bind(sf_dir: str):
+    """The wgs.rq shape end-to-end through the GENERIC layer: BGP ->
+    BIND(YEAR/MONTH(?date)) -> FILTER (month bound) -> GROUP BY
+    (year, month) -> COUNT(DISTINCT strain).  The dedicated monthly
+    report (kg_monthly_report) hard-codes this; here it runs through
+    extend_bindings / apply_filters / aggregate_bindings."""
+    from octoray.patterns import (aggregate_bindings, apply_filters,
+                                  extend_bindings, match_patterns)
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_mb_raw"))
+    b = match_patterns(
+        triples,
+        [("?s", "f:strain_name", "?n"), ("?s", "f:date", "?d")])
+    b = extend_bindings(b, [("year", "YEAR(?d)"), ("month", "MONTH(?d)")])
+    b = apply_filters(b, [("MONTH(?d)", ">", 0)])
+    return aggregate_bindings(
+        b, ["year", "month"], [("s", "count_distinct", "n_strains")])
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -1171,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_filter_path": _q_kg_filter_path,
         "kg_filter_year": _q_kg_filter_year,
         "kg_group_report": _q_kg_group_report,
+        "kg_monthly_bind": _q_kg_monthly_bind,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
@@ -1463,6 +1484,22 @@ def oracle_sql() -> dict[str, str]:
                    JOIN nm ON st.loc = nm.loc
                    JOIN acc ON n.subject = acc.subject
             WHERE regexp_matches(n.n, '^A/') AND acc.acc <> ''
+        """,
+        "kg_monthly_bind": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('kg_mb_raw')}),
+            n AS (SELECT subject FROM d WHERE predicate = 'f:strain_name'),
+            dt AS (SELECT subject,
+                     try_cast(nullif(regexp_extract(object,
+                       '^(\\d{{4}})', 1), '') AS BIGINT) AS year,
+                     try_cast(nullif(regexp_extract(object,
+                       '^\\d{{4}}-(\\d{{2}})', 1), '') AS BIGINT) AS month
+                   FROM d WHERE predicate = 'f:date')
+            SELECT year, month,
+                   CAST(count(DISTINCT n.subject) AS BIGINT) AS n_strains
+            FROM n JOIN dt ON n.subject = dt.subject
+            WHERE month IS NOT NULL AND month > 0
+            GROUP BY year, month
         """,
         "kg_group_report": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object

@@ -104,6 +104,46 @@ def _rewrite_one(pat: Pattern, tag: str) -> List[Pattern]:
     return [(s, p, o)]
 
 
+_DATE_PART_RE = re.compile(r"(YEAR|MONTH|DAY)\(\s*\??(\w+)\s*\)", re.IGNORECASE)
+_ISO_PARTS = r"^(?P<Y>\d{4})(?:-(?P<M>\d{2}))?(?:-(?P<D>\d{2}))?"
+
+
+def _date_part_col(t: pa.Table, func: str, var: str):
+    """int64 date-part column from a binding's lexical ISO form; null
+    where the string is not a date or the part is absent (partial
+    dates) — SPARQL type-error semantics."""
+    iso = pc.extract_regex(t.column(var), _ISO_PARTS)
+    lex = pc.struct_field(iso, {"Y": "Y", "M": "M", "D": "D"}[func[0]])
+    # RE2 yields '' for non-participating optional groups
+    lex = pc.if_else(pc.equal(lex, ""), pa.scalar(None, pa.string()), lex)
+    return pc.cast(lex, pa.int64())
+
+
+def extend_bindings(bindings, binds: Sequence[tuple]):
+    """SPARQL BIND analogue (reference wgs.rq:44-46 binds
+    YEAR/MONTH/DAY of the collection date): each entry is
+    (alias, expr) where expr is ``"YEAR(?d)"`` / ``"MONTH(?d)"`` /
+    ``"DAY(?d)"`` (int64 column, null on non-dates/absent parts) or a
+    plain ``"?var"`` (column copy).  Vectorized per batch, no
+    shuffle."""
+
+    def f(t: pa.Table) -> pa.Table:
+        out = t
+        for alias, expr in binds:
+            alias = alias.lstrip("?")
+            fm = _DATE_PART_RE.fullmatch(expr)
+            if fm:
+                col = _date_part_col(t, fm.group(1).upper(), fm.group(2))
+            elif expr.startswith("?"):
+                col = t.column(expr[1:])
+            else:  # pragma: no cover
+                raise ValueError(f"unsupported BIND expression {expr!r}")
+            out = out.append_column(alias, col)
+        return out
+
+    return bindings.map_batches(f, batch_format="pyarrow")
+
+
 def apply_filters(bindings, filters: Sequence[tuple]):
     """SPARQL FILTER analogue over a bindings Dataset, vectorized per
     batch.  A filter is (var, op, value) with op one of
@@ -121,24 +161,14 @@ def apply_filters(bindings, filters: Sequence[tuple]):
         return bindings
     _CMP = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
             "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
-    _PART_RE = re.compile(r"(YEAR|MONTH|DAY)\(\s*\??(\w+)\s*\)", re.IGNORECASE)
-    _ISO = r"^(?P<Y>\d{4})(?:-(?P<M>\d{2}))?(?:-(?P<D>\d{2}))?"
 
     def f(t: pa.Table) -> pa.Table:
         mask = None
         for var, op, val in filters:
-            fm = _PART_RE.fullmatch(var)
+            fm = _DATE_PART_RE.fullmatch(var)
             if fm:
-                part = fm.group(1).upper()[0]  # Y / M / D
-                raw = t.column(fm.group(2))
-                iso = pc.extract_regex(raw, _ISO)
-                lex = pc.struct_field(iso, {"Y": "Y", "M": "M", "D": "D"}[part])
-                # RE2 yields '' for non-participating optional groups
-                lex = pc.if_else(pc.equal(lex, ""),
-                                 pa.scalar(None, pa.string()), lex)
-                num = pc.cast(lex, pa.int64())
-                m = _CMP[op](num, pa.scalar(int(val)))
-                m = pc.fill_null(m, False)
+                num = _date_part_col(t, fm.group(1).upper(), fm.group(2))
+                m = pc.fill_null(_CMP[op](num, pa.scalar(int(val))), False)
                 mask = m if mask is None else pc.and_(mask, m)
                 continue
             col = t.column(var.lstrip("?"))

@@ -274,3 +274,23 @@ def test_aggregate_bindings(ray_session):
     assert (out["fid:s1"]["lo"], out["fid:s1"]["hi"]) == ("a", "b")
     assert (out["fid:s1"]["n"], out["fid:s1"]["nd"]) == (3, 2)
     assert out["fid:s2"]["vals"] == "z" and out["fid:s2"]["n"] == 1
+
+
+def test_extend_bindings_date_parts(ray_session):
+    """BIND(YEAR/MONTH/DAY(?d)) (wgs.rq:44-46): int64 parts, null on
+    partial dates' absent parts and on non-dates."""
+    from octoray.patterns import extend_bindings
+
+    g = [
+        ("fid:s1", "f:date", "2019-08-15", "xsd:date"),
+        ("fid:s2", "f:date", "2018-12", "xsd:gYearMonth"),
+        ("fid:s3", "f:date", "junk", ""),
+    ]
+    b = match_patterns(_ds(g), [("?s", "f:date", "?d")])
+    out = {r["s"]: r for r in extend_bindings(
+        b, [("year", "YEAR(?d)"), ("month", "MONTH(?d)"),
+            ("day", "DAY(?d)"), ("d2", "?d")]).take_all()}
+    assert (out["fid:s1"]["year"], out["fid:s1"]["month"], out["fid:s1"]["day"]) == (2019, 8, 15)
+    assert (out["fid:s2"]["year"], out["fid:s2"]["month"], out["fid:s2"]["day"]) == (2018, 12, None)
+    assert out["fid:s3"]["year"] is None
+    assert out["fid:s1"]["d2"] == "2019-08-15"
