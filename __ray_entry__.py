@@ -568,6 +568,22 @@ def _q_kg_monthly_bind(sf_dir: str):
         b, ["year", "month"], [("s", "count_distinct", "n_strains")])
 
 
+def _q_kg_values(sf_dir: str):
+    """SPARQL VALUES analogue: an inline (host, host_label) table joins
+    the BGP bindings — restricting to the listed hosts AND appending
+    the mapped label column."""
+    from octoray.patterns import match_patterns, select_bindings, values_bindings
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_values_raw"))
+    b = match_patterns(
+        triples,
+        [("?s", "f:strain_name", "?n"), ("?s", "f:host", "?h")])
+    b = values_bindings(b, ["?h", "?host_label"],
+                        [("swine", "pig"), ("human", "person")])
+    return select_bindings(b, ["s", "n", "h", "host_label"])
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -1192,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_filter_year": _q_kg_filter_year,
         "kg_group_report": _q_kg_group_report,
         "kg_monthly_bind": _q_kg_monthly_bind,
+        "kg_values": _q_kg_values,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
@@ -1484,6 +1501,19 @@ def oracle_sql() -> dict[str, str]:
                    JOIN nm ON st.loc = nm.loc
                    JOIN acc ON n.subject = acc.subject
             WHERE regexp_matches(n.n, '^A/') AND acc.acc <> ''
+        """,
+        "kg_values": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('kg_values_raw')}),
+            n AS (SELECT subject, object AS n FROM d
+                  WHERE predicate = 'f:strain_name'),
+            h AS (SELECT subject, object AS h FROM d
+                  WHERE predicate = 'f:host'),
+            v(h, host_label) AS (VALUES ('swine', 'pig'),
+                                        ('human', 'person'))
+            SELECT n.subject AS s, n.n, h.h, v.host_label
+            FROM n JOIN h ON n.subject = h.subject
+                   JOIN v ON h.h = v.h
         """,
         "kg_monthly_bind": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object

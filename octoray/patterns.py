@@ -144,6 +144,31 @@ def extend_bindings(bindings, binds: Sequence[tuple]):
     return bindings.map_batches(f, batch_format="pyarrow")
 
 
+def values_bindings(bindings, var_names: Sequence[str],
+                    rows: Sequence[tuple]):
+    """SPARQL VALUES analogue: join the bindings against an inline
+    table.  ``var_names`` name the inline columns; at least one must
+    already be bound (the join key — a disjoint VALUES would be a
+    cartesian product, refused like disconnected patterns); columns
+    not yet bound are appended as new binding variables.  The inline
+    table ships in the task closure (VALUES blocks are tiny by
+    construction); UNDEF is not supported — use OPTIONAL."""
+    import pandas as pd
+
+    names = [v.lstrip("?") for v in var_names]
+    vt = pd.DataFrame(list(rows), columns=names).drop_duplicates()
+
+    def f(df: "pd.DataFrame") -> "pd.DataFrame":
+        shared = [c for c in names if c in df.columns]
+        if not shared:
+            raise ValueError(
+                f"VALUES variables {names} share nothing with the "
+                f"bindings {list(df.columns)} — refuse the cartesian product")
+        return df.merge(vt, on=shared, how="inner")
+
+    return bindings.map_batches(f, batch_format="pandas")
+
+
 def apply_filters(bindings, filters: Sequence[tuple]):
     """SPARQL FILTER analogue over a bindings Dataset, vectorized per
     batch.  A filter is (var, op, value) with op one of

@@ -294,3 +294,26 @@ def test_extend_bindings_date_parts(ray_session):
     assert (out["fid:s2"]["year"], out["fid:s2"]["month"], out["fid:s2"]["day"]) == (2018, 12, None)
     assert out["fid:s3"]["year"] is None
     assert out["fid:s1"]["d2"] == "2019-08-15"
+
+
+def test_values_bindings(ray_session):
+    """VALUES: inline table restricts on the shared variable and
+    appends new columns; disjoint VALUES is refused."""
+    import pytest
+
+    from octoray.patterns import values_bindings
+
+    g = [
+        ("fid:s1", "f:host", "swine", ""),
+        ("fid:s2", "f:host", "human", ""),
+        ("fid:s3", "f:host", "avian", ""),
+    ]
+    b = match_patterns(_ds(g), [("?s", "f:host", "?h")])
+    out = {r["s"]: r["label"] for r in values_bindings(
+        b, ["?h", "?label"],
+        [("swine", "pig"), ("human", "person")]).take_all()}
+    assert out == {"fid:s1": "pig", "fid:s2": "person"}
+    with pytest.raises(Exception):
+        values_bindings(
+            match_patterns(_ds(g), [("?s", "f:host", "?h")]),
+            ["?x", "?y"], [("a", "b")]).take_all()
