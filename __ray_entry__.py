@@ -388,6 +388,18 @@ def _q_kg_incremental(sf_dir: str):
     after its commit, before later retractions touch the store); the
     SQL independently re-derives "per url, keep the latest run's
     triples" and must equal the physically maintained store."""
+    return _kg_incremental_impl(sf_dir, suffix="", broadcast_limit=2_000_000)
+
+
+def _q_kg_incremental_dist(sf_dir: str):
+    """The SAME ingestion with ``broadcast_limit=0``: change detection
+    runs the distributed (url, md5) anti-join instead of the broadcast
+    ledger (the 100-TB path, VERDICT r2 next-step 1) and must converge
+    to the identical graph under the identical latest-run oracle."""
+    return _kg_incremental_impl(sf_dir, suffix="_dist", broadcast_limit=0)
+
+
+def _kg_incremental_impl(sf_dir: str, *, suffix: str, broadcast_limit: int):
     import glob
     import shutil
     import tempfile
@@ -415,7 +427,8 @@ def _q_kg_incremental(sf_dir: str):
 
             pages = crawl_dataset(n, n_snapshots=S).map_batches(
                 snap, batch_format="pyarrow")
-            r = ingest_snapshot(pages, store)
+            r = ingest_snapshot(pages, store,
+                                broadcast_limit=broadcast_limit)
             if O.dump_enabled() and r["run"] is not None:
                 k = r["run"]
                 for f in sorted(glob.glob(os.path.join(
@@ -424,14 +437,14 @@ def _q_kg_incremental(sf_dir: str):
                     log_parts.append(t.append_column(
                         "run", pa.array([k] * t.num_rows, pa.int64())))
         if O.dump_enabled():
-            O.dump_table("ingest_log", pa.concat_tables(log_parts))
+            O.dump_table("ingest_log" + suffix, pa.concat_tables(log_parts))
             # the ledger is append-only (never rewritten), so the runs
             # on disk ARE the immutable re-ingestion record — a url
             # re-ingested with ZERO triples appears here but not in
             # the triple log, which is why the oracle keys on it
             led = [pq.read_table(f) for f in sorted(glob.glob(
                 os.path.join(store, "ledger", "run=*", "*.parquet")))]
-            O.dump_table("ingest_ledger", pa.concat_tables(led))
+            O.dump_table("ingest_ledger" + suffix, pa.concat_tables(led))
         return dedup_triples(read_ingest_graph(store)).materialize()
     finally:
         shutil.rmtree(store, ignore_errors=True)
@@ -1198,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pull": _q_pull,
         "kg_delete": _q_kg_delete,
         "kg_incremental": _q_kg_incremental,
+        "kg_incremental_dist": _q_kg_incremental_dist,
         "kg_monthly_report": _q_kg_monthly,
         "kg_tagged_report": _q_kg_tagged_report,
         # --- SPARQL-shaped pattern layer (BGP/OPTIONAL/path/CONSTRUCT) ---
@@ -1584,6 +1598,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": f"""
             WITH log AS (SELECT * FROM {Q.rp('ingest_log')}),
             led AS (SELECT url, max(run) AS r FROM {Q.rp('ingest_ledger')}
+                    GROUP BY url),
+            cur AS (SELECT l.subject, l.predicate, l.object, l.object_datatype
+                    FROM log l JOIN led ON l.src = led.url AND l.run = led.r)
+            SELECT DISTINCT subject, predicate, object, object_datatype FROM cur
+        """,
+        "kg_incremental_dist": f"""
+            WITH log AS (SELECT * FROM {Q.rp('ingest_log_dist')}),
+            led AS (SELECT url, max(run) AS r FROM {Q.rp('ingest_ledger_dist')}
                     GROUP BY url),
             cur AS (SELECT l.subject, l.predicate, l.object, l.object_datatype
                     FROM log l JOIN led ON l.src = led.url AND l.run = led.r)
