@@ -6,6 +6,7 @@
                               [--tag T] [--include a,b] [--exclude c] [--segment-key]
     python -m octoray report  masterlist|subtypes|constellations|monthly IN.parquet --out OUT.tsv
     python -m octoray query   "s,p,o pattern" --graph DIR  (triple-pattern scan)
+    python -m octoray fetch   strain --graph DIR --ids IDS.txt --out OUT.tsv
     python -m octoray crawl   latest|delta|domains [--input DIR | --pages N] --out OUT
     python -m octoray warc    read|write IN --out OUT
     python -m octoray ingest  PAGES_PARQUET --store DIR  (incremental snapshot ingest)
@@ -222,6 +223,24 @@ def cmd_warc(args) -> int:
     return 0
 
 
+def cmd_fetch(args) -> int:
+    """Tagged-entity fetch (the reference `octofludb fetch strain`,
+    ui.py:1090-1240 running get-tagged-strain.rq): free-form ids
+    resolve to subjects via the UNION id-resolution, the graph
+    restricts by a stats-gated semi-join, and the per-strain
+    GROUP_CONCAT(DISTINCT)+MIN(date) report writes as TSV."""
+    from octoray import sinks
+    from octoray.pipelines.pull import read_graph
+    from octoray.pipelines.reports import tagged_strain_report
+
+    with open(args.ids, "r", encoding="utf-8") as fh:
+        ids = [ln.strip() for ln in fh if ln.strip()]
+    out = tagged_strain_report(read_graph(args.graph), ids)
+    sinks.write_tsv(out, args.out)
+    print(args.out)
+    return 0
+
+
 def cmd_query(args) -> int:
     """Triple-pattern scan: 's,p,o' with '?' wildcards; multiple
     ';'-separated clauses are a CONJUNCTION over the subject (the
@@ -327,6 +346,12 @@ def main(argv=None) -> int:
     q = sub.add_parser("query"); q.add_argument("pattern")
     q.add_argument("--graph", required=True); q.add_argument("--limit", type=int, default=0)
     q.set_defaults(fn=cmd_query)
+
+    fe = sub.add_parser("fetch"); fe.add_argument("kind", choices=["strain"])
+    fe.add_argument("--graph", required=True)
+    fe.add_argument("--ids", required=True,
+                    help="file with one free-form id per line")
+    fe.add_argument("--out", required=True); fe.set_defaults(fn=cmd_fetch)
 
     args = ap.parse_args(argv)
     _init_ray()
