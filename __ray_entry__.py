@@ -874,6 +874,50 @@ def _q_semantic_dup_kept(sf_dir: str):
     return D.near_dup_kept(emb, pairs, id_col="vec_id")
 
 
+def _q_knn_ivf_indexed(sf_dir: str):
+    """IVF as a MATERIALIZED index: cluster-partitioned parquet write,
+    then top-k with storage-level pruning (only the union of the
+    queries' nprobe partitions is read).  The oracle hand-off is the
+    ON-DISK layout itself — (vec_id, cluster) read back from the hive
+    partition dirs — plus the probe sets; the same candidate-scoring
+    twin as knn_ivf then re-derives the answer."""
+    import glob
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from octoray import oracles as O
+    from octoray.stages import similarity as S
+
+    emb = _embeddings(sf_dir)
+    d = tempfile.mkdtemp(prefix="octoray_ivf_")
+    try:
+        S.write_ivf_index(emb, d, n_centroids=_IVF_CENTROIDS)
+        C = S.read_ivf_centroids(d)
+        qids, Q = S.load_queries(emb, _KNN_IDS)
+        if O.dump_enabled():
+            parts = []
+            for cdir in sorted(glob.glob(os.path.join(d, "cluster=*"))):
+                c = int(cdir.rsplit("=", 1)[1])
+                for f in sorted(glob.glob(os.path.join(cdir, "*.parquet"))):
+                    t = pq.read_table(f, columns=["vec_id"])
+                    parts.append(t.append_column(
+                        "cluster", pa.array([c] * t.num_rows, pa.int64())))
+            O.dump_table("ivf_assign_idx", pa.concat_tables(parts))
+            probes = S.ivf_probe_sets(Q, C, nprobe=min(_IVF_NPROBE, len(C)))
+            O.dump_table("ivf_probes_idx", pa.table({
+                "query_id": pa.array(np.repeat(qids, probes.shape[1]), pa.int64()),
+                "cluster": pa.array(probes.reshape(-1), pa.int64()),
+            }))
+        return S.ivf_index_knn(d, Q, qids, k=_KNN_K,
+                               nprobe=_IVF_NPROBE).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_knn_lsh(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import similarity as S
@@ -1308,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": lambda sf: S.knn_brute(_embeddings(sf), _KNN_IDS, k=_KNN_K),
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_indexed": _q_knn_ivf_indexed,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "kmeans_clusters": _q_kmeans,
     }
@@ -2020,6 +2065,8 @@ def oracle_sql() -> dict[str, str]:
             Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=24),
         "knn_ivf": Q.sql_knn_ivf(
             Q.rpd("ivf_assign"), Q.rp("ivf_probes"), _KNN_IDS, k=_KNN_K),
+        "knn_ivf_indexed": Q.sql_knn_ivf(
+            Q.rp("ivf_assign_idx"), Q.rp("ivf_probes_idx"), _KNN_IDS, k=_KNN_K),
         "cosine_dup_pairs": Q.sql_cosine_dup(
             Q.rpd("cosine_buckets"), threshold=0.4, n_tables=8),
         "media_image_features": Q.sql_media_image(Q.rpd("media_pixels")),

@@ -627,3 +627,99 @@ def kmeans_cluster(embeddings, *, k: int = 8, n_iters: int = 3,
                        id_col=id_col, vec_col=vec_col)
     out = ivf_assignments(embeddings, C, id_col=id_col, vec_col=vec_col)
     return out
+
+
+# ----------------------------------------------------------------------
+# IVF as a MATERIALIZED index: cluster-partitioned parquet + pruned
+# reads — the storage-layer serving shape the ivf_knn docstring
+# promises (write once per cluster; a query reads only its nprobe
+# partitions off disk, never the corpus)
+# ----------------------------------------------------------------------
+def write_ivf_index(embeddings, index_dir: str, *, n_centroids: int = 64,
+                    sample_size: int = 20_000, seed: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> np.ndarray:
+    """Materialize the corpus as an IVF index: every vector row lands
+    in its nearest centroid's hive partition
+    (``index_dir/cluster=K/part-*.parquet``) and the trained centroids
+    persist alongside (``index_dir/centroids.parquet`` — the cluster
+    dirs are always addressed explicitly, so the sidecar never leaks
+    into scans).  Assignment is one broadcast + per-batch argmax
+    matmul; the write is the partitioned, resumable-output shape (one
+    directory per cluster)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    C = kmeans_centroids(embeddings, n_centroids=n_centroids,
+                         sample_size=sample_size, seed=seed,
+                         id_col=id_col, vec_col=vec_col)
+    c_ref = ray.put(np.ascontiguousarray(C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cb = ray.get(c_ref)
+        M = _normalize(_as_matrix(t.column(vec_col)))
+        a = (np.argmax(M @ Cb.T, axis=1).astype(np.int64) if len(M)
+             else np.zeros(0, np.int64))
+        return t.append_column("cluster", pa.array(a, pa.int64()))
+
+    embeddings.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cluster"])
+    pq.write_table(
+        pa.table({
+            "cluster": pa.array(np.arange(len(C)), pa.int64()),
+            "centroid": pa.array([list(map(float, row)) for row in C],
+                                 pa.list_(pa.float64())),
+        }),
+        os.path.join(index_dir, "centroids.parquet"))
+    return C
+
+
+def read_ivf_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(t.column("cluster").to_numpy())
+    return np.stack([np.asarray(t.column("centroid")[int(i)].as_py(),
+                                np.float64) for i in order])
+
+
+def ivf_index_knn(index_dir: str, query_vectors: np.ndarray,
+                  query_ids: "Sequence[int]", *, k: int = 5,
+                  nprobe: int = 8, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Top-k over a materialized IVF index with STORAGE-LEVEL pruning:
+    only the union of the queries' nprobe cluster partitions is read
+    (nprobe/n_centroids of the corpus bytes); scoring then proceeds
+    exactly as ivf_knn (same probe sets, same candidate rule), so the
+    result is identical to the in-memory path at equal centroids.
+    Rows' clusters are re-derived with the same argmax (deterministic,
+    equal to the stored partition by construction) so one multi-dir
+    read suffices."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    import glob
+
+    C = read_ivf_centroids(index_dir)
+    probes = ivf_probe_sets(query_vectors, C, nprobe=min(nprobe, len(C)))
+    wanted = sorted({int(c) for row in probes for c in row})
+    # explicit shard-file list: Ray's read_parquet wants files when
+    # given a list, and this is exactly the pruned set of objects a
+    # 100-TB serving node would fetch
+    dirs = [f for c in wanted
+            for f in sorted(glob.glob(
+                os.path.join(index_dir, f"cluster={c}", "*.parquet")))]
+    if not dirs:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
+    pruned = rd.read_parquet(dirs, columns=[id_col, vec_col])
+    return ivf_knn(pruned, list(query_ids), k=k, nprobe=nprobe,
+                   centroids=C, id_col=id_col, vec_col=vec_col)

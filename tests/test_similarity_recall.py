@@ -46,3 +46,33 @@ def test_ivf_knn_recall_gate(ray_session):
     got = {(q, n) for q, n, _ in rows1}
     recall = len(got & want) / len(want)
     assert recall >= 0.8, f"recall@10={recall:.2f} below 0.8"
+
+
+def test_ivf_index_roundtrip_equals_inmemory(ray_session, tmp_path):
+    """The materialized cluster-partitioned index answers exactly like
+    the in-memory IVF path at equal centroids, while reading only the
+    probed partitions."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from octoray.stages import similarity as S
+
+    import ray.data as rd
+
+    emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    d = str(tmp_path / "ivf")
+    C = S.write_ivf_index(emb, d, n_centroids=8)
+    # hive layout exists and the sidecar restores the same centroids
+    assert sorted(p for p in os.listdir(d) if p.startswith("cluster="))
+    assert np.allclose(S.read_ivf_centroids(d), C)
+    qids, Q = S.load_queries(emb, [0, 1, 2])
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in S.ivf_index_knn(d, Q, qids, k=5, nprobe=4).take_all())
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in S.ivf_knn(emb, [0, 1, 2], k=5, nprobe=4,
+                           centroids=C).take_all())
+    assert got == want
