@@ -82,6 +82,12 @@ SUITE = [
     "corpus_release",
     "url_canon",
     "url_filter",
+    # round-3 additions: curation quota, embedding dedup decision,
+    # generic GROUP BY head, materialized-IVF pruned serving
+    "per_domain_cap",
+    "semantic_dup_kept",
+    "kg_group_report",
+    "knn_ivf_indexed",
 ]
 
 
