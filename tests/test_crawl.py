@@ -239,3 +239,17 @@ def test_per_domain_cap_matches_bruteforce(ray_session):
            for r in per_domain_cap(
                crawl_dataset(250, n_snapshots=4), n=3).take_all()}
     assert got == want
+
+
+def test_per_domain_cap_large_n_keeps_all(ray_session):
+    import ray.data as rd
+
+    from octoray.stages.crawl import per_domain_cap
+
+    urls = ["https://a.org/1", "https://a.org/2", "https://b.org/1",
+            "https://a.org/1"]  # duplicate collapses
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    got = sorted((r["domain"], r["url"])
+                 for r in per_domain_cap(ds, n=99).take_all())
+    assert got == [("a.org", "https://a.org/1"), ("a.org", "https://a.org/2"),
+                   ("b.org", "https://b.org/1")]

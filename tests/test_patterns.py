@@ -317,3 +317,13 @@ def test_values_bindings(ray_session):
         values_bindings(
             match_patterns(_ds(g), [("?s", "f:host", "?h")]),
             ["?x", "?y"], [("a", "b")]).take_all()
+
+
+def test_aggregate_bindings_empty_and_unmatched(ray_session):
+    """No matching bindings -> empty result, not a crash."""
+    from octoray.patterns import aggregate_bindings
+
+    g = [("fid:s1", "f:v", "a", "")]
+    b = match_patterns(_ds(g), [("?s", "f:nope", "?v")])
+    out = aggregate_bindings(b, ["s"], [("v", "count", "n")]).take_all()
+    assert out == []
