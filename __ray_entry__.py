@@ -597,6 +597,64 @@ def _q_kg_values(sf_dir: str):
     return select_bindings(b, ["s", "n", "h", "host_label"])
 
 
+def _q_entity_resolution(sf_dir: str):
+    """Blocked fuzzy entity resolution (stages/entity.py): strain-name
+    mentions with injected novel typos -> symmetric-delete blocking
+    (complete for edit distance <= 1) -> exact verification ->
+    connected components -> canonical min-id mapping for EVERY
+    mention.  The oracle re-derives the clustering with DuckDB's own
+    levenshtein over a length-banded self-join — the quadratic plan
+    the engine's blocking avoids — so the two sides share no code."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.sources.synth import entity_mentions_dataset
+    from octoray.stages.entity import resolve_entities
+
+    n = _synth_n(sf_dir, 20_000, floor=200)
+    m = entity_mentions_dataset(n, seed=42)
+    if O.dump_enabled():
+        m = rd.read_parquet(O.dump_dataset("entity_mentions", m))
+    return resolve_entities(m)
+
+
+def _q_kg_sameas(sf_dir: str):
+    """owl:sameAs reasoning (stages/entity.py::canonicalize_graph):
+    synthesized sameAs assertions (typo-strain URI = strain URI, the
+    merge an entity resolver emits) rewrite the raw KG's subjects and
+    URI objects through the equivalence closure, then DISTINCT.
+    Boundary: the dumped raw triples + pair list; the oracle runs the
+    same closure as a recursive CTE plus a join-rewrite."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.sources.synth import sameas_pairs_dataset
+    from octoray.stages.entity import canonicalize_graph
+
+    triples = _kg_raw(sf_dir, "kg_sameas_raw")
+    pairs = sameas_pairs_dataset(_kg_pages(sf_dir), seed=42)
+    if O.dump_enabled():
+        pairs = rd.read_parquet(O.dump_dataset("sameas_pairs", pairs))
+    return canonicalize_graph(triples, pairs)
+
+
+# domain-mixture resampling targets: a few explicit per-source rates
+# (including a zero) + a default for everything else — exercised
+# against the generated CASE twin
+_MIX_RATES = {"src0": 0.15, "src3": 0.5, "src7": 0.0, "src12": 0.85}
+_MIX_DEFAULT = 0.35
+
+
+def _q_mixture_resample(sf_dir: str):
+    """Deterministic domain-mixture resampling (textops.py) — keep a
+    doc iff md5-frac(doc_id) < rate(source); streaming filter, no
+    shuffle, stable under any parallelism."""
+    from octoray.stages.textops import mixture_resample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+    return mixture_resample(docs, _MIX_RATES, default_rate=_MIX_DEFAULT)
+
+
 def _q_prep_genbank(sf_dir: str):
     from octoray.pipelines.genbank import gb_records_dataset, prep_genbank
 
@@ -1267,6 +1325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_group_report": _q_kg_group_report,
         "kg_monthly_bind": _q_kg_monthly_bind,
         "kg_values": _q_kg_values,
+        "kg_sameas": _q_kg_sameas,
+        "entity_resolution": _q_entity_resolution,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
@@ -1331,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": lambda sf: __import__(
             "octoray.stages.textops", fromlist=["train_val_split"]
         ).train_val_split(_docs(sf), val_frac=0.1),
+        "mixture_resample": _q_mixture_resample,
         "fingerprints_full": doc_fingerprints_full,
         # --- dedup family (D1/D2 + near-dup) ---
         "trim_spans": trim_spans,
@@ -1574,6 +1635,13 @@ def oracle_sql() -> dict[str, str]:
             FROM n JOIN h ON n.subject = h.subject
                    JOIN v ON h.h = v.h
         """,
+        "kg_sameas": Q.sql_sameas_graph(
+            Q.rpd("sameas_pairs"), Q.rpd("kg_sameas_raw")),
+        "entity_resolution": Q.sql_entity_resolution(
+            Q.rpd("entity_mentions")),
+        "mixture_resample": __import__(
+            "octoray.stages.textops", fromlist=["sql_mixture_resample"]
+        ).sql_mixture_resample(_MIX_RATES, default_rate=_MIX_DEFAULT),
         "kg_monthly_bind": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object
                        FROM {Q.rpd('kg_mb_raw')}),

@@ -1009,3 +1009,64 @@ def sql_corpus_release(*, min_tokens: int = 10, min_alpha: float = 0.5,
                     THEN 'val' ELSE 'train' END AS split
         FROM kept
     """)
+
+
+def sql_entity_resolution(mentions_src: str) -> str:
+    """Boundary: the dumped mention table.  Re-derives the fuzzy
+    clustering from scratch with DuckDB's own levenshtein over a
+    length-banded self-join (the quadratic plan the ENGINE avoids via
+    symmetric-delete blocking — at test scale the oracle can afford
+    it), then the same recursive min-label closure as
+    sql_dup_components, then canonical = component min over RAW
+    mention ids (exact-dup names are distance 0, so they join the
+    closure directly)."""
+    return f"""
+        WITH RECURSIVE m AS (
+          SELECT mention_id, name, lower(name) AS norm FROM {mentions_src}),
+        pr AS (
+          SELECT a.mention_id AS id_a, b.mention_id AS id_b
+          FROM m a JOIN m b
+            ON a.mention_id < b.mention_id
+           AND abs(length(a.norm) - length(b.norm)) <= 1
+           AND levenshtein(a.norm, b.norm) <= 1),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pr
+              UNION SELECT id_b, id_a FROM pr),
+        walk(id, comp) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, walk.comp FROM walk JOIN e ON walk.id = e.src
+          WHERE walk.comp < e.dst),
+        comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+        SELECT m.mention_id, m.name,
+               coalesce(c.component, m.mention_id) AS canonical_id
+        FROM m LEFT JOIN comp c ON m.mention_id = c.id
+    """
+
+
+def sql_sameas_graph(pairs_src: str, triples_src: str) -> str:
+    """Boundary: the dumped raw triples + sameAs pair list.  Recursive
+    closure over the pairs (min-URI representative, lexicographic min
+    matching the engine's string min), rewrite of subject and
+    URI-typed object, then DISTINCT — the canonical graph."""
+    return f"""
+        WITH RECURSIVE pr AS (SELECT id_a, id_b FROM {pairs_src}),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pr
+              UNION SELECT id_b, id_a FROM pr),
+        walk(id, comp) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, walk.comp FROM walk JOIN e ON walk.id = e.src
+          WHERE walk.comp < e.dst),
+        comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+        t AS (SELECT * FROM {triples_src})
+        SELECT DISTINCT
+          coalesce(cs.component, t.subject) AS subject,
+          t.predicate,
+          CASE WHEN t.object_datatype = 'uri'
+               THEN coalesce(co.component, t.object)
+               ELSE t.object END AS object,
+          t.object_datatype
+        FROM t
+        LEFT JOIN comp cs ON t.subject = cs.id
+        LEFT JOIN comp co ON t.object = co.id
+    """

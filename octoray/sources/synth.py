@@ -269,3 +269,100 @@ def synth_unpublished_fasta_text(n: int, seed: int = 42) -> str:
         seq = "".join(_ACGT[(draws & np.uint64(3)).astype(int)])
         entries.append(">" + "|".join(fields) + "\n" + seq)
     return "\n".join(entries) + "\n"
+
+
+def entity_mentions_batch(pids: np.ndarray, seed: int = 42) -> pa.Table:
+    """Entity-mention table for the resolution family (stages/entity.py).
+
+    Each recorded page contributes its strain name as a mention
+    (mention_id = 2*pid); every third record ALSO contributes a novel
+    single-character-deletion typo of it (mention_id = 2*pid + 1) —
+    the misspelling population the reference's fixed spellcheck
+    dictionaries (domain_geography.py) cannot cover.  Deterministic
+    per page id, so generation streams inside map_batches at any
+    parallelism.
+    """
+    from octoray.sources.webtext import _build_page, _streams as _st
+
+    ids = np.asarray(pids, dtype=np.uint64)
+    page_streams = _st(ids, seed, 16)
+    typo_streams = _st(ids, seed ^ 0x7F00D, 2)
+    mids: List[int] = []
+    names: List[str] = []
+    for pid, r, tr in zip(ids.tolist(), page_streams, typo_streams):
+        _, fields = _build_page(int(pid), r)
+        if not fields:
+            continue
+        strain = fields[0]
+        mids.append(2 * int(pid))
+        names.append(strain)
+        if tr[0] % 3 == 0:
+            cut = int(tr[1] % len(strain))
+            mids.append(2 * int(pid) + 1)
+            names.append(strain[:cut] + strain[cut + 1 :])
+    return pa.table(
+        {
+            "mention_id": pa.array(mids, pa.int64()),
+            "name": pa.array(names, pa.string()),
+        }
+    )
+
+
+def entity_mentions_dataset(n: int, seed: int = 42):
+    """Streaming Dataset form of ``entity_mentions_batch`` (the same
+    range->map_batches shape as webtext.pages_dataset)."""
+    import ray.data as rd
+
+    ds = rd.range(n, override_num_blocks=max(1, min(n, 64)))
+    return ds.map_batches(
+        lambda b: entity_mentions_batch(b["id"], seed=seed),
+        batch_format="numpy",
+        batch_size=4096,
+    )
+
+
+def sameas_pairs_batch(pids: np.ndarray, seed: int = 42) -> pa.Table:
+    """owl:sameAs assertion synthesis for entity.canonicalize_graph:
+    for every page whose mention table carries a typo variant (same
+    draw stream as entity_mentions_batch), assert
+
+        uri(typo_strain)  owl:sameAs  uri(strain)
+
+    The typo URI sorts lexicographically BELOW the original for
+    deletion typos ('%2F' < any letter), so the canonical
+    representative is usually the typo — the rewrite genuinely touches
+    the graph's strain subjects instead of being a no-op."""
+    from octoray.model import make_uri
+    from octoray.sources.webtext import _build_page, _streams as _st
+
+    ids = np.asarray(pids, dtype=np.uint64)
+    page_streams = _st(ids, seed, 16)
+    typo_streams = _st(ids, seed ^ 0x7F00D, 2)
+    ia: List[str] = []
+    ib: List[str] = []
+    for pid, r, tr in zip(ids.tolist(), page_streams, typo_streams):
+        _, fields = _build_page(int(pid), r)
+        if not fields or tr[0] % 3 != 0:
+            continue
+        strain = fields[0]
+        cut = int(tr[1] % len(strain))
+        typo = strain[:cut] + strain[cut + 1 :]
+        ia.append(make_uri(typo))
+        ib.append(make_uri(strain))
+    return pa.table(
+        {
+            "id_a": pa.array(ia, pa.string()),
+            "id_b": pa.array(ib, pa.string()),
+        }
+    )
+
+
+def sameas_pairs_dataset(n: int, seed: int = 42):
+    import ray.data as rd
+
+    ds = rd.range(n, override_num_blocks=max(1, min(n, 64)))
+    return ds.map_batches(
+        lambda b: sameas_pairs_batch(b["id"], seed=seed),
+        batch_format="numpy",
+        batch_size=4096,
+    )

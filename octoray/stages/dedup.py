@@ -826,6 +826,13 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
     import ray.data as rd
 
     small = pairs.select_columns([id_a, id_b]).materialize()
+    # id dtype follows the input: int64 for doc ids, string for URIs
+    # (entity.canonicalize_graph) — "min" is numeric or lexicographic
+    # respectively, matching the DuckDB oracles' min() on either type
+    _sch = small.schema()
+    id_type = (
+        _sch.base_schema.field(id_a).type if _sch is not None else pa.int64()
+    )
     if small.count() <= driver_limit:
         parent: dict = {}
 
@@ -844,8 +851,8 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
                     parent[max(ra, rb)] = min(ra, rb)  # min-root merge
         nodes = sorted(set(parent) | {find(x) for x in list(parent)})
         return rd.from_arrow(pa.table({
-            "id": pa.array(nodes, pa.int64()),
-            "component": pa.array([find(x) for x in nodes], pa.int64()),
+            "id": pa.array(nodes, id_type),
+            "component": pa.array([find(x) for x in nodes], id_type),
         }))
 
     def sym(t: pa.Table) -> pa.Table:
@@ -866,15 +873,15 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
         # emit Arrow so downstream rename_columns (arrow-block API)
         # works regardless of this stage's pandas internals
         if len(df) == 0:
-            return pa.table({"id": pa.array([], pa.int64()),
-                             "component": pa.array([], pa.int64())})
+            return pa.table({"id": pa.array([], id_type),
+                             "component": pa.array([], id_type)})
         keep = df.groupby("id", sort=False)["component"].transform("min") == df["component"]
         out = df[keep].drop_duplicates("id")
         return pa.Table.from_pandas(out[["id", "component"]], preserve_index=False)
 
     from octoray.util import drop_empty_blocks
 
-    _lab_schema = pa.schema([("id", pa.int64()), ("component", pa.int64())])
+    _lab_schema = pa.schema([("id", id_type), ("component", id_type)])
 
     labels = drop_empty_blocks(
         edges.map_batches(init_labels, batch_format="pyarrow")

@@ -1,0 +1,327 @@
+"""Entity resolution for KG construction: fuzzy mention clustering +
+sameAs graph canonicalization.
+
+The reference resolves entity-name variants with per-field spellcheck
+dictionaries (domain_geography.py misspelling tables; see
+functions/spellcheck.py for this engine's port).  Dictionaries only
+cover KNOWN variants; real crawl corpora also carry novel typos of the
+same strain/place names, which the reference's workflow leaves as
+distinct graph entities.  This module closes that gap with the
+standard record-linkage pipeline:
+
+    mentions -> blocking -> candidate pairs -> verify -> connected
+    components -> canonical representative -> (optionally) rewrite the
+    graph through the mapping (owl:sameAs reasoning; model.py P.sameAs
+    is already emitted by the GenBank path, emit.py:290).
+
+Scale design (the point of the module):
+
+* Blocking is SYMMETRIC-DELETE (the SymSpell construction): each
+  normalized name emits itself plus its single-character deletions as
+  block keys.  Two names within edit distance 1 always share at least
+  one key (same length + 1 substitution -> delete the differing
+  position from both; length +-1 -> the shorter string is itself a
+  deletion of the longer), so the blocking is COMPLETE for distance
+  <= 1 — no all-pairs stage anywhere, and block sizes are bounded by
+  the number of near-variants of one name, not corpus size.
+* Exact-duplicate names are collapsed to one representative BEFORE
+  blocking (per-norm min-id, one combined sort), so a name mentioned a
+  billion times contributes ONE row to the fuzzy stage instead of a
+  quadratic pair set.
+* Components reuse ``dedup.dup_components`` (stats-gated union-find /
+  distributed min-label propagation with pointer jumping), and the
+  final mention->canonical attachment is the same stats-gated
+  broadcast-vs-merge-join switch the rest of the engine uses.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Above this many distinct norms sharing one block key, the block is
+# degenerate (a near-constant vocabulary) and is skipped for pair
+# generation — the same escape hatch as jaccard_pairs(max_df).  At the
+# default the skip never fires on name-like data; it exists so one
+# pathological key cannot go quadratic at corpus scale.
+DEFAULT_MAX_BLOCK = 256
+
+
+def _edit_leq1(a: str, b: str) -> bool:
+    """Exact edit-distance-<=-1 verification, O(len)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def _norm_names(batch: pa.Table, id_col: str, name_col: str) -> pa.Table:
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "_norm": pc.utf8_lower(batch.column(name_col)),
+        }
+    )
+
+
+def _norm_reps(mentions, *, id_col: str, name_col: str):
+    """(_norm, _rep) — one row per distinct normalized name, _rep = the
+    norm's minimum mention id.  Block-local combine first, so the sort
+    moves one row per (block, norm)."""
+    from octoray.query import sorted_groupby_min
+
+    slim = mentions.map_batches(
+        lambda b: _norm_names(b, id_col, name_col), batch_format="pyarrow"
+    )
+
+    def local_min(t: pa.Table) -> pa.Table:
+        g = t.group_by(["_norm"], use_threads=False).aggregate([(id_col, "min")])
+        return g.rename_columns(["_norm", id_col])
+
+    combined = slim.map_batches(local_min, batch_format="pyarrow")
+    return sorted_groupby_min(combined, ["_norm"], id_col, alias="_rep")
+
+
+def _emit_blocks(batch: pa.Table) -> pa.Table:
+    """(_norm, _rep) -> one slim row per symmetric-delete block key.
+
+    Expansion factor is len(norm)+1 — linear in name bytes, the same
+    order as the gram-emission stages, and entity names are short."""
+    reps = batch.column("_rep").to_pylist()
+    norms = batch.column("_norm").to_pylist()
+    out_key, out_rep, out_norm = [], [], []
+    for rep, norm in zip(reps, norms):
+        out_key.append(norm)
+        out_rep.append(rep)
+        out_norm.append(norm)
+        for i in range(len(norm)):
+            out_key.append(norm[:i] + norm[i + 1 :])
+            out_rep.append(rep)
+            out_norm.append(norm)
+    return pa.table(
+        {
+            "_block": pa.array(out_key, pa.string()),
+            "_rep": pa.array(out_rep, pa.int64()),
+            "_norm": pa.array(out_norm, pa.string()),
+        }
+    )
+
+
+def _pair_group(g, *, max_block: int):
+    """Unordered candidate pairs within one block (pandas group from
+    block_map_groups; distinct norms were collapsed upstream, so
+    |group| is the variant count of one name, not its frequency)."""
+    import pandas as pd
+
+    # a norm emits the same deletion key twice when two deletions
+    # coincide (doubled letter) — collapse before pairing
+    g = g.drop_duplicates(subset=["_rep"]).sort_values("_rep")
+    n = len(g)
+    if n < 2 or n > max_block:
+        return None
+    reps = g["_rep"].to_numpy()
+    norms = g["_norm"].to_numpy()
+    ii, jj = np.triu_indices(n, k=1)
+    return pd.DataFrame(
+        {
+            "id_a": reps[ii],
+            "id_b": reps[jj],
+            "_na": norms[ii],
+            "_nb": norms[jj],
+        }
+    )
+
+
+def _verify_pairs(batch: pa.Table) -> pa.Table:
+    keep = [
+        _edit_leq1(a, b)
+        for a, b in zip(
+            batch.column("_na").to_pylist(), batch.column("_nb").to_pylist()
+        )
+    ]
+    return batch.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
+
+
+def fuzzy_pairs(mentions, *, id_col: str = "mention_id",
+                name_col: str = "name",
+                max_block: int = DEFAULT_MAX_BLOCK):
+    """Distinct-norm near-match pairs at edit distance <= 1 (case-
+    insensitive), as (id_a, id_b) with id = the norm's min mention id.
+
+    Plan: per-norm min-id collapse (one combined sort) -> symmetric-
+    delete block emission -> ONE block-key sort + in-block pair
+    generation (block_map_groups) -> distinct pairs -> exact
+    verification.  No stage is quadratic in corpus size."""
+    reps = _norm_reps(mentions, id_col=id_col, name_col=name_col)
+    return fuzzy_pairs_from_reps(reps, max_block=max_block)
+
+
+def fuzzy_pairs_from_reps(reps, *, max_block: int = DEFAULT_MAX_BLOCK):
+    from octoray.query import block_map_groups, distinct_values
+
+    blocks = reps.map_batches(_emit_blocks, batch_format="pyarrow")
+    cand = block_map_groups(
+        blocks.sort("_block"), ["_block"],
+        lambda g: _pair_group(g, max_block=max_block),
+    )
+    cand = distinct_values(cand, ["id_a", "id_b", "_na", "_nb"])
+    return cand.map_batches(_verify_pairs, batch_format="pyarrow")
+
+
+def resolve_entities(mentions, *, id_col: str = "mention_id",
+                     name_col: str = "name",
+                     max_block: int = DEFAULT_MAX_BLOCK,
+                     broadcast_limit: int = 2_000_000):
+    """Full mention -> canonical-entity mapping.
+
+    Returns (id_col, name_col, canonical_id) for EVERY input mention,
+    where canonical_id is the minimum mention id of the mention's
+    edit-distance-<=-1 connected component.  Exact-duplicate names
+    share their per-norm min id by construction, so the component
+    minimum over distinct norms equals the minimum over all raw
+    mentions — the oracle's levenshtein closure over raw pairs agrees.
+
+    The component map is bounded by the number of fuzzy-variant names
+    (not corpus size): below ``broadcast_limit`` it broadcasts once
+    via ray.put and the attachment streams; above it, a distributed
+    merge-join does the same — the engine's standard stats-gated
+    switch.  The mention->rep attachment is always a merge-join (one
+    row per distinct norm is itself corpus-scale)."""
+    import ray
+
+    from octoray.query import merge_join
+    from octoray.stages.dedup import dup_components
+
+    reps = _norm_reps(mentions, id_col=id_col, name_col=name_col)
+    pairs = fuzzy_pairs_from_reps(reps, max_block=max_block)
+    comp = dup_components(pairs).materialize()
+
+    normed = mentions.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b.column(id_col),
+                name_col: b.column(name_col),
+                "_norm": pc.utf8_lower(b.column(name_col)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    with_rep = merge_join(normed, reps, ["_norm"])
+
+    if comp.count() <= broadcast_limit:
+        cmap = {int(r["id"]): int(r["component"]) for r in comp.take_all()}
+        ref = ray.put(cmap)
+
+        def attach(df):
+            m = ray.get(ref)
+            df["canonical_id"] = (
+                df["_rep"].map(m).fillna(df["_rep"]).astype("int64")
+            )
+            return df[[id_col, name_col, "canonical_id"]]
+
+        out = with_rep.map_batches(attach, batch_format="pandas")
+    else:
+        cm = comp.map_batches(
+            lambda t: t.rename_columns(["_rep", "_comp"]), batch_format="pyarrow"
+        )
+        joined = merge_join(with_rep, cm, ["_rep"], how="left_outer")
+        out = joined.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: b.column(id_col),
+                    name_col: b.column(name_col),
+                    "canonical_id": pc.coalesce(
+                        b.column("_comp"), b.column("_rep")
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return out.sort(id_col)
+
+
+def canonicalize_graph(triples, pairs, *, broadcast_limit: int = 2_000_000):
+    """owl:sameAs reasoning: rewrite every subject (and URI-typed
+    object) through the equivalence closure of ``pairs`` ((id_a, id_b)
+    over URIs) and return the DISTINCT canonical graph (model.py:149
+    P.sameAs; emit.py:290 emits the assertions, this collapses them).
+
+    Components come from ``dup_components`` (stats-gated); the map is
+    bounded by the sameAs assertion count, so below
+    ``broadcast_limit`` the rewrite streams with ZERO shuffle (one
+    broadcast dict + vectorized pandas map per batch) before the final
+    distinct; above it, two merge-joins (subject, then object) do the
+    same rewrite distributed."""
+    import ray
+
+    from octoray.query import merge_join
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.dedup import dup_components
+
+    comp = dup_components(pairs).materialize()
+    if comp.count() <= broadcast_limit:
+        cmap = {r["id"]: r["component"] for r in comp.take_all()}
+        ref = ray.put(cmap)
+
+        def rewrite(df):
+            m: Dict = ray.get(ref)
+            df["subject"] = df["subject"].map(m).fillna(df["subject"])
+            is_uri = df["object_datatype"].eq("uri")
+            mapped = df["object"].map(m)
+            hit = is_uri & mapped.notna()
+            df.loc[hit, "object"] = mapped[hit]
+            return df[["subject", "predicate", "object", "object_datatype"]]
+
+        out = triples.map_batches(rewrite, batch_format="pandas")
+    else:
+        smap = comp.map_batches(
+            lambda t: t.rename_columns(["subject", "_canon_s"]),
+            batch_format="pyarrow",
+        )
+        out = merge_join(triples, smap, ["subject"], how="left_outer")
+        out = out.map_batches(
+            lambda b: pa.table(
+                {
+                    "subject": pc.coalesce(
+                        b.column("_canon_s"), b.column("subject")
+                    ),
+                    "predicate": b.column("predicate"),
+                    "object": b.column("object"),
+                    "object_datatype": b.column("object_datatype"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        omap = comp.map_batches(
+            lambda t: t.rename_columns(["object", "_canon_o"]),
+            batch_format="pyarrow",
+        )
+        out = merge_join(out, omap, ["object"], how="left_outer")
+        out = out.map_batches(
+            lambda b: pa.table(
+                {
+                    "subject": b.column("subject"),
+                    "predicate": b.column("predicate"),
+                    "object": pc.if_else(
+                        pc.equal(b.column("object_datatype"), "uri"),
+                        pc.coalesce(b.column("_canon_o"), b.column("object")),
+                        b.column("object"),
+                    ),
+                    "object_datatype": b.column("object_datatype"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return dedup_triples(out)

@@ -153,6 +153,51 @@ def train_val_split(docs, *, val_frac: float = 0.1, id_col: str = "doc_id"):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def mixture_resample(docs, rates: Dict[str, float], *,
+                     key_col: str = "source", id_col: str = "doc_id",
+                     default_rate: float = 1.0):
+    """Deterministic domain-mixture resampling — the data-mixing step
+    a training pipeline runs to hit target per-source proportions
+    (DoReMi / Pile-style source reweighting at export time): keep a
+    row iff md5-frac(id) < rates[source] (default_rate for sources
+    not in the table).
+
+    Same md5(str(id))[:8]/2^32 convention as train_val_split, so the
+    decision is stable under any partitioning/parallelism, composes
+    with the hash split (independent bits), and the DuckDB oracle
+    reproduces it exactly.  The rates table is one row per SOURCE
+    (dozens, not corpus-scale) and ships in the task closure — no
+    broadcast, no shuffle; the op is a streaming filter."""
+
+    def f(df):
+        fr = df[id_col].map(
+            lambda v: int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        r = df[key_col].map(rates).fillna(default_rate)
+        return df[fr < r]
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def sql_mixture_resample(rates: Dict[str, float], *,
+                         table: str = "documents", key_col: str = "source",
+                         id_col: str = "doc_id",
+                         default_rate: float = 1.0) -> str:
+    """DuckDB twin generated from the SAME rates table (the redact.py
+    rule-table convention)."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(rates.items())
+    )
+    return f"""
+        SELECT {id_col}, {key_col} FROM {table}
+        WHERE CAST(CONCAT('0x', substring(md5(CAST({id_col} AS VARCHAR)), 1, 8))
+                   AS UBIGINT) / 4294967296.0
+              < CASE {key_col} {whens} ELSE {default_rate!r} END
+        ORDER BY {id_col}
+    """
+
+
 def _norm_ws(batch_text: pa.Array) -> pa.Array:
     """Whitespace-collapse + lowercase normalization (shared with the
     DuckDB oracle: lower(regexp_replace(text, '\\s+', ' ', 'g')))."""

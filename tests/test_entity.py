@@ -1,0 +1,175 @@
+"""Entity-resolution family (stages/entity.py): edit-distance check,
+symmetric-delete blocking completeness, component semantics, both
+stats-gate paths, and the sameAs graph rewrite."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from octoray.stages.entity import (
+    _edit_leq1,
+    canonicalize_graph,
+    fuzzy_pairs,
+    resolve_entities,
+)
+
+
+def test_edit_leq1_exact():
+    # brute-force cross-check against a tiny DP implementation
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    vocab = ["", "a", "ab", "ba", "abc", "abd", "acb", "abcd", "xabc",
+             "abcc", "aabc", "bc", "ac", "abca", "zz"]
+    for a in vocab:
+        for b in vocab:
+            assert _edit_leq1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def _mentions(names):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "mention_id": pa.array(range(len(names)), pa.int64()),
+                "name": pa.array(names, pa.string()),
+            }
+        )
+    )
+
+
+def test_fuzzy_pairs_blocking_complete(ray_session):
+    # every true distance-<=1 pair (over distinct norms) must surface —
+    # substitutions, deletions, insertions, and case folds
+    names = ["Iowa", "iowa", "Ioa", "Iowwa", "Minnesota", "minesota",
+             "Texas", "texas", "Berlin"]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(_mentions(names)).take_all()
+    }
+    # distinct-norm reps: iowa->0, ioa->2, iowwa->3, minnesota->4,
+    # minesota->5, texas->6, berlin->8
+    assert got == {(0, 2), (0, 3), (4, 5)}
+
+
+def test_resolve_entities_transitive(ray_session):
+    # Ioa -- iowa -- Iowwa chain: distance 2 endpoints still share a
+    # component via the middle node
+    names = ["Ioa", "iowa", "Iowwa", "Berlin"]
+    out = resolve_entities(_mentions(names)).take_all()
+    assert [r["canonical_id"] for r in out] == [0, 0, 0, 3]
+
+
+def test_resolve_entities_gate_paths_equal(ray_session):
+    names = ["Iowa", "iowa", "Ioa", "Minnesota", "Minesota", "Texas"]
+    a = resolve_entities(_mentions(names)).take_all()
+    b = resolve_entities(_mentions(names), broadcast_limit=0).take_all()
+    assert a == b
+    assert [r["canonical_id"] for r in a] == [0, 0, 0, 3, 3, 5]
+
+
+def test_max_block_cap_skips_degenerate(ray_session):
+    # 5 identical-after-norm names collapse to ONE rep before blocking,
+    # so the cap (which counts distinct norms) does not fire on heavy
+    # exact duplication
+    names = ["dup", "DUP", "Dup", "duP", "dup", "other"]
+    out = resolve_entities(_mentions(names)).take_all()
+    assert [r["canonical_id"] for r in out] == [0, 0, 0, 0, 0, 5]
+
+
+def _graph():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subject": ["fid:a", "fid:b", "fid:c", "fid:a", "fid:d"],
+                "predicate": ["f:host", "f:host", "f:host", "f:ref", "f:ref"],
+                "object": ["swine", "swine", "human", "fid:b", "fid:c"],
+                "object_datatype": ["string", "string", "string", "uri", "uri"],
+            }
+        )
+    )
+
+
+def _pairs(rows):
+    import ray.data as rd
+
+    a, b = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(a), pa.string()),
+                "id_b": pa.array(list(b), pa.string()),
+            }
+        )
+    )
+
+
+def test_canonicalize_graph_rewrite_and_dedup(ray_session):
+    out = canonicalize_graph(_graph(), _pairs([("fid:a", "fid:b")])).take_all()
+    rows = {tuple(r.values()) for r in out}
+    # b folded into a: host triple deduped, uri object rewritten;
+    # literal objects untouched
+    assert rows == {
+        ("fid:a", "f:host", "swine", "string"),
+        ("fid:a", "f:ref", "fid:a", "uri"),
+        ("fid:c", "f:host", "human", "string"),
+        ("fid:d", "f:ref", "fid:c", "uri"),
+    }
+
+
+def test_canonicalize_graph_gate_paths_equal(ray_session):
+    p = _pairs([("fid:a", "fid:b"), ("fid:c", "fid:d")])
+    a = canonicalize_graph(_graph(), p).take_all()
+    b = canonicalize_graph(_graph(), p, broadcast_limit=0).take_all()
+    assert a == b
+
+
+def test_string_id_components(ray_session):
+    # dup_components now follows the input id dtype (string URIs)
+    from octoray.stages.dedup import dup_components
+
+    comp = dup_components(_pairs([("u:b", "u:a"), ("u:c", "u:b")])).take_all()
+    m = {r["id"]: r["component"] for r in comp}
+    assert m == {"u:a": "u:a", "u:b": "u:a", "u:c": "u:a"}
+
+
+def test_mixture_resample_semantics(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from octoray.stages.textops import mixture_resample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "source": pa.array(
+                ["s0" if i % 2 == 0 else "s1" for i in range(200)], pa.string()
+            ),
+        }
+    )
+    out = mixture_resample(
+        rd.from_arrow(t), {"s0": 0.0, "s1": 0.5}, default_rate=1.0
+    ).take_all()
+    assert all(r["source"] == "s1" for r in out)  # zero-rate drops all
+    for r in out:
+        frac = int(
+            hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        assert frac < 0.5
+    # deterministic under re-execution
+    out2 = mixture_resample(
+        rd.from_arrow(t), {"s0": 0.0, "s1": 0.5}, default_rate=1.0
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
