@@ -597,6 +597,47 @@ def _q_kg_values(sf_dir: str):
     return select_bindings(b, ["s", "n", "h", "host_label"])
 
 
+def _q_kg_minus(sf_dir: str):
+    """SPARQL MINUS (patterns.minus_bindings) — the reference's
+    fetch-unclassified-swine.rq:9 shape: strains WITHOUT the inner
+    conjunction (a constellation AND a subtype together).  The inner
+    WHERE is a 2-pattern BGP, so the anti-join key set is itself a
+    join product, not a single predicate scan."""
+    from octoray.patterns import match_patterns, minus_bindings, select_bindings
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_minus_raw"))
+    b = match_patterns(
+        triples,
+        [("?sid", "f:strain_name", "?n"), ("?sid", "f:host", "?h")],
+    )
+    b = minus_bindings(
+        b, triples,
+        [("?sid", "f:constellation", "?c"), ("?sid", "f:subtype", "?st")],
+    )
+    return select_bindings(b, ["sid", "n", "h"])
+
+
+def _q_kg_not_exists(sf_dir: str):
+    """FILTER NOT EXISTS with an inner FILTER REGEX
+    (patterns.minus_bindings mode='not_exists') — the reference's
+    subtypes.rq:18 / get-h3-swine.rq:11 shape: strains with no
+    H3-prefixed subtype assertion."""
+    from octoray.patterns import match_patterns, minus_bindings, select_bindings
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_ne_raw"))
+    b = match_patterns(
+        triples,
+        [("?sid", "f:strain_name", "?n"), ("?sid", "f:date", "?d")],
+    )
+    b = minus_bindings(
+        b, triples, [("?sid", "f:subtype", "?st")],
+        filters=[("?st", "~", "^H3")], mode="not_exists",
+    )
+    return select_bindings(b, ["sid", "n", "d"])
+
+
 def _q_entity_resolution(sf_dir: str):
     """Blocked fuzzy entity resolution (stages/entity.py): strain-name
     mentions with injected novel typos -> symmetric-delete blocking
@@ -1326,6 +1367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_monthly_bind": _q_kg_monthly_bind,
         "kg_values": _q_kg_values,
         "kg_sameas": _q_kg_sameas,
+        "kg_minus": _q_kg_minus,
+        "kg_not_exists": _q_kg_not_exists,
         "entity_resolution": _q_entity_resolution,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
@@ -1637,6 +1680,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_sameas": Q.sql_sameas_graph(
             Q.rpd("sameas_pairs"), Q.rpd("kg_sameas_raw")),
+        "kg_minus": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('kg_minus_raw')}),
+            n AS (SELECT subject AS sid, object AS n FROM d
+                  WHERE predicate = 'f:strain_name'),
+            h AS (SELECT subject AS sid, object AS h FROM d
+                  WHERE predicate = 'f:host')
+            SELECT n.sid, n.n, h.h
+            FROM n JOIN h ON n.sid = h.sid
+            WHERE NOT EXISTS (
+                SELECT 1 FROM d c JOIN d s ON c.subject = s.subject
+                WHERE c.subject = n.sid
+                  AND c.predicate = 'f:constellation'
+                  AND s.predicate = 'f:subtype')
+        """,
+        "kg_not_exists": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('kg_ne_raw')}),
+            n AS (SELECT subject AS sid, object AS n FROM d
+                  WHERE predicate = 'f:strain_name'),
+            dt AS (SELECT subject AS sid, object AS d FROM d
+                   WHERE predicate = 'f:date')
+            SELECT n.sid, n.n, dt.d
+            FROM n JOIN dt ON n.sid = dt.sid
+            WHERE NOT EXISTS (
+                SELECT 1 FROM d x
+                WHERE x.subject = n.sid AND x.predicate = 'f:subtype'
+                  AND regexp_matches(x.object, '^H3'))
+        """,
         "entity_resolution": Q.sql_entity_resolution(
             Q.rpd("entity_mentions")),
         "mixture_resample": __import__(

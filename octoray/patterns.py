@@ -222,6 +222,70 @@ def apply_filters(bindings, filters: Sequence[tuple]):
     return bindings.map_batches(f, batch_format="pyarrow")
 
 
+def minus_bindings(bindings, triples, where: Sequence[Pattern], *,
+                   filters: Sequence[tuple] = (), mode: str = "minus",
+                   num_partitions: int = 8,
+                   broadcast_limit: int = 2_000_000):
+    """SPARQL negation over a bindings Dataset — MINUS
+    (reference fetch-unclassified-swine.rq:9) and FILTER NOT EXISTS
+    (get-h3-swine.rq:11, subtypes.rq:18, the latter with an inner
+    FILTER REGEX), the two negation forms the reference's shipped
+    queries use.
+
+    The inner WHERE (+ inner ``filters``) is evaluated once with
+    match_patterns, projected to the variables SHARED with the outer
+    bindings, and anti-joined: broadcast below ``broadcast_limit``
+    distinct keys, the distributed hash anti-join above
+    (query.semi_join_auto — the same stats gate every other negation
+    in the engine uses).  Multi-variable correlation rides a composite
+    key column, so there is still exactly one exchange.
+
+    Semantics, matched by the SQL ``NOT EXISTS`` oracles:
+    - a NULL outer binding on a shared variable never equals an inner
+      value, so the row is KEPT (SQL null-equality; SPARQL MINUS
+      compatibility treats the unbound var as unconstrained only when
+      NO shared var is bound — the common single-correlation-var case
+      coincides);
+    - disjoint domains: ``mode='minus'`` removes nothing (SPARQL
+      8.3.3); ``mode='not_exists'`` empties the outer iff the inner
+      has any solution."""
+    if mode not in ("minus", "not_exists"):
+        raise ValueError(f"unknown negation mode {mode!r}")
+    from octoray.query import semi_join_auto
+
+    inner = match_patterns(triples, where, filters=filters,
+                           num_partitions=num_partitions)
+    outer_vars = [c for c in bindings.columns() if not c.endswith("__dt")]
+    inner_vars = [c for c in inner.columns() if not c.endswith("__dt")]
+    shared = sorted(set(outer_vars) & set(inner_vars))
+    if not shared:
+        if mode == "minus":
+            return bindings
+        return bindings if inner.limit(1).count() == 0 else bindings.limit(0)
+    if len(shared) == 1:
+        return semi_join_auto(bindings, shared[0],
+                              inner.select_columns(shared), anti=True,
+                              broadcast_limit=broadcast_limit,
+                              num_partitions=num_partitions)
+    # multi-var correlation: composite key (null in any part -> null
+    # key -> never matches -> row kept, same as SQL AND-equality)
+    key = "__minus_key"
+
+    def with_key(t: pa.Table) -> pa.Table:
+        parts = [pc.cast(t.column(c), pa.string()) for c in shared]
+        return t.append_column(key, pc.binary_join_element_wise(
+            *parts, "\x1f", null_handling="emit_null"))
+
+    keyed = bindings.map_batches(with_key, batch_format="pyarrow")
+    ikeys = inner.select_columns(shared).map_batches(
+        with_key, batch_format="pyarrow").select_columns([key])
+    out = semi_join_auto(keyed, key, ikeys, anti=True,
+                         broadcast_limit=broadcast_limit,
+                         num_partitions=num_partitions)
+    return out.map_batches(lambda t: t.drop_columns([key]),
+                           batch_format="pyarrow")
+
+
 def _pattern_bindings(triples, pat: Pattern, *, keep_dt: bool = True):
     """One pattern -> Dataset of variable bindings (columns named after
     the variables, sans '?')."""

@@ -327,3 +327,99 @@ def test_aggregate_bindings_empty_and_unmatched(ray_session):
     b = match_patterns(_ds(g), [("?s", "f:nope", "?v")])
     out = aggregate_bindings(b, ["s"], [("v", "count", "n")]).take_all()
     assert out == []
+
+
+def test_minus_bindings(ray_session):
+    """SPARQL MINUS (fetch-unclassified-swine.rq:9): the inner
+    2-pattern conjunction removes only subjects matching BOTH."""
+    from octoray.patterns import minus_bindings
+
+    g = [
+        ("fid:s1", "f:name", "a", ""),
+        ("fid:s1", "f:clade", "c1", ""),
+        ("fid:s1", "f:subtype", "H1N1", ""),   # both -> removed
+        ("fid:s2", "f:name", "b", ""),
+        ("fid:s2", "f:clade", "c2", ""),       # clade only -> kept
+        ("fid:s3", "f:name", "c", ""),         # neither -> kept
+    ]
+    t = _ds(g)
+    b = match_patterns(t, [("?s", "f:name", "?n")])
+    out = minus_bindings(
+        b, t, [("?s", "f:clade", "?c"), ("?s", "f:subtype", "?st")])
+    assert {r["s"] for r in out.take_all()} == {"fid:s2", "fid:s3"}
+
+
+def test_minus_distributed_path_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the distributed anti-join; results
+    must be identical to the broadcast path."""
+    from octoray.patterns import minus_bindings
+
+    g = [("fid:s%d" % i, "f:name", "n%d" % i, "") for i in range(20)]
+    g += [("fid:s%d" % i, "f:flag", "x", "") for i in range(0, 20, 3)]
+    t = _ds(g)
+    b = match_patterns(t, [("?s", "f:name", "?n")])
+    want = {r["s"] for r in minus_bindings(
+        b, t, [("?s", "f:flag", "?f")]).take_all()}
+    got = {r["s"] for r in minus_bindings(
+        b, t, [("?s", "f:flag", "?f")], broadcast_limit=0).take_all()}
+    assert got == want == {"fid:s%d" % i for i in range(20) if i % 3}
+
+
+def test_not_exists_with_inner_filter(ray_session):
+    """subtypes.rq:18 shape: FILTER NOT EXISTS { ?s f:subtype ?st .
+    FILTER REGEX(?st, 'H.N.') } — only subjects whose subtype matches
+    the regex are removed."""
+    from octoray.patterns import minus_bindings
+
+    g = [
+        ("fid:s1", "f:name", "a", ""),
+        ("fid:s1", "f:subtype", "H1N1", ""),   # matches -> removed
+        ("fid:s2", "f:name", "b", ""),
+        ("fid:s2", "f:subtype", "mixed", ""),  # no match -> kept
+        ("fid:s3", "f:name", "c", ""),         # no subtype -> kept
+    ]
+    t = _ds(g)
+    b = match_patterns(t, [("?s", "f:name", "?n")])
+    out = minus_bindings(b, t, [("?s", "f:subtype", "?st")],
+                         filters=[("?st", "~", "H.N.")], mode="not_exists")
+    assert {r["s"] for r in out.take_all()} == {"fid:s2", "fid:s3"}
+
+
+def test_minus_disjoint_domains(ray_session):
+    """No shared variables: MINUS keeps everything (SPARQL 8.3.3);
+    NOT EXISTS empties the outer iff the inner has any match."""
+    from octoray.patterns import minus_bindings
+
+    g = [
+        ("fid:s1", "f:name", "a", ""),
+        ("fid:s2", "f:name", "b", ""),
+        ("fid:x", "f:other", "z", ""),
+    ]
+    t = _ds(g)
+    b = match_patterns(t, [("?s", "f:name", "?n")])
+    kept = minus_bindings(b, t, [("?q", "f:other", "?v")])
+    assert kept.count() == 2
+    emptied = minus_bindings(b, t, [("?q", "f:other", "?v")],
+                             mode="not_exists")
+    assert emptied.count() == 0
+    unmatched = minus_bindings(b, t, [("?q", "f:nope", "?v")],
+                               mode="not_exists")
+    assert unmatched.count() == 2
+
+
+def test_minus_multivar_correlation(ray_session):
+    """Two shared variables ride the composite key: only the exact
+    (s, v) combination present in the inner is removed."""
+    from octoray.patterns import minus_bindings
+
+    g = [
+        ("fid:s1", "f:v", "x", ""),
+        ("fid:s1", "f:v", "y", ""),
+        ("fid:s2", "f:v", "x", ""),
+        ("fid:s1", "f:w", "x", ""),   # inner: (s1, x) only
+    ]
+    t = _ds(g)
+    b = match_patterns(t, [("?s", "f:v", "?o")])
+    out = minus_bindings(b, t, [("?s", "f:w", "?o")])
+    assert {(r["s"], r["o"]) for r in out.take_all()} == {
+        ("fid:s1", "y"), ("fid:s2", "x")}
