@@ -606,7 +606,10 @@ def _q_kg_minus(sf_dir: str):
     from octoray.patterns import match_patterns, minus_bindings, select_bindings
     from octoray.stages.canon import dedup_triples
 
-    triples = dedup_triples(_kg_raw(sf_dir, "kg_minus_raw"))
+    # two match_patterns passes (outer + inner) read the graph: pin the
+    # deduped triples once, as querying a built store does — without
+    # this the lazy emission pipeline re-runs for the inner WHERE
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_minus_raw")).materialize()
     b = match_patterns(
         triples,
         [("?sid", "f:strain_name", "?n"), ("?sid", "f:host", "?h")],
@@ -626,7 +629,8 @@ def _q_kg_not_exists(sf_dir: str):
     from octoray.patterns import match_patterns, minus_bindings, select_bindings
     from octoray.stages.canon import dedup_triples
 
-    triples = dedup_triples(_kg_raw(sf_dir, "kg_ne_raw"))
+    # see _q_kg_minus: pin the graph once for the two pattern passes
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_ne_raw")).materialize()
     b = match_patterns(
         triples,
         [("?sid", "f:strain_name", "?n"), ("?sid", "f:date", "?d")],

@@ -88,6 +88,13 @@ SUITE = [
     "semantic_dup_kept",
     "kg_group_report",
     "knn_ivf_indexed",
+    # round-3 (cont.): entity resolution, sameAs canonicalization,
+    # pattern-layer negation, mixture resampling
+    "entity_resolution",
+    "kg_sameas",
+    "kg_minus",
+    "kg_not_exists",
+    "mixture_resample",
 ]
 
 
