@@ -541,6 +541,33 @@ def _q_kg_filter_year(sf_dir: str):
     return select_bindings(b, ["s", "n", "d"])
 
 
+def _q_kg_filter_or(sf_dir: str):
+    """Disjunctive FILTER with BOUND() and an equality-IN — the
+    reference's monthly-context.rq:28-31 expression shape
+    ((date-range) || (YEAR(?d) > y && BOUND(?opt) && REGEX(?opt, ...)))
+    plus masterlist.rq:28's ?x = "A" || ?x = "B" as an 'in' clause,
+    over an OPTIONAL subtype binding."""
+    from octoray.patterns import match_patterns, select_bindings
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_for_raw"))
+    b = match_patterns(
+        triples,
+        [("?s", "f:strain_name", "?n"), ("?s", "f:date", "?d"),
+         ("?s", "f:host", "?h")],
+        optionals=[("?s", "f:subtype", "?st")],
+        filters=[
+            ("?h", "in", ["swine", "human"]),
+            ("or", [
+                [("?d", ">", "2016"), ("?d", "<", "2019")],
+                [("YEAR(?d)", ">", 2020), ("?st", "bound", True),
+                 ("?st", "~", "^H[13]")],
+            ]),
+        ],
+    )
+    return select_bindings(b, ["s", "n", "d", "h", "st"])
+
+
 def _q_kg_group_report(sf_dir: str):
     """SPARQL GROUP BY + aggregate head (the reference's
     get-tagged-strain.rq / masterlist.rq shape): BGP -> group by
@@ -1367,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path": _q_kg_path,
         "kg_filter_path": _q_kg_filter_path,
         "kg_filter_year": _q_kg_filter_year,
+        "kg_filter_or": _q_kg_filter_or,
         "kg_group_report": _q_kg_group_report,
         "kg_monthly_bind": _q_kg_monthly_bind,
         "kg_values": _q_kg_values,
@@ -1764,6 +1792,28 @@ def oracle_sql() -> dict[str, str]:
                       '^(\\d{{4}})', 1), '') AS INTEGER) BETWEEN 2017 AND 2019
               AND try_cast(nullif(regexp_extract(dt.dd,
                       '^\\d{{4}}-(\\d{{2}})', 1), '') AS INTEGER) > 6
+        """,
+        "kg_filter_or": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('kg_for_raw')}),
+            n AS (SELECT subject, object AS n FROM d
+                  WHERE predicate = 'f:strain_name'),
+            dt AS (SELECT subject, object AS dd FROM d
+                   WHERE predicate = 'f:date'),
+            h AS (SELECT subject, object AS h FROM d
+                  WHERE predicate = 'f:host'),
+            st AS (SELECT subject, object AS st FROM d
+                   WHERE predicate = 'f:subtype')
+            SELECT n.subject AS s, n.n, dt.dd AS d, h.h, st.st
+            FROM n JOIN dt ON n.subject = dt.subject
+                   JOIN h ON n.subject = h.subject
+                   LEFT JOIN st ON n.subject = st.subject
+            WHERE h.h IN ('swine', 'human')
+              AND ( (dt.dd > '2016' AND dt.dd < '2019')
+                 OR ( try_cast(nullif(regexp_extract(dt.dd,
+                          '^(\\d{{4}})', 1), '') AS INTEGER) > 2020
+                      AND st.st IS NOT NULL
+                      AND regexp_matches(st.st, '^H[13]') ) )
         """,
         "unigram_logprob": rf"""
             WITH tokens AS (SELECT doc_id,

@@ -94,6 +94,7 @@ SUITE = [
     "kg_sameas",
     "kg_minus",
     "kg_not_exists",
+    "kg_filter_or",
     "mixture_resample",
 ]
 

@@ -169,13 +169,65 @@ def values_bindings(bindings, var_names: Sequence[str],
     return bindings.map_batches(f, batch_format="pandas")
 
 
+_CMP = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+        "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+
+
+def _clause_mask(t: pa.Table, var: str, op: str, val):
+    """Boolean mask for ONE (var, op, value) clause — see
+    apply_filters for op semantics."""
+    fm = _DATE_PART_RE.fullmatch(var)
+    if fm:
+        num = _date_part_col(t, fm.group(1).upper(), fm.group(2))
+        return pc.fill_null(_CMP[op](num, pa.scalar(int(val))), False)
+    col = t.column(var.lstrip("?"))
+    if op == "bound":
+        # SPARQL BOUND(?x): true iff the binding exists (wgs.rq:47-48,
+        # monthly-context.rq:30) — negate for FILTER(!BOUND(?x))
+        m = pc.is_valid(col)
+        return m if val else pc.invert(m)
+    if op == "~":
+        m = pc.match_substring_regex(col, val)
+    elif op == "contains":
+        m = pc.match_substring(col, val)
+    elif op == "in":
+        # equality disjunction (masterlist.rq:28's ?x = "HA" || ?x = "NA")
+        m = pc.is_in(col, value_set=pa.array([str(v) for v in val],
+                                             pa.string()))
+    else:
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            m = _CMP[op](col, pa.scalar(str(val)))
+        else:
+            # SPARQL type-error semantics: a non-numeric lexical
+            # value fails the filter instead of crashing the
+            # query — null out unparseable strings before the
+            # cast (the null then falls through fill_null)
+            numeric = pc.match_substring_regex(
+                col, r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+            safe = pc.if_else(pc.fill_null(numeric, False), col,
+                              pa.scalar(None, pa.string()))
+            m = _CMP[op](pc.cast(safe, pa.float64()),
+                         pa.scalar(float(val)))
+    return pc.fill_null(m, False)
+
+
 def apply_filters(bindings, filters: Sequence[tuple]):
     """SPARQL FILTER analogue over a bindings Dataset, vectorized per
-    batch.  A filter is (var, op, value) with op one of
-    '=' '!=' '<' '<=' '>' '>=' (lexical on strings, numeric when
-    ``value`` is an int/float — the column is cast), '~' (regex
-    search) or 'contains' (substring).  Null bindings (unmatched
-    OPTIONALs) fail every filter, as SPARQL errors do.
+    batch.  ``filters`` is a conjunction of entries; each entry is
+
+    - a clause (var, op, value) with op one of '=' '!=' '<' '<=' '>'
+      '>=' (lexical on strings, numeric when ``value`` is an
+      int/float — the column is cast), '~' (regex search), 'contains'
+      (substring), 'in' (value = list of strings — the equality
+      disjunction in masterlist.rq:28), or 'bound' (value True/False —
+      SPARQL BOUND(?x) / !BOUND(?x), wgs.rq:47-48); or
+    - ("or", [group, group, ...]) where each group is a list of
+      clauses AND-ed together — the disjunction-of-conjunctions form
+      of monthly-context.rq:28-31's date-range-OR-recent-constellation
+      filter.
+
+    Null bindings (unmatched OPTIONALs) fail every clause except
+    'bound', as SPARQL errors do.
 
     Date-part accessors (reference wgs.rq:46-50 uses YEAR()/MONTH()/
     DAY() inside FILTER): ``var`` may be ``"YEAR(?d)"`` / ``"MONTH(?d)"``
@@ -184,38 +236,21 @@ def apply_filters(bindings, filters: Sequence[tuple]):
     the filter per SPARQL error semantics) and compared numerically."""
     if not filters:
         return bindings
-    _CMP = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
-            "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
 
     def f(t: pa.Table) -> pa.Table:
         mask = None
-        for var, op, val in filters:
-            fm = _DATE_PART_RE.fullmatch(var)
-            if fm:
-                num = _date_part_col(t, fm.group(1).upper(), fm.group(2))
-                m = pc.fill_null(_CMP[op](num, pa.scalar(int(val))), False)
-                mask = m if mask is None else pc.and_(mask, m)
-                continue
-            col = t.column(var.lstrip("?"))
-            if op == "~":
-                m = pc.match_substring_regex(col, val)
-            elif op == "contains":
-                m = pc.match_substring(col, val)
+        for entry in filters:
+            if entry[0] == "or":
+                m = None
+                for group in entry[1]:
+                    gm = None
+                    for var, op, val in group:
+                        cm = _clause_mask(t, var, op, val)
+                        gm = cm if gm is None else pc.and_(gm, cm)
+                    m = gm if m is None else pc.or_(m, gm)
             else:
-                if isinstance(val, bool) or not isinstance(val, (int, float)):
-                    m = _CMP[op](col, pa.scalar(str(val)))
-                else:
-                    # SPARQL type-error semantics: a non-numeric lexical
-                    # value fails the filter instead of crashing the
-                    # query — null out unparseable strings before the
-                    # cast (the null then falls through fill_null)
-                    numeric = pc.match_substring_regex(
-                        col, r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
-                    safe = pc.if_else(pc.fill_null(numeric, False), col,
-                                      pa.scalar(None, pa.string()))
-                    m = _CMP[op](pc.cast(safe, pa.float64()),
-                                 pa.scalar(float(val)))
-            m = pc.fill_null(m, False)
+                var, op, val = entry
+                m = _clause_mask(t, var, op, val)
             mask = m if mask is None else pc.and_(mask, m)
         return t.filter(mask)
 

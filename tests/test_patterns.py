@@ -423,3 +423,61 @@ def test_minus_multivar_correlation(ray_session):
     out = minus_bindings(b, t, [("?s", "f:w", "?o")])
     assert {(r["s"], r["o"]) for r in out.take_all()} == {
         ("fid:s1", "y"), ("fid:s2", "x")}
+
+
+def test_filter_or_bound_in(ray_session):
+    """Disjunction-of-conjunctions + BOUND + IN (monthly-context.rq:30,
+    masterlist.rq:28 shapes)."""
+    g = [
+        ("fid:s1", "f:name", "a", ""),
+        ("fid:s1", "f:date", "2017-05-01", "xsd:date"),
+        ("fid:s1", "f:host", "swine", ""),
+        # s1: date-range branch -> kept
+        ("fid:s2", "f:name", "b", ""),
+        ("fid:s2", "f:date", "2022-03", "xsd:gYearMonth"),
+        ("fid:s2", "f:host", "human", ""),
+        ("fid:s2", "f:subtype", "H3N2", ""),
+        # s2: YEAR>2020 && BOUND && regex -> kept
+        ("fid:s3", "f:name", "c", ""),
+        ("fid:s3", "f:date", "2022-03", "xsd:gYearMonth"),
+        ("fid:s3", "f:host", "swine", ""),
+        # s3: recent but subtype unbound -> dropped
+        ("fid:s4", "f:name", "e", ""),
+        ("fid:s4", "f:date", "2017-06-01", "xsd:date"),
+        ("fid:s4", "f:host", "turkey", ""),
+        # s4: fails the IN conjunct -> dropped
+    ]
+    from octoray.patterns import match_patterns
+
+    b = match_patterns(
+        _ds(g),
+        [("?s", "f:name", "?n"), ("?s", "f:date", "?d"),
+         ("?s", "f:host", "?h")],
+        optionals=[("?s", "f:subtype", "?st")],
+        filters=[
+            ("?h", "in", ["swine", "human"]),
+            ("or", [
+                [("?d", ">", "2016"), ("?d", "<", "2019")],
+                [("YEAR(?d)", ">", 2020), ("?st", "bound", True),
+                 ("?st", "~", "^H[13]")],
+            ]),
+        ],
+    )
+    assert {r["s"] for r in b.take_all()} == {"fid:s1", "fid:s2"}
+
+
+def test_filter_not_bound(ray_session):
+    """FILTER(!BOUND(?x)) keeps only rows where the OPTIONAL missed."""
+    g = [
+        ("fid:s1", "f:name", "a", ""),
+        ("fid:s1", "f:state", "IA", ""),
+        ("fid:s2", "f:name", "b", ""),
+    ]
+    from octoray.patterns import match_patterns
+
+    b = match_patterns(
+        _ds(g), [("?s", "f:name", "?n")],
+        optionals=[("?s", "f:state", "?stt")],
+        filters=[("?stt", "bound", False)],
+    )
+    assert {r["s"] for r in b.take_all()} == {"fid:s2"}
