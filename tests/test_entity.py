@@ -173,3 +173,35 @@ def test_mixture_resample_semantics(ray_session):
         rd.from_arrow(t), {"s0": 0.0, "s1": 0.5}, default_rate=1.0
     ).take_all()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+
+def test_fuzzy_pairs_property_vs_bruteforce(ray_session):
+    """Hypothesis: over random short alphabets (high collision rate),
+    the blocked pipeline emits EXACTLY the brute-force set of
+    distinct-norm pairs at edit distance <= 1 — the completeness claim
+    of symmetric-delete blocking, end to end through Ray."""
+    from hypothesis import given, settings, strategies as st
+
+    name = st.text(alphabet="abAB", min_size=1, max_size=5)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(name, min_size=2, max_size=25))
+    def run(names):
+        norms = sorted(set(n.lower() for n in names))
+        # min mention id per norm, as _norm_reps computes it
+        rep = {}
+        for i, n in enumerate(names):
+            rep.setdefault(n.lower(), i)
+        want = set()
+        for i, a in enumerate(norms):
+            for b in norms[i + 1:]:
+                if _edit_leq1(a, b):
+                    ra, rb = rep[a], rep[b]
+                    want.add((min(ra, rb), max(ra, rb)))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_pairs(_mentions(names)).take_all()
+        }
+        assert got == want, (names, got, want)
+
+    run()
