@@ -98,23 +98,43 @@ def _emit_blocks(batch: pa.Table) -> pa.Table:
     """(_norm, _rep) -> one slim row per symmetric-delete block key.
 
     Expansion factor is len(norm)+1 — linear in name bytes, the same
-    order as the gram-emission stages, and entity names are short."""
-    reps = batch.column("_rep").to_pylist()
-    norms = batch.column("_norm").to_pylist()
-    out_key, out_rep, out_norm = [], [], []
-    for rep, norm in zip(reps, norms):
-        out_key.append(norm)
-        out_rep.append(rep)
-        out_norm.append(norm)
-        for i in range(len(norm)):
-            out_key.append(norm[:i] + norm[i + 1 :])
-            out_rep.append(rep)
-            out_norm.append(norm)
+    order as the gram-emission stages.  Vectorized per DELETION
+    POSITION, not per row: iteration i takes the rows long enough to
+    have an i-th character and builds norm[:i] + norm[i+1:] with two
+    Arrow slice kernels + a concat — ~max_name_len kernel passes over
+    shrinking row subsets instead of a Python loop over every row
+    (the per-row first cut was the stage's floor; names at corpus
+    scale are ~1e8 distinct rows)."""
+    # Ray blocks arrive as large_string; normalize once so the join
+    # kernel's separator scalar (string) matches
+    norm = pc.cast(batch.column("_norm"), pa.string())
+    rep = batch.column("_rep")
+    lens = pc.utf8_length(norm)
+    max_len = pc.max(lens).as_py() or 0
+    keys = [norm]
+    reps = [rep]
+    norms = [norm]
+    for i in range(max_len):
+        sel = pc.greater(lens, i)
+        sub_n = pc.filter(norm, sel)
+        if len(sub_n) == 0:
+            break
+        head = pc.utf8_slice_codeunits(sub_n, 0, i)
+        tail = pc.utf8_slice_codeunits(sub_n, i + 1)
+        keys.append(pc.binary_join_element_wise(head, tail, ""))
+        reps.append(pc.filter(rep, sel))
+        norms.append(sub_n)
     return pa.table(
         {
-            "_block": pa.array(out_key, pa.string()),
-            "_rep": pa.array(out_rep, pa.int64()),
-            "_norm": pa.array(out_norm, pa.string()),
+            "_block": pa.concat_arrays(
+                [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+                 for k in keys]),
+            "_rep": pa.concat_arrays(
+                [r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r
+                 for r in reps]),
+            "_norm": pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+                 for x in norms]),
         }
     )
 
