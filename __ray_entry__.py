@@ -1467,6 +1467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "octoray.stages.textops", fromlist=["train_val_split"]
         ).train_val_split(_docs(sf), val_frac=0.1),
         "mixture_resample": _q_mixture_resample,
+        "shuffle_export": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["shuffle_rank"]
+        ).shuffle_rank(_docs(sf).select_columns(["doc_id"]), seed=7),
         "fingerprints_full": doc_fingerprints_full,
         # --- dedup family (D1/D2 + near-dup) ---
         "trim_spans": trim_spans,
@@ -1746,6 +1749,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_resample": __import__(
             "octoray.stages.textops", fromlist=["sql_mixture_resample"]
         ).sql_mixture_resample(_MIX_RATES, default_rate=_MIX_DEFAULT),
+        "shuffle_export": __import__(
+            "octoray.stages.textops", fromlist=["sql_shuffle_rank"]
+        ).sql_shuffle_rank(seed=7),
         "kg_monthly_bind": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object
                        FROM {Q.rpd('kg_mb_raw')}),

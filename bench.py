@@ -96,6 +96,7 @@ SUITE = [
     "kg_not_exists",
     "kg_filter_or",
     "mixture_resample",
+    "shuffle_export",
 ]
 
 

@@ -198,6 +198,51 @@ def sql_mixture_resample(rates: Dict[str, float], *,
     """
 
 
+def shuffle_rank(docs, *, seed: int = 0, id_col: str = "doc_id"):
+    """Deterministic global shuffle for training export: every row gets
+    ``shuffle_pos`` = its rank under ascending md5(seed:id) — the
+    reproducible permutation an epoch reader consumes in order, stable
+    under any partitioning/parallelism (unlike ds.random_shuffle, whose
+    layout depends on the block structure).
+
+    Plan: one md5 key per row (the train_val_split convention, so the
+    DuckDB twin is exact), then query.sorted_prefix_sum of ones over
+    the key — ONE sort, driver reduce bounded by block count.  md5
+    keys of distinct ids are unique at any real scale, satisfying the
+    prefix sum's unique-order-col contract; the oracle orders by the
+    same expression."""
+    from octoray.query import sorted_prefix_sum
+
+    def key(df):
+        import pandas as pd
+
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "_sk": df[id_col].map(
+                lambda v: hashlib.md5(f"{seed}:{v}".encode()).hexdigest()),
+            "_one": 1,
+        })
+
+    keyed = docs.map_batches(key, batch_format="pandas")
+    ranked = sorted_prefix_sum(keyed, "_one", order_col="_sk",
+                               alias="shuffle_pos")
+    return ranked.map_batches(
+        lambda t: t.select([id_col, "shuffle_pos"]), batch_format="pyarrow")
+
+
+def sql_shuffle_rank(*, seed: int = 0, table: str = "documents",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin: row_number over the same md5 ordering."""
+    return f"""
+        SELECT {id_col},
+               CAST(row_number() OVER (
+                   ORDER BY md5(concat('{seed}:',
+                                CAST({id_col} AS VARCHAR)))) - 1
+                    AS BIGINT) AS shuffle_pos
+        FROM {table}
+    """
+
+
 def _norm_ws(batch_text: pa.Array) -> pa.Array:
     """Whitespace-collapse + lowercase normalization (shared with the
     DuckDB oracle: lower(regexp_replace(text, '\\s+', ' ', 'g')))."""

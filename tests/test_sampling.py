@@ -115,3 +115,25 @@ def test_pack_sequences_bins(ray_session):
     out = out.sort_values("doc_id")
     assert list(out["offset"]) == [0, 4, 8, 12, 16]
     assert list(out["bin"]) == [0, 0, 1, 1, 2]
+
+
+def test_shuffle_rank_permutation(ray_session):
+    """shuffle_rank is a complete permutation 0..n-1, deterministic for
+    a seed, different across seeds, and stable under repartitioning."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from octoray.stages.textops import shuffle_rank
+
+    ids = pa.table({"doc_id": pa.array(list(range(100)), pa.int64())})
+    ds = rd.from_arrow(ids)
+    out = {r["doc_id"]: r["shuffle_pos"]
+           for r in shuffle_rank(ds, seed=7).take_all()}
+    assert sorted(out.values()) == list(range(100))
+    again = {r["doc_id"]: r["shuffle_pos"]
+             for r in shuffle_rank(ds.repartition(9), seed=7).take_all()}
+    assert again == out
+    other = {r["doc_id"]: r["shuffle_pos"]
+             for r in shuffle_rank(ds, seed=8).take_all()}
+    assert other != out
+    assert sorted(other.values()) == list(range(100))
