@@ -481,3 +481,20 @@ def test_filter_not_bound(ray_session):
         filters=[("?stt", "bound", False)],
     )
     assert {r["s"] for r in b.take_all()} == {"fid:s2"}
+
+
+def test_minus_multivar_distributed_matches_broadcast(ray_session):
+    """Composite-key MINUS through the forced distributed anti-join
+    equals the broadcast path."""
+    from octoray.patterns import minus_bindings
+
+    g = [("fid:s%d" % i, "f:v", "o%d" % (i % 4), "") for i in range(24)]
+    g += [("fid:s%d" % i, "f:w", "o%d" % (i % 4), "") for i in range(0, 24, 2)]
+    t = _ds(g)
+    b = match_patterns(t, [("?s", "f:v", "?o")])
+    want = {(r["s"], r["o"]) for r in minus_bindings(
+        b, t, [("?s", "f:w", "?o")]).take_all()}
+    got = {(r["s"], r["o"]) for r in minus_bindings(
+        b, t, [("?s", "f:w", "?o")], broadcast_limit=0).take_all()}
+    assert got == want
+    assert want == {("fid:s%d" % i, "o%d" % (i % 4)) for i in range(1, 24, 2)}
