@@ -124,11 +124,22 @@ def _emit_blocks(batch: pa.Table) -> pa.Table:
         keys.append(pc.binary_join_element_wise(head, tail, ""))
         reps.append(pc.filter(rep, sel))
         norms.append(sub_n)
+    blk = pa.concat_arrays(
+        [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+         for k in keys])
+    # ship the block key as a 64-bit hash, not the string: the block
+    # sort is the stage's dominant exchange (~len(norm)+1 rows per
+    # name) and numeric keys cut both its payload and its comparisons.
+    # A hash collision only MERGES two unrelated blocks — extra
+    # candidates that the exact verification drops — so completeness
+    # is unaffected (equal keys always hash equal); internal-hash
+    # contract per _hash_strings_u64.
+    from octoray.stages.dedup import _hash_strings_u64
+
     return pa.table(
         {
-            "_block": pa.concat_arrays(
-                [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
-                 for k in keys]),
+            "_block": pa.array(_hash_strings_u64(blk, seed=0xB10C),
+                               pa.uint64()),
             "_rep": pa.concat_arrays(
                 [r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r
                  for r in reps]),
@@ -228,7 +239,9 @@ def resolve_entities(mentions, *, id_col: str = "mention_id",
     from octoray.query import merge_join
     from octoray.stages.dedup import dup_components
 
-    reps = _norm_reps(mentions, id_col=id_col, name_col=name_col)
+    # reps feeds BOTH the fuzzy stage and the attach join below —
+    # pin it so the mention scan + per-norm sort run once, not twice
+    reps = _norm_reps(mentions, id_col=id_col, name_col=name_col).materialize()
     pairs = fuzzy_pairs_from_reps(reps, max_block=max_block)
     comp = dup_components(pairs).materialize()
 
