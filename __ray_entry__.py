@@ -690,6 +690,30 @@ def _q_entity_resolution(sf_dir: str):
     return resolve_entities(m)
 
 
+def _q_entity_link(sf_dir: str):
+    """Broadcast-dictionary entity linking (stages/entity.py::
+    MentionLinker — the north-star actor-pool shape: lexicon via
+    ray.put once, per-actor symmetric-delete index in __init__,
+    batched scoring): typo-bearing mentions against the true strain
+    lexicon; best = min edit distance then min entity_id, null when
+    nothing is within distance 1.  The oracle re-derives the pick with
+    DuckDB levenshtein over a length-banded mention x lexicon join."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.sources.synth import (entity_mentions_dataset,
+                                       strain_lexicon_dataset)
+    from octoray.stages.entity import link_mentions
+
+    n = _synth_n(sf_dir, 20_000, floor=200)
+    m = entity_mentions_dataset(n, seed=42)
+    lex = strain_lexicon_dataset(n, seed=42)
+    if O.dump_enabled():
+        m = rd.read_parquet(O.dump_dataset("link_mentions", m))
+        lex = rd.read_parquet(O.dump_dataset("link_lexicon", lex))
+    return link_mentions(m, lex)
+
+
 def _q_kg_sameas(sf_dir: str):
     """owl:sameAs reasoning (stages/entity.py::canonicalize_graph):
     synthesized sameAs assertions (typo-strain URI = strain URI, the
@@ -1402,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_minus": _q_kg_minus,
         "kg_not_exists": _q_kg_not_exists,
         "entity_resolution": _q_entity_resolution,
+        "entity_link": _q_entity_link,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
@@ -1746,6 +1771,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "entity_resolution": Q.sql_entity_resolution(
             Q.rpd("entity_mentions")),
+        "entity_link": Q.sql_entity_link(
+            Q.rpd("link_mentions"), Q.rpd("link_lexicon")),
         "mixture_resample": __import__(
             "octoray.stages.textops", fromlist=["sql_mixture_resample"]
         ).sql_mixture_resample(_MIX_RATES, default_rate=_MIX_DEFAULT),

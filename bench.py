@@ -91,6 +91,7 @@ SUITE = [
     # round-3 (cont.): entity resolution, sameAs canonicalization,
     # pattern-layer negation, mixture resampling
     "entity_resolution",
+    "entity_link",
     "kg_sameas",
     "kg_minus",
     "kg_not_exists",

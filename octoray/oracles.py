@@ -1070,3 +1070,32 @@ def sql_sameas_graph(pairs_src: str, triples_src: str) -> str:
         LEFT JOIN comp cs ON t.subject = cs.id
         LEFT JOIN comp co ON t.object = co.id
     """
+
+
+def sql_entity_link(mentions_src: str, lexicon_src: str) -> str:
+    """Boundary: the dumped mention + lexicon tables.  Best lexicon
+    entity per mention: candidates within levenshtein 1 of the
+    case-folded name (length-banded join — the quadratic plan the
+    ENGINE's broadcast symmetric-delete index avoids), pick
+    min(distance) then min(entity_id); unmatched mentions keep null.
+    Mirrors stages/entity.py::MentionLinker exactly."""
+    return f"""
+        WITH m AS (SELECT mention_id, name, lower(name) AS nm
+                   FROM {mentions_src}),
+        l AS (SELECT entity_id, lower(name) AS ln FROM {lexicon_src}),
+        cand AS (
+          SELECT m.mention_id, l.entity_id,
+                 levenshtein(m.nm, l.ln) AS dist
+          FROM m JOIN l ON abs(length(m.nm) - length(l.ln)) <= 1
+          WHERE levenshtein(m.nm, l.ln) <= 1),
+        best AS (SELECT mention_id, min(dist) AS dist
+                 FROM cand GROUP BY mention_id),
+        pick AS (SELECT c.mention_id, min(c.entity_id) AS entity_id,
+                        b.dist
+                 FROM cand c JOIN best b
+                   ON c.mention_id = b.mention_id AND c.dist = b.dist
+                 GROUP BY c.mention_id, b.dist)
+        SELECT m.mention_id, m.name, p.entity_id,
+               CAST(p.dist AS BIGINT) AS dist
+        FROM m LEFT JOIN pick p ON m.mention_id = p.mention_id
+    """

@@ -366,3 +366,37 @@ def sameas_pairs_dataset(n: int, seed: int = 42):
         batch_format="numpy",
         batch_size=4096,
     )
+
+
+def strain_lexicon_dataset(n: int, seed: int = 42):
+    """The entity DICTIONARY for link_mentions: every distinct true
+    strain name over the first ``n`` pages, entity_id = its minted URI
+    (the reference's lexicon notion — domain_flu strain tables — built
+    from the same deterministic stream as the pages, so tests and
+    oracles share one truth)."""
+    import ray.data as rd
+
+    from octoray.model import make_uri
+    from octoray.query import distinct_values
+    from octoray.sources.webtext import _build_page, _streams as _st
+
+    def batch(b) -> pa.Table:
+        ids = np.asarray(b["id"], dtype=np.uint64)
+        eids: List[str] = []
+        names: List[str] = []
+        for pid, r in zip(ids.tolist(), _st(ids, seed, 16)):
+            _, fields = _build_page(int(pid), r)
+            if not fields:
+                continue
+            eids.append(make_uri(fields[0]))
+            names.append(fields[0])
+        return pa.table({
+            "entity_id": pa.array(eids, pa.string()),
+            "name": pa.array(names, pa.string()),
+        })
+
+    ds = rd.range(n, override_num_blocks=max(1, min(n, 64)))
+    return distinct_values(
+        ds.map_batches(batch, batch_format="numpy", batch_size=4096),
+        ["entity_id", "name"],
+    )

@@ -289,6 +289,108 @@ def resolve_entities(mentions, *, id_col: str = "mention_id",
     return out.sort(id_col)
 
 
+class MentionLinker:
+    """Actor-pool entity linking against a BROADCAST dictionary — the
+    north-star shape (lexicon shipped once via ray.put, symmetric-
+    delete index built once per actor in ``__init__``, batched scoring
+    in ``__call__``).  Reference analogue: the fixed spellcheck
+    dictionaries (domain_geography.py / functions/spellcheck.py) that
+    map known variants to canonical terms; this generalizes them to
+    ANY lexicon with edit-distance-1 fuzzy fallback.
+
+    Per mention: score = 0 for an exact (case-folded) lexicon match,
+    1 for an edit-distance-1 match, null when nothing is within
+    distance 1; ties broken by minimum entity_id — deterministic at
+    any parallelism, and exactly reproducible by the SQL twin's
+    min(dist)-then-min(entity_id) pick.
+
+    Scale: the index is O(lexicon x name_len) dict entries per actor
+    (a 1e5-name lexicon is ~3M keys); a 1e8-name lexicon would instead
+    hash-partition BOTH sides by a deletion-key bucket — the
+    fuzzy_pairs plan above — so the broadcast path is for
+    dictionary-sized lexicons, which entity dictionaries are.
+    Exact matches resolve through one vectorized hash-map pass; only
+    misses walk the per-name deletion probe."""
+
+    def __init__(self, lex_ref):
+        import ray
+
+        ids, norms = ray.get(lex_ref) if not isinstance(lex_ref, tuple) \
+            else lex_ref
+        self._ids = ids
+        self._norms = norms
+        exact: Dict[str, str] = {}
+        index: Dict[str, list] = {}
+        for i, nm in enumerate(norms):
+            if nm not in exact or ids[i] < exact[nm]:
+                exact[nm] = ids[i]
+            index.setdefault(nm, []).append(i)
+            for j in range(len(nm)):
+                index.setdefault(nm[:j] + nm[j + 1:], []).append(i)
+        self._exact = exact
+        self._index = index
+
+    def _probe(self, nm: str):
+        cands: set = set(self._index.get(nm, ()))
+        for j in range(len(nm)):
+            cands.update(self._index.get(nm[:j] + nm[j + 1:], ()))
+        best = None
+        for ci in cands:
+            ln = self._norms[ci]
+            if nm != ln and not _edit_leq1(nm, ln):
+                continue
+            d = 0 if nm == ln else 1
+            key = (d, self._ids[ci])
+            if best is None or key < best:
+                best = key
+        return best
+
+    def __call__(self, df):
+        import pandas as pd
+
+        nm = df["_norm"]
+        ent = nm.map(self._exact)
+        dist = pd.Series(0, index=df.index, dtype="float64").where(
+            ent.notna())
+        miss = ent.isna()
+        if miss.any():
+            probed = nm[miss].map(self._probe)
+            hit_idx = probed.index[probed.notna()]
+            ent.loc[hit_idx] = probed.loc[hit_idx].map(lambda t: t[1])
+            dist.loc[hit_idx] = probed.loc[hit_idx].map(
+                lambda t: float(t[0]))
+        out = df.drop(columns=["_norm"]).copy()
+        # NaN (miss) -> real null so the Arrow column is string + null
+        out["entity_id"] = ent.astype(object).where(ent.notna(), None)
+        out["dist"] = dist.astype("Int64")
+        return out
+
+
+def link_mentions(mentions, lexicon, *, id_col: str = "mention_id",
+                  name_col: str = "name", concurrency: int = 4):
+    """Link every mention to its best lexicon entity (see
+    MentionLinker).  ``lexicon`` is a Dataset with (entity_id, name) —
+    dictionary-sized by contract; it ships to the cluster ONCE."""
+    import ray
+
+    lex = lexicon.map_batches(
+        lambda t: pa.table({
+            "entity_id": t.column("entity_id"),
+            "_ln": pc.utf8_lower(t.column("name")),
+        }), batch_format="pyarrow").take_all()
+    ids = [r["entity_id"] for r in lex]
+    norms = [r["_ln"] for r in lex]
+    ref = ray.put((ids, norms))
+
+    def norm(t: pa.Table) -> pa.Table:
+        return t.append_column("_norm", pc.cast(
+            pc.utf8_lower(t.column(name_col)), pa.string()))
+
+    return mentions.map_batches(norm, batch_format="pyarrow").map_batches(
+        MentionLinker, fn_constructor_args=(ref,),
+        batch_format="pandas", concurrency=concurrency)
+
+
 def canonicalize_graph(triples, pairs, *, broadcast_limit: int = 2_000_000):
     """owl:sameAs reasoning: rewrite every subject (and URI-typed
     object) through the equivalence closure of ``pairs`` ((id_a, id_b)

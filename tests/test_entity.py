@@ -205,3 +205,87 @@ def test_fuzzy_pairs_property_vs_bruteforce(ray_session):
         assert got == want, (names, got, want)
 
     run()
+
+
+def test_link_mentions_basic(ray_session):
+    """Exact hit (dist 0), edit-1 hit (dist 1), miss (nulls), and the
+    min-distance-then-min-entity-id tie-break."""
+    import ray.data as rd
+
+    from octoray.stages.entity import link_mentions
+
+    lex = rd.from_arrow(pa.table({
+        "entity_id": pa.array(["e:ohio", "e:iowa", "e:iowa2"]),
+        "name": pa.array(["Ohio", "Iowa", "Iowaa"]),
+    }))
+    m = rd.from_arrow(pa.table({
+        "mention_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "name": pa.array(["ohio", "Iowa!", "texas", "IOWAA"]),
+    }))
+    out = {r["mention_id"]: (r["entity_id"], r["dist"])
+           for r in link_mentions(m, lex, concurrency=2).take_all()}
+    assert out[1] == ("e:ohio", 0)          # exact (case-folded)
+    assert out[2] == ("e:iowa", 1)          # edit-1 (trailing '!')
+    assert out[3] == (None, None)           # nothing within distance 1
+    # 'iowaa' is exact for e:iowa2 AND edit-1 for e:iowa: dist wins
+    assert out[4] == ("e:iowa2", 0)
+
+
+def test_link_mentions_tie_break_min_entity(ray_session):
+    """Two lexicon entries at the same distance: min entity_id wins."""
+    import ray.data as rd
+
+    from octoray.stages.entity import link_mentions
+
+    lex = rd.from_arrow(pa.table({
+        "entity_id": pa.array(["e:b", "e:a"]),
+        "name": pa.array(["abcd", "abce"]),
+    }))
+    m = rd.from_arrow(pa.table({
+        "mention_id": pa.array([1], pa.int64()),
+        "name": pa.array(["abcf"]),  # distance 1 from both
+    }))
+    (row,) = link_mentions(m, lex, concurrency=2).take_all()
+    assert (row["entity_id"], row["dist"]) == ("e:a", 1)
+
+
+def test_link_mentions_property_vs_bruteforce(ray_session):
+    """Hypothesis: linking equals the brute-force min(dist)-then-
+    min(entity) pick over every (mention, lexicon) pair."""
+    from hypothesis import given, settings, strategies as st
+    import ray.data as rd
+
+    from octoray.stages.entity import link_mentions
+
+    word = st.text(alphabet="abc", min_size=1, max_size=4)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=8, unique=True),
+           st.lists(word, min_size=1, max_size=8))
+    def run(lex_names, mention_names):
+        lex = rd.from_arrow(pa.table({
+            "entity_id": pa.array([f"e:{i}" for i in range(len(lex_names))]),
+            "name": pa.array(lex_names),
+        }))
+        m = rd.from_arrow(pa.table({
+            "mention_id": pa.array(list(range(len(mention_names))), pa.int64()),
+            "name": pa.array(mention_names),
+        }))
+        got = {r["mention_id"]: (r["entity_id"], r["dist"])
+               for r in link_mentions(m, lex, concurrency=2).take_all()}
+        for mid, nm in enumerate(mention_names):
+            best = None
+            for i, ln in enumerate(lex_names):
+                if nm.lower() == ln.lower():
+                    d = 0
+                elif _edit_leq1(nm.lower(), ln.lower()):
+                    d = 1
+                else:
+                    continue
+                key = (d, f"e:{i}")
+                if best is None or key < best:
+                    best = key
+            want = (best[1], best[0]) if best else (None, None)
+            assert got[mid] == want, (nm, got[mid], want)
+
+    run()
