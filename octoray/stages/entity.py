@@ -36,6 +36,7 @@ Scale design (the point of the module):
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -464,3 +465,261 @@ def canonicalize_graph(triples, pairs, *, broadcast_limit: int = 2_000_000):
             batch_format="pyarrow",
         )
     return dedup_triples(out)
+
+
+# --------------------------------------------------------------------
+# Incremental resolution store: resolve NEW mentions against a
+# persisted canonical map without re-clustering the corpus — the
+# entity-level analogue of pipelines/ingest.py's J9 incremental
+# anti-join (a 1e12-doc corpus cannot re-cluster per snapshot).
+#
+# Layout under store_dir:
+#   reps/               (_norm, _rep, canonical)   one row per norm
+#   keys/bucket=K/      (_block u64, _rep, _norm)  symmetric-delete
+#                       keys, hash-bucketed so an increment's lookup
+#                       reads only the buckets its own keys hash to
+#                       (the knn_ivf_indexed storage-pruning pattern).
+#
+# CONTRACT: mention ids are monotone across increments (later
+# snapshots carry larger ids — true of any ingest sequence numbering).
+# Under it, incremental resolution equals from-scratch re-clustering
+# EXACTLY, including when a new mention BRIDGES two existing clusters:
+# the affected clusters' stored rows are rewritten to the merged
+# minimum, which is the from-scratch label.  Equality is pinned by the
+# driver oracle (full recompute over the union) and pytest.
+# --------------------------------------------------------------------
+
+_N_KEY_BUCKETS = 8
+
+
+def _store_keys_table(reps_tbl: pa.Table) -> pa.Table:
+    blocks = _emit_blocks(reps_tbl)
+    bucket = pc.cast(
+        pc.bit_wise_and(blocks.column("_block"),
+                        pa.scalar(_N_KEY_BUCKETS - 1, pa.uint64())),
+        pa.int64())
+    return blocks.append_column("bucket", bucket)
+
+
+def resolve_store_build(mentions, store_dir: str, *,
+                        id_col: str = "mention_id",
+                        name_col: str = "name",
+                        max_block: int = DEFAULT_MAX_BLOCK):
+    """From-scratch resolution of ``mentions``; persists the norm-level
+    canonical map + the blocking index to ``store_dir``."""
+    from octoray.query import merge_join
+    from octoray.stages.dedup import dup_components
+
+    reps = _norm_reps(mentions, id_col=id_col,
+                      name_col=name_col).materialize()
+    pairs = fuzzy_pairs_from_reps(reps, max_block=max_block)
+    comp = dup_components(pairs).materialize()
+    canon = _attach_canonical(reps, comp, rep_col="_rep")
+    canon = canon.map_batches(
+        lambda t: pa.table({
+            "_norm": pc.cast(t.column("_norm"), pa.string()),
+            "_rep": t.column("_rep"),
+            "canonical": t.column("canonical"),
+        }), batch_format="pyarrow")
+    canon.write_parquet(os.path.join(store_dir, "reps"))
+    reps.map_batches(
+        lambda t: _store_keys_table(pa.table({
+            "_norm": pc.cast(t.column("_norm"), pa.string()),
+            "_rep": t.column("_rep"),
+        })), batch_format="pyarrow",
+    ).write_parquet(os.path.join(store_dir, "keys"),
+                    partition_cols=["bucket"])
+
+
+def _attach_canonical(reps, comp, *, rep_col: str):
+    """reps (_norm, rep) x components -> + canonical (= component of
+    the rep, or the rep itself when isolated)."""
+    from octoray.query import merge_join
+
+    if comp.count() == 0:
+        # no pairs at all: everyone is their own canonical (an empty
+        # comp also goes schema-less through a rename — the Ray
+        # empty-block quirk drop_empty_blocks documents)
+        return reps.map_batches(
+            lambda t: t.append_column("canonical", t.column(rep_col)),
+            batch_format="pyarrow")
+    cm = comp.map_batches(
+        lambda t: t.rename_columns([rep_col, "_comp"]),
+        batch_format="pyarrow")
+    j = merge_join(reps, cm, [rep_col], how="left_outer")
+    return j.map_batches(
+        lambda t: t.append_column(
+            "canonical", pc.coalesce(t.column("_comp"),
+                                     t.column(rep_col))
+        ).drop_columns(["_comp"]), batch_format="pyarrow")
+
+
+def resolve_incremental(new_mentions, store_dir: str, *,
+                        id_col: str = "mention_id",
+                        name_col: str = "name",
+                        max_block: int = DEFAULT_MAX_BLOCK):
+    """Resolve ``new_mentions`` against the store, update it in place,
+    and return the UPDATED norm-level map (norm, canonical) for the
+    whole corpus so far.
+
+    Work is proportional to the INCREMENT (+ the affected old
+    clusters), never the stored corpus: known norms resolve with one
+    join; novel norms block against the hash-bucketed key index; the
+    component pass sees only novel pairs, novel-old bridge pairs, and
+    the stored rows of TOUCHED clusters."""
+    import ray.data as rd
+
+    from octoray.query import distinct_values, merge_join, semi_join_auto
+    from octoray.stages.dedup import dup_components
+    from octoray.util import drop_empty_blocks
+
+    store_reps = rd.read_parquet(os.path.join(store_dir, "reps"))
+    new_reps = _norm_reps(new_mentions, id_col=id_col,
+                          name_col=name_col).materialize()
+
+    # split known / novel norms with ONE left join against the store
+    marked = merge_join(
+        new_reps,
+        store_reps.map_batches(
+            lambda t: pa.table({"_norm": t.column("_norm"),
+                                "_old": t.column("_rep")}),
+            batch_format="pyarrow"),
+        ["_norm"], how="left_outer").materialize()
+    novel = drop_empty_blocks(
+        marked.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("_old"))).select(
+                ["_norm", "_rep"]),
+            batch_format="pyarrow").materialize(),
+        pa.schema([("_norm", pa.string()), ("_rep", pa.int64())]))
+
+    def _stored_map():
+        return store_reps.map_batches(
+            lambda t: pa.table({"norm": pc.cast(t.column("_norm"),
+                                                pa.string()),
+                                "canonical_id": t.column("canonical")}),
+            batch_format="pyarrow")
+
+    # increment of only KNOWN norms: a pure lookup — the store is
+    # already the answer and stays untouched (no write amplification
+    # for steady-state snapshots).
+    if novel.count() == 0:
+        return _stored_map()
+
+    _pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    # novel-novel pairs: the scratch plan over the increment only.
+    # nn_pairs / bridge / old_edges below are PINNED: each is bounded
+    # by the increment (never the stored corpus), and leaving them
+    # lazy fuses a 4-branch/3-sort/2-union mega-plan that deadlocks
+    # Ray 2.49's streaming executor under a small CPU budget — and
+    # would be re-executed per dup_components pass anyway.
+    nn_pairs = drop_empty_blocks(
+        fuzzy_pairs_from_reps(novel, max_block=max_block).materialize(),
+        _pair_schema)
+
+    # novel-old bridge pairs: novel keys join the bucketed store index
+    novel_keys = novel.map_batches(
+        lambda t: _store_keys_table(pa.table({
+            "_norm": pc.cast(t.column("_norm"), pa.string()),
+            "_rep": t.column("_rep")})),
+        batch_format="pyarrow").materialize()
+    # pruned read: only the buckets the increment's own keys hash to
+    # leave storage (the knn_ivf_indexed explicit-file-list pattern)
+    import glob as _glob
+
+    buckets = sorted({r["bucket"] for r in distinct_values(
+        novel_keys, ["bucket"]).take_all()})
+    key_files = [f for b in buckets for f in sorted(_glob.glob(
+        os.path.join(store_dir, "keys", f"bucket={b}", "*.parquet")))]
+    if key_files:
+        store_keys = rd.read_parquet(key_files)
+    else:
+        store_keys = rd.from_arrow(pa.table({
+            "_block": pa.array([], pa.uint64()),
+            "_rep": pa.array([], pa.int64()),
+            "_norm": pa.array([], pa.string())}))
+    bridge = merge_join(
+        novel_keys.map_batches(
+            lambda t: pa.table({"_block": t.column("_block"),
+                                "id_b": t.column("_rep"),
+                                "_nb": t.column("_norm")}),
+            batch_format="pyarrow"),
+        store_keys.map_batches(
+            lambda t: pa.table({"_block": pc.cast(t.column("_block"),
+                                                  pa.uint64()),
+                                "id_a": t.column("_rep"),
+                                "_na": t.column("_norm")}),
+            batch_format="pyarrow"),
+        ["_block"])
+    bridge = distinct_values(bridge, ["id_a", "id_b", "_na", "_nb"])
+    bridge = drop_empty_blocks(
+        bridge.map_batches(_verify_pairs,
+                           batch_format="pyarrow").materialize(),
+        _pair_schema)
+
+    # stored rows of clusters touched by a bridge, as (rep, canonical)
+    # edges — so a merge relabels the WHOLE old cluster, exactly as a
+    # from-scratch pass would
+    touched = bridge.map_batches(
+        lambda t: pa.table({"_rep": t.column("id_a")}),
+        batch_format="pyarrow")
+    touched_canon = drop_empty_blocks(
+        merge_join(
+            store_reps.select_columns(["_rep", "canonical"]), touched,
+            ["_rep"]).materialize(),
+        pa.schema([("_rep", pa.int64()), ("canonical", pa.int64())]))
+    old_edges = semi_join_auto(
+        store_reps.select_columns(["_rep", "canonical"]), "canonical",
+        touched_canon.select_columns(["canonical"]))
+    old_edges = drop_empty_blocks(
+        old_edges.map_batches(
+            lambda t: pa.table({"id_a": t.column("_rep"),
+                                "id_b": t.column("canonical")}),
+            batch_format="pyarrow").materialize(),
+        _pair_schema)
+
+    edges = nn_pairs.union(bridge.select_columns(["id_a", "id_b"]),
+                           old_edges)
+    comp = dup_components(edges).materialize()
+
+    # updated store: novel rows + old rows (relabeled where touched)
+    new_rows = _attach_canonical(novel, comp, rep_col="_rep")
+    new_rows = new_rows.map_batches(
+        lambda t: pa.table({
+            "_norm": pc.cast(t.column("_norm"), pa.string()),
+            "_rep": t.column("_rep"),
+            "canonical": t.column("canonical")}),
+        batch_format="pyarrow")
+    relabel = _attach_canonical(
+        store_reps.map_batches(
+            lambda t: pa.table({"_norm": t.column("_norm"),
+                                "_rep": t.column("_rep"),
+                                "_old_canon": t.column("canonical")}),
+            batch_format="pyarrow"),
+        comp, rep_col="_rep")
+    old_rows = relabel.map_batches(
+        lambda t: pa.table({
+            "_norm": pc.cast(t.column("_norm"), pa.string()),
+            "_rep": t.column("_rep"),
+            # rows not in the component pass keep their stored label
+            "canonical": pc.min_element_wise(
+                t.column("canonical"), t.column("_old_canon")),
+        }), batch_format="pyarrow")
+    updated = old_rows.union(new_rows).materialize()
+
+    # persist: rewrite reps, append the novel keys
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="octoray_ent_", dir=store_dir)
+    updated.write_parquet(tmp)
+    reps_dir = os.path.join(store_dir, "reps")
+    shutil.rmtree(reps_dir)
+    os.rename(tmp, reps_dir)
+    novel_keys.write_parquet(os.path.join(store_dir, "keys"),
+                             partition_cols=["bucket"])
+
+    return updated.map_batches(
+        lambda t: pa.table({"norm": t.column("_norm"),
+                            "canonical_id": t.column("canonical")}),
+        batch_format="pyarrow")

@@ -289,3 +289,103 @@ def test_link_mentions_property_vs_bruteforce(ray_session):
             assert got[mid] == want, (nm, got[mid], want)
 
     run()
+
+
+def _scratch_norm_map(names):
+    """Brute-force from-scratch norm -> canonical map (min mention id
+    over the edit-<=1 connected component)."""
+    rep = {}
+    for i, n in enumerate(names):
+        rep.setdefault(n.lower(), i)
+    norms = sorted(rep)
+    parent = {rep[n]: rep[n] for n in norms}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(norms):
+        for b in norms[i + 1:]:
+            if _edit_leq1(a, b):
+                ra, rb = find(rep[a]), find(rep[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(rep[n]) for n in norms}
+
+
+def _run_incremental(names_a, names_b, tmpdir):
+    import ray.data as rd
+
+    from octoray.stages.entity import (resolve_incremental,
+                                       resolve_store_build)
+
+    off = len(names_a)
+    m1 = rd.from_arrow(pa.table({
+        "mention_id": pa.array(list(range(off)), pa.int64()),
+        "name": pa.array(names_a)}))
+    m2 = rd.from_arrow(pa.table({
+        "mention_id": pa.array([off + i for i in range(len(names_b))],
+                               pa.int64()),
+        "name": pa.array(names_b)}))
+    resolve_store_build(m1, tmpdir)
+    out = resolve_incremental(m2, tmpdir)
+    return {r["norm"]: r["canonical_id"] for r in out.take_all()}
+
+
+def test_incremental_equals_scratch(ray_session, tmp_path):
+    """Known norms, novel norms, novel-old links: the updated store
+    equals from-scratch re-clustering over the union."""
+    a = ["iowa", "ohio", "texas", "iowa"]          # ids 0..3
+    b = ["iowa", "iowaa", "kansas", "ohio!"]       # ids 4..7
+    got = _run_incremental(a, b, str(tmp_path / "s1"))
+    want = _scratch_norm_map(a + b)
+    assert got == want
+    # novel "iowaa" joins iowa's cluster; "ohio!" joins ohio's
+    assert got["iowaa"] == got["iowa"] == 0
+    assert got["ohio!"] == got["ohio"] == 1
+
+
+def test_incremental_bridge_merges_old_clusters(ray_session, tmp_path):
+    """A NEW mention within distance 1 of two previously-separate
+    clusters merges them — including their untouched members — to the
+    from-scratch label."""
+    a = ["abcd", "abce", "xbcf", "ybcf"]   # clusters {abcd,abce} {xbcf,ybcf}
+    b = ["abcf"]                           # bridges both
+    got = _run_incremental(a, b, str(tmp_path / "s2"))
+    want = _scratch_norm_map(a + b)
+    assert got == want
+    assert len({got[n] for n in ["abcd", "abce", "xbcf", "ybcf", "abcf"]}) == 1
+    assert got["ybcf"] == 0   # untouched old member relabeled to the min
+
+
+def test_incremental_no_novel(ray_session, tmp_path):
+    """An increment of only known norms is a pure lookup — store
+    unchanged."""
+    a = ["iowa", "ohio"]
+    b = ["IOWA", "ohio"]
+    got = _run_incremental(a, b, str(tmp_path / "s3"))
+    assert got == {"iowa": 0, "ohio": 1}
+
+
+def test_incremental_property_vs_scratch(ray_session, tmp_path):
+    """Hypothesis: random split of random short names — incremental
+    always equals from-scratch."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=4)
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=10),
+           st.lists(word, min_size=1, max_size=6))
+    def run(names_a, names_b):
+        counter[0] += 1
+        d = str(tmp_path / f"p{counter[0]}")
+        got = _run_incremental(names_a, names_b, d)
+        want = _scratch_norm_map(names_a + names_b)
+        assert got == want, (names_a, names_b, got, want)
+
+    run()
