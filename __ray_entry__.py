@@ -714,6 +714,44 @@ def _q_entity_link(sf_dir: str):
     return link_mentions(m, lex)
 
 
+def _q_entity_incremental(sf_dir: str):
+    """Incremental entity resolution against a persisted store
+    (stages/entity.py::resolve_store_build / resolve_incremental): the
+    first half of the mention stream builds the store (norm-level
+    canonical map + hash-bucketed symmetric-delete key index), the
+    second half resolves INCREMENTALLY — known norms via one join,
+    novel norms blocked against only the key buckets they hash to,
+    bridged old clusters relabeled to the merged minimum.  The oracle
+    re-clusters the UNION from scratch (DuckDB levenshtein closure),
+    so a pass proves incremental == from-scratch exactly."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.sources.synth import entity_mentions_dataset
+    from octoray.stages.entity import (resolve_incremental,
+                                       resolve_store_build)
+
+    n = _synth_n(sf_dir, 20_000, floor=200)
+    m = entity_mentions_dataset(n, seed=42)
+    if O.dump_enabled():
+        m = rd.read_parquet(O.dump_dataset("entity_mentions_inc", m))
+    cut = pa.scalar(n // 2, pa.int64())
+    first = m.map_batches(
+        lambda t: t.filter(_pc.less(t.column("mention_id"), cut)),
+        batch_format="pyarrow")
+    second = m.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t.column("mention_id"), cut)),
+        batch_format="pyarrow")
+    store = "/tmp/octoray_entstore"
+    shutil.rmtree(store, ignore_errors=True)
+    resolve_store_build(first, store)
+    return resolve_incremental(second, store).sort("norm")
+
+
 def _q_kg_sameas(sf_dir: str):
     """owl:sameAs reasoning (stages/entity.py::canonicalize_graph):
     synthesized sameAs assertions (typo-strain URI = strain URI, the
@@ -1427,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_not_exists": _q_kg_not_exists,
         "entity_resolution": _q_entity_resolution,
         "entity_link": _q_entity_link,
+        "entity_incremental": _q_entity_incremental,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
@@ -1773,6 +1812,8 @@ def oracle_sql() -> dict[str, str]:
             Q.rpd("entity_mentions")),
         "entity_link": Q.sql_entity_link(
             Q.rpd("link_mentions"), Q.rpd("link_lexicon")),
+        "entity_incremental": Q.sql_entity_incremental(
+            Q.rpd("entity_mentions_inc")),
         "mixture_resample": __import__(
             "octoray.stages.textops", fromlist=["sql_mixture_resample"]
         ).sql_mixture_resample(_MIX_RATES, default_rate=_MIX_DEFAULT),

@@ -1043,6 +1043,40 @@ def sql_entity_resolution(mentions_src: str) -> str:
     """
 
 
+def sql_entity_incremental(mentions_src: str) -> str:
+    """Boundary: the dumped FULL mention table (both the store-building
+    half and the increment).  The engine resolves the second half
+    incrementally against the persisted store; the oracle ignores the
+    split entirely and re-clusters the union from scratch (the same
+    levenshtein closure as sql_entity_resolution), reduced to the
+    norm level: canonical = component min over raw mention ids.  A
+    match therefore proves incremental == from-scratch, including
+    cluster bridges."""
+    return f"""
+        WITH RECURSIVE m AS (
+          SELECT mention_id, lower(name) AS norm FROM {mentions_src}),
+        pr AS (
+          SELECT a.mention_id AS id_a, b.mention_id AS id_b
+          FROM m a JOIN m b
+            ON a.mention_id < b.mention_id
+           AND abs(length(a.norm) - length(b.norm)) <= 1
+           AND levenshtein(a.norm, b.norm) <= 1),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pr
+              UNION SELECT id_b, id_a FROM pr),
+        walk(id, comp) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, walk.comp FROM walk JOIN e ON walk.id = e.src
+          WHERE walk.comp < e.dst),
+        comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+        per AS (SELECT m.norm,
+                       coalesce(c.component, m.mention_id) AS cid
+                FROM m LEFT JOIN comp c ON m.mention_id = c.id)
+        SELECT norm, min(cid) AS canonical_id
+        FROM per GROUP BY norm ORDER BY norm
+    """
+
+
 def sql_sameas_graph(pairs_src: str, triples_src: str) -> str:
     """Boundary: the dumped raw triples + sameAs pair list.  Recursive
     closure over the pairs (min-URI representative, lexicographic min

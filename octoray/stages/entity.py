@@ -632,24 +632,28 @@ def resolve_incremental(new_mentions, store_dir: str, *,
     key_files = [f for b in buckets for f in sorted(_glob.glob(
         os.path.join(store_dir, "keys", f"bucket={b}", "*.parquet")))]
     if key_files:
-        store_keys = rd.read_parquet(key_files)
+        # a map over an EMPTY from_arrow block is skipped by Ray and
+        # yields a schema-less Dataset, so the no-files fallback below
+        # must be built directly in the joined shape
+        store_side = rd.read_parquet(key_files).map_batches(
+            lambda t: pa.table({"_block": pc.cast(t.column("_block"),
+                                                  pa.uint64()),
+                                "id_a": t.column("_rep"),
+                                "_na": pc.cast(t.column("_norm"),
+                                               pa.string())}),
+            batch_format="pyarrow")
     else:
-        store_keys = rd.from_arrow(pa.table({
+        store_side = rd.from_arrow(pa.table({
             "_block": pa.array([], pa.uint64()),
-            "_rep": pa.array([], pa.int64()),
-            "_norm": pa.array([], pa.string())}))
+            "id_a": pa.array([], pa.int64()),
+            "_na": pa.array([], pa.string())}))
     bridge = merge_join(
         novel_keys.map_batches(
             lambda t: pa.table({"_block": t.column("_block"),
                                 "id_b": t.column("_rep"),
                                 "_nb": t.column("_norm")}),
             batch_format="pyarrow"),
-        store_keys.map_batches(
-            lambda t: pa.table({"_block": pc.cast(t.column("_block"),
-                                                  pa.uint64()),
-                                "id_a": t.column("_rep"),
-                                "_na": t.column("_norm")}),
-            batch_format="pyarrow"),
+        store_side,
         ["_block"])
     bridge = distinct_values(bridge, ["id_a", "id_b", "_na", "_nb"])
     bridge = drop_empty_blocks(
@@ -659,24 +663,30 @@ def resolve_incremental(new_mentions, store_dir: str, *,
 
     # stored rows of clusters touched by a bridge, as (rep, canonical)
     # edges — so a merge relabels the WHOLE old cluster, exactly as a
-    # from-scratch pass would
-    touched = bridge.map_batches(
-        lambda t: pa.table({"_rep": t.column("id_a")}),
-        batch_format="pyarrow")
-    touched_canon = drop_empty_blocks(
-        merge_join(
-            store_reps.select_columns(["_rep", "canonical"]), touched,
-            ["_rep"]).materialize(),
-        pa.schema([("_rep", pa.int64()), ("canonical", pa.int64())]))
-    old_edges = semi_join_auto(
-        store_reps.select_columns(["_rep", "canonical"]), "canonical",
-        touched_canon.select_columns(["canonical"]))
-    old_edges = drop_empty_blocks(
-        old_edges.map_batches(
-            lambda t: pa.table({"id_a": t.column("_rep"),
-                                "id_b": t.column("canonical")}),
-            batch_format="pyarrow").materialize(),
-        _pair_schema)
+    # from-scratch pass would.  No bridges (the common steady-state
+    # case) means no old cluster is touched at all — skip the store
+    # joins entirely (also: mapping over an empty block yields a
+    # schema-less Dataset that would wedge merge_join).
+    if bridge.count() == 0:
+        old_edges = rd.from_arrow(_pair_schema.empty_table())
+    else:
+        touched = bridge.map_batches(
+            lambda t: pa.table({"_rep": t.column("id_a")}),
+            batch_format="pyarrow")
+        touched_canon = drop_empty_blocks(
+            merge_join(
+                store_reps.select_columns(["_rep", "canonical"]), touched,
+                ["_rep"]).materialize(),
+            pa.schema([("_rep", pa.int64()), ("canonical", pa.int64())]))
+        old_edges = semi_join_auto(
+            store_reps.select_columns(["_rep", "canonical"]), "canonical",
+            touched_canon.select_columns(["canonical"]))
+        old_edges = drop_empty_blocks(
+            old_edges.map_batches(
+                lambda t: pa.table({"id_a": t.column("_rep"),
+                                    "id_b": t.column("canonical")}),
+                batch_format="pyarrow").materialize(),
+            _pair_schema)
 
     edges = nn_pairs.union(bridge.select_columns(["id_a", "id_b"]),
                            old_edges)
