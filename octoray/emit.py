@@ -13,6 +13,7 @@ field).  ``connect(mentions)`` returns the record's triple set as
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Iterable, List, Optional, Sequence, Set, Tuple
 
@@ -61,13 +62,16 @@ class Mention:
     clean: Optional[str]
     field: Optional[str] = None
 
-    @property
-    def typename(self) -> str:
-        return self.classifier.name
+    # typename/group are plain attributes, not properties: connect()'s
+    # pair loops read them ~45x per page (profiled ~8% of the emitter
+    # floor as property-descriptor calls), and they are immutable
+    # copies of classifier fields.
+    typename: str = dataclasses.field(init=False)
+    group: Optional[str] = dataclasses.field(init=False)
 
-    @property
-    def group(self) -> Optional[str]:
-        return self.classifier.group
+    def __post_init__(self):
+        self.typename = self.classifier.name
+        self.group = self.classifier.group
 
     def choose_field(self) -> Optional[str]:
         """token.py:45-49"""
