@@ -33,6 +33,29 @@ def test_scan_emit_pr_gate():
     assert recall >= 0.95, f"recall {recall:.4f}"
 
 
+def test_scan_fused_equals_two_pass():
+    """The fused single-pass scan+vocab regex must reproduce the
+    two-pass scan-then-mask form span-for-span (see
+    _build_combined_regex's equivalence argument), including the
+    multi-word-vocabulary edge cases."""
+    em = MentionEmitter()
+    for pid in range(4000):
+        row, _ = webtext.page_record(pid)
+        text = row["text"]
+        assert em.page_mentions(text) == em.page_mentions_two_pass(text)
+    adversarial = [
+        "A/Iowa/01/2018 swine New York EPI_ISL_123",
+        "New May 31, 2018 York",
+        "United States H1N1 2018-01-01",
+        "South Dakota3B.2.1 3B.2.1 Iowa",
+        "A/swine/Iowa/A01234567/2018 (H1N1) 05-Jun-2011",
+        "H1N1,2018-01-01,Iowa",
+        "",
+    ]
+    for text in adversarial:
+        assert em.page_mentions(text) == em.page_mentions_two_pass(text)
+
+
 def test_synthesis_deterministic_across_batching():
     """Page content must not depend on batch boundaries."""
     import numpy as np
