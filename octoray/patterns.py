@@ -181,11 +181,23 @@ def _clause_mask(t: pa.Table, var: str, op: str, val):
         num = _date_part_col(t, fm.group(1).upper(), fm.group(2))
         return pc.fill_null(_CMP[op](num, pa.scalar(int(val))), False)
     col = t.column(var.lstrip("?"))
+    if isinstance(val, str) and val.startswith("?") and op in _CMP:
+        # variable-to-variable comparison (FILTER (?a = ?b)): compare
+        # the two binding columns row-wise; nulls fail per SPARQL
+        return pc.fill_null(_CMP[op](col, t.column(val[1:])), False)
     if op == "bound":
         # SPARQL BOUND(?x): true iff the binding exists (wgs.rq:47-48,
         # monthly-context.rq:30) — negate for FILTER(!BOUND(?x))
         m = pc.is_valid(col)
         return m if val else pc.invert(m)
+    if op in _CMP and not pa.types.is_string(col.type) \
+            and not pa.types.is_large_string(col.type):
+        # numeric binding column (a BIND-created int64 date part):
+        # compare natively — the lexical machinery below is for the
+        # all-string triple-store columns
+        return pc.fill_null(
+            _CMP[op](col, pa.scalar(val if isinstance(val, (int, float))
+                                    else str(val))), False)
     if op == "~":
         m = pc.match_substring_regex(col, val)
     elif op == "contains":
@@ -284,12 +296,25 @@ def minus_bindings(bindings, triples, where: Sequence[Pattern], *,
     - disjoint domains: ``mode='minus'`` removes nothing (SPARQL
       8.3.3); ``mode='not_exists'`` empties the outer iff the inner
       has any solution."""
+    inner = match_patterns(triples, where, filters=filters,
+                           num_partitions=num_partitions)
+    return anti_bindings(bindings, inner, mode=mode,
+                         num_partitions=num_partitions,
+                         broadcast_limit=broadcast_limit)
+
+
+def anti_bindings(bindings, inner, *, mode: str = "minus",
+                  num_partitions: int = 8,
+                  broadcast_limit: int = 2_000_000):
+    """The negation half of :func:`minus_bindings` over an ALREADY
+    evaluated inner binding set — lets callers that computed the inner
+    solutions themselves (the SPARQL front end evaluates every group
+    off one shared graph scan) reuse the stats-gated anti-join and the
+    disjoint-domain semantics without a second graph pass."""
     if mode not in ("minus", "not_exists"):
         raise ValueError(f"unknown negation mode {mode!r}")
     from octoray.query import semi_join_auto
 
-    inner = match_patterns(triples, where, filters=filters,
-                           num_partitions=num_partitions)
     outer_vars = [c for c in bindings.columns() if not c.endswith("__dt")]
     inner_vars = [c for c in inner.columns() if not c.endswith("__dt")]
     shared = sorted(set(outer_vars) & set(inner_vars))
@@ -697,11 +722,21 @@ def construct(triples, where: Sequence[Pattern],
     (unmatched OPTIONAL) are skipped for that template triple, per
     SPARQL.  Output is canonically deduped (CONSTRUCT builds a graph,
     i.e. a set) unless ``dedup=False``."""
-    from octoray.model import DT_PLAIN
-    from octoray.stages.canon import dedup_triples
-
     bindings = match_patterns(triples, where, optionals=optionals,
                               num_partitions=num_partitions)
+    return instantiate_template(bindings, template, dedup=dedup)
+
+
+def instantiate_template(bindings, template: Sequence[tuple], *,
+                         dedup: bool = True):
+    """CONSTRUCT's template half over an already evaluated bindings
+    Dataset (the SPARQL front end evaluates WHERE itself): per binding
+    row, instantiate every template triple with pure Arrow ops; rows
+    with a null referenced variable are skipped per SPARQL; canonical
+    set-dedup unless ``dedup=False``.  Template entries as in
+    :func:`construct`."""
+    from octoray.model import DT_PLAIN
+    from octoray.stages.canon import dedup_triples
 
     tmpl: List[Tuple[str, str, str, Optional[str]]] = []
     for entry in template:

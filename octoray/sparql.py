@@ -1,0 +1,966 @@
+"""SPARQL text front end: parse the reference's own ``.rq`` query
+files and execute them on the triple Dataset through the pattern
+layer — the missing piece between the reference's arbitrary-SPARQL CLI
+(``octofludb query x.rq`` / ``construct`` / ``update``,
+/root/reference/octofludb/ui.py:436-560) and our structured
+``patterns.py`` algebra, which round 2/3 exposed only as Python
+tuples.
+
+Supported subset — everything the reference's shipped query files use
+(/root/reference/octofludb/data/*.rq):
+
+  PREFIX declarations (expanded via the file's own table, then
+  re-abbreviated against the engine's canonical ``model.PREFIXES`` so
+  any local prefix naming normalizes to the stored representation);
+  SELECT [DISTINCT] with bare variables and aggregate heads
+  (GROUP_CONCAT(DISTINCT ?v; separator="+") / MIN / MAX / COUNT /
+  COUNT(DISTINCT) / SAMPLE); FROM clauses (ignored — graph selection
+  is the caller's Dataset); WHERE with triple patterns, property
+  paths (p1/p2 sequence, p1|p2 alternation, ^p inverse, p+
+  transitive), OPTIONAL groups (nested, with inner FILTERs),
+  { } UNION { } blocks, MINUS { }, FILTER [NOT] EXISTS { },
+  FILTER expressions (comparisons incl. variable-to-variable, REGEX
+  with the "i" flag, BOUND, !BOUND, IN, && / || with arbitrary
+  nesting — compiled to the engine's disjunction-of-conjunctions
+  form), BIND(YEAR/MONTH/DAY(?v) AS ?x), VALUES, GROUP BY, typed
+  literals ("..."^^xsd:date keeps the lexical form — the store is
+  lexical), $var sigils, # comments, and the reference's __MACRO__
+  text parameters (ui.py:1315's [("__YEAR__", ...)] convention via
+  ``params``).
+
+Execution is Ray-Data-first and shares ONE streaming graph scan for
+the whole query tree: every triple pattern anywhere in the tree
+(required, OPTIONAL, UNION branch, MINUS inner) contributes to a
+single ``_tagged_hits`` pass; groups then fold over the materialized
+per-pattern hit sets with the pattern layer's stats-gated joins.
+UNION blocks are evaluated by distributing the enclosing group's join
+over the branches (join / left-join / filter all distribute over bag
+union), which is exactly SPARQL's union-of-joins semantics and keeps
+every variant a connected conjunctive fold.
+
+Known-malformed upstream: data/get-tagged.rq references variables no
+pattern binds (?barcode, ?seqid) and carries a ?msgid typo — the
+reference endpoint itself returns empty/errors on it; we raise a
+clear parse error on its bare ``?var as NAME`` projection instead of
+guessing.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+
+from octoray import model
+from octoray.patterns import (_binding_schema, _fold_join, _is_var,
+                              _rewrite_one, _tagged_hits, _vars_of,
+                              anti_bindings, apply_filters,
+                              _bindings_from_hits, extend_bindings,
+                              instantiate_template, select_bindings,
+                              values_bindings, aggregate_bindings)
+
+# ---------------------------------------------------------------------------
+# tokenizer
+
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+)
+    | (?P<COMMENT>\#[^\n]*)
+    | (?P<IRI><[^<>\s]*>)
+    | (?P<STRING>"(?:[^"\\]|\\.)*")
+    | (?P<VAR>[?$][A-Za-z_]\w*)
+    | (?P<PNAME>[A-Za-z_][\w-]*:(?:[\w%+-]|\.(?=[\w%+-]))*)
+    | (?P<NUM>-?\d+(?:\.\d+)?)
+    | (?P<NAME>[A-Za-z_]\w*)
+    | (?P<DCARET>\^\^)
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}();,.=<>/|^+!*])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _tokenize(text: str) -> List[_Tok]:
+    out: List[_Tok] = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise SparqlError(f"cannot tokenize at offset {i}: "
+                              f"{text[i:i + 30]!r}")
+        kind = m.lastgroup
+        if kind not in ("WS", "COMMENT"):
+            out.append(_Tok(kind, m.group(), i))
+        i = m.end()
+    out.append(_Tok("EOF", "", len(text)))
+    return out
+
+
+class SparqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+
+
+@dataclass
+class Group:
+    """One { } graph group in parsed, engine-normalized form."""
+
+    patterns: List[Tuple[str, str, str]] = field(default_factory=list)
+    optionals: List["Group"] = field(default_factory=list)
+    unions: List[List["Group"]] = field(default_factory=list)
+    minus: List[Tuple["Group", str]] = field(default_factory=list)  # (grp, mode)
+    filters: List[tuple] = field(default_factory=list)
+    binds: List[Tuple[str, str]] = field(default_factory=list)
+    values: List[Tuple[List[str], List[tuple]]] = field(default_factory=list)
+
+
+@dataclass
+class Query:
+    form: str                       # 'select' | 'construct' | 'delete'
+    distinct: bool
+    proj: List[str]                 # output column names, SELECT order
+    aggs: List[Tuple[str, str, str]]  # (var, fn, alias)
+    group_by: List[str]
+    where: Group
+    template: List[Tuple[str, str, str]] = field(default_factory=list)
+    sep: str = "+"                  # GROUP_CONCAT separator (uniform)
+
+
+# ---------------------------------------------------------------------------
+# parser
+
+
+def _abbrev(iri: str) -> str:
+    """Full IRI -> engine prefix form via the longest canonical base."""
+    best = None
+    for pfx, base in model.PREFIXES.items():
+        if iri.startswith(base) and (best is None or len(base) > len(best[1])):
+            best = (pfx, base)
+    return best[0] + ":" + iri[len(best[1]):] if best else iri
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: Dict[str, str] = {}
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self, k: int = 0) -> _Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: Optional[str] = None) -> _Tok:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise SparqlError(
+                f"expected {text or kind} at offset {t.pos}, got {t.text!r}")
+        return t
+
+    def at_kw(self, word: str) -> bool:
+        t = self.peek()
+        return t.kind == "NAME" and t.text.upper() == word
+
+    def eat_kw(self, word: str) -> bool:
+        if self.at_kw(word):
+            self.next()
+            return True
+        return False
+
+    # -- terms ------------------------------------------------------------
+    def _pname(self, text: str) -> str:
+        pfx, _, local = text.partition(":")
+        if pfx in self.prefixes:
+            return _abbrev(self.prefixes[pfx] + local)
+        # no file-level declaration: assume it is already engine form
+        return text
+
+    def term(self) -> Tuple[str, Optional[str]]:
+        """One subject/object term -> (engine string, datatype-or-None)."""
+        t = self.next()
+        if t.kind == "VAR":
+            return "?" + t.text[1:], None
+        if t.kind == "PNAME":
+            return self._pname(t.text), model.DT_URI
+        if t.kind == "IRI":
+            return _abbrev(t.text[1:-1]), model.DT_URI
+        if t.kind == "STRING":
+            lex = _unquote(t.text)
+            if self.peek().kind == "DCARET":
+                self.next()
+                dt_tok = self.next()
+                if dt_tok.kind == "PNAME":
+                    dt = self._pname(dt_tok.text)
+                elif dt_tok.kind == "IRI":
+                    dt = _abbrev(dt_tok.text[1:-1])
+                else:
+                    raise SparqlError(f"bad datatype at {dt_tok.pos}")
+                return lex, dt
+            return lex, model.DT_PLAIN
+        if t.kind == "NUM":
+            return t.text, (model.DT_INT if "." not in t.text
+                            else model.DT_DOUBLE)
+        raise SparqlError(f"unexpected term {t.text!r} at offset {t.pos}")
+
+    def path(self) -> str:
+        """Predicate position: engine path string.  Grammar subset:
+        seg ('/' seg)* | seg ('|' seg)* | '^'seg | seg'+' — the forms
+        patterns.py executes; combining them raises, as there."""
+        inverse = False
+        if self.peek().kind == "OP" and self.peek().text == "^":
+            self.next()
+            inverse = True
+        t = self.next()
+        if t.kind == "VAR":
+            if inverse:
+                raise SparqlError("^?var paths not supported")
+            return "?" + t.text[1:]
+        if t.kind == "PNAME":
+            seg = self._pname(t.text)
+        elif t.kind == "IRI":
+            seg = _abbrev(t.text[1:-1])
+        elif t.kind == "NAME" and t.text == "a":
+            seg = "rdf:type"
+        else:
+            raise SparqlError(f"bad predicate {t.text!r} at offset {t.pos}")
+        if inverse:
+            return "^" + seg
+        if self.peek().kind == "OP" and self.peek().text == "+":
+            self.next()
+            return seg + "+"
+        if self.peek().kind == "OP" and self.peek().text in ("/", "|"):
+            joiner = self.peek().text
+            parts = [seg]
+            while self.peek().kind == "OP" and self.peek().text == joiner:
+                self.next()
+                nt = self.next()
+                if nt.kind == "PNAME":
+                    parts.append(self._pname(nt.text))
+                elif nt.kind == "IRI":
+                    parts.append(_abbrev(nt.text[1:-1]))
+                else:
+                    raise SparqlError(
+                        f"bad path segment {nt.text!r} at offset {nt.pos}")
+            return joiner.join(parts)
+        return seg
+
+    # -- query ------------------------------------------------------------
+    def parse(self) -> Query:
+        while self.at_kw("PREFIX"):
+            self.next()
+            p = self.expect("PNAME").text
+            iri = self.expect("IRI").text
+            self.prefixes[p[:-1] if p.endswith(":") else p.split(":")[0]] = \
+                iri[1:-1]
+        if self.at_kw("SELECT"):
+            return self._select()
+        if self.at_kw("CONSTRUCT"):
+            return self._construct()
+        if self.at_kw("DELETE"):
+            return self._delete()
+        t = self.peek()
+        raise SparqlError(f"expected SELECT/CONSTRUCT/DELETE at {t.pos}")
+
+    def _select(self) -> Query:
+        self.next()
+        distinct = self.eat_kw("DISTINCT")
+        self.eat_kw("REDUCED")
+        proj: List[str] = []
+        aggs: List[Tuple[str, str, str]] = []
+        sep = "+"
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                if self.at_kw("AS") or (self.peek().kind == "NAME"
+                                        and self.peek().text == "as"):
+                    raise SparqlError(
+                        "bare '?var as NAME' projection is not SPARQL "
+                        "(data/get-tagged.rq is malformed upstream); "
+                        "parenthesize: (?var AS ?name)")
+                proj.append(t.text[1:])
+            elif t.kind == "OP" and t.text == "(":
+                self.next()
+                var, fn, alias, sep2 = self._agg_head()
+                if sep2 is not None:
+                    sep = sep2
+                if fn == "var":
+                    proj.append(alias)
+                    # plain rename: record as a bind-style copy
+                    aggs.append((var, "__copy__", alias))
+                else:
+                    proj.append(alias)
+                    aggs.append((var, fn, alias))
+            else:
+                break
+        while self.at_kw("FROM"):
+            self.next()
+            # named-graph selection has no Dataset analogue; skip the IRI
+            if self.at_kw("NAMED"):
+                self.next()
+            self.next()
+        self.eat_kw("WHERE")
+        where = self.group()
+        group_by: List[str] = []
+        if self.at_kw("GROUP"):
+            self.next()
+            if not self.eat_kw("BY"):
+                raise SparqlError("GROUP without BY")
+            while self.peek().kind == "VAR":
+                group_by.append(self.next().text[1:])
+        # trailing solution modifiers we accept-and-ignore would be
+        # silently wrong — raise on anything unconsumed but EOF
+        if self.peek().kind != "EOF":
+            t = self.peek()
+            raise SparqlError(f"unsupported trailing syntax at {t.pos}: "
+                              f"{t.text!r}")
+        real_aggs = [a for a in aggs if a[1] != "__copy__"]
+        if real_aggs and not group_by:
+            # implicit single group: grammar-legal, reference never uses
+            raise SparqlError("aggregates without GROUP BY not supported")
+        copies = [(v, a) for v, fn, a in aggs if fn == "__copy__"]
+        q = Query("select", distinct, proj, real_aggs, group_by, where)
+        q.sep = sep
+        for v, a in copies:
+            q.where.binds.append((a, "?" + v))
+        return q
+
+    def _agg_head(self) -> Tuple[str, str, str, Optional[str]]:
+        """Inside '(': FUNC(DISTINCT? ?v [; separator="s"]) AS ?alias ')'
+        or (?v AS ?alias)."""
+        sep = None
+        t = self.next()
+        if t.kind == "VAR":
+            # (?v AS ?alias)
+            self._expect_as()
+            alias = self.expect("VAR").text[1:]
+            self.expect("OP", ")")
+            return t.text[1:], "var", alias, None
+        if t.kind != "NAME":
+            raise SparqlError(f"bad SELECT head at {t.pos}: {t.text!r}")
+        fn_raw = t.text.upper()
+        self.expect("OP", "(")
+        distinct = self.eat_kw("DISTINCT")
+        var = self.expect("VAR").text[1:]
+        if self.peek().kind == "OP" and self.peek().text == ";":
+            self.next()
+            name = self.expect("NAME")
+            if name.text.lower() != "separator":
+                raise SparqlError(f"unknown aggregate option {name.text!r}")
+            self.expect("OP", "=")
+            sep = _unquote(self.expect("STRING").text)
+        self.expect("OP", ")")
+        self._expect_as()
+        alias = self.expect("VAR").text[1:]
+        self.expect("OP", ")")
+        fn = {
+            "GROUP_CONCAT": "group_concat",
+            "MIN": "min",
+            "MAX": "max",
+            "COUNT": "count_distinct" if distinct else "count",
+            "SAMPLE": "min",  # deterministic sample
+        }.get(fn_raw)
+        if fn is None:
+            raise SparqlError(f"unsupported aggregate {fn_raw}")
+        return var, fn, alias, sep
+
+    def _expect_as(self) -> None:
+        t = self.next()
+        if not (t.kind == "NAME" and t.text.upper() == "AS"):
+            raise SparqlError(f"expected AS at offset {t.pos}")
+
+    def _template(self) -> List[Tuple[str, str, str]]:
+        self.expect("OP", "{")
+        tmpl: List[Tuple[str, str, str]] = []
+        while not (self.peek().kind == "OP" and self.peek().text == "}"):
+            s, _ = self.term()
+            p = self.path()
+            o, _ = self.term()
+            tmpl.append((s, p, o))
+            if self.peek().kind == "OP" and self.peek().text == ".":
+                self.next()
+        self.expect("OP", "}")
+        return tmpl
+
+    def _construct(self) -> Query:
+        self.next()
+        tmpl = self._template()
+        self.eat_kw("WHERE")
+        where = self.group()
+        return Query("construct", True, [], [], [], where, tmpl)
+
+    def _delete(self) -> Query:
+        self.next()
+        self.eat_kw("DATA")
+        tmpl = self._template()
+        self.eat_kw("WHERE")
+        where = self.group()
+        return Query("delete", True, [], [], [], where, tmpl)
+
+    # -- graph groups ------------------------------------------------------
+    def group(self) -> Group:
+        self.expect("OP", "{")
+        g = Group()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text == "}":
+                self.next()
+                return g
+            if t.kind == "EOF":
+                raise SparqlError("unterminated group")
+            if t.kind == "OP" and t.text == "{":
+                # sub-group; UNION chain if followed by UNION
+                branches = [self.group()]
+                while self.at_kw("UNION"):
+                    self.next()
+                    branches.append(self.group())
+                g.unions.append(branches)
+            elif self.at_kw("OPTIONAL"):
+                self.next()
+                g.optionals.append(self.group())
+            elif self.at_kw("MINUS"):
+                self.next()
+                g.minus.append((self.group(), "minus"))
+            elif self.at_kw("FILTER"):
+                self.next()
+                if self.at_kw("NOT"):
+                    self.next()
+                    if not self.eat_kw("EXISTS"):
+                        raise SparqlError("FILTER NOT without EXISTS")
+                    g.minus.append((self.group(), "not_exists"))
+                elif self.at_kw("EXISTS"):
+                    raise SparqlError(
+                        "positive FILTER EXISTS not supported (the "
+                        "reference's queries use only NOT EXISTS)")
+                else:
+                    g.filters.extend(self._filter_expr())
+            elif self.at_kw("BIND"):
+                self.next()
+                g.binds.append(self._bind())
+            elif self.at_kw("VALUES"):
+                self.next()
+                g.values.append(self._values())
+            else:
+                s, _ = self.term()
+                p = self.path()
+                o, _ = self.term()
+                g.patterns.append((s, p, o))
+            if self.peek().kind == "OP" and self.peek().text == ".":
+                self.next()
+
+    def _bind(self) -> Tuple[str, str]:
+        self.expect("OP", "(")
+        t = self.next()
+        if t.kind == "VAR":
+            expr = "?" + t.text[1:]
+        elif t.kind == "NAME" and t.text.upper() in ("YEAR", "MONTH", "DAY"):
+            fn = t.text.upper()
+            self.expect("OP", "(")
+            v = self.expect("VAR").text[1:]
+            self.expect("OP", ")")
+            expr = f"{fn}(?{v})"
+        else:
+            raise SparqlError(f"unsupported BIND expression at {t.pos}")
+        self._expect_as()
+        alias = self.expect("VAR").text[1:]
+        self.expect("OP", ")")
+        return alias, expr
+
+    def _values(self) -> Tuple[List[str], List[tuple]]:
+        names: List[str] = []
+        if self.peek().kind == "VAR":
+            names = [self.next().text[1:]]
+            single = True
+        else:
+            self.expect("OP", "(")
+            while self.peek().kind == "VAR":
+                names.append(self.next().text[1:])
+            self.expect("OP", ")")
+            single = False
+        self.expect("OP", "{")
+        rows: List[tuple] = []
+        while not (self.peek().kind == "OP" and self.peek().text == "}"):
+            if single:
+                v, _ = self.term()
+                rows.append((v,))
+            else:
+                self.expect("OP", "(")
+                row = []
+                while not (self.peek().kind == "OP"
+                           and self.peek().text == ")"):
+                    v, _ = self.term()
+                    row.append(v)
+                self.expect("OP", ")")
+                if len(row) != len(names):
+                    raise SparqlError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+        self.expect("OP", "}")
+        return names, rows
+
+    # -- filter expressions ------------------------------------------------
+    def _filter_expr(self) -> List[tuple]:
+        """FILTER body -> engine filter entries (a conjunction list;
+        disjunctions compile to ONE ('or', [conj, ...]) entry by DNF)."""
+        dnf = self._or_expr()
+        return _dnf_to_engine(dnf)
+
+    def _or_expr(self) -> List[List[tuple]]:
+        """Returns DNF: list of conjunction lists of engine clauses."""
+        left = self._and_expr()
+        while self.peek().kind == "OP" and self.peek().text == "||":
+            self.next()
+            left = left + self._and_expr()
+        return left
+
+    def _and_expr(self) -> List[List[tuple]]:
+        left = self._atom()
+        while self.peek().kind == "OP" and self.peek().text == "&&":
+            self.next()
+            right = self._atom()
+            left = [lc + rc for lc in left for rc in right]
+        return left
+
+    def _atom(self) -> List[List[tuple]]:
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            inner = self._or_expr()
+            self.expect("OP", ")")
+            return inner
+        if t.kind == "OP" and t.text == "!":
+            self.next()
+            if not self.at_kw("BOUND"):
+                raise SparqlError(
+                    f"'!' supported only before BOUND (offset {t.pos})")
+            self.next()
+            self.expect("OP", "(")
+            v = self.expect("VAR").text[1:]
+            self.expect("OP", ")")
+            return [[("?" + v, "bound", False)]]
+        if self.at_kw("BOUND"):
+            self.next()
+            self.expect("OP", "(")
+            v = self.expect("VAR").text[1:]
+            self.expect("OP", ")")
+            return [[("?" + v, "bound", True)]]
+        if self.at_kw("REGEX"):
+            self.next()
+            self.expect("OP", "(")
+            v = self.expect("VAR").text[1:]
+            self.expect("OP", ",")
+            pat_tok = self.next()
+            if pat_tok.kind != "STRING":
+                raise SparqlError(
+                    f"REGEX pattern must be a literal (offset {pat_tok.pos})")
+            rx = _unquote(pat_tok.text)
+            if self.peek().kind == "OP" and self.peek().text == ",":
+                self.next()
+                flags = _unquote(self.expect("STRING").text)
+                if "i" in flags:
+                    rx = "(?i)" + rx
+            self.expect("OP", ")")
+            return [[("?" + v, "~", rx)]]
+        # comparison: operand OP operand
+        lhs = self._operand()
+        op_tok = self.next()
+        if op_tok.kind == "NAME" and op_tok.text.upper() == "IN":
+            self.expect("OP", "(")
+            vals = []
+            while not (self.peek().kind == "OP" and self.peek().text == ")"):
+                v, _ = self._literal()
+                vals.append(str(v))
+                if self.peek().kind == "OP" and self.peek().text == ",":
+                    self.next()
+            self.expect("OP", ")")
+            return [[(lhs, "in", vals)]]
+        if not (op_tok.kind == "OP" and op_tok.text in
+                ("=", "!=", "<", "<=", ">", ">=")):
+            raise SparqlError(
+                f"unsupported filter operator {op_tok.text!r} at "
+                f"{op_tok.pos}")
+        t2 = self.peek()
+        if t2.kind == "VAR":
+            self.next()
+            return [[(lhs, op_tok.text, "?" + t2.text[1:])]]
+        val, _ = self._literal()
+        return [[(lhs, op_tok.text, val)]]
+
+    def _operand(self) -> str:
+        t = self.next()
+        if t.kind == "VAR":
+            return "?" + t.text[1:]
+        if t.kind == "NAME" and t.text.upper() in ("YEAR", "MONTH", "DAY"):
+            fn = t.text.upper()
+            self.expect("OP", "(")
+            v = self.expect("VAR").text[1:]
+            self.expect("OP", ")")
+            return f"{fn}(?{v})"
+        raise SparqlError(f"unsupported filter operand {t.text!r} at {t.pos}")
+
+    def _literal(self):
+        t = self.next()
+        if t.kind == "STRING":
+            lex = _unquote(t.text)
+            if self.peek().kind == "DCARET":
+                self.next()
+                self.next()  # datatype: store is lexical, compare lexically
+            return lex, model.DT_PLAIN
+        if t.kind == "NUM":
+            return (float(t.text) if "." in t.text else int(t.text)), None
+        if t.kind == "PNAME":
+            return self._pname(t.text), model.DT_URI
+        raise SparqlError(f"expected literal at offset {t.pos}, "
+                          f"got {t.text!r}")
+
+
+def _mirror_cols(t: pa.Table, pairs) -> pa.Table:
+    """Append, for each (alias, source) pair, a copy of ``source``
+    named ``alias`` (the equality-edge join bridge)."""
+    for alias, src in pairs:
+        t = t.append_column(alias, t.column(src))
+    return t
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(
+        m.group(1), m.group(1)), body)
+
+
+def _dnf_to_engine(dnf: List[List[tuple]]) -> List[tuple]:
+    if len(dnf) == 1:
+        return list(dnf[0])
+    # single-var all-equality disjunction -> 'in'
+    if all(len(c) == 1 and c[0][1] == "=" and isinstance(c[0][2], str)
+           and not c[0][2].startswith("?") for c in dnf):
+        vars_ = {c[0][0] for c in dnf}
+        if len(vars_) == 1:
+            return [(dnf[0][0][0], "in", [c[0][2] for c in dnf])]
+    return [("or", [list(c) for c in dnf])]
+
+
+def parse_sparql(text: str, *, params: Optional[Dict[str, object]] = None
+                 ) -> Query:
+    """Parse SPARQL text (after ``params`` macro substitution — the
+    reference's ``__YEAR__``-style templating, ui.py:1315)."""
+    for k, v in (params or {}).items():
+        text = text.replace(k, str(v))
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# compile: path-rewrite the tree, assign flat hit indices
+
+
+@dataclass
+class _Prim:
+    idx: int
+    pat: Tuple[str, str, str]
+
+
+@dataclass
+class _Node:
+    prims: List[_Prim] = field(default_factory=list)
+    optionals: List["_Node"] = field(default_factory=list)
+    unions: List[List["_Node"]] = field(default_factory=list)
+    minus: List[Tuple["_Node", str]] = field(default_factory=list)
+    filters: List[tuple] = field(default_factory=list)
+    binds: List[Tuple[str, str]] = field(default_factory=list)
+    values: List[Tuple[List[str], List[tuple]]] = field(default_factory=list)
+
+
+class _Compiler:
+    def __init__(self):
+        self.flat: List[Tuple[str, str, str]] = []
+        self.n_tags = 0
+
+    def compile(self, g: Group) -> _Node:
+        node = _Node(filters=list(g.filters), binds=list(g.binds),
+                     values=list(g.values))
+        for pat in g.patterns:
+            self.n_tags += 1
+            for prim in _rewrite_one(pat, f"__sp{self.n_tags}"):
+                node.prims.append(_Prim(len(self.flat), prim))
+                self.flat.append(prim)
+        node.optionals = [self.compile(o) for o in g.optionals]
+        node.unions = [[self.compile(b) for b in block] for block in g.unions]
+        node.minus = [(self.compile(m), mode) for m, mode in g.minus]
+        return node
+
+
+def _merge_flat(a: _Node, b: _Node) -> _Node:
+    return _Node(prims=a.prims + b.prims,
+                 optionals=a.optionals + b.optionals,
+                 unions=a.unions + b.unions,
+                 minus=a.minus + b.minus,
+                 filters=a.filters + b.filters,
+                 binds=a.binds + b.binds,
+                 values=a.values + b.values)
+
+
+def _variants(node: _Node) -> List[_Node]:
+    """Expand every UNION block: the cross product of branch choices,
+    each merged into a union-free conjunctive variant."""
+    base = _Node(prims=node.prims, optionals=node.optionals,
+                 minus=node.minus, filters=node.filters,
+                 binds=node.binds, values=node.values)
+    out = [base]
+    for block in node.unions:
+        branch_vs = [v for br in block for v in _variants(br)]
+        out = [_merge_flat(cur, bv)
+               for cur in out for bv in branch_vs]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# executor
+
+
+def _node_vars(n: _Node) -> set:
+    vs = set()
+    for pr in n.prims:
+        vs |= set(_vars_of(pr.pat))
+    for o in n.optionals:
+        vs |= _node_vars(o)
+    for block in n.unions:
+        for br in block:
+            vs |= _node_vars(br)
+    for names, _ in n.values:
+        vs |= set(names)
+    vs |= {a for a, _ in n.binds}
+    return vs
+
+
+class _Evaluator:
+    def __init__(self, hits, num_partitions: int):
+        self.hits = hits
+        self.np = num_partitions
+
+    def tbl(self, prim: _Prim):
+        from octoray.util import drop_empty_blocks
+
+        ds = _bindings_from_hits(self.hits, prim.idx, prim.pat)
+        return drop_empty_blocks(ds.materialize(),
+                                 _binding_schema(prim.pat))
+
+    def group(self, node: _Node):
+        """-> (bindings Dataset, colset incl. hidden __dt columns).
+        Hidden path variables (__sp*) are dropped at the group
+        boundary."""
+        evs = [self._flat(v) for v in _variants(node)]
+        if len(evs) == 1:
+            ds, cols = evs[0]
+        else:
+            allcols = sorted(set().union(*(c for _, c in evs)))
+            import pyarrow.compute as pc  # noqa: F401
+
+            def align(t: pa.Table, have: tuple, want: tuple) -> pa.Table:
+                cols_out = {}
+                for c in want:
+                    if c in t.column_names:
+                        cols_out[c] = pa.compute.cast(t.column(c),
+                                                      pa.string())
+                    else:
+                        cols_out[c] = pa.nulls(t.num_rows, pa.string())
+                return pa.table(cols_out)
+
+            from octoray.util import drop_empty_blocks
+
+            want = tuple(allcols)
+            aligned = []
+            for ds_i, cols_i in evs:
+                a = ds_i.map_batches(
+                    lambda t, w=want, h=tuple(sorted(cols_i)): align(t, h, w),
+                    batch_format="pyarrow")
+                aligned.append(drop_empty_blocks(
+                    a.materialize(),
+                    pa.schema([(c, pa.string()) for c in allcols])))
+            ds = aligned[0].union(*aligned[1:])
+            cols = set(allcols)
+        hidden = sorted(c for c in cols if c.startswith("__sp"))
+        if hidden:
+            from octoray.util import drop_empty_blocks
+
+            drop = tuple(hidden)
+            ds = ds.map_batches(
+                lambda t, d=drop: t.drop_columns(
+                    [c for c in d if c in t.column_names]),
+                batch_format="pyarrow")
+            cols -= set(hidden)
+            ds = drop_empty_blocks(
+                ds.materialize(),
+                pa.schema([(c, pa.string()) for c in sorted(cols)]))
+        return ds, cols
+
+    def _flat(self, v: _Node):
+        if not v.prims:
+            raise SparqlError("group has no triple patterns")
+        # FILTER (?a = ?b) between otherwise-disconnected patterns is a
+        # join in SPARQL (cartesian-then-filter); the engine refuses
+        # cartesians, so such an equality acts as a JOIN EDGE: the new
+        # pattern's ?b column is mirrored under ?a's name and the fold
+        # becomes an equi-join — never a product
+        eq_edges = [(f[0][1:], f[2][1:]) for f in v.filters
+                    if len(f) == 3 and f[1] == "="
+                    and isinstance(f[0], str) and f[0].startswith("?")
+                    and isinstance(f[2], str) and f[2].startswith("?")]
+
+        def bridge(bound: set, pvars: set):
+            """Equality edges connecting bound vars to pattern vars ->
+            [(bound_var, pattern_var)]."""
+            out = []
+            for a, b in eq_edges:
+                if a in bound and b in pvars:
+                    out.append((a, b))
+                elif b in bound and a in pvars:
+                    out.append((b, a))
+            return out
+
+        # greedy connectivity order over the primitive patterns
+        remaining = list(v.prims)
+        ordered = [remaining.pop(0)]
+        bound = set(_vars_of(ordered[0].pat))
+        while remaining:
+            for i, pr in enumerate(remaining):
+                pv = set(_vars_of(pr.pat))
+                if (bound & pv) or bridge(bound, pv):
+                    bound |= pv
+                    ordered.append(remaining.pop(i))
+                    break
+            else:
+                raise SparqlError(
+                    f"disconnected pattern group: "
+                    f"{[p.pat for p in remaining]} shares no variable with "
+                    f"{sorted(bound)} — refuse the cartesian product")
+        bindings = self.tbl(ordered[0])
+        bcols = set(_vars_of(ordered[0].pat))
+        if _is_var(ordered[0].pat[2]):
+            bcols.add(ordered[0].pat[2][1:] + "__dt")
+        for pr in ordered[1:]:
+            tbl = self.tbl(pr)
+            pvars = list(_vars_of(pr.pat))
+            if not (bcols & set(pvars)):
+                from octoray.util import drop_empty_blocks
+
+                pairs = tuple(bridge(bcols, set(pvars)))
+                tbl = tbl.map_batches(
+                    lambda t, ps=pairs: _mirror_cols(t, ps),
+                    batch_format="pyarrow")
+                names = list(_binding_schema(pr.pat).names) + \
+                    [a for a, _ in pairs]
+                tbl = drop_empty_blocks(
+                    tbl.materialize(),
+                    pa.schema([(n, pa.string()) for n in names]))
+                pvars = pvars + [a for a, _ in pairs]
+            bindings = _fold_join(bindings, bcols, tbl,
+                                  pvars, how="inner",
+                                  num_partitions=self.np)
+            bcols |= set(pvars)
+            if _is_var(pr.pat[2]):
+                bcols.add(pr.pat[2][1:] + "__dt")
+        for names, rows in v.values:
+            bindings = values_bindings(bindings, names, rows)
+            bcols |= set(names)
+        for opt in v.optionals:
+            gds, gcols = self.group(opt)
+            gvars = sorted(c for c in gcols if not c.endswith("__dt"))
+            bindings = _fold_join(bindings, bcols, gds, gvars,
+                                  how="left_outer", num_partitions=self.np)
+            bcols |= gcols
+        for mnode, mode in v.minus:
+            ids_, _ = self.group(mnode)
+            bindings = anti_bindings(bindings, ids_, mode=mode,
+                                     num_partitions=self.np)
+        if v.binds:
+            bindings = extend_bindings(bindings, v.binds)
+            bcols |= {a for a, _ in v.binds}
+        bindings = apply_filters(bindings, v.filters)
+        return bindings, bcols
+
+
+def execute(q: Query, triples, *, num_partitions: int = 8):
+    """Run a parsed query against a triple Dataset.
+
+    SELECT -> bindings Dataset with the SELECT head's columns in
+    declared order; CONSTRUCT and DELETE -> the instantiated (deduped)
+    template triples (for DELETE, the retraction set — apply it with
+    ``pipelines.update``; see :func:`delete_via_file`)."""
+    comp = _Compiler()
+    root = comp.compile(q.where)
+    hits = _tagged_hits(triples, comp.flat)
+    ev = _Evaluator(hits, num_partitions)
+    b, bcols = ev.group(root)
+    if q.form in ("construct", "delete"):
+        return instantiate_template(b, q.template, dedup=True)
+    if q.aggs:
+        missing = [p for p in q.proj
+                   if p not in q.group_by
+                   and p not in [a for _, _, a in q.aggs]]
+        if missing:
+            raise SparqlError(
+                f"bare SELECT variables {missing} are neither grouped "
+                f"nor aggregated")
+        out = aggregate_bindings(b, q.group_by, q.aggs, sep=q.sep)
+        return out.select_columns(q.proj)
+    out = select_bindings(b, q.proj)
+    if q.distinct:
+        from octoray.query import distinct_values
+
+        out = distinct_values(out, q.proj)
+    return out
+
+
+def run_file(triples, path: str, *,
+             params: Optional[Dict[str, object]] = None,
+             num_partitions: int = 8):
+    """Parse + execute a ``.rq`` file against a triple Dataset."""
+    with open(path) as fh:
+        q = parse_sparql(fh.read(), params=params)
+    return execute(q, triples, num_partitions=num_partitions)
+
+
+def delete_via_file(store_dir: str, text: str, *,
+                    params: Optional[Dict[str, object]] = None) -> dict:
+    """Apply a DELETE-form query to a built graph store.
+
+    The reference's shipped delete templates (data/delete-*.rq,
+    data/clear-query-tags.rq) all retract BY PREDICATE — the template
+    equals the WHERE pattern with a constant predicate and free
+    subject/object.  That shape maps directly onto the store layer's
+    partition-rewriting ``delete_where(predicates=...)``; anything
+    more general raises rather than half-applying."""
+    from octoray.pipelines.update import delete_where
+
+    q = parse_sparql(text, params=params)
+    if q.form != "delete":
+        raise SparqlError("not a DELETE query")
+    preds = []
+    wpats = {(s, p, o) for s, p, o in q.where.patterns}
+    for s, p, o in q.template:
+        if (_is_var(s) and _is_var(o) and not _is_var(p)
+                and (s, p, o) in wpats and not q.where.optionals
+                and not q.where.filters and not q.where.unions):
+            preds.append(p)
+        else:
+            raise SparqlError(
+                f"unsupported DELETE template triple {(s, p, o)} — only "
+                f"whole-predicate retraction (the reference's delete-*.rq "
+                f"shape) can target a store")
+    return delete_where(store_dir, predicates=preds)

@@ -1,0 +1,326 @@
+"""SPARQL text front end (sparql.py): parse the reference's own .rq
+files; execute the supported algebra against small in-memory graphs
+and check against hand-computed solutions and the structured pattern
+layer."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pytest
+
+from octoray.model import triples_to_table
+from octoray.sparql import (SparqlError, execute, parse_sparql)
+
+REF_RQ = sorted(glob.glob("/root/reference/octofludb/data/*.rq"))
+
+# the reference's own macro conventions (ui.py:1315, recipe.py callers)
+_MACROS = {
+    "__YEAR__": 2021,
+    "__MONTH__": 5,
+    "__MIN_DATE__": "2020-01-01",
+    "__MAX_DATE__": "2021-12-31",
+}
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(triples_to_table(rows))
+
+
+GRAPH = [
+    # two swine strains with dates/subtypes/segments, one human
+    ("fid:s1", "f:strain_name", "A/swine/Iowa/001/2021", ""),
+    ("fid:s1", "f:host", "swine", ""),
+    ("fid:s1", "f:date", "2021-05-04", "xsd:date"),
+    ("fid:s1", "f:subtype", "H1N1", ""),
+    ("fid:s1", "f:state", "IA", ""),
+    ("fid:s1", "f:has_segment", "fid:g1", "uri"),
+    ("fid:g1", "f:segment_name", "HA", ""),
+    ("fid:g1", "f:genbank_id", "MG00001", ""),
+    ("fid:s2", "f:strain_name", "A/swine/Minnesota/002/2021", ""),
+    ("fid:s2", "f:host", "swine", ""),
+    ("fid:s2", "f:date", "2021-05", "xsd:gYearMonth"),
+    ("fid:s2", "f:has_segment", "fid:g2", "uri"),
+    ("fid:g2", "f:segment_name", "NA", ""),
+    ("fid:g2", "f:genbank_id", "MG00002", ""),
+    ("fid:s3", "f:strain_name", "A/Texas/003/2020", ""),
+    ("fid:s3", "f:host", "human", ""),
+    ("fid:s3", "f:date", "2020-03-01", "xsd:date"),
+    ("fid:s3", "f:subtype", "H3N2", ""),
+    ("fid:s3", "f:has_segment", "fid:g3", "uri"),
+    ("fid:g3", "f:segment_name", "HA", ""),
+    # query tags addressing s1 by strain name, s2 by genbank id
+    ("query:default", "f:query_tag", "A/swine/Iowa/001/2021", ""),
+    ("query:default", "f:query_tag", "MG00002", ""),
+]
+
+
+def _rows(ds):
+    return ds.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# parsing the reference's shipped files
+
+
+@pytest.mark.parametrize("path", [p for p in REF_RQ
+                                  if not p.endswith("get-tagged.rq")])
+def test_parse_reference_file(path):
+    with open(path) as fh:
+        text = fh.read()
+    q = parse_sparql(text, params=_MACROS)
+    assert q.form in ("select", "construct", "delete")
+    if q.form == "select":
+        assert q.proj, path
+    assert q.where.patterns or q.where.unions, path
+
+
+def test_get_tagged_rq_is_malformed_upstream():
+    # data/get-tagged.rq uses the non-SPARQL '?haid as HA' projection
+    # (and references variables nothing binds) — refuse clearly
+    with open("/root/reference/octofludb/data/get-tagged.rq") as fh:
+        text = fh.read()
+    with pytest.raises(SparqlError, match="get-tagged.rq is malformed"):
+        parse_sparql(text)
+
+
+# ---------------------------------------------------------------------------
+# execution semantics
+
+
+def test_select_distinct_filters(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?strain ?segment WHERE {
+            ?sid f:host "swine" .
+            ?sid f:strain_name ?strain .
+            ?sid f:has_segment ?gid .
+            ?gid f:segment_name ?segment .
+            FILTER (?segment != "NA") .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(map(tuple, out.values)) == {
+        ("A/swine/Iowa/001/2021", "HA")}
+    assert list(out.columns) == ["strain", "segment"]
+
+
+def test_prefix_renormalization(ray_session):
+    # a file-local prefix name different from the engine's canonical
+    # one must still hit the stored representation
+    q = parse_sparql("""
+        PREFIX t: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?h WHERE { ?s t:host ?h . }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["h"]) == {"swine", "human"}
+
+
+def test_optional_and_bound_filter(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?strain ?st WHERE {
+            ?sid f:strain_name ?strain .
+            OPTIONAL { ?sid f:state ?st . }
+            FILTER BOUND(?st) .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(map(tuple, out.values)) == {("A/swine/Iowa/001/2021", "IA")}
+
+
+def test_bind_year_month_and_macro(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?strain ?year ?month WHERE {
+            ?sid f:strain_name ?strain .
+            ?sid f:date ?date .
+            BIND(YEAR(?date) as ?year) .
+            BIND(MONTH(?date) as ?month) .
+            FILTER (?year = __YEAR__ && ?month = __MONTH__) .
+        }
+    """, params={"__YEAR__": 2021, "__MONTH__": 5})
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["strain"]) == {
+        "A/swine/Iowa/001/2021", "A/swine/Minnesota/002/2021"}
+
+
+def test_union_branches_bag_semantics(ray_session):
+    # the get-tagged-*.rq shape: ids resolved across UNION branches
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?strain WHERE {
+            ?tid f:query_tag ?tag .
+            {
+                ?sid f:strain_name ?tag .
+            } UNION {
+                ?sid f:has_segment ?gid .
+                ?gid f:genbank_id ?tag .
+            }
+            ?sid f:strain_name ?strain .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["strain"]) == {
+        "A/swine/Iowa/001/2021", "A/swine/Minnesota/002/2021"}
+
+
+def test_minus_block(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?strain WHERE {
+            ?sid f:strain_name ?strain .
+            MINUS { ?sid f:subtype ?t . }
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["strain"]) == {"A/swine/Minnesota/002/2021"}
+
+
+def test_filter_not_exists_with_inner_filter(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?strain WHERE {
+            ?sid f:strain_name ?strain .
+            FILTER NOT EXISTS {
+                ?sid f:subtype ?t .
+                FILTER REGEX(?t, "^H1") .
+            }
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["strain"]) == {
+        "A/swine/Minnesota/002/2021", "A/Texas/003/2020"}
+
+
+def test_group_concat_min_aggregates(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT
+            ?host
+            (GROUP_CONCAT(DISTINCT ?strain; separator="+") as ?strains)
+            (MIN(?date) as ?earliest)
+            (COUNT(DISTINCT ?sid) as ?n)
+        WHERE {
+            ?sid f:strain_name ?strain .
+            ?sid f:host ?host .
+            ?sid f:date ?date .
+        }
+        GROUP BY ?host
+    """)
+    out = _rows(execute(q, _ds(GRAPH))).sort_values("host")
+    assert list(out.columns) == ["host", "strains", "earliest", "n"]
+    swine = out[out.host == "swine"].iloc[0]
+    assert swine["strains"] == \
+        "A/swine/Iowa/001/2021+A/swine/Minnesota/002/2021"
+    assert swine["earliest"] == "2021-05"
+    assert swine["n"] == 2
+
+
+def test_disjunction_to_or_groups(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?strain WHERE {
+            ?sid f:strain_name ?strain .
+            ?sid f:date ?date .
+            OPTIONAL { ?sid f:subtype ?t . }
+            FILTER (
+                (?date > "2021-01-01" && ?date < "2021-12-31") ||
+                (YEAR(?date) < 2021 && BOUND(?t) && REGEX(?t, "N2$"))
+            ) .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["strain"]) == {
+        "A/swine/Iowa/001/2021",       # in the 2021 date range
+        "A/swine/Minnesota/002/2021",  # partial date, still in range lexically
+        "A/Texas/003/2020",            # pre-2021 with an N2 subtype
+    }
+
+
+def test_equality_disjunction_compiles_to_in(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?g WHERE {
+            ?gid f:segment_name ?g .
+            FILTER (?g = "HA" || ?g = "NA") .
+        }
+    """)
+    assert any(f[1] == "in" for f in q.where.filters)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["g"]) == {"HA", "NA"}
+
+
+def test_var_to_var_filter(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?tag WHERE {
+            ?tid f:query_tag ?tag .
+            ?sid f:strain_name ?n .
+            FILTER (?tag = ?n) .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["tag"]) == {"A/swine/Iowa/001/2021"}
+
+
+def test_values_inline_table(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?h ?label WHERE {
+            ?sid f:host ?h .
+            VALUES (?h ?label) { ("swine" "pig") ("human" "person") }
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(map(tuple, out.values)) == {
+        ("swine", "pig"), ("human", "person")}
+
+
+def test_construct_form(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        CONSTRUCT { ?sid f:dated_subtype ?t . }
+        WHERE { ?sid f:subtype ?t . ?sid f:date ?d . }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["object"]) == {"H1N1", "H3N2"}
+    assert set(out["predicate"]) == {"f:dated_subtype"}
+
+
+def test_matches_structured_pattern_layer(ray_session):
+    """The text front end and the structured API must agree."""
+    from octoray.patterns import match_patterns, select_bindings
+
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?s ?t ?st WHERE {
+            ?s f:subtype ?t .
+            OPTIONAL { ?s f:state ?st . }
+        }
+    """)
+    got = _rows(execute(q, _ds(GRAPH)))
+    b = match_patterns(_ds(GRAPH), [("?s", "f:subtype", "?t")],
+                       optionals=[("?s", "f:state", "?st")])
+    want = _rows(select_bindings(b, ["s", "t", "st"]))
+    key = lambda df: sorted(map(tuple, df.fillna("␀").values))
+    assert key(got) == key(want)
+
+
+def test_delete_via_file_predicate_shape(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from octoray.sparql import delete_via_file
+
+    store = str(tmp_path / "store")
+    _ds(GRAPH).write_parquet(os.path.join(store, "shard=00000"))
+    with open("/root/reference/octofludb/data/delete-subtypes.rq") as fh:
+        text = fh.read()
+    delete_via_file(store, text)
+    left = rd.read_parquet(store).to_pandas()
+    assert "f:subtype" not in set(left["predicate"])
+    assert "f:strain_name" in set(left["predicate"])
