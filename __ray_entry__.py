@@ -669,6 +669,76 @@ def _q_kg_not_exists(sf_dir: str):
     return select_bindings(b, ["sid", "n", "d"])
 
 
+def _rq_path(name: str) -> str:
+    import os
+
+    import octoray
+
+    return os.path.join(os.path.dirname(octoray.__file__), "data", name)
+
+
+def _q_sparql_monthly(sf_dir: str):
+    """The SPARQL TEXT front end (octoray/sparql.py) running a bundled
+    .rq file that mirrors the reference's data/wgs.rq monthly-upload
+    shape (OPTIONAL barcode, REGEX + equality FILTERs, BIND date
+    parts, FILTER BOUND, __YEAR__ macro, GROUP BY + GROUP_CONCAT
+    heads) — the whole parse -> algebra -> one-scan execution path is
+    what the oracle checks."""
+    from octoray.sparql import run_file
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_monthly_raw"))
+    return run_file(triples, _rq_path("monthly.rq"),
+                    params={"__YEAR__": 2018})
+
+
+def _q_sparql_tagged(sf_dir: str):
+    """SPARQL text front end: the get-tagged-strain.rq UNION shape —
+    pushed f:query_tag triples resolve across three identifier kinds
+    (strain name | barcode | segment genbank id), strain facts then
+    aggregate per strain."""
+    import re as _re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.model import make_query_tag_uri, triples_to_table
+    from octoray.sources.webtext import page_record
+    from octoray.sparql import run_file
+    from octoray.stages.canon import dedup_triples
+
+    ids = []
+    for pid in range(60):
+        fields = page_record(pid, 42)[1]
+        if not fields:
+            continue
+        ids.append(fields[0])  # strain name
+        for f in fields:
+            # barcodes (A0 + 7 digits) and genbank ids (2 letters + 6
+            # digits) exercise the other two UNION branches
+            if _re.fullmatch(r"A0\d{7}", f) or _re.fullmatch(r"[A-Z]{2}\d{6}", f):
+                ids.append(f)
+    ids = sorted(set(ids))[:80]
+    if O.dump_enabled():
+        O.dump_table("sparql_tag_ids",
+                     pa.table({"id": pa.array(ids, pa.string())}))
+    tags = rd.from_arrow(triples_to_table(
+        [(make_query_tag_uri(), "f:query_tag", i, "") for i in ids]))
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_tagged_raw")).union(tags)
+    return run_file(triples, _rq_path("tagged.rq"))
+
+
+def _q_sparql_unclassified(sf_dir: str):
+    """SPARQL text front end: the fetch-unclassified-swine.rq MINUS
+    shape — swine sequences lacking BOTH classification facts."""
+    from octoray.sparql import run_file
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_uncls_raw"))
+    return run_file(triples, _rq_path("unclassified.rq"))
+
+
 def _q_entity_resolution(sf_dir: str):
     """Blocked fuzzy entity resolution (stages/entity.py): strain-name
     mentions with injected novel typos -> symmetric-delete blocking
@@ -1463,6 +1533,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas": _q_kg_sameas,
         "kg_minus": _q_kg_minus,
         "kg_not_exists": _q_kg_not_exists,
+        # --- SPARQL TEXT front end (parse + execute .rq files) ---
+        "sparql_monthly": _q_sparql_monthly,
+        "sparql_tagged": _q_sparql_tagged,
+        "sparql_unclassified": _q_sparql_unclassified,
         "entity_resolution": _q_entity_resolution,
         "entity_link": _q_entity_link,
         "entity_incremental": _q_entity_incremental,
@@ -1807,6 +1881,106 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM d x
                 WHERE x.subject = n.sid AND x.predicate = 'f:subtype'
                   AND regexp_matches(x.object, '^H3'))
+        """,
+        "sparql_monthly": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_monthly_raw')}),
+            s AS (SELECT subject AS sid, object AS strain FROM d
+                  WHERE predicate = 'f:strain_name'),
+            h AS (SELECT subject AS sid, object AS host FROM d
+                  WHERE predicate = 'f:host'),
+            dt AS (SELECT subject AS sid, object AS dte FROM d
+                   WHERE predicate = 'f:date'),
+            bc AS (SELECT subject AS sid, object AS barcode FROM d
+                   WHERE predicate = 'f:barcode'),
+            seg AS (SELECT subject AS sid, object AS gid FROM d
+                    WHERE predicate = 'f:has_segment'),
+            gb AS (SELECT subject AS gid, object AS gb FROM d
+                   WHERE predicate = 'f:genbank_id'),
+            b AS (
+              SELECT s.strain, h.host,
+                try_cast(nullif(regexp_extract(dt.dte,
+                  '^(\\d{{4}})', 1), '') AS BIGINT) AS year,
+                try_cast(nullif(regexp_extract(dt.dte,
+                  '^\\d{{4}}-(\\d{{2}})', 1), '') AS BIGINT) AS month,
+                try_cast(nullif(regexp_extract(dt.dte,
+                  '^\\d{{4}}-\\d{{2}}-(\\d{{2}})', 1), '') AS BIGINT)
+                  AS day,
+                bc.barcode, gb.gb
+              FROM s JOIN h ON h.sid = s.sid
+                     JOIN dt ON dt.sid = s.sid
+                     JOIN seg ON seg.sid = s.sid
+                     JOIN gb ON gb.gid = seg.gid
+                     LEFT JOIN bc ON bc.sid = s.sid
+              WHERE regexp_matches(s.strain, '^A/') AND h.host = 'swine'
+            )
+            SELECT
+              coalesce(string_agg(DISTINCT barcode, '+'
+                                  ORDER BY barcode), '') AS barcodes,
+              strain, host, year, month,
+              coalesce(string_agg(DISTINCT cast(day AS varchar), '+'
+                       ORDER BY cast(day AS varchar)), '') AS days,
+              coalesce(string_agg(DISTINCT gb, '+' ORDER BY gb), '')
+                AS genbanks
+            FROM b
+            WHERE month IS NOT NULL AND year = 2018
+            GROUP BY strain, host, year, month
+        """,
+        "sparql_tagged": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_tagged_raw')}),
+            t AS (SELECT DISTINCT id AS tag FROM {Q.rpd('sparql_tag_ids')}),
+            hit AS (
+              SELECT d.subject AS sid FROM d JOIN t ON d.object = t.tag
+              WHERE d.predicate = 'f:strain_name'
+              UNION
+              SELECT d.subject FROM d JOIN t ON d.object = t.tag
+              WHERE d.predicate = 'f:barcode'
+              UNION
+              SELECT seg.subject FROM d seg
+                JOIN d g ON seg.object = g.subject
+                JOIN t ON g.object = t.tag
+              WHERE seg.predicate = 'f:has_segment'
+                AND g.predicate = 'f:genbank_id'
+            ),
+            b AS (
+              SELECT s.object AS strain, dt.object AS dte,
+                     h.object AS host, st.object AS subtype
+              FROM hit
+              JOIN d s ON s.subject = hit.sid
+                AND s.predicate = 'f:strain_name'
+              JOIN d dt ON dt.subject = hit.sid
+                AND dt.predicate = 'f:date'
+              LEFT JOIN d h ON h.subject = hit.sid
+                AND h.predicate = 'f:host'
+              LEFT JOIN d st ON st.subject = hit.sid
+                AND st.predicate = 'f:subtype'
+            )
+            SELECT strain,
+              coalesce(string_agg(DISTINCT host, '+' ORDER BY host),
+                       '') AS hosts,
+              coalesce(string_agg(DISTINCT subtype, '+'
+                                  ORDER BY subtype), '') AS subtypes,
+              min(dte) AS earliest_date
+            FROM b GROUP BY strain
+        """,
+        "sparql_unclassified": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_uncls_raw')})
+            SELECT DISTINCT gb.object AS gb, s.object AS strain
+            FROM d h
+            JOIN d s ON s.subject = h.subject
+              AND s.predicate = 'f:strain_name'
+            JOIN d seg ON seg.subject = h.subject
+              AND seg.predicate = 'f:has_segment'
+            JOIN d gb ON gb.subject = seg.object
+              AND gb.predicate = 'f:genbank_id'
+            WHERE h.predicate = 'f:host' AND h.object = 'swine'
+              AND NOT EXISTS (
+                SELECT 1 FROM d c JOIN d k ON c.subject = k.subject
+                WHERE c.subject = h.subject
+                  AND c.predicate = 'f:global_clade'
+                  AND k.predicate = 'f:constellation')
         """,
         "entity_resolution": Q.sql_entity_resolution(
             Q.rpd("entity_mentions")),

@@ -95,6 +95,10 @@ SUITE = [
     "kg_sameas",
     "kg_minus",
     "kg_not_exists",
+    # round-3 (cont.): SPARQL text front end over bundled .rq files
+    "sparql_monthly",
+    "sparql_tagged",
+    "sparql_unclassified",
     "kg_filter_or",
     "mixture_resample",
     "shuffle_export",

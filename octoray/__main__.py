@@ -287,6 +287,56 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sparql(args) -> int:
+    """Run a SPARQL .rq file against a built graph store — the
+    reference's arbitrary-SPARQL entry points (``octofludb query
+    x.rq`` / ``construct`` / ``update``, ui.py:436-560).  SELECT
+    prints TSV (header + rows); CONSTRUCT writes Turtle to --out or
+    prints; DELETE applies predicate-shape retraction to the store."""
+    from octoray.pipelines.pull import read_graph
+    from octoray.sparql import delete_via_file, parse_sparql, execute
+
+    params = {}
+    for kv in args.param or []:
+        k, _, v = kv.partition("=")
+        params[k] = v
+    with open(args.file) as fh:
+        text = fh.read()
+    q = parse_sparql(text, params=params)
+    if q.form == "delete":
+        res = delete_via_file(args.graph, text, params=params)
+        print(res)
+        return 0
+    out = execute(q, read_graph(args.graph))
+    if q.form == "construct":
+        from octoray.sinks import write_turtle
+
+        if args.out:
+            write_turtle(out, args.out)
+        else:
+            for b in out.iter_batches(batch_format="pyarrow"):
+                for row in zip(*(b.column(c).to_pylist()
+                                 for c in b.schema.names)):
+                    print("\t".join(row))
+        return 0
+    import sys
+
+    fh = open(args.out, "w") if args.out else sys.stdout
+    try:
+        cols = None
+        for b in out.iter_batches(batch_format="pyarrow"):
+            if cols is None:
+                cols = b.schema.names
+                fh.write("\t".join(cols) + "\n")
+            for row in zip(*(b.column(c).to_pylist() for c in cols)):
+                fh.write("\t".join("" if v is None else str(v)
+                                   for v in row) + "\n")
+    finally:
+        if args.out:
+            fh.close()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="octoray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -346,6 +396,13 @@ def main(argv=None) -> int:
     q = sub.add_parser("query"); q.add_argument("pattern")
     q.add_argument("--graph", required=True); q.add_argument("--limit", type=int, default=0)
     q.set_defaults(fn=cmd_query)
+
+    sq = sub.add_parser("sparql"); sq.add_argument("file")
+    sq.add_argument("--graph", required=True)
+    sq.add_argument("--out", default=None)
+    sq.add_argument("--param", action="append",
+                    help="macro substitution KEY=VALUE (e.g. __YEAR__=2021)")
+    sq.set_defaults(fn=cmd_sparql)
 
     fe = sub.add_parser("fetch"); fe.add_argument("kind", choices=["strain"])
     fe.add_argument("--graph", required=True)
