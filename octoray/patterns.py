@@ -295,7 +295,7 @@ def minus_bindings(bindings, triples, where: Sequence[Pattern], *,
       coincides);
     - disjoint domains: ``mode='minus'`` removes nothing (SPARQL
       8.3.3); ``mode='not_exists'`` empties the outer iff the inner
-      has any solution."""
+      has any solution (``mode='exists'`` is the positive dual)."""
     inner = match_patterns(triples, where, filters=filters,
                            num_partitions=num_partitions)
     return anti_bindings(bindings, inner, mode=mode,
@@ -311,9 +311,11 @@ def anti_bindings(bindings, inner, *, mode: str = "minus",
     solutions themselves (the SPARQL front end evaluates every group
     off one shared graph scan) reuse the stats-gated anti-join and the
     disjoint-domain semantics without a second graph pass."""
-    if mode not in ("minus", "not_exists"):
+    if mode not in ("minus", "not_exists", "exists"):
         raise ValueError(f"unknown negation mode {mode!r}")
     from octoray.query import semi_join_auto
+
+    keep = mode == "exists"
 
     outer_vars = [c for c in bindings.columns() if not c.endswith("__dt")]
     inner_vars = [c for c in inner.columns() if not c.endswith("__dt")]
@@ -321,10 +323,11 @@ def anti_bindings(bindings, inner, *, mode: str = "minus",
     if not shared:
         if mode == "minus":
             return bindings
-        return bindings if inner.limit(1).count() == 0 else bindings.limit(0)
+        nonempty = inner.limit(1).count() > 0
+        return bindings if nonempty == keep else bindings.limit(0)
     if len(shared) == 1:
         return semi_join_auto(bindings, shared[0],
-                              inner.select_columns(shared), anti=True,
+                              inner.select_columns(shared), anti=not keep,
                               broadcast_limit=broadcast_limit,
                               num_partitions=num_partitions)
     # multi-var correlation: composite key (null in any part -> null
@@ -339,7 +342,7 @@ def anti_bindings(bindings, inner, *, mode: str = "minus",
     keyed = bindings.map_batches(with_key, batch_format="pyarrow")
     ikeys = inner.select_columns(shared).map_batches(
         with_key, batch_format="pyarrow").select_columns([key])
-    out = semi_join_auto(keyed, key, ikeys, anti=True,
+    out = semi_join_auto(keyed, key, ikeys, anti=not keep,
                          broadcast_limit=broadcast_limit,
                          num_partitions=num_partitions)
     return out.map_batches(lambda t: t.drop_columns([key]),
@@ -691,7 +694,12 @@ def aggregate_bindings(bindings, group_vars: Sequence[str],
         for var, fn, alias in aggs:
             vals = g[var].dropna()
             if fn == "group_concat":
-                out[alias] = [sep.join(sorted(set(vals)))]
+                # int64-with-null binding columns (BIND date parts)
+                # decay to float in pandas — render integral floats as
+                # ints so the lexical form matches the SQL twin's cast
+                out[alias] = [sep.join(sorted(
+                    {str(int(x)) if isinstance(x, float) and x.is_integer()
+                     else str(x) for x in vals}))]
             elif fn == "min":
                 out[alias] = [vals.min() if len(vals) else None]
             elif fn == "max":

@@ -137,6 +137,8 @@ class Query:
     where: Group
     template: List[Tuple[str, str, str]] = field(default_factory=list)
     sep: str = "+"                  # GROUP_CONCAT separator (uniform)
+    order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    limit: Optional[int] = None
 
 
 # ---------------------------------------------------------------------------
@@ -325,6 +327,29 @@ class _Parser:
                 raise SparqlError("GROUP without BY")
             while self.peek().kind == "VAR":
                 group_by.append(self.next().text[1:])
+        order_by: List[Tuple[str, bool]] = []
+        if self.at_kw("ORDER"):
+            self.next()
+            if not self.eat_kw("BY"):
+                raise SparqlError("ORDER without BY")
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    order_by.append((t.text[1:], True))
+                elif t.kind == "NAME" and t.text.upper() in ("ASC", "DESC"):
+                    asc = t.text.upper() == "ASC"
+                    self.next()
+                    self.expect("OP", "(")
+                    v = self.expect("VAR").text[1:]
+                    self.expect("OP", ")")
+                    order_by.append((v, asc))
+                else:
+                    break
+        limit = None
+        if self.at_kw("LIMIT"):
+            self.next()
+            limit = int(self.expect("NUM").text)
         # trailing solution modifiers we accept-and-ignore would be
         # silently wrong — raise on anything unconsumed but EOF
         if self.peek().kind != "EOF":
@@ -338,6 +363,8 @@ class _Parser:
         copies = [(v, a) for v, fn, a in aggs if fn == "__copy__"]
         q = Query("select", distinct, proj, real_aggs, group_by, where)
         q.sep = sep
+        q.order_by = order_by
+        q.limit = limit
         for v, a in copies:
             q.where.binds.append((a, "?" + v))
         return q
@@ -446,9 +473,8 @@ class _Parser:
                         raise SparqlError("FILTER NOT without EXISTS")
                     g.minus.append((self.group(), "not_exists"))
                 elif self.at_kw("EXISTS"):
-                    raise SparqlError(
-                        "positive FILTER EXISTS not supported (the "
-                        "reference's queries use only NOT EXISTS)")
+                    self.next()
+                    g.minus.append((self.group(), "exists"))
                 else:
                     g.filters.extend(self._filter_expr())
             elif self.at_kw("BIND"):
@@ -918,12 +944,24 @@ def execute(q: Query, triples, *, num_partitions: int = 8):
                 f"bare SELECT variables {missing} are neither grouped "
                 f"nor aggregated")
         out = aggregate_bindings(b, q.group_by, q.aggs, sep=q.sep)
-        return out.select_columns(q.proj)
+        out = out.select_columns(q.proj)
+        return _modifiers(out, q)
     out = select_bindings(b, q.proj)
     if q.distinct:
         from octoray.query import distinct_values
 
         out = distinct_values(out, q.proj)
+    return _modifiers(out, q)
+
+
+def _modifiers(out, q: Query):
+    """ORDER BY / LIMIT solution modifiers (one range sort; LIMIT
+    streams through Ray's native limit operator)."""
+    if q.order_by:
+        out = out.sort([v for v, _ in q.order_by],
+                       descending=[not asc for _, asc in q.order_by])
+    if q.limit is not None:
+        out = out.limit(q.limit)
     return out
 
 

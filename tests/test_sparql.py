@@ -309,6 +309,32 @@ def test_matches_structured_pattern_layer(ray_session):
     assert key(got) == key(want)
 
 
+def test_filter_exists_positive(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?strain WHERE {
+            ?sid f:strain_name ?strain .
+            FILTER EXISTS { ?sid f:subtype ?t . }
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["strain"]) == {
+        "A/swine/Iowa/001/2021", "A/Texas/003/2020"}
+
+
+def test_order_by_and_limit(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?strain ?date WHERE {
+            ?sid f:strain_name ?strain .
+            ?sid f:date ?date .
+        }
+        ORDER BY DESC(?date) LIMIT 2
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert list(out["date"]) == ["2021-05-04", "2021-05"]
+
+
 def test_delete_via_file_predicate_shape(ray_session, tmp_path):
     import os
 
