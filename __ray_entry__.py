@@ -1381,6 +1381,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def quality_scores(sf_dir):
         return _docs(sf_dir).map_batches(T.quality_scores, batch_format="pyarrow")
 
+    def quality_classifier(sf_dir):
+        """Model-based quality filter (stages/qualmodel.py): ONE
+        feature pass -> full-batch GD with per-block gradient
+        combiners (no shuffle) -> per-doc sigmoid score + keep
+        decision; the oracle re-runs the identical rounded-gradient
+        iterations as a generated CTE chain."""
+        from octoray.stages.qualmodel import train_quality_classifier
+
+        return train_quality_classifier(_docs(sf_dir))
+
     def lang_id(sf_dir):
         # stateless Arrow regex scan -> plain task pool (no actor floor
         # to starve at; r1 VERDICT #9)
@@ -1585,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ops ---
         "token_counts": token_counts,
         "quality_scores": quality_scores,
+        "quality_classifier": quality_classifier,
         "unigram_logprob": lambda sf: T.unigram_logprob(_docs(sf)),
         "repetition_stats": repetition_stats,
         "decontaminate": decontaminate,
@@ -2177,6 +2188,9 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY url) AS rn FROM d)
             SELECT domain, url FROM r WHERE rn <= 5
         """,
+        "quality_classifier": __import__(
+            "octoray.stages.qualmodel", fromlist=["sql_quality_classifier"]
+        ).sql_quality_classifier(tok_expr=tok, stop_pattern=en),
         "quality_scores": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

@@ -102,6 +102,8 @@ SUITE = [
     "kg_filter_or",
     "mixture_resample",
     "shuffle_export",
+    # round-3 (cont.): model-based quality filtering (distributed GD)
+    "quality_classifier",
 ]
 
 
