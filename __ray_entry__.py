@@ -1600,6 +1600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": repetition_stats,
         "decontaminate": decontaminate,
         "top_ngrams": top_ngrams,
+        "heavy_hitters": lambda sf: __import__(
+            "octoray.stages.vocab", fromlist=["heavy_hitters"]
+        ).heavy_hitters(_docs(sf), phi=0.005),
         "inverted_index": inverted_index,
         "chunk_documents": chunk_documents,
         "pack_sequences": pack_sequences,
@@ -1940,7 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_tagged": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object
                        FROM {Q.rpd('sparql_tagged_raw')}),
-            t AS (SELECT DISTINCT id AS tag FROM {Q.rpd('sparql_tag_ids')}),
+            t AS (SELECT DISTINCT id AS tag FROM {Q.rp('sparql_tag_ids')}),
             hit AS (
               SELECT d.subject AS sid FROM d JOIN t ON d.object = t.tag
               WHERE d.predicate = 'f:strain_name'
@@ -2301,6 +2304,15 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), '+'
                               ORDER BY doc_id) AS postings
             FROM tok GROUP BY token HAVING count(*) >= 2
+        """,
+        "heavy_hitters": r"""
+            WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                         AS token FROM documents),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+            SELECT token, CAST(count(*) AS BIGINT) AS "count"
+            FROM tok, tot GROUP BY token, tot.n
+            HAVING count(*) >= greatest(ceil(0.005 * tot.n), 1)
+            ORDER BY "count" DESC, token
         """,
         "top_ngrams": r"""
             WITH tk AS (SELECT regexp_extract_all(text, '\S+') AS t

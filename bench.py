@@ -104,6 +104,7 @@ SUITE = [
     "shuffle_export",
     # round-3 (cont.): model-based quality filtering (distributed GD)
     "quality_classifier",
+    "heavy_hitters",
 ]
 
 

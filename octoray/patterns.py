@@ -434,6 +434,37 @@ def _order_patterns(patterns: Sequence[Pattern]) -> List[Pattern]:
     return ordered
 
 
+#: fold joins broadcast the incoming pattern's binding table below this
+#: many rows (the engine-wide map-side-join convention)
+_FOLD_BROADCAST_LIMIT = 2_000_000
+
+
+def _as_string_table(t: pa.Table) -> pa.Table:
+    """Normalize every column to plain ``string`` (upstream joins emit
+    large_string; Acero requires matching key types)."""
+    fields = [(n, pa.string()) for n in t.column_names]
+    target = pa.schema(fields)
+    return t.cast(target) if t.schema != target else t
+
+
+def _collect_string_table(ds, names) -> pa.Table:
+    """Materialized small Dataset -> ONE all-string Arrow table with
+    exactly ``names`` columns (the broadcast side of a fold join)."""
+    import ray
+
+    parts = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+             else b
+             for b in ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)]
+    parts = [p.select([n for n in names if n in p.column_names])
+             for p in parts if p.num_rows]
+    schema = pa.schema([(n, pa.string()) for n in names])
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(
+        [_as_string_table(p) for p in parts]).combine_chunks()
+
+
 def _fold_join(bindings, bcols: set, tbl, tvars: List[str], *, how: str,
                num_partitions: int):
     """One fold step, SCHEMA-STABLE by construction: Ray drops 0-row
@@ -469,11 +500,46 @@ def _fold_join(bindings, bcols: set, tbl, tvars: List[str], *, how: str,
             tbl.materialize(),
             pa.schema([(n, pa.string()) for n in keep_right]))
 
-    out = merge_join(bindings, tbl, shared, how=how)
     out_names = list(ls.names) + [n for n in keep_right if n not in ls.names]
-    return drop_empty_blocks(
-        out.materialize(),
-        pa.schema([(n, pa.string()) for n in out_names]))
+    out_schema = pa.schema([(n, pa.string()) for n in out_names])
+    n_right = tbl.count()  # callers hand a materialized side: metadata-cheap
+    if n_right <= _FOLD_BROADCAST_LIMIT:
+        # hit-set-sized right side: broadcast it once via ray.put and
+        # run Arrow's (Acero) hash join per left batch — C-speed, ZERO
+        # shuffle, and SQL null semantics (null keys match nothing),
+        # identical to the sort-merge path it replaces.  merge_join's
+        # range sort remains the beyond-limit fallback — the same
+        # stats gate every other join in the engine uses.
+        import ray
+        import ray.data as rd
+
+        if n_right == 0:
+            if how == "inner":
+                return rd.from_arrow(out_schema.empty_table())
+            new_cols = [n for n in keep_right if n not in ls.names]
+
+            def extend(t: pa.Table, add=tuple(new_cols)) -> pa.Table:
+                for c in add:
+                    t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
+                return t
+
+            out = bindings.map_batches(extend, batch_format="pyarrow")
+            return drop_empty_blocks(out.materialize(), out_schema)
+        rt = _collect_string_table(tbl, keep_right)
+        ref = ray.put(rt)
+        jt = "inner" if how == "inner" else "left outer"
+
+        def f(t: pa.Table, ref=ref, keys=tuple(shared),
+              names=tuple(out_names), jt=jt) -> pa.Table:
+            r = ray.get(ref)
+            t = _as_string_table(t)
+            joined = t.join(r, keys=list(keys), join_type=jt)
+            return joined.select(list(names))
+
+        out = bindings.map_batches(f, batch_format="pyarrow")
+    else:
+        out = merge_join(bindings, tbl, shared, how=how)
+    return drop_empty_blocks(out.materialize(), out_schema)
 
 
 def _tagged_hits(triples, pats: Sequence[Pattern]):

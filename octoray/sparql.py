@@ -778,13 +778,22 @@ class _Evaluator:
     def __init__(self, hits, num_partitions: int):
         self.hits = hits
         self.np = num_partitions
+        self._tbl_cache: dict = {}
 
     def tbl(self, prim: _Prim):
+        # UNION variants share most of their primitive patterns: cache
+        # the materialized per-pattern binding table by hit index so a
+        # 4-branch union pays each pattern's shaping pass once
+        hit = self._tbl_cache.get(prim.idx)
+        if hit is not None:
+            return hit
         from octoray.util import drop_empty_blocks
 
         ds = _bindings_from_hits(self.hits, prim.idx, prim.pat)
-        return drop_empty_blocks(ds.materialize(),
-                                 _binding_schema(prim.pat))
+        out = drop_empty_blocks(ds.materialize(),
+                                _binding_schema(prim.pat))
+        self._tbl_cache[prim.idx] = out
+        return out
 
     def group(self, node: _Node):
         """-> (bindings Dataset, colset incl. hidden __dt columns).

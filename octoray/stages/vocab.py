@@ -95,3 +95,97 @@ def inverted_index(docs, *, id_col: str = "doc_id",
 
     return pairs.sort(["token"]).map_batches(
         concat_block, batch_format="pandas", batch_size=None)
+
+
+def heavy_hitters(docs, *, phi: float = 0.001, text_col: str = "text",
+                  slack: int = 4):
+    """Exact frequent-token discovery WITHOUT a full-vocabulary
+    shuffle: tokens whose corpus frequency is at least ``phi * N``
+    (N = total token count), via block-frequent candidate generation —
+    the Misra-Gries heavy-hitters guarantee with exact block counts.
+
+    The 100-TB shape:
+
+      1. Per block, ONE vectorized count (shared Arrow tokenizer +
+         np.unique) keeps the tokens with block frequency
+         > n_block / k, k = slack/phi.  At most k tokens can exceed
+         n_b/k, so each summary is <= k rows and the driver union is
+         bounded by k x blocks.  Completeness: a token with global
+         frequency F >= phi*N must exceed n_b/k in SOME block (if
+         f_b <= n_b/k everywhere, summing gives F <= N/k = phi*N/slack
+         < F for slack > 1) — so every phi-heavy token is a candidate.
+      2. ONE exact counting pass restricted to the broadcast candidate
+         set (np.isin per block + a small groupby over candidates
+         only) — the final (token, count) output is EXACT and the SQL
+         oracle is a plain HAVING count >= ceil(phi * N).
+
+    The full-vocabulary ``sorted_groupby_sum`` this replaces shuffles
+    every distinct token; here only |candidates| <= k x blocks rows
+    move, bounded regardless of corpus size.  Returns (token, count)
+    for count >= ceil(phi * N), sorted by (count desc, token)."""
+    import math as _math
+
+    import numpy as np
+
+    from octoray.query import sorted_groupby_sum
+    from octoray.stages.dedup import _flat_tokens
+
+    k = max(2, int(_math.ceil(slack / phi)))
+
+    def block_frequent(t: pa.Table) -> pa.Table:
+        _, flat = _flat_tokens(t.column(text_col))
+        toks = flat.to_numpy(zero_copy_only=False)
+        n_b = len(toks)
+        if n_b == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "_n_tok": pa.array([], pa.int64())})
+        uniq, counts = np.unique(toks, return_counts=True)
+        keep = counts > n_b / k
+        out = uniq[keep]
+        n_col = np.zeros(len(out), np.int64)
+        if len(out):
+            n_col[0] = n_b
+            return pa.table({"token": pa.array(out, pa.string()),
+                             "_n_tok": pa.array(n_col, pa.int64())})
+        return pa.table({"token": pa.array(["\x00none"], pa.string()),
+                         "_n_tok": pa.array([n_b], pa.int64())})
+
+    summaries = docs.map_batches(block_frequent, batch_format="pyarrow"
+                                 ).take_all()  # bounded: <= k rows/block
+    candidates = np.array(sorted({r["token"] for r in summaries}
+                                 - {"\x00none"}))
+    total = sum(r["_n_tok"] for r in summaries)
+    thresh = max(1, int(_math.ceil(phi * total)))
+    if not len(candidates):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "count": pa.array([], pa.int64())}))
+
+    import ray
+
+    cand_ref = ray.put(candidates)
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        _, flat = _flat_tokens(t.column(text_col))
+        toks = flat.to_numpy(zero_copy_only=False)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        hit = toks[np.isin(toks, cand)]
+        uniq, counts = np.unique(hit, return_counts=True)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    exact = sorted_groupby_sum(
+        docs.map_batches(exact_counts, batch_format="pyarrow"),
+        ["token"], "n", alias="count")
+
+    def keep_heavy(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.greater_equal(
+            t.column("count"), pa.scalar(thresh)))
+
+    return exact.map_batches(keep_heavy, batch_format="pyarrow").sort(
+        ["count", "token"], descending=[True, False])

@@ -60,7 +60,12 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept both space- and comma-separated query filters; a name that
+    # matches nothing is an ERROR, not a vacuous pass
+    only = set()
+    for a in sys.argv[2:]:
+        if a != "--only":
+            only |= {x for x in a.split(",") if x}
 
     import ray
 
@@ -77,6 +82,10 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     n_fail = 0
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL  unknown query filter(s): {sorted(unknown)}")
+        n_fail += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
