@@ -1603,6 +1603,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": lambda sf: __import__(
             "octoray.stages.vocab", fromlist=["heavy_hitters"]
         ).heavy_hitters(_docs(sf), phi=0.005),
+        "bpe_train": lambda sf: __import__(
+            "octoray.stages.bpe", fromlist=["train_bpe"]
+        ).train_bpe(_docs(sf), n_merges=12)[0],
         "inverted_index": inverted_index,
         "chunk_documents": chunk_documents,
         "pack_sequences": pack_sequences,
@@ -2305,6 +2308,9 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id) AS postings
             FROM tok GROUP BY token HAVING count(*) >= 2
         """,
+        "bpe_train": __import__(
+            "octoray.stages.bpe", fromlist=["sql_bpe"]
+        ).sql_bpe(n_merges=12),
         "heavy_hitters": r"""
             WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+'))
                          AS token FROM documents),

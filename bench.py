@@ -105,6 +105,7 @@ SUITE = [
     # round-3 (cont.): model-based quality filtering (distributed GD)
     "quality_classifier",
     "heavy_hitters",
+    "bpe_train",
 ]
 
 
