@@ -669,6 +669,17 @@ def _q_kg_not_exists(sf_dir: str):
     return select_bindings(b, ["sid", "n", "d"])
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Train-then-encode: BPE merges learned on the corpus's word
+    table, then every document re-encoded with the ordered merges
+    (stages/bpe.py).  The oracle independently re-learns the merges
+    and applies its own replace chain — no engine output crosses."""
+    from octoray.stages.bpe import apply_bpe, train_bpe
+
+    _, merges = train_bpe(_docs(sf_dir), n_merges=12)
+    return apply_bpe(_docs(sf_dir), merges)
+
+
 def _rq_path(name: str) -> str:
     import os
 
@@ -1606,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": lambda sf: __import__(
             "octoray.stages.bpe", fromlist=["train_bpe"]
         ).train_bpe(_docs(sf), n_merges=12)[0],
+        "bpe_encode": _q_bpe_encode,
         "inverted_index": inverted_index,
         "chunk_documents": chunk_documents,
         "pack_sequences": pack_sequences,
@@ -2311,6 +2323,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": __import__(
             "octoray.stages.bpe", fromlist=["sql_bpe"]
         ).sql_bpe(n_merges=12),
+        "bpe_encode": __import__(
+            "octoray.stages.bpe", fromlist=["sql_train_apply_bpe"]
+        ).sql_train_apply_bpe(n_merges=12),
         "heavy_hitters": r"""
             WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+'))
                          AS token FROM documents),

@@ -106,6 +106,7 @@ SUITE = [
     "quality_classifier",
     "heavy_hitters",
     "bpe_train",
+    "bpe_encode",
 ]
 
 

@@ -158,11 +158,11 @@ def train_bpe(docs, *, n_merges: int = 12, text_col: str = "text"):
     return words, merges
 
 
-def sql_bpe(*, n_merges: int = 12) -> str:
-    """DuckDB twin: identical word-frequency build, symbolization,
-    pair counting, argmax tie-break and sentinel replace, as one
-    generated CTE chain (every iteration CTE MATERIALIZED — single-row
-    argmax CTEs referenced repeatedly would otherwise inline
+def _train_ctes(n_merges: int) -> list:
+    """The training chain shared by sql_bpe and sql_train_apply_bpe:
+    word counts, symbolization, and per-iteration pair-argmax +
+    replace CTEs (every iteration CTE MATERIALIZED — single-row argmax
+    CTEs referenced repeatedly would otherwise inline
     exponentially)."""
     u = "chr(31)"
     parts = [
@@ -194,5 +194,100 @@ def sql_bpe(*, n_merges: int = 12) -> str:
             f" ELSE replace(symb, (SELECT pair FROM m{t}),"
             f" (SELECT repl FROM m{t})) END AS symb FROM w{p})",
         ]
-    return ("WITH " + ",\n".join(parts) +
+    return parts
+
+
+def sql_bpe(*, n_merges: int = 12) -> str:
+    """DuckDB twin of train_bpe: identical word-frequency build,
+    symbolization, pair counting, argmax tie-break and sentinel
+    replace, as one generated CTE chain."""
+    return ("WITH " + ",\n".join(_train_ctes(n_merges)) +
             f"\nSELECT word, n, symb FROM w{n_merges}")
+
+
+def apply_bpe(docs, merges, *, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Tokenize documents with a learned merge list — the corpus
+    re-encoding pass that follows training.
+
+    Per batch (streaming, no shuffle): whitespace words -> sentinel
+    symbolization -> the K merges applied IN ORDER as vectorized
+    ``replace_substring`` passes over one flat word array -> per-doc
+    BPE token count and the space-joined token sequence.  K passes
+    over each batch (K = merge count) — each an Arrow C kernel, so
+    the cost is K linear scans, not a Python loop over tokens.
+
+    Output: (id, n_bpe_tokens, bpe_text).  The SQL twin is the same
+    K-step replace chain, so the encoding is integer/string-exact."""
+    merges = list(merges)
+
+    def encode(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        out_counts = np.zeros(len(texts), np.int64)
+        joined: List[str] = []
+        # flat word array with per-doc lengths (one symbolize +
+        # replace chain for the whole batch)
+        lens = []
+        words: List[str] = []
+        for text in texts:
+            ws = text.split()
+            lens.append(len(ws))
+            words.extend(ws)
+        symb = pa.array([_symbolize(w) for w in words], pa.string())
+        for needle in merges:
+            mid = needle[1:-1].split(US + US)
+            symb = pc.replace_substring(symb, needle,
+                                        US + "".join(mid) + US)
+        toks = pc.split_pattern(pc.utf8_trim(symb, US), US + US)
+        n_per_word = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False)
+        word_strs = pc.binary_join(toks, " ").to_pylist()
+        pos = 0
+        for i, k in enumerate(lens):
+            out_counts[i] = int(n_per_word[pos:pos + k].sum())
+            joined.append(" ".join(word_strs[pos:pos + k]))
+            pos += k
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_bpe_tokens": pa.array(out_counts, pa.int64()),
+            "bpe_text": pa.array(joined, pa.string()),
+        })
+
+    return docs.map_batches(encode, batch_format="pyarrow")
+
+
+def sql_train_apply_bpe(*, n_merges: int = 12) -> str:
+    """DuckDB twin for train_bpe + apply_bpe composed: re-learns the
+    merges with the shared training chain, then encodes every document
+    by applying the learned replaces IN ORDER via scalar subqueries —
+    no engine output crosses the boundary."""
+    u = "chr(31)"
+    parts = _train_ctes(n_merges)
+    expr = ("string_agg(" + u + " || c || " + u + ", '' ORDER BY i)"
+            " || " + u + " || '</w>' || " + u)
+    parts += [
+        r"dtok AS MATERIALIZED (SELECT doc_id, wi, word FROM ("
+        r"SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))"
+        r" AS word, generate_subscripts(regexp_extract_all(text,"
+        r" '\S+'), 1) AS wi FROM documents))",
+        f"dsy AS MATERIALIZED (SELECT doc_id, wi, {expr} AS symb FROM ("
+        f"SELECT doc_id, wi, unnest(range(1, length(word) + 1)) AS i,"
+        f" word[i:i] AS c FROM dtok) GROUP BY doc_id, wi)",
+    ]
+    # one CTE per merge step: a single nested expression of 12
+    # CASE/replace layers exceeds DuckDB's logical-planner tree depth
+    parts.append("d0 AS (SELECT doc_id, wi, symb FROM dsy)")
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT doc_id, wi,"
+            f" CASE WHEN (SELECT count(*) FROM m{t}) = 0 THEN symb"
+            f" ELSE replace(symb, (SELECT pair FROM m{t}),"
+            f" (SELECT repl FROM m{t})) END AS symb FROM d{t - 1})")
+    parts.append(
+        f"enc AS (SELECT doc_id, wi, string_split(trim(symb, {u}),"
+        f" {u} || {u}) AS l FROM d{n_merges})")
+    return ("WITH " + ",\n".join(parts) + """
+        SELECT doc_id, CAST(sum(len(l)) AS BIGINT) AS n_bpe_tokens,
+               string_agg(array_to_string(l, ' '), ' ' ORDER BY wi)
+                 AS bpe_text
+        FROM enc GROUP BY doc_id""")
