@@ -287,6 +287,49 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_classify(args) -> int:
+    """Classify FASTA sequences against a clade panel — the
+    reference's ``octofludb classify`` (ui.py:473-515, octoFLU-shaped
+    output TSV).  The panel is a reference FASTA whose headers carry
+    ``clade|gl_clade|subtype`` (``--panel``); without one, the
+    deterministic synthetic panel stands in (sandbox default)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.sources.fasta import parse_fasta
+    from octoray.stages.classify import classify_clades, synth_panel
+
+    with open(args.fasta) as fh:
+        rows = parse_fasta(fh.read())
+    seqs = rd.from_arrow(pa.table({
+        "seqid": pa.array([r[0] for r in rows], pa.string()),
+        "dnaseq": pa.array([r[-1] for r in rows], pa.string()),
+    }))
+    if args.panel:
+        with open(args.panel) as fh:
+            prows = parse_fasta(fh.read())
+        panel = [(r[0], r[1] if len(r) > 2 else r[0],
+                  r[2] if len(r) > 3 else "", r[-1]) for r in prows]
+    else:
+        panel = synth_panel()
+    out = classify_clades(seqs, panel)
+    import sys
+
+    fh = open(args.out, "w") if args.out else sys.stdout
+    try:
+        cols = None
+        for b in out.iter_batches(batch_format="pyarrow"):
+            if cols is None:
+                cols = b.schema.names
+                fh.write("\t".join(cols) + "\n")
+            for row in zip(*(b.column(c).to_pylist() for c in cols)):
+                fh.write("\t".join(str(v) for v in row) + "\n")
+    finally:
+        if args.out:
+            fh.close()
+    return 0
+
+
 def cmd_sparql(args) -> int:
     """Run a SPARQL .rq file against a built graph store — the
     reference's arbitrary-SPARQL entry points (``octofludb query
@@ -396,6 +439,10 @@ def main(argv=None) -> int:
     q = sub.add_parser("query"); q.add_argument("pattern")
     q.add_argument("--graph", required=True); q.add_argument("--limit", type=int, default=0)
     q.set_defaults(fn=cmd_query)
+
+    cl = sub.add_parser("classify"); cl.add_argument("fasta")
+    cl.add_argument("--panel", default=None)
+    cl.add_argument("--out", default=None); cl.set_defaults(fn=cmd_classify)
 
     sq = sub.add_parser("sparql"); sq.add_argument("file")
     sq.add_argument("--graph", required=True)

@@ -277,8 +277,40 @@ class _Parser:
             return self._construct()
         if self.at_kw("DELETE"):
             return self._delete()
+        if self.at_kw("ASK"):
+            self.next()
+            self.eat_kw("WHERE")
+            return Query("ask", False, [], [], [], self.group())
+        if self.at_kw("DESCRIBE"):
+            return self._describe()
         t = self.peek()
-        raise SparqlError(f"expected SELECT/CONSTRUCT/DELETE at {t.pos}")
+        raise SparqlError(
+            f"expected SELECT/CONSTRUCT/ASK/DESCRIBE/DELETE at {t.pos}")
+
+    def _describe(self) -> Query:
+        self.next()
+        vars_: List[str] = []
+        iris: List[str] = []
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                vars_.append(t.text[1:])
+            elif t.kind in ("PNAME", "IRI"):
+                term, _ = self.term()
+                iris.append(term)
+            else:
+                break
+        if not vars_ and not iris:
+            raise SparqlError("DESCRIBE needs at least one term")
+        where = Group()
+        if self.at_kw("WHERE") or (self.peek().kind == "OP"
+                                   and self.peek().text == "{"):
+            self.eat_kw("WHERE")
+            where = self.group()
+        q = Query("describe", True, vars_, [], [], where)
+        q.template = [(iri, "", "") for iri in iris]  # constant terms
+        return q
 
     def _select(self) -> Query:
         self.next()
@@ -937,11 +969,29 @@ def execute(q: Query, triples, *, num_partitions: int = 8):
     declared order; CONSTRUCT and DELETE -> the instantiated (deduped)
     template triples (for DELETE, the retraction set — apply it with
     ``pipelines.update``; see :func:`delete_via_file`)."""
+    if q.form == "describe" and not q.where.patterns \
+            and not q.where.unions:
+        # constants-only DESCRIBE: no pattern evaluation needed
+        return _describe_subjects(
+            triples, None, [t[0] for t in q.template],
+            num_partitions=num_partitions)
     comp = _Compiler()
     root = comp.compile(q.where)
     hits = _tagged_hits(triples, comp.flat)
     ev = _Evaluator(hits, num_partitions)
     b, bcols = ev.group(root)
+    if q.form == "ask":
+        import ray.data as rd
+
+        hit = b.limit(1).count() > 0
+        return rd.from_arrow(pa.table({"ask": pa.array([hit])}))
+    if q.form == "describe":
+        consts = [t[0] for t in q.template]
+        vals = None
+        if q.proj:
+            vals = b.select_columns(list(q.proj))
+        return _describe_subjects(triples, vals, consts,
+                                  num_partitions=num_partitions)
     if q.form in ("construct", "delete"):
         return instantiate_template(b, q.template, dedup=True)
     if q.aggs:
@@ -972,6 +1022,29 @@ def _modifiers(out, q: Query):
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+def _describe_subjects(triples, vals, consts, *, num_partitions: int):
+    """DESCRIBE semantics: every graph triple whose SUBJECT is one of
+    the described terms — the term set is the union of the projected
+    binding values and the constant IRIs, deduped distributed and
+    semi-joined (stats-gated) against the graph."""
+    import ray.data as rd
+
+    from octoray.query import distinct_values, semi_join_auto
+
+    parts = []
+    if vals is not None:
+        for c in vals.columns():
+            parts.append(vals.select_columns([c]).rename_columns(
+                {c: "subject"}))
+    if consts:
+        parts.append(rd.from_arrow(pa.table(
+            {"subject": pa.array(consts, pa.string())})))
+    keys = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    keys = distinct_values(keys, ["subject"]).materialize()
+    return semi_join_auto(triples, "subject", keys,
+                          num_partitions=num_partitions)
 
 
 def run_file(triples, path: str, *,

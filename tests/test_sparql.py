@@ -335,6 +335,36 @@ def test_order_by_and_limit(ray_session):
     assert list(out["date"]) == ["2021-05-04", "2021-05"]
 
 
+def test_ask_form(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        ASK { ?sid f:subtype "H1N1" . }
+    """)
+    assert execute(q, _ds(GRAPH)).take_all() == [{"ask": True}]
+    q2 = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        ASK WHERE { ?sid f:subtype "H9N9" . }
+    """)
+    assert execute(q2, _ds(GRAPH)).take_all() == [{"ask": False}]
+
+
+def test_describe_variable_and_constant(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        DESCRIBE ?sid WHERE { ?sid f:subtype "H1N1" . }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["subject"]) == {"fid:s1"}
+    assert len(out) == 6  # all of s1's triples
+    q2 = parse_sparql("""
+        PREFIX fid: <https://flu-crew.org/id/>
+        DESCRIBE fid:g1
+    """)
+    out2 = _rows(execute(q2, _ds(GRAPH)))
+    assert set(out2["subject"]) == {"fid:g1"}
+    assert set(out2["predicate"]) == {"f:segment_name", "f:genbank_id"}
+
+
 def test_delete_via_file_predicate_shape(ray_session, tmp_path):
     import os
 
