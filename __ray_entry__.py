@@ -669,6 +669,38 @@ def _q_kg_not_exists(sf_dir: str):
     return select_bindings(b, ["sid", "n", "d"])
 
 
+def _q_sparql_ask(sf_dir: str):
+    """SPARQL ASK through the text front end: does any swine strain
+    carry both a barcode and a constellation?"""
+    from octoray.sparql import execute, parse_sparql
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_ask_raw"))
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        ASK {
+            ?sid f:host "swine" .
+            ?sid f:barcode ?b .
+            ?sid f:constellation ?c .
+        }
+    """)
+    return execute(q, triples)
+
+
+def _q_sparql_describe(sf_dir: str):
+    """SPARQL DESCRIBE through the text front end: full descriptions
+    of every strain with an H3N2 subtype assertion."""
+    from octoray.sparql import execute, parse_sparql
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_desc_raw"))
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        DESCRIBE ?sid WHERE { ?sid f:subtype "H3N2" . }
+    """)
+    return execute(q, triples)
+
+
 def _q_bpe_encode(sf_dir: str):
     """Train-then-encode: BPE merges learned on the corpus's word
     table, then every document re-encoded with the ordered merges
@@ -1558,6 +1590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_monthly": _q_sparql_monthly,
         "sparql_tagged": _q_sparql_tagged,
         "sparql_unclassified": _q_sparql_unclassified,
+        "sparql_ask": _q_sparql_ask,
+        "sparql_describe": _q_sparql_describe,
         "entity_resolution": _q_entity_resolution,
         "entity_link": _q_entity_link,
         "entity_incremental": _q_entity_incremental,
@@ -1992,6 +2026,27 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY subtype), '') AS subtypes,
               min(dte) AS earliest_date
             FROM b GROUP BY strain
+        """,
+        "sparql_ask": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_ask_raw')})
+            SELECT EXISTS (
+              SELECT 1 FROM d h
+              JOIN d b ON b.subject = h.subject
+                AND b.predicate = 'f:barcode'
+              JOIN d c ON c.subject = h.subject
+                AND c.predicate = 'f:constellation'
+              WHERE h.predicate = 'f:host' AND h.object = 'swine'
+            ) AS ask
+        """,
+        "sparql_describe": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object,
+                              object_datatype
+                       FROM {Q.rpd('sparql_desc_raw')})
+            SELECT subject, predicate, object, object_datatype FROM d
+            WHERE subject IN (
+              SELECT subject FROM d
+              WHERE predicate = 'f:subtype' AND object = 'H3N2')
         """,
         "sparql_unclassified": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object
