@@ -112,7 +112,8 @@ def _pair_counts(words) -> "object":
     return words.map_batches(partial, batch_format="pyarrow")
 
 
-def train_bpe(docs, *, n_merges: int = 12, text_col: str = "text"):
+def train_bpe(docs, *, n_merges: int = 12, text_col: str = "text",
+              driver_limit: int = 500_000):
     """Learn ``n_merges`` BPE merges over the corpus.
 
     Returns (words_ds, merges): ``words_ds`` is the symbolized word
@@ -135,6 +136,36 @@ def train_bpe(docs, *, n_merges: int = 12, text_col: str = "text"):
 
     words = wf.map_batches(symbolize, batch_format="pyarrow").materialize()
     merges: List[str] = []
+    if words.count() <= driver_limit:
+        # stats-gated driver fast path (the pagerank convention): a
+        # word table this small makes each iteration's Ray round-trip
+        # pure overhead — run the IDENTICAL counting/argmax/replace
+        # loop on one collected copy (path equality pinned in pytest)
+        import collections
+
+        tbl = words.to_pandas()
+        syms = tbl["symb"].tolist()
+        ns = tbl["n"].tolist()
+        for _ in range(n_merges):
+            c: collections.Counter = collections.Counter()
+            for s_, n_ in zip(syms, ns):
+                parts = s_.strip(US).split(US + US)
+                for a, b in zip(parts, parts[1:]):
+                    c[US + a + US + US + b + US] += n_
+            if not c:
+                break
+            needle = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            repl = US + "".join(needle[1:-1].split(US + US)) + US
+            syms = [s_.replace(needle, repl) for s_ in syms]
+            merges.append(needle)
+        import ray.data as rd
+
+        out = rd.from_arrow(pa.table({
+            "word": pa.array(tbl["word"].tolist(), pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "symb": pa.array(syms, pa.string()),
+        }))
+        return out, merges
     for _ in range(n_merges):
         counts = sorted_groupby_sum(_pair_counts(words), ["pair"], "cnt",
                                     alias="cnt")

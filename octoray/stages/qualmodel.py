@@ -145,14 +145,23 @@ def _z_logits(df, w: List[float], means: List[float],
 def train_quality_classifier(docs, *, n_iters: int = 30, lr: float = 5.0,
                              threshold: float = 0.5,
                              id_col: str = "doc_id",
-                             text_col: str = "text"):
+                             text_col: str = "text",
+                             driver_limit: int = 2_000_000):
     """Train the classifier with full-batch gradient descent over
     standardized features and score every document.
 
     Returns a Dataset (id, quality_prob, keep): ``quality_prob`` is
     the sigmoid score rounded half-up to 6 decimals, ``keep`` the
     threshold decision.  Deterministic and oracle-exact — see module
-    docstring."""
+    docstring.
+
+    Stats gate (the pagerank/dup_components convention): a feature
+    table at or below ``driver_limit`` rows trains on ONE collected
+    numpy copy — the per-iteration Ray execution round-trip is pure
+    overhead when each combiner row is microseconds of math — while
+    larger corpora run the distributed per-block-combiner loop.  Both
+    paths round every averaged gradient on the shared 6-decimal grid,
+    so they walk the identical weight trajectory (pinned in pytest)."""
     import ray
 
     feats = quality_feature_table(
@@ -162,28 +171,45 @@ def train_quality_classifier(docs, *, n_iters: int = 30, lr: float = 5.0,
     d = len(FEATURES) + 1
     w = [0.0] * d
 
-    def partials(df, *, ref):
-        import pandas as pd
+    if feats.count() <= driver_limit:
+        df = feats.to_pandas()
+        X = np.stack([(df[name].to_numpy(np.float64) - means[j]) / stds[j]
+                      for j, name in enumerate(FEATURES)], axis=1)
+        y = df["label"].to_numpy(np.float64)
+        n = float(len(df))
+        for _ in range(n_iters):
+            z = np.full(len(df), w[0], np.float64)
+            for j in range(len(FEATURES)):
+                z = z + w[j + 1] * X[:, j]
+            sig = 1.0 / (1.0 + np.exp(-z))
+            err = sig - y
+            g = [float(err.sum()) / n] + [
+                float((err * X[:, j]).sum()) / n
+                for j in range(len(FEATURES))]
+            w = [wj - lr * _r6(gj) for wj, gj in zip(w, g)]
+    else:
+        def partials(df, *, ref):
+            import pandas as pd
 
-        wv = ray.get(ref)
-        z = _z_logits(df, wv, means, stds)
-        sig = 1.0 / (1.0 + np.exp(-z))
-        err = sig - df["label"].to_numpy(np.float64)
-        row = {"_n": [float(len(df))], "g0": [float(err.sum())]}
-        for j, name in enumerate(FEATURES):
-            zj = (df[name].to_numpy(np.float64) - means[j]) / stds[j]
-            row[f"g{j + 1}"] = [float((err * zj).sum())]
-        return pd.DataFrame(row)
+            wv = ray.get(ref)
+            z = _z_logits(df, wv, means, stds)
+            sig = 1.0 / (1.0 + np.exp(-z))
+            err = sig - df["label"].to_numpy(np.float64)
+            row = {"_n": [float(len(df))], "g0": [float(err.sum())]}
+            for j, name in enumerate(FEATURES):
+                zj = (df[name].to_numpy(np.float64) - means[j]) / stds[j]
+                row[f"g{j + 1}"] = [float((err * zj).sum())]
+            return pd.DataFrame(row)
 
-    for _ in range(n_iters):
-        ref = ray.put(list(w))
-        parts = feats.map_batches(
-            lambda df, ref=ref: partials(df, ref=ref),
-            batch_format="pandas",
-        ).take_all()  # bounded: ONE row per block
-        n = sum(r["_n"] for r in parts)
-        g = [sum(r[f"g{j}"] for r in parts) / n for j in range(d)]
-        w = [wj - lr * _r6(gj) for wj, gj in zip(w, g)]
+        for _ in range(n_iters):
+            ref = ray.put(list(w))
+            parts = feats.map_batches(
+                lambda df, ref=ref: partials(df, ref=ref),
+                batch_format="pandas",
+            ).take_all()  # bounded: ONE row per block
+            n = sum(r["_n"] for r in parts)
+            g = [sum(r[f"g{j}"] for r in parts) / n for j in range(d)]
+            w = [wj - lr * _r6(gj) for wj, gj in zip(w, g)]
 
     ref = ray.put(list(w))
 

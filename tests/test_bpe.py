@@ -62,3 +62,16 @@ def test_bpe_consecutive_pair_greedy(ray_session):
 def test_symbolize_roundtrip():
     s = _symbolize("low")
     assert s.strip(US).split(US + US) == ["l", "o", "w", EOW]
+
+
+def test_bpe_driver_path_equals_distributed(ray_session):
+    from octoray.stages.bpe import train_bpe
+
+    texts = [" ".join(["low"] * 5 + ["lowest"] * 2 + ["newer"] * 6),
+             "low newer lows newest"]
+    wd, md = train_bpe(_docs_ds(texts), n_merges=4)  # driver fast path
+    wx, mx = train_bpe(_docs_ds(texts), n_merges=4, driver_limit=0)
+    assert md == mx
+    rows = lambda ds: sorted(
+        (r["word"], r["n"], r["symb"]) for r in ds.take_all())
+    assert rows(wd) == rows(wx)

@@ -48,3 +48,14 @@ def test_standardization_constants_rounded(ray_session):
     for v in means + stds:
         # on the shared 6-decimal grid (bit-exact across engines)
         assert v == np.floor(v * 1e6 + 0.5) / 1e6
+
+
+def test_classifier_driver_path_equals_distributed(ray_session):
+    from octoray.stages.qualmodel import train_quality_classifier
+
+    a = train_quality_classifier(_docs()).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)  # driver fast path
+    b = train_quality_classifier(_docs(), driver_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (a["quality_prob"] == b["quality_prob"]).all()
+    assert (a["keep"] == b["keep"]).all()
