@@ -224,21 +224,69 @@ def cmd_warc(args) -> int:
 
 
 def cmd_fetch(args) -> int:
-    """Tagged-entity fetch (the reference `octofludb fetch strain`,
-    ui.py:1090-1240 running get-tagged-strain.rq): free-form ids
-    resolve to subjects via the UNION id-resolution, the graph
-    restricts by a stats-gated semi-join, and the per-strain
-    GROUP_CONCAT(DISTINCT)+MIN(date) report writes as TSV."""
+    """The reference's fetch lifecycle (ui.py:1090-1260):
+
+    ``fetch tag --ids FILE``    push the ids as f:query_tag triples
+                                into the store (idempotent partition);
+    ``fetch strain``            with ``--ids``: the direct tagged
+                                report (UNION id-resolution +
+                                GROUP_CONCAT/MIN, TSV); without: run
+                                the bundled get-tagged-strain-shaped
+                                tagged.rq through the SPARQL engine
+                                against the PUSHED tags;
+    ``fetch clear``             retract every pushed tag (the
+                                clear-query-tags.rq DELETE shape)."""
+    import os as _os
+    import shutil as _shutil
+
     from octoray import sinks
     from octoray.pipelines.pull import read_graph
-    from octoray.pipelines.reports import tagged_strain_report
 
-    with open(args.ids, "r", encoding="utf-8") as fh:
-        ids = [ln.strip() for ln in fh if ln.strip()]
-    out = tagged_strain_report(read_graph(args.graph), ids)
+    if args.kind == "tag":
+        import pyarrow.parquet as pq
+
+        from octoray.model import make_query_tag_uri, triples_to_table
+
+        with open(args.ids, "r", encoding="utf-8") as fh:
+            ids = [ln.strip() for ln in fh if ln.strip()]
+        part = _os.path.join(args.graph, "shard=querytags")
+        _shutil.rmtree(part, ignore_errors=True)
+        _os.makedirs(part, exist_ok=True)
+        pq.write_table(
+            triples_to_table(sorted(
+                {(make_query_tag_uri(), "f:query_tag", i, "")
+                 for i in ids})),
+            _os.path.join(part, "part-0.parquet"))
+        print(f"tagged {len(set(ids))} ids -> {part}")
+        return 0
+    if args.kind == "clear":
+        from octoray.sparql import delete_via_file
+
+        with open(_rq_data("clear-query-tags.rq")) as fh:
+            res = delete_via_file(args.graph, fh.read())
+        print(res)
+        return 0
+    if args.ids:
+        from octoray.pipelines.reports import tagged_strain_report
+
+        with open(args.ids, "r", encoding="utf-8") as fh:
+            ids = [ln.strip() for ln in fh if ln.strip()]
+        out = tagged_strain_report(read_graph(args.graph), ids)
+    else:
+        from octoray.sparql import run_file
+
+        out = run_file(read_graph(args.graph), _rq_data("tagged.rq"))
     sinks.write_tsv(out, args.out)
     print(args.out)
     return 0
+
+
+def _rq_data(name: str) -> str:
+    import os as _os
+
+    import octoray
+
+    return _os.path.join(_os.path.dirname(octoray.__file__), "data", name)
 
 
 def cmd_query(args) -> int:
@@ -451,11 +499,15 @@ def main(argv=None) -> int:
                     help="macro substitution KEY=VALUE (e.g. __YEAR__=2021)")
     sq.set_defaults(fn=cmd_sparql)
 
-    fe = sub.add_parser("fetch"); fe.add_argument("kind", choices=["strain"])
+    fe = sub.add_parser("fetch")
+    fe.add_argument("kind", choices=["tag", "strain", "clear"])
     fe.add_argument("--graph", required=True)
-    fe.add_argument("--ids", required=True,
-                    help="file with one free-form id per line")
-    fe.add_argument("--out", required=True); fe.set_defaults(fn=cmd_fetch)
+    fe.add_argument("--ids", default=None,
+                    help="file with one free-form id per line (required "
+                         "for 'tag'; for 'strain' omit to use the tags "
+                         "pushed into the graph)")
+    fe.add_argument("--out", default="/tmp/fetch_out.tsv")
+    fe.set_defaults(fn=cmd_fetch)
 
     args = ap.parse_args(argv)
     _init_ray()
