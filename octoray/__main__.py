@@ -399,6 +399,12 @@ def cmd_sparql(args) -> int:
         print(res)
         return 0
     out = execute(q, read_graph(args.graph))
+    if args.parquet:
+        # resumable partitioned output (the house rule for anything
+        # that may be large): a directory of parts, not one file
+        out.write_parquet(args.parquet)
+        print(args.parquet)
+        return 0
     if q.form == "construct":
         from octoray.sinks import write_turtle
 
@@ -495,6 +501,9 @@ def main(argv=None) -> int:
     sq = sub.add_parser("sparql"); sq.add_argument("file")
     sq.add_argument("--graph", required=True)
     sq.add_argument("--out", default=None)
+    sq.add_argument("--parquet", default=None,
+                    help="write results as a partitioned parquet dir "
+                         "instead of TSV/Turtle")
     sq.add_argument("--param", action="append",
                     help="macro substitution KEY=VALUE (e.g. __YEAR__=2021)")
     sq.set_defaults(fn=cmd_sparql)

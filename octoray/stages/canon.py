@@ -79,19 +79,29 @@ _CANON_KEY = "_canon_key"
 
 
 def _with_canon_key(batch: pa.Table, cols) -> pa.Table:
-    """Append ONE composite sort key: the columns joined on NUL.
-
-    NUL sorts below every real character and never occurs in triple
-    strings, so lexicographic order of the joined key IS the tuple
-    order of the columns — and Ray then sorts/range-partitions a
-    single string column instead of four (measured ~1.6x on the 3M-row
+    """Append ONE composite sort key whose bytewise order IS the tuple
+    order of the columns — Ray then sorts/range-partitions a single
+    string column instead of four (measured ~1.6x on the 3M-row
     canonical sort; string comparisons stop at the first differing
-    byte instead of re-dispatching per column).  Null cells join as
-    NUL (sorting first, deduping as equal-to-null — same null
-    semantics the per-column compare implemented)."""
-    arrs = [batch.column(c) for c in cols if c in batch.schema.names]
+    byte instead of re-dispatching per column).
+
+    Memcomparable encoding: each cell escapes NUL (``\\x00`` ->
+    ``\\x00\\x01``), cells join on the ``\\x00\\x00`` terminator.  The
+    escape keeps the mapping injective and order-preserving for
+    ARBITRARY cell bytes — a NUL inside a value (possible in raw web
+    text) would otherwise collide with the separator and reorder rows
+    against the documented (s,p,o,dt) tuple order (hypothesis-found).
+    Null cells encode as the unreachable pair ``\\x00\\x02`` (real
+    cells escape to ``\\x00\\x01`` pairs only), so nulls dedup as
+    equal-to-null yet never collide with the empty string or any real
+    value — same null semantics the per-column compare implemented."""
+    arrs = [
+        pc.replace_substring(batch.column(c), "\x00", "\x00\x01")
+        for c in cols if c in batch.schema.names
+    ]
     k = pc.binary_join_element_wise(
-        *arrs, "\x00", null_handling="replace", null_replacement="\x00"
+        *arrs, "\x00\x00", null_handling="replace",
+        null_replacement="\x00\x02"
     )
     return batch.append_column(_CANON_KEY, k)
 
