@@ -379,6 +379,24 @@ def _q_kg_path(sf_dir: str):
     return select_bindings(b, ["x", "a"])
 
 
+def _q_kg_path_star(sf_dir: str):
+    """Zero-or-more property path (f:locatedIn*, SPARQL `p*`): the
+    transitive closure UNION the identity over the predicate's node
+    set (the engine's documented restriction of SPARQL's zero-length
+    path); oracle adds the identity to the recursive-CTE closure."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.patterns import match_patterns, select_bindings
+    from octoray.stages.rules import geography_facts
+
+    geo = geography_facts()
+    if O.dump_enabled():
+        O.dump_table("kg_path_star_edges", geo)
+    b = match_patterns(rd.from_arrow(geo), [("?x", "f:locatedIn*", "?a")])
+    return select_bindings(b, ["x", "a"])
+
+
 def _q_kg_incremental(sf_dir: str):
     """Incremental crawl -> KG ingestion (pipelines/ingest.py): four
     snapshots of the re-crawl ingested in order — only changed pages
@@ -1577,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct": _q_kg_construct,
         "kg_optional": _q_kg_optional,
         "kg_path": _q_kg_path,
+        "kg_path_star": _q_kg_path_star,
         "kg_filter_path": _q_kg_filter_path,
         "kg_filter_year": _q_kg_filter_year,
         "kg_filter_or": _q_kg_filter_or,
@@ -2568,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct": Q.sql_construct_dated_subtype(Q.rpd("kg_construct_raw")),
         "kg_optional": Q.sql_optional_bindings(Q.rpd("kg_optional_raw")),
         "kg_path": Q.sql_path_closure(Q.rp("kg_path_edges")),
+        "kg_path_star": Q.sql_path_star(Q.rp("kg_path_star_edges")),
         "kg_delete": Q.sql_pull(Q.rpd("kg_delete_raw"), exclude=["f:genbank_id"]),
         "kg_pagerank": Q.sql_pagerank(Q.rpd("kg_pagerank_raw"),
                                       damping=0.85, n_iters=5),

@@ -107,6 +107,7 @@ SUITE = [
     "heavy_hitters",
     "bpe_train",
     "bpe_encode",
+    "kg_path_star",
 ]
 
 

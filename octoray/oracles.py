@@ -803,6 +803,26 @@ def sql_path_closure(src: str) -> str:
     """
 
 
+def sql_path_star(src: str) -> str:
+    """The zero-or-more form: the closure UNION the identity over the
+    predicate's node set (the engine's documented p* semantics)."""
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT subject, object FROM {src}
+            WHERE predicate = 'f:locatedIn'
+        ), c AS (
+            SELECT subject, object FROM e
+            UNION
+            SELECT c.subject, e.object FROM c JOIN e ON c.object = e.subject
+        ), nodes AS (
+            SELECT subject AS n FROM e UNION SELECT object FROM e
+        )
+        SELECT subject AS x, object AS a FROM c
+        UNION
+        SELECT n, n FROM nodes
+    """
+
+
 def sql_redact(src: str) -> str:
     """Boundary: the materialized pages table (url, text).  Verifies
     the vectorized sequential redaction (stages/redact.py) — each

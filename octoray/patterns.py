@@ -353,7 +353,7 @@ def _pattern_bindings(triples, pat: Pattern, *, keep_dt: bool = True):
     """One pattern -> Dataset of variable bindings (columns named after
     the variables, sans '?')."""
     s, p, o = pat
-    if not _is_var(p) and p.endswith("+"):
+    if not _is_var(p) and p[-1] in "+*":
         return _path_bindings(triples, pat)
 
     def f(t: pa.Table) -> pa.Table:
@@ -375,13 +375,20 @@ def _pattern_bindings(triples, pat: Pattern, *, keep_dt: bool = True):
 
 
 def _path_bindings(triples, pat: Pattern):
-    """Transitive path pattern (?s p+ ?o): filter p's edges, run the
-    distributed closure, then apply any constant endpoint.  Closure
-    endpoints are URIs by construction (paths traverse the graph), so
-    the hidden dt column is DT_URI."""
+    """Transitive path pattern (?s p+ ?o, and the zero-or-more form
+    ?s p* ?o): filter p's edges, run the distributed closure, then
+    apply any constant endpoint.  Closure endpoints are URIs by
+    construction (paths traverse the graph), so the hidden dt column
+    is DT_URI.
+
+    ``p*`` adds the zero-length matches as the IDENTITY over the
+    predicate's node set (every subject or object of a p edge) — the
+    useful restriction of SPARQL's zero-length path, whose full form
+    ranges over every term in the graph; documented deviation."""
     from octoray.stages.rules import transitive_closure
 
     s, p, o = pat
+    star = p.endswith("*")
     pred = p[:-1]
     edges = triples.map_batches(
         lambda t: t.filter(pc.equal(t.column("predicate"), pa.scalar(pred)))
@@ -389,6 +396,19 @@ def _path_bindings(triples, pat: Pattern):
         batch_format="pyarrow",
     )
     closed = transitive_closure(edges)
+    if star:
+        from octoray.query import distinct_values
+
+        def ident(t: pa.Table) -> pa.Table:
+            vals = pa.concat_arrays([
+                t.column("subject").combine_chunks(),
+                t.column("object").combine_chunks()])
+            u = pc.unique(vals)
+            return pa.table({"subject": u, "object": u})
+
+        closed = distinct_values(
+            closed.union(edges.map_batches(ident, batch_format="pyarrow")),
+            ["subject", "object"])
 
     def shape(t: pa.Table) -> pa.Table:
         mask = None
@@ -556,7 +576,7 @@ def _tagged_hits(triples, pats: Sequence[Pattern]):
         parts = []
         for i, (s, p, o) in enumerate(pats):
             mask = None
-            is_path = not _is_var(p) and p.endswith("+")
+            is_path = not _is_var(p) and p[-1] in "+*"
             if not _is_var(p):
                 pred = p[:-1] if is_path else p
                 mask = _slot_mask(t, "predicate", pred)
@@ -588,7 +608,7 @@ def _tagged_hits(triples, pats: Sequence[Pattern]):
 def _bindings_from_hits(hits, idx: int, pat: Pattern):
     """Pattern hits (pre-filtered on constants) -> binding columns."""
     s, p, o = pat
-    if not _is_var(p) and p.endswith("+"):
+    if not _is_var(p) and p[-1] in "+*":
         return _path_bindings(
             hits.map_batches(
                 lambda t: t.filter(pc.equal(t.column("_pat"), pa.scalar(idx, pa.int32()))),

@@ -244,9 +244,8 @@ class _Parser:
             raise SparqlError(f"bad predicate {t.text!r} at offset {t.pos}")
         if inverse:
             return "^" + seg
-        if self.peek().kind == "OP" and self.peek().text == "+":
-            self.next()
-            return seg + "+"
+        if self.peek().kind == "OP" and self.peek().text in ("+", "*"):
+            return seg + self.next().text
         if self.peek().kind == "OP" and self.peek().text in ("/", "|"):
             joiner = self.peek().text
             parts = [seg]

@@ -498,3 +498,26 @@ def test_minus_multivar_distributed_matches_broadcast(ray_session):
         b, t, [("?s", "f:w", "?o")], broadcast_limit=0).take_all()}
     assert got == want
     assert want == {("fid:s%d" % i, "o%d" % (i % 4)) for i in range(1, 24, 2)}
+
+
+def test_property_path_star(ray_session):
+    """p* = p+ plus the identity over the predicate's node set (the
+    documented restriction of SPARQL's zero-length path)."""
+    from octoray.patterns import match_patterns, select_bindings
+
+    b = match_patterns(_ds(GRAPH), [("?x", "f:locatedIn*", "?a")])
+    rows = {(r["x"], r["a"]) for r in select_bindings(b, ["x", "a"]).take_all()}
+    plus = {("geo:IA", "geo:Region3"), ("geo:IA", "geo:USA"),
+            ("geo:IA", "geo:NorthAmerica"),
+            ("geo:Region3", "geo:USA"), ("geo:Region3", "geo:NorthAmerica"),
+            ("geo:USA", "geo:NorthAmerica")}
+    nodes = {"geo:IA", "geo:Region3", "geo:USA", "geo:NorthAmerica"}
+    assert rows == plus | {(n, n) for n in nodes}
+
+
+def test_star_path_with_constant_endpoint(ray_session):
+    from octoray.patterns import match_patterns, select_bindings
+
+    b = match_patterns(_ds(GRAPH), [("?x", "f:locatedIn*", "geo:USA")])
+    rows = {r["x"] for r in select_bindings(b, ["x"]).take_all()}
+    assert rows == {"geo:IA", "geo:Region3", "geo:USA"}
