@@ -1661,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_scores,
         "quality_classifier": quality_classifier,
         "unigram_logprob": lambda sf: T.unigram_logprob(_docs(sf)),
+        "bigram_logprob": lambda sf: T.bigram_logprob(_docs(sf)),
         "repetition_stats": repetition_stats,
         "decontaminate": decontaminate,
         "top_ngrams": top_ngrams,
@@ -2175,6 +2176,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    {_rnd('avg(ln(c / tot.n))', 6)} AS mean_logprob
             FROM tokens JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id
+        """,
+        "bigram_logprob": rf"""
+            WITH tok AS (SELECT doc_id, word, wi FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS word,
+                       generate_subscripts(
+                           regexp_extract_all(text, '\S+'), 1) AS wi
+                FROM documents)),
+            uni AS (SELECT word, CAST(count(*) AS DOUBLE) AS n1
+                    FROM tok GROUP BY word),
+            tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS n FROM uni),
+            bi AS (SELECT l.doc_id, l.word AS lw, r.word AS rw
+                   FROM tok l JOIN tok r
+                     ON r.doc_id = l.doc_id AND r.wi = l.wi + 1),
+            bcnt AS (SELECT lw, rw, CAST(count(*) AS DOUBLE) AS n2
+                     FROM bi GROUP BY lw, rw),
+            lcnt AS (SELECT lw, CAST(sum(n2) AS DOUBLE) AS nl
+                     FROM bcnt GROUP BY lw),
+            terms AS (
+              SELECT t.doc_id, ln(u.n1 / tot.n) AS lp
+              FROM tok t JOIN uni u ON t.word = u.word
+                   CROSS JOIN tot
+              WHERE t.wi = 1
+              UNION ALL
+              SELECT b.doc_id, ln(c.n2 / l.nl)
+              FROM bi b JOIN bcnt c ON b.lw = c.lw AND b.rw = c.rw
+                   JOIN lcnt l ON b.lw = l.lw
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   {_rnd('avg(lp)', 6)} AS mean_logprob
+            FROM terms GROUP BY doc_id
         """,
         "kg_triangles": f"""
             WITH raw AS (SELECT DISTINCT subject, object FROM {Q.rpd('kg_tri_raw')}

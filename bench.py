@@ -108,6 +108,7 @@ SUITE = [
     "bpe_train",
     "bpe_encode",
     "kg_path_star",
+    "bigram_logprob",
 ]
 
 

@@ -584,3 +584,195 @@ def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
 
     return per_block.sort([id_col]).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def bigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                   broadcast_limit: int = 2_000_000):
+    """Per-document mean BIGRAM log-probability — the KenLM-style
+    perplexity quality filter one order up from
+    :func:`unigram_logprob`: position 0 scores against the corpus
+    unigram distribution, every later position against the bigram MLE
+    p(w_i | w_{i-1}) = c(w_{i-1}, w_i) / c_left(w_{i-1}), where
+    c_left counts the left token's non-final occurrences.  (Training
+    corpus == scored corpus, so every in-document bigram is in the
+    model and no backoff branch is needed.)
+
+    Pass 1 builds both models with map-side combiners (one partial
+    row per distinct token/bigram per block) -> one sort-sum each; the
+    left-count table derives from the bigram model with a second tiny
+    aggregation.  Pass 2 scores: models at or below
+    ``broadcast_limit`` rows broadcast once via ray.put with
+    vectorized numpy lookups per batch; larger models fall back to
+    the fully distributed path (explode (doc, key) rows, merge-join
+    each model, per-doc sorted sum/count) — identical outputs, two
+    extra shuffles.
+
+    Output: (doc_id, n_tokens, mean_logprob) with the mean over ALL
+    positions (first-token unigram term included), rounded half-up to
+    6 (the engine/SQL float convention).  Token-less docs drop, as in
+    the unigram scorer."""
+    from collections import Counter
+
+    import numpy as np
+
+    from octoray.query import merge_join, sorted_groupby_sum
+    from octoray.util import round_half_up
+
+    SEP = "\x1f"
+
+    def uni_partials(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            c.update(text.split())
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "_n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def bi_partials(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            toks = text.split()
+            c.update(a + SEP + b for a, b in zip(toks, toks[1:]))
+        return pa.table({
+            "bigram": pa.array(list(c.keys()), pa.string()),
+            "_n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    uni = sorted_groupby_sum(
+        docs.map_batches(uni_partials, batch_format="pyarrow"),
+        ["token"], "_n", alias="n1").materialize()
+    big = sorted_groupby_sum(
+        docs.map_batches(bi_partials, batch_format="pyarrow"),
+        ["bigram"], "_n", alias="n2").materialize()
+    total = int(uni.sum("n1")) if uni.count() else 0
+
+    def left_counts(t: pa.Table) -> pa.Table:
+        lw = pc.split_pattern(t.column("bigram"), SEP)
+        lefts = pc.list_element(lw, 0)
+        s = pa.table({"token": lefts, "_n": t.column("n2")})
+        g = s.group_by(["token"], use_threads=False).aggregate(
+            [("_n", "sum")])
+        return g.rename_columns(["token", "_n"])
+
+    lefts = sorted_groupby_sum(
+        big.map_batches(left_counts, batch_format="pyarrow"),
+        ["token"], "_n", alias="nl").materialize()
+
+    if big.count() <= broadcast_limit:
+        import ray
+
+        c1: dict = {}
+        for b in uni.iter_batches(batch_format="pyarrow"):
+            c1.update(zip(b.column("token").to_pylist(),
+                          b.column("n1").to_pylist()))
+        c2: dict = {}
+        for b in big.iter_batches(batch_format="pyarrow"):
+            c2.update(zip(b.column("bigram").to_pylist(),
+                          b.column("n2").to_pylist()))
+        cl: dict = {}
+        for b in lefts.iter_batches(batch_format="pyarrow"):
+            cl.update(zip(b.column("token").to_pylist(),
+                          b.column("nl").to_pylist()))
+        ref = ray.put((c1, c2, cl))
+
+        def score(t: pa.Table) -> pa.Table:
+            m1, m2, ml = ray.get(ref)
+            keep, n_toks, means = [], [], []
+            for text in t.column(text_col).to_pylist():
+                toks = text.split()
+                keep.append(bool(toks))
+                if not toks:
+                    continue
+                numer = np.fromiter(
+                    (m2[a + SEP + b_] for a, b_ in zip(toks, toks[1:])),
+                    np.float64, len(toks) - 1)
+                denom = np.fromiter((ml[a] for a in toks[:-1]),
+                                    np.float64, len(toks) - 1)
+                terms = np.empty(len(toks), np.float64)
+                terms[0] = np.log(m1[toks[0]] / total)
+                if len(toks) > 1:
+                    terms[1:] = np.log(numer / denom)
+                n_toks.append(len(toks))
+                means.append(float(terms.mean()))
+            return pa.table({
+                id_col: t.column(id_col).filter(pa.array(keep)),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "mean_logprob": round_half_up(
+                    pa.array(means, pa.float64()), 6),
+            })
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # distributed fallback: models too big to broadcast
+    def explode(t: pa.Table) -> pa.Table:
+        ids, keys, kinds = [], [], []
+        for i, text in zip(t.column(id_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            toks = text.split()
+            if not toks:
+                continue
+            ids.append(i)
+            keys.append(toks[0])
+            kinds.append(0)  # unigram term
+            for a, b_ in zip(toks, toks[1:]):
+                ids.append(i)
+                keys.append(a + SEP + b_)
+                kinds.append(1)
+        return pa.table({
+            id_col: pa.array(ids, t.schema.field(id_col).type),
+            "key": pa.array(keys, pa.string()),
+            "kind": pa.array(kinds, pa.int8()),
+        })
+
+    rows = docs.map_batches(explode, batch_format="pyarrow")
+    uni_terms = rows.map_batches(
+        lambda t: (lambda sel: pa.table({
+            id_col: sel.column(id_col), "token": sel.column("key")}))(
+            t.filter(pc.equal(t.column("kind"), pa.scalar(0, pa.int8())))),
+        batch_format="pyarrow")
+    uni_j = merge_join(uni_terms, uni, ["token"])
+
+    def uni_lp(t: pa.Table) -> pa.Table:
+        lp = pc.ln(pc.divide(pc.cast(t.column("n1"), pa.float64()),
+                             pa.scalar(float(total))))
+        return pa.table({id_col: t.column(id_col), "_lp": lp})
+
+    bi_terms = rows.map_batches(
+        lambda t: (lambda sel: pa.table({
+            id_col: sel.column(id_col), "bigram": sel.column("key"),
+            "token": pc.list_element(
+                pc.split_pattern(sel.column("key"), SEP), 0)}))(
+            t.filter(pc.equal(t.column("kind"), pa.scalar(1, pa.int8())))),
+        batch_format="pyarrow")
+    bi_j = merge_join(merge_join(bi_terms, big, ["bigram"]),
+                      lefts, ["token"])
+
+    def bi_lp(t: pa.Table) -> pa.Table:
+        lp = pc.ln(pc.divide(pc.cast(t.column("n2"), pa.float64()),
+                             pc.cast(t.column("nl"), pa.float64())))
+        return pa.table({id_col: t.column(id_col), "_lp": lp})
+
+    terms = uni_j.map_batches(uni_lp, batch_format="pyarrow").union(
+        bi_j.map_batches(bi_lp, batch_format="pyarrow"))
+
+    def part_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col], use_threads=False).aggregate(
+            [("_lp", "sum"), ([], "count_all")])
+        return g.rename_columns([id_col, "_s", "_c"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col], use_threads=False).aggregate(
+            [("_s", "sum"), ("_c", "sum")])
+        g = g.rename_columns([id_col, "_s", "_c"])
+        mean = pc.divide(g.column("_s"),
+                         pc.cast(g.column("_c"), pa.float64()))
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_tokens": g.column("_c"),
+            "mean_logprob": round_half_up(mean, 6),
+        })
+
+    return terms.map_batches(part_sum, batch_format="pyarrow") \
+        .sort([id_col]).map_batches(finish, batch_format="pyarrow",
+                                    batch_size=None)

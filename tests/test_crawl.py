@@ -253,3 +253,37 @@ def test_per_domain_cap_large_n_keeps_all(ray_session):
                  for r in per_domain_cap(ds, n=99).take_all())
     assert got == [("a.org", "https://a.org/1"), ("a.org", "https://a.org/2"),
                    ("b.org", "https://b.org/1")]
+
+
+def test_bigram_logprob_paths_and_bruteforce(ray_session):
+    """Broadcast and distributed scoring paths agree, and both match
+    a hand-computed bigram MLE on a tiny corpus."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.textops import bigram_logprob
+
+    texts = ["a b a b c", "b a", "c", ""]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+
+    # corpus: unigrams a=3 b=3 c=2 (total 8); bigrams ab=2 ba=2 bc=1
+    rows = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+            for r in bigram_logprob(docs).take_all()}
+    rows_d = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+              for r in bigram_logprob(docs, broadcast_limit=0).take_all()}
+    assert rows == rows_d
+    assert set(rows) == {0, 1, 2}  # empty doc drops
+
+    # hand computation: lefts a=2 ('a b' twice), b=3 ('b a' x2,'b c')
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    t0 = [math.log(3 / 8), math.log(2 / 2), math.log(2 / 3),
+          math.log(2 / 2), math.log(1 / 3)]
+    assert rows[0] == (5, r6(sum(t0) / 5))
+    t1 = [math.log(3 / 8), math.log(2 / 3)]
+    assert rows[1] == (2, r6(sum(t1) / 2))
+    assert rows[2] == (1, r6(math.log(2 / 8)))
