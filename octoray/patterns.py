@@ -353,7 +353,7 @@ def _pattern_bindings(triples, pat: Pattern, *, keep_dt: bool = True):
     """One pattern -> Dataset of variable bindings (columns named after
     the variables, sans '?')."""
     s, p, o = pat
-    if not _is_var(p) and p[-1] in "+*":
+    if not _is_var(p) and p[-1] in "+*?":
         return _path_bindings(triples, pat)
 
     def f(t: pa.Table) -> pa.Table:
@@ -389,14 +389,17 @@ def _path_bindings(triples, pat: Pattern):
 
     s, p, o = pat
     star = p.endswith("*")
+    opt_one = p.endswith("?")
     pred = p[:-1]
     edges = triples.map_batches(
         lambda t: t.filter(pc.equal(t.column("predicate"), pa.scalar(pred)))
         .select(["subject", "object"]),
         batch_format="pyarrow",
     )
-    closed = transitive_closure(edges)
-    if star:
+    # p? (zero-or-one) skips the closure entirely: single hops plus
+    # the node-set identity
+    closed = edges if opt_one else transitive_closure(edges)
+    if star or opt_one:
         from octoray.query import distinct_values
 
         def ident(t: pa.Table) -> pa.Table:
@@ -576,7 +579,7 @@ def _tagged_hits(triples, pats: Sequence[Pattern]):
         parts = []
         for i, (s, p, o) in enumerate(pats):
             mask = None
-            is_path = not _is_var(p) and p[-1] in "+*"
+            is_path = not _is_var(p) and p[-1] in "+*?"
             if not _is_var(p):
                 pred = p[:-1] if is_path else p
                 mask = _slot_mask(t, "predicate", pred)
@@ -608,7 +611,7 @@ def _tagged_hits(triples, pats: Sequence[Pattern]):
 def _bindings_from_hits(hits, idx: int, pat: Pattern):
     """Pattern hits (pre-filtered on constants) -> binding columns."""
     s, p, o = pat
-    if not _is_var(p) and p[-1] in "+*":
+    if not _is_var(p) and p[-1] in "+*?":
         return _path_bindings(
             hits.map_batches(
                 lambda t: t.filter(pc.equal(t.column("_pat"), pa.scalar(idx, pa.int32()))),

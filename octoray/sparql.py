@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(
     | (?P<NUM>-?\d+(?:\.\d+)?)
     | (?P<NAME>[A-Za-z_]\w*)
     | (?P<DCARET>\^\^)
-    | (?P<OP>&&|\|\||!=|<=|>=|[{}();,.=<>/|^+!*])
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}();,.=<>/|^+!*?])
     """,
     re.VERBOSE,
 )
@@ -244,7 +244,7 @@ class _Parser:
             raise SparqlError(f"bad predicate {t.text!r} at offset {t.pos}")
         if inverse:
             return "^" + seg
-        if self.peek().kind == "OP" and self.peek().text in ("+", "*"):
+        if self.peek().kind == "OP" and self.peek().text in ("+", "*", "?"):
             return seg + self.next().text
         if self.peek().kind == "OP" and self.peek().text in ("/", "|"):
             joiner = self.peek().text

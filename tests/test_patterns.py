@@ -521,3 +521,15 @@ def test_star_path_with_constant_endpoint(ray_session):
     b = match_patterns(_ds(GRAPH), [("?x", "f:locatedIn*", "geo:USA")])
     rows = {r["x"] for r in select_bindings(b, ["x"]).take_all()}
     assert rows == {"geo:IA", "geo:Region3", "geo:USA"}
+
+
+def test_property_path_zero_or_one(ray_session):
+    """p? = single hops plus the node-set identity (no closure)."""
+    from octoray.patterns import match_patterns, select_bindings
+
+    b = match_patterns(_ds(GRAPH), [("?x", "f:locatedIn?", "?a")])
+    rows = {(r["x"], r["a"]) for r in select_bindings(b, ["x", "a"]).take_all()}
+    hops = {("geo:IA", "geo:Region3"), ("geo:Region3", "geo:USA"),
+            ("geo:USA", "geo:NorthAmerica")}
+    nodes = {"geo:IA", "geo:Region3", "geo:USA", "geo:NorthAmerica"}
+    assert rows == hops | {(n, n) for n in nodes}

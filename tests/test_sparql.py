@@ -380,3 +380,16 @@ def test_delete_via_file_predicate_shape(ray_session, tmp_path):
     left = rd.read_parquet(store).to_pandas()
     assert "f:subtype" not in set(left["predicate"])
     assert "f:strain_name" in set(left["predicate"])
+
+
+def test_star_and_optional_paths_parse(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?x ?a WHERE { ?x f:locatedIn* ?a . }
+    """)
+    assert q.where.patterns == [("?x", "f:locatedIn*", "?a")]
+    q2 = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?x ?a WHERE { ?x f:locatedIn? ?a . }
+    """)
+    assert q2.where.patterns == [("?x", "f:locatedIn?", "?a")]
