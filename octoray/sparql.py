@@ -139,6 +139,7 @@ class Query:
     sep: str = "+"                  # GROUP_CONCAT separator (uniform)
     order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: Optional[int] = None
+    having: List[tuple] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -358,6 +359,10 @@ class _Parser:
                 raise SparqlError("GROUP without BY")
             while self.peek().kind == "VAR":
                 group_by.append(self.next().text[1:])
+        having: List[tuple] = []
+        if self.at_kw("HAVING"):
+            self.next()
+            having = self._filter_expr()
         order_by: List[Tuple[str, bool]] = []
         if self.at_kw("ORDER"):
             self.next()
@@ -396,6 +401,7 @@ class _Parser:
         q.sep = sep
         q.order_by = order_by
         q.limit = limit
+        q.having = having
         for v, a in copies:
             q.where.binds.append((a, "?" + v))
         return q
@@ -416,7 +422,14 @@ class _Parser:
         fn_raw = t.text.upper()
         self.expect("OP", "(")
         distinct = self.eat_kw("DISTINCT")
-        var = self.expect("VAR").text[1:]
+        if (fn_raw == "COUNT" and self.peek().kind == "OP"
+                and self.peek().text == "*"):
+            # COUNT(*): count the group's rows — any group var serves
+            # as the counted (never-null) column downstream
+            self.next()
+            var = "*"
+        else:
+            var = self.expect("VAR").text[1:]
         if self.peek().kind == "OP" and self.peek().text == ";":
             self.next()
             name = self.expect("NAME")
@@ -1001,7 +1014,14 @@ def execute(q: Query, triples, *, num_partitions: int = 8):
             raise SparqlError(
                 f"bare SELECT variables {missing} are neither grouped "
                 f"nor aggregated")
-        out = aggregate_bindings(b, q.group_by, q.aggs, sep=q.sep)
+        aggs = [(q.group_by[0] if v == "*" else v, fn, alias)
+                for v, fn, alias in q.aggs]
+        out = aggregate_bindings(b, q.group_by, aggs, sep=q.sep)
+        if q.having:
+            # HAVING: the same vectorized filter machinery over the
+            # aggregate output (aliases are the columns; numeric
+            # aggregates compare natively)
+            out = apply_filters(out, q.having)
         out = out.select_columns(q.proj)
         return _modifiers(out, q)
     out = select_bindings(b, q.proj)

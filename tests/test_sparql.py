@@ -393,3 +393,17 @@ def test_star_and_optional_paths_parse(ray_session):
         SELECT DISTINCT ?x ?a WHERE { ?x f:locatedIn? ?a . }
     """)
     assert q2.where.patterns == [("?x", "f:locatedIn?", "?a")]
+
+
+def test_count_star_and_having(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?host (COUNT(*) as ?n) WHERE {
+            ?sid f:strain_name ?s .
+            ?sid f:host ?host .
+        }
+        GROUP BY ?host
+        HAVING (?n >= 2)
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(map(tuple, out.values)) == {("swine", 2)}
