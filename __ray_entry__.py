@@ -687,6 +687,19 @@ def _q_kg_not_exists(sf_dir: str):
     return select_bindings(b, ["sid", "n", "d"])
 
 
+def _q_sparql_context(sf_dir: str):
+    """The monthly-context.rq shape class through the text front end:
+    date-range-OR-recent disjunction over typed date literals, an
+    OPTIONAL group with its own inner FILTER, GROUP_CONCAT heads."""
+    from octoray.sparql import run_file
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_ctx_raw"))
+    return run_file(triples, _rq_path("context.rq"),
+                    params={"__MIN_DATE__": "2016-01-01",
+                            "__MAX_DATE__": "2017-12-31"})
+
+
 def _q_sparql_ask(sf_dir: str):
     """SPARQL ASK through the text front end: does any swine strain
     carry both a barcode and a constellation?"""
@@ -1611,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_unclassified": _q_sparql_unclassified,
         "sparql_ask": _q_sparql_ask,
         "sparql_describe": _q_sparql_describe,
+        "sparql_context": _q_sparql_context,
         "entity_resolution": _q_entity_resolution,
         "entity_link": _q_entity_link,
         "entity_incremental": _q_entity_incremental,
@@ -2046,6 +2060,44 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY subtype), '') AS subtypes,
               min(dte) AS earliest_date
             FROM b GROUP BY strain
+        """,
+        "sparql_context": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_ctx_raw')}),
+            b AS (
+              SELECT s.object AS strain, dt.object AS dte,
+                     st.object AS subtype, gb.object AS magb
+              FROM d s
+              JOIN d h ON h.subject = s.subject
+                AND h.predicate = 'f:host' AND h.object = 'swine'
+              JOIN d dt ON dt.subject = s.subject
+                AND dt.predicate = 'f:date'
+              LEFT JOIN d st ON st.subject = s.subject
+                AND st.predicate = 'f:subtype'
+              LEFT JOIN (
+                SELECT seg.subject AS sid, g.object
+                FROM d seg JOIN d g ON g.subject = seg.object
+                WHERE seg.predicate = 'f:has_segment'
+                  AND g.predicate = 'f:genbank_id'
+                  AND regexp_matches(g.object, '^MA')
+              ) gb ON gb.sid = s.subject
+              WHERE s.predicate = 'f:strain_name'
+            ),
+            f AS (
+              SELECT * FROM b
+              WHERE (dte > '2016-01-01' AND dte < '2017-12-31')
+                 OR (try_cast(nullif(regexp_extract(dte,
+                       '^(\\d{{4}})', 1), '') AS BIGINT) > 2019
+                     AND subtype IS NOT NULL
+                     AND regexp_matches(subtype, '^H1'))
+            )
+            SELECT strain,
+              coalesce(string_agg(DISTINCT subtype, '+'
+                                  ORDER BY subtype), '') AS subtypes,
+              min(dte) AS earliest_date,
+              coalesce(string_agg(DISTINCT magb, '+'
+                                  ORDER BY magb), '') AS ma_genbanks
+            FROM f GROUP BY strain
         """,
         "sparql_ask": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object
