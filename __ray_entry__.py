@@ -700,6 +700,28 @@ def _q_sparql_context(sf_dir: str):
                             "__MAX_DATE__": "2017-12-31"})
 
 
+def _q_sparql_stats(sf_dir: str):
+    """Implicit-single-group aggregate head (no GROUP BY) through the
+    text front end: COUNT(*) / COUNT(DISTINCT) / MIN / MAX /
+    GROUP_CONCAT over all solutions — combiner-based partials, one
+    output row (patterns.aggregate_all)."""
+    from octoray.sparql import run_file
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_stats_raw"))
+    return run_file(triples, _rq_path("stats.rq"))
+
+
+def _q_sparql_years(sf_dir: str):
+    """SUM / AVG numeric aggregates over a BIND(YEAR(?date)) column,
+    grouped per host, through the text front end."""
+    from octoray.sparql import run_file
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_years_raw"))
+    return run_file(triples, _rq_path("years.rq"))
+
+
 def _q_sparql_ask(sf_dir: str):
     """SPARQL ASK through the text front end: does any swine strain
     carry both a barcode and a constellation?"""
@@ -1625,6 +1647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_ask": _q_sparql_ask,
         "sparql_describe": _q_sparql_describe,
         "sparql_context": _q_sparql_context,
+        "sparql_stats": _q_sparql_stats,
+        "sparql_years": _q_sparql_years,
         "entity_resolution": _q_entity_resolution,
         "entity_link": _q_entity_link,
         "entity_incremental": _q_entity_incremental,
@@ -2098,6 +2122,41 @@ def oracle_sql() -> dict[str, str]:
               coalesce(string_agg(DISTINCT magb, '+'
                                   ORDER BY magb), '') AS ma_genbanks
             FROM f GROUP BY strain
+        """,
+        "sparql_stats": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_stats_raw')}),
+            b AS (
+              SELECT h.object AS host, dt.object AS dte
+              FROM d h JOIN d dt ON dt.subject = h.subject
+                AND dt.predicate = 'f:date'
+              WHERE h.predicate = 'f:host'
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   min(dte) AS first_date,
+                   max(dte) AS last_date,
+                   coalesce(string_agg(DISTINCT host, '+' ORDER BY host),
+                            '') AS host_list
+            FROM b
+        """,
+        "sparql_years": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_years_raw')}),
+            b AS (
+              SELECT h.object AS host,
+                     try_cast(nullif(regexp_extract(dt.object,
+                       '^(\\d{{4}})', 1), '') AS BIGINT) AS y
+              FROM d h JOIN d dt ON dt.subject = h.subject
+                AND dt.predicate = 'f:date'
+              WHERE h.predicate = 'f:host'
+            )
+            SELECT host, CAST(count(y) AS BIGINT) AS n,
+                   CAST(sum(y) AS DOUBLE) AS sum_year,
+                   CASE WHEN count(y) = 0 THEN NULL
+                        ELSE CAST(sum(y) AS DOUBLE) / count(y) END
+                     AS avg_year
+            FROM b GROUP BY host
         """,
         "sparql_ask": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object

@@ -762,8 +762,14 @@ def aggregate_bindings(bindings, group_vars: Sequence[str],
     'group_concat' (DISTINCT values, SORTED then sep-joined — the
     deterministic rendering of the reference's separator='+'
     convention), 'min', 'max', 'count' (non-null bindings),
-    'count_distinct'.  Unbound (null) values are skipped, per SPARQL
-    aggregate semantics.
+    'count_distinct', 'sum', 'avg'.  Unbound (null) values are
+    skipped, per SPARQL aggregate semantics.  'sum'/'avg' coerce the
+    lexical binding values to numbers (non-numeric → skipped, the
+    try_cast mirror) and return float64; they are EXACT for
+    integer-valued bindings below 2^53 (the BIND date-part case) in
+    any summation order, and 'avg' is the exact sum divided by the
+    non-null count — byte-identical to the SQL twin's
+    ``CAST(sum(x) AS DOUBLE) / count(x)``.
 
     ONE range sort on the group variables co-locates each group
     (sorted-block family, same colocation invariant as the reports
@@ -797,11 +803,104 @@ def aggregate_bindings(bindings, group_vars: Sequence[str],
                 out[alias] = [int(len(vals))]
             elif fn == "count_distinct":
                 out[alias] = [int(vals.nunique())]
+            elif fn in ("sum", "avg"):
+                nv = pd.to_numeric(vals, errors="coerce").dropna()
+                if not len(nv):
+                    out[alias] = [None]
+                elif fn == "sum":
+                    out[alias] = [float(nv.sum())]
+                else:
+                    out[alias] = [float(nv.sum()) / len(nv)]
             else:  # pragma: no cover
                 raise ValueError(f"unknown aggregate {fn}")
         return pd.DataFrame(out)
 
     return sorted_map_groups(slim, group_vars, agg_group)
+
+
+def aggregate_all(bindings, aggs: Sequence[tuple], *, sep: str = "+"):
+    """Implicit single-group SPARQL aggregates — a SELECT head that is
+    all aggregates with no GROUP BY (``SELECT (COUNT(*) AS ?n)
+    (MIN(?date) AS ?first) WHERE {...}``) yields exactly one solution
+    row over the whole bindings set.
+
+    Combiner-based, never a single-block materialization: ONE
+    map_batches pass emits a tiny partial row per block (scalars for
+    count/min/max/sum/avg; the per-block DISTINCT value list for
+    count_distinct/group_concat — bounded by the column's distinct
+    values, which a single-cell GROUP_CONCAT output presumes small),
+    and the driver reduce is bounded by the block count.  ``('*',
+    'count', alias)`` counts rows regardless of null bindings, per
+    COUNT(*).  Empty input yields the SPARQL one-row solution: counts
+    0, every other aggregate unbound (null)."""
+    import pandas as pd
+
+    aggs = [(v if v == "*" else v.lstrip("?"), fn, alias)
+            for v, fn, alias in aggs]
+    cols = list(dict.fromkeys(v for v, _, _ in aggs if v != "*"))
+    slim = bindings.select_columns(cols) if cols else bindings
+
+    def partial(t: pa.Table) -> pa.Table:
+        row: dict = {"__rows": [t.num_rows]}
+        for var, fn, alias in aggs:
+            if var == "*":
+                continue
+            vals = t.column(var).to_pandas().dropna()
+            if fn == "count":
+                row[alias] = [int(len(vals))]
+            elif fn == "min":
+                row[alias] = [vals.min() if len(vals) else None]
+            elif fn == "max":
+                row[alias] = [vals.max() if len(vals) else None]
+            elif fn in ("count_distinct", "group_concat"):
+                row[alias] = [sorted({str(x) for x in vals})]
+            elif fn in ("sum", "avg"):
+                nv = pd.to_numeric(vals, errors="coerce").dropna()
+                row[alias + "__s"] = [float(nv.sum()) if len(nv) else None]
+                row[alias + "__n"] = [int(len(nv))]
+            else:  # pragma: no cover
+                raise ValueError(f"unknown aggregate {fn}")
+        return pa.table(row)
+
+    # driver reduce over the per-block partial rows (one row per block)
+    frames = [b.to_pandas() for b in slim.map_batches(
+        partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    frames = [f for f in frames if len(f)]
+    parts = (pd.concat(frames, ignore_index=True) if frames
+             else pd.DataFrame({"__rows": [0]}))
+
+    out: dict = {}
+    for var, fn, alias in aggs:
+        if var == "*":
+            out[alias] = [int(parts["__rows"].sum())]
+            continue
+        col = parts[alias] if alias in parts else pd.Series([], dtype=object)
+        if fn == "count":
+            out[alias] = [int(col.sum()) if len(col) else 0]
+        elif fn in ("min", "max"):
+            nn = col.dropna()
+            out[alias] = [(nn.min() if fn == "min" else nn.max())
+                          if len(nn) else None]
+        elif fn == "count_distinct":
+            u = set().union(*col) if len(col) else set()
+            out[alias] = [int(len(u))]
+        elif fn == "group_concat":
+            u = set().union(*col) if len(col) else set()
+            out[alias] = [sep.join(sorted(u))]
+        else:  # sum / avg
+            s = parts.get(alias + "__s", pd.Series(dtype=float)).dropna()
+            n = int(parts.get(alias + "__n", pd.Series(dtype=int)).sum()) \
+                if alias + "__n" in parts else 0
+            if n == 0:
+                out[alias] = [None]
+            elif fn == "sum":
+                out[alias] = [float(s.sum())]
+            else:
+                out[alias] = [float(s.sum()) / n]
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(out))
 
 
 def construct(triples, where: Sequence[Pattern],

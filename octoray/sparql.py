@@ -14,7 +14,9 @@ Supported subset — everything the reference's shipped query files use
   any local prefix naming normalizes to the stored representation);
   SELECT [DISTINCT] with bare variables and aggregate heads
   (GROUP_CONCAT(DISTINCT ?v; separator="+") / MIN / MAX / COUNT /
-  COUNT(DISTINCT) / SAMPLE); FROM clauses (ignored — graph selection
+  COUNT(DISTINCT) / SAMPLE / SUM / AVG, with GROUP BY or as an
+  implicit single group when every head is an aggregate); FROM
+  clauses (ignored — graph selection
   is the caller's Dataset); WHERE with triple patterns, property
   paths (p1/p2 sequence, p1|p2 alternation, ^p inverse, p+
   transitive), OPTIONAL groups (nested, with inner FILTERs),
@@ -60,7 +62,8 @@ from octoray.patterns import (_binding_schema, _fold_join, _is_var,
                               anti_bindings, apply_filters,
                               _bindings_from_hits, extend_bindings,
                               instantiate_template, select_bindings,
-                              values_bindings, aggregate_bindings)
+                              values_bindings, aggregate_bindings,
+                              aggregate_all)
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -393,9 +396,11 @@ class _Parser:
             raise SparqlError(f"unsupported trailing syntax at {t.pos}: "
                               f"{t.text!r}")
         real_aggs = [a for a in aggs if a[1] != "__copy__"]
-        if real_aggs and not group_by:
-            # implicit single group: grammar-legal, reference never uses
-            raise SparqlError("aggregates without GROUP BY not supported")
+        if real_aggs and not group_by and len(real_aggs) != len(aggs):
+            # bare (?v AS ?alias) copies alongside aggregates need a
+            # group to be well-defined
+            raise SparqlError("mixed bare variables and aggregates "
+                              "without GROUP BY")
         copies = [(v, a) for v, fn, a in aggs if fn == "__copy__"]
         q = Query("select", distinct, proj, real_aggs, group_by, where)
         q.sep = sep
@@ -447,6 +452,8 @@ class _Parser:
             "MAX": "max",
             "COUNT": "count_distinct" if distinct else "count",
             "SAMPLE": "min",  # deterministic sample
+            "SUM": "sum",
+            "AVG": "avg",
         }.get(fn_raw)
         if fn is None:
             raise SparqlError(f"unsupported aggregate {fn_raw}")
@@ -1014,9 +1021,13 @@ def execute(q: Query, triples, *, num_partitions: int = 8):
             raise SparqlError(
                 f"bare SELECT variables {missing} are neither grouped "
                 f"nor aggregated")
-        aggs = [(q.group_by[0] if v == "*" else v, fn, alias)
-                for v, fn, alias in q.aggs]
-        out = aggregate_bindings(b, q.group_by, aggs, sep=q.sep)
+        if not q.group_by:
+            # implicit single group: one solution row over everything
+            out = aggregate_all(b, q.aggs, sep=q.sep)
+        else:
+            aggs = [(q.group_by[0] if v == "*" else v, fn, alias)
+                    for v, fn, alias in q.aggs]
+            out = aggregate_bindings(b, q.group_by, aggs, sep=q.sep)
         if q.having:
             # HAVING: the same vectorized filter machinery over the
             # aggregate output (aliases are the columns; numeric

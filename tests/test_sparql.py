@@ -407,3 +407,82 @@ def test_count_star_and_having(ray_session):
     """)
     out = _rows(execute(q, _ds(GRAPH)))
     assert set(map(tuple, out.values)) == {("swine", 2)}
+
+
+def test_sum_avg_grouped(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT ?host (SUM(?y) as ?sy) (AVG(?y) as ?ay) (COUNT(?y) as ?n)
+        WHERE {
+            ?sid f:host ?host .
+            ?sid f:date ?d .
+            BIND(YEAR(?d) AS ?y)
+        }
+        GROUP BY ?host
+    """)
+    out = _rows(execute(q, _ds(GRAPH))).set_index("host")
+    # swine: years 2021, 2021 -> sum 4042, avg 2021; human: 2020
+    assert out.loc["swine", "sy"] == 4042.0
+    assert out.loc["swine", "ay"] == 2021.0
+    assert out.loc["swine", "n"] == 2
+    assert out.loc["human", "sy"] == 2020.0
+    assert out.loc["human", "ay"] == 2020.0
+
+
+def test_implicit_group_aggregates(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT (COUNT(*) as ?n) (COUNT(DISTINCT ?host) as ?nh)
+               (MIN(?d) as ?lo) (MAX(?d) as ?hi)
+               (GROUP_CONCAT(DISTINCT ?host; separator="+") as ?hosts)
+        WHERE {
+            ?sid f:host ?host .
+            ?sid f:date ?d .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n"] == 3 and r["nh"] == 2
+    assert r["lo"] == "2020-03-01" and r["hi"] == "2021-05-04"
+    assert r["hosts"] == "human+swine"
+
+
+def test_implicit_group_empty_input(ray_session):
+    # SPARQL: the implicit group over an empty solution set still
+    # yields ONE row — COUNT 0, other aggregates unbound
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT (COUNT(*) as ?n) (SUM(?y) as ?s) (MIN(?host) as ?m)
+        WHERE {
+            ?sid f:host ?host .
+            ?sid f:no_such_predicate ?y .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n"] == 0
+    assert r["s"] is None or r["s"] != r["s"]  # null / NaN
+    assert r["m"] is None
+
+
+def test_sum_skips_non_numeric(ray_session):
+    # lexical (string) bindings coerce; non-numeric values are skipped
+    # (the try_cast mirror), per the documented semantics
+    from octoray.patterns import aggregate_all, match_patterns
+
+    b = match_patterns(_ds(GRAPH), [("?s", "f:subtype", "?t")])
+    out = _rows(aggregate_all(b, [("t", "sum", "s"), ("t", "count", "n")]))
+    assert out.iloc[0]["n"] == 2           # H1N1, H3N2 bound
+    assert out.iloc[0]["s"] is None or out.iloc[0]["s"] != out.iloc[0]["s"]
+
+
+def test_bare_var_with_aggregate_no_group_rejected():
+    with pytest.raises(SparqlError):
+        parse_sparql("""
+            PREFIX f: <https://flu-crew.org/term/>
+            SELECT (?host AS ?h) (COUNT(*) as ?n) WHERE {
+                ?sid f:host ?host .
+            }
+        """)
