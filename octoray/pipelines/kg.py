@@ -18,6 +18,7 @@ materialization.  Replaces the reference's single-process prep path
 from __future__ import annotations
 
 import os
+import time
 from typing import List, Optional
 
 from octoray.sources.webtext import pages_batch, pages_dataset
@@ -205,23 +206,37 @@ def run_kg_build(
 
         keyed = triples.map_batches(add_shard, batch_format="pyarrow")
         deduped = dedup_triples(keyed, extra_cols=("shard",))
+        t0 = time.monotonic()
         deduped.write_parquet(out_dir, partition_cols=["shard"])
+        wall_s = round(time.monotonic() - t0, 3)
 
         for sid, lo, hi in spans:
             d = mf.shard_dir(out_dir, sid)
-            n_out = 0
+            n_out, n_bytes = 0, 0
             if os.path.isdir(d):
-                n_out = sum(
-                    pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-                    for f in os.listdir(d)
-                    if f.endswith(".parquet")
-                )
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        p = os.path.join(d, f)
+                        n_out += pq.ParquetFile(p).metadata.num_rows
+                        n_bytes += os.path.getsize(p)
             mf.write_manifest(
                 out_dir,
                 sid,
                 inputs=[f"synth:pages[{lo}:{hi}]"],
                 rows_in=hi - lo,
                 triples_out=n_out,
+                # per-partition metrics (north rule: lineage + metrics):
+                # bytes landed, this build pass's wall clock and
+                # aggregate throughput (the pass builds every pending
+                # shard in ONE streaming pipeline, so per-shard wall is
+                # the shared pass wall)
+                extra={
+                    "bytes_out": n_bytes,
+                    "build_wall_s": wall_s,
+                    "build_pages": total,
+                    "build_pages_per_s": round(total / wall_s, 1)
+                    if wall_s > 0 else None,
+                },
             )
             done.append(sid)
 
