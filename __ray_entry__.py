@@ -722,6 +722,24 @@ def _q_sparql_years(sf_dir: str):
     return run_file(triples, _rq_path("years.rq"))
 
 
+def _q_sparql_negated(sf_dir: str):
+    """Negated property set !(p1|p2) through the text front end: every
+    non-name, non-segment property value of named strains (SPARQL 1.1
+    NPS — complement predicate scan, patterns._slot_mask)."""
+    from octoray.sparql import execute, parse_sparql
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_neg_raw"))
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?s ?v WHERE {
+            ?s f:strain_name ?n .
+            ?s !(f:strain_name|f:has_segment) ?v .
+        }
+    """)
+    return execute(q, triples)
+
+
 def _q_sparql_ask(sf_dir: str):
     """SPARQL ASK through the text front end: does any swine strain
     carry both a barcode and a constellation?"""
@@ -1648,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_describe": _q_sparql_describe,
         "sparql_context": _q_sparql_context,
         "sparql_stats": _q_sparql_stats,
+        "sparql_negated": _q_sparql_negated,
         "sparql_years": _q_sparql_years,
         "entity_resolution": _q_entity_resolution,
         "entity_link": _q_entity_link,
@@ -2122,6 +2141,15 @@ def oracle_sql() -> dict[str, str]:
               coalesce(string_agg(DISTINCT magb, '+'
                                   ORDER BY magb), '') AS ma_genbanks
             FROM f GROUP BY strain
+        """,
+        "sparql_negated": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_neg_raw')}),
+            n AS (SELECT DISTINCT subject FROM d
+                  WHERE predicate = 'f:strain_name')
+            SELECT DISTINCT n.subject AS s, x.object AS v
+            FROM n JOIN d x ON x.subject = n.subject
+            WHERE x.predicate NOT IN ('f:strain_name', 'f:has_segment')
         """,
         "sparql_stats": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object

@@ -56,7 +56,14 @@ def _vars_of(pat: Pattern) -> List[str]:
 
 def _slot_mask(t: pa.Table, col: str, const: str):
     """Constant-slot filter mask; a predicate constant 'p1|p2' is
-    SPARQL alternation (matches any of the alternatives)."""
+    SPARQL alternation (matches any of the alternatives); a leading
+    '!' is a negated property set ('!p' / '!p1|p2' — any graph edge
+    whose predicate is NOT in the set, SPARQL 1.1 ``!(...)``)."""
+    if col == "predicate" and const.startswith("!"):
+        return pc.invert(pc.is_in(
+            t.column(col),
+            value_set=pa.array(const[1:].split("|"), pa.string()),
+        ))
     if col == "predicate" and "|" in const:
         return pc.is_in(
             t.column(col),

@@ -19,7 +19,8 @@ Supported subset — everything the reference's shipped query files use
   clauses (ignored — graph selection
   is the caller's Dataset); WHERE with triple patterns, property
   paths (p1/p2 sequence, p1|p2 alternation, ^p inverse, p+
-  transitive), OPTIONAL groups (nested, with inner FILTERs),
+  transitive, !p / !(p1|p2) negated property sets), OPTIONAL groups
+  (nested, with inner FILTERs),
   { } UNION { } blocks, MINUS { }, FILTER [NOT] EXISTS { },
   FILTER expressions (comparisons incl. variable-to-variable, REGEX
   with the "i" flag, BOUND, !BOUND, IN, && / || with arbitrary
@@ -227,9 +228,26 @@ class _Parser:
 
     def path(self) -> str:
         """Predicate position: engine path string.  Grammar subset:
-        seg ('/' seg)* | seg ('|' seg)* | '^'seg | seg'+' — the forms
-        patterns.py executes; combining them raises, as there."""
+        seg ('/' seg)* | seg ('|' seg)* | '^'seg | seg'+'/'*'/'?' |
+        '!'seg | '!(' seg ('|' seg)* ')' (negated property set) — the
+        forms patterns.py executes; combining them raises, as there."""
         inverse = False
+        if self.peek().kind == "OP" and self.peek().text == "!":
+            # negated property set: !p or !(p1|p2)
+            self.next()
+            parts = []
+            if self.peek().kind == "OP" and self.peek().text == "(":
+                self.next()
+                while True:
+                    parts.append(self._path_seg())
+                    if self.peek().kind == "OP" and self.peek().text == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect("OP", ")")
+            else:
+                parts.append(self._path_seg())
+            return "!" + "|".join(parts)
         if self.peek().kind == "OP" and self.peek().text == "^":
             self.next()
             inverse = True
@@ -248,6 +266,20 @@ class _Parser:
             raise SparqlError(f"bad predicate {t.text!r} at offset {t.pos}")
         if inverse:
             return "^" + seg
+        return self._path_tail(seg)
+
+    def _path_seg(self) -> str:
+        """One bare path segment: pname, <iri>, or the 'a' keyword."""
+        t = self.next()
+        if t.kind == "PNAME":
+            return self._pname(t.text)
+        if t.kind == "IRI":
+            return _abbrev(t.text[1:-1])
+        if t.kind == "NAME" and t.text == "a":
+            return "rdf:type"
+        raise SparqlError(f"bad path segment {t.text!r} at offset {t.pos}")
+
+    def _path_tail(self, seg: str) -> str:
         if self.peek().kind == "OP" and self.peek().text in ("+", "*", "?"):
             return seg + self.next().text
         if self.peek().kind == "OP" and self.peek().text in ("/", "|"):

@@ -486,3 +486,28 @@ def test_bare_var_with_aggregate_no_group_rejected():
                 ?sid f:host ?host .
             }
         """)
+
+
+def test_negated_property_set(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?v WHERE {
+            ?sid f:strain_name ?n .
+            ?sid !(f:strain_name|f:has_segment|f:date) ?v .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert set(out["v"]) == {"swine", "human", "H1N1", "H3N2", "IA"}
+
+
+def test_negated_single_predicate(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT DISTINCT ?p_obj WHERE {
+            ?g f:segment_name "HA" .
+            ?g !f:segment_name ?p_obj .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    # g1 carries genbank_id MG00001; g3 has only segment_name
+    assert set(out["p_obj"]) == {"MG00001"}
