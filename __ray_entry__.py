@@ -740,6 +740,28 @@ def _q_sparql_negated(sf_dir: str):
     return execute(q, triples)
 
 
+def _q_sparql_subquery(sf_dir: str):
+    """Nested subquery through the text front end: a { SELECT ...
+    GROUP BY } aggregate block inner-joined into the enclosing BGP on
+    the shared ?sid (SPARQL 1.1 subqueries; results lexicalized to the
+    pattern layer's all-string convention)."""
+    from octoray.sparql import execute, parse_sparql
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_sub_raw"))
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT ?name ?nseg WHERE {
+            ?sid f:strain_name ?name .
+            ?sid f:host "swine" .
+            { SELECT ?sid (COUNT(DISTINCT ?g) AS ?nseg) WHERE {
+                ?sid f:has_segment ?g .
+              } GROUP BY ?sid }
+        }
+    """)
+    return execute(q, triples)
+
+
 def _q_sparql_ask(sf_dir: str):
     """SPARQL ASK through the text front end: does any swine strain
     carry both a barcode and a constellation?"""
@@ -1667,6 +1689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_context": _q_sparql_context,
         "sparql_stats": _q_sparql_stats,
         "sparql_negated": _q_sparql_negated,
+        "sparql_subquery": _q_sparql_subquery,
         "sparql_years": _q_sparql_years,
         "entity_resolution": _q_entity_resolution,
         "entity_link": _q_entity_link,
@@ -2141,6 +2164,21 @@ def oracle_sql() -> dict[str, str]:
               coalesce(string_agg(DISTINCT magb, '+'
                                   ORDER BY magb), '') AS ma_genbanks
             FROM f GROUP BY strain
+        """,
+        "sparql_subquery": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_sub_raw')}),
+            n AS (SELECT subject, object AS name FROM d
+                  WHERE predicate = 'f:strain_name'),
+            h AS (SELECT DISTINCT subject FROM d
+                  WHERE predicate = 'f:host' AND object = 'swine'),
+            c AS (SELECT subject,
+                         CAST(count(DISTINCT object) AS VARCHAR) AS nseg
+                  FROM d WHERE predicate = 'f:has_segment'
+                  GROUP BY subject)
+            SELECT n.name AS name, c.nseg AS nseg
+            FROM n JOIN h ON h.subject = n.subject
+                   JOIN c ON c.subject = n.subject
         """,
         "sparql_negated": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object

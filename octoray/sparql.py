@@ -20,7 +20,9 @@ Supported subset — everything the reference's shipped query files use
   is the caller's Dataset); WHERE with triple patterns, property
   paths (p1/p2 sequence, p1|p2 alternation, ^p inverse, p+
   transitive, !p / !(p1|p2) negated property sets), OPTIONAL groups
-  (nested, with inner FILTERs),
+  (nested, with inner FILTERs), nested subqueries ({ SELECT ... }
+  inner joined on shared variables, results lexicalized to the
+  layer's all-string convention),
   { } UNION { } blocks, MINUS { }, FILTER [NOT] EXISTS { },
   FILTER expressions (comparisons incl. variable-to-variable, REGEX
   with the "i" flag, BOUND, !BOUND, IN, && / || with arbitrary
@@ -129,6 +131,7 @@ class Group:
     filters: List[tuple] = field(default_factory=list)
     binds: List[Tuple[str, str]] = field(default_factory=list)
     values: List[Tuple[List[str], List[tuple]]] = field(default_factory=list)
+    subqueries: List["Query"] = field(default_factory=list)
 
 
 @dataclass
@@ -347,7 +350,7 @@ class _Parser:
         q.template = [(iri, "", "") for iri in iris]  # constant terms
         return q
 
-    def _select(self) -> Query:
+    def _select(self, sub: bool = False) -> Query:
         self.next()
         distinct = self.eat_kw("DISTINCT")
         self.eat_kw("REDUCED")
@@ -422,8 +425,10 @@ class _Parser:
             self.next()
             limit = int(self.expect("NUM").text)
         # trailing solution modifiers we accept-and-ignore would be
-        # silently wrong — raise on anything unconsumed but EOF
-        if self.peek().kind != "EOF":
+        # silently wrong — raise on anything unconsumed but EOF (a
+        # subquery instead stops at its closing brace, which the
+        # caller consumes)
+        if not sub and self.peek().kind != "EOF":
             t = self.peek()
             raise SparqlError(f"unsupported trailing syntax at {t.pos}: "
                               f"{t.text!r}")
@@ -536,12 +541,23 @@ class _Parser:
             if t.kind == "EOF":
                 raise SparqlError("unterminated group")
             if t.kind == "OP" and t.text == "{":
-                # sub-group; UNION chain if followed by UNION
-                branches = [self.group()]
-                while self.at_kw("UNION"):
+                nt = self.peek(1)
+                if nt.kind == "NAME" and nt.text.upper() == "SELECT":
+                    # nested subquery: { SELECT ... WHERE {...} ... }
                     self.next()
-                    branches.append(self.group())
-                g.unions.append(branches)
+                    sq = self._select(sub=True)
+                    self.expect("OP", "}")
+                    if self.at_kw("UNION"):
+                        raise SparqlError(
+                            "UNION over subqueries not supported")
+                    g.subqueries.append(sq)
+                else:
+                    # sub-group; UNION chain if followed by UNION
+                    branches = [self.group()]
+                    while self.at_kw("UNION"):
+                        self.next()
+                        branches.append(self.group())
+                    g.unions.append(branches)
             elif self.at_kw("OPTIONAL"):
                 self.next()
                 g.optionals.append(self.group())
@@ -793,6 +809,7 @@ class _Node:
     filters: List[tuple] = field(default_factory=list)
     binds: List[Tuple[str, str]] = field(default_factory=list)
     values: List[Tuple[List[str], List[tuple]]] = field(default_factory=list)
+    subqueries: List[Tuple["Query", "_Node"]] = field(default_factory=list)
 
 
 class _Compiler:
@@ -811,6 +828,10 @@ class _Compiler:
         node.optionals = [self.compile(o) for o in g.optionals]
         node.unions = [[self.compile(b) for b in block] for block in g.unions]
         node.minus = [(self.compile(m), mode) for m, mode in g.minus]
+        # subqueries share THIS compiler, so their patterns ride the
+        # same single _tagged_hits graph scan as the enclosing query
+        node.subqueries = [(sq, self.compile(sq.where))
+                           for sq in g.subqueries]
         return node
 
 
@@ -821,7 +842,8 @@ def _merge_flat(a: _Node, b: _Node) -> _Node:
                  minus=a.minus + b.minus,
                  filters=a.filters + b.filters,
                  binds=a.binds + b.binds,
-                 values=a.values + b.values)
+                 values=a.values + b.values,
+                 subqueries=a.subqueries + b.subqueries)
 
 
 def _variants(node: _Node) -> List[_Node]:
@@ -829,7 +851,8 @@ def _variants(node: _Node) -> List[_Node]:
     each merged into a union-free conjunctive variant."""
     base = _Node(prims=node.prims, optionals=node.optionals,
                  minus=node.minus, filters=node.filters,
-                 binds=node.binds, values=node.values)
+                 binds=node.binds, values=node.values,
+                 subqueries=node.subqueries)
     out = [base]
     for block in node.unions:
         branch_vs = [v for br in block for v in _variants(br)]
@@ -853,6 +876,8 @@ def _node_vars(n: _Node) -> set:
             vs |= _node_vars(br)
     for names, _ in n.values:
         vs |= set(names)
+    for sq, _ in n.subqueries:
+        vs |= set(sq.proj)
     vs |= {a for a, _ in n.binds}
     return vs
 
@@ -927,9 +952,38 @@ class _Evaluator:
                 pa.schema([(c, pa.string()) for c in sorted(cols)]))
         return ds, cols
 
+    def _subquery(self, sq: "Query", sroot: _Node):
+        """Evaluate a nested SELECT: its own group fold, its own
+        SELECT head (aggregates / DISTINCT / ORDER / LIMIT), then
+        lexicalized to the pattern layer's all-string convention
+        (integral numerics render without a decimal point, Arrow's
+        shortest-repr cast) and materialized for the fold join."""
+        from octoray.util import drop_empty_blocks
+
+        sb, _ = self.group(sroot)
+        sds = _finish_select(sq, sb)
+        names = tuple(sq.proj)
+
+        def lex(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({n: pc.cast(t.column(n), pa.string())
+                             for n in names})
+
+        out = sds.map_batches(lex, batch_format="pyarrow")
+        return drop_empty_blocks(
+            out.materialize(),
+            pa.schema([(n, pa.string()) for n in names]))
+
     def _flat(self, v: _Node):
-        if not v.prims:
+        if not v.prims and not v.subqueries:
             raise SparqlError("group has no triple patterns")
+        if not v.prims:
+            # subquery-only group: the first subquery's result seeds
+            # the fold; the rest join on shared variables
+            (sq0, sroot0) = v.subqueries[0]
+            bindings = self._subquery(sq0, sroot0)
+            bcols = set(sq0.proj)
+            return self._tail(v, bindings, bcols, sub_start=1)
         # FILTER (?a = ?b) between otherwise-disconnected patterns is a
         # join in SPARQL (cartesian-then-filter); the engine refuses
         # cartesians, so such an equality acts as a JOIN EDGE: the new
@@ -993,9 +1047,20 @@ class _Evaluator:
             bcols |= set(pvars)
             if _is_var(pr.pat[2]):
                 bcols.add(pr.pat[2][1:] + "__dt")
+        return self._tail(v, bindings, bcols)
+
+    def _tail(self, v: _Node, bindings, bcols: set, *, sub_start: int = 0):
+        """The group fold's non-pattern members, in SPARQL join order:
+        VALUES, subqueries (inner join on shared variables), OPTIONAL,
+        MINUS / [NOT] EXISTS, BIND, FILTER."""
         for names, rows in v.values:
             bindings = values_bindings(bindings, names, rows)
             bcols |= set(names)
+        for sq, sroot in v.subqueries[sub_start:]:
+            sds = self._subquery(sq, sroot)
+            bindings = _fold_join(bindings, bcols, sds, list(sq.proj),
+                                  how="inner", num_partitions=self.np)
+            bcols |= set(sq.proj)
         for opt in v.optionals:
             gds, gcols = self.group(opt)
             gvars = sorted(c for c in gcols if not c.endswith("__dt"))
@@ -1045,6 +1110,13 @@ def execute(q: Query, triples, *, num_partitions: int = 8):
                                   num_partitions=num_partitions)
     if q.form in ("construct", "delete"):
         return instantiate_template(b, q.template, dedup=True)
+    return _finish_select(q, b)
+
+
+def _finish_select(q: Query, b):
+    """SELECT head over an evaluated bindings Dataset: aggregates (or
+    the implicit single group), HAVING, projection, DISTINCT, ORDER
+    BY / LIMIT — shared by top-level SELECTs and nested subqueries."""
     if q.aggs:
         missing = [p for p in q.proj
                    if p not in q.group_by

@@ -511,3 +511,62 @@ def test_negated_single_predicate(ray_session):
     out = _rows(execute(q, _ds(GRAPH)))
     # g1 carries genbank_id MG00001; g3 has only segment_name
     assert set(out["p_obj"]) == {"MG00001"}
+
+
+def test_subquery_aggregate_join(ray_session):
+    # per-strain segment count from a nested SELECT joins the outer BGP
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT ?name ?nseg WHERE {
+            ?sid f:strain_name ?name .
+            ?sid f:host "swine" .
+            { SELECT ?sid (COUNT(?g) AS ?nseg) WHERE {
+                ?sid f:has_segment ?g .
+              } GROUP BY ?sid }
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    got = dict(zip(out["name"], out["nseg"]))
+    assert got == {"A/swine/Iowa/001/2021": "1",
+                   "A/swine/Minnesota/002/2021": "1"}
+
+
+def test_subquery_only_group(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT ?host ?n WHERE {
+            { SELECT ?host (COUNT(*) AS ?n) WHERE {
+                ?sid f:host ?host .
+              } GROUP BY ?host }
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert dict(zip(out["host"], out["n"])) == {"swine": "2", "human": "1"}
+
+
+def test_subquery_limit_topk(ray_session):
+    # ORDER BY + LIMIT inside the subquery: top-1 host by count
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT ?host ?n WHERE {
+            { SELECT ?host (COUNT(*) AS ?n) WHERE {
+                ?sid f:host ?host .
+              } GROUP BY ?host ORDER BY DESC(?n) LIMIT 1 }
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert list(zip(out["host"], out["n"])) == [("swine", "2")]
+
+
+def test_subquery_disconnected_rejected(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT ?name ?n WHERE {
+            ?sid f:strain_name ?name .
+            { SELECT ?g (COUNT(*) AS ?n) WHERE {
+                ?x f:genbank_id ?g .
+              } GROUP BY ?g }
+        }
+    """)
+    with pytest.raises((SparqlError, ValueError)):
+        _rows(execute(q, _ds(GRAPH)))
