@@ -109,6 +109,13 @@ SUITE = [
     "bpe_encode",
     "kg_path_star",
     "bigram_logprob",
+    # round-3 (cont.): context-report shape, numeric/implicit-group
+    # aggregates, negated property sets, nested subqueries
+    "sparql_context",
+    "sparql_years",
+    "sparql_stats",
+    "sparql_negated",
+    "sparql_subquery",
 ]
 
 
