@@ -780,49 +780,83 @@ def aggregate_bindings(bindings, group_vars: Sequence[str],
 
     ONE range sort on the group variables co-locates each group
     (sorted-block family, same colocation invariant as the reports
-    layer); every aggregate is then block-local and exact."""
+    layer); every aggregate is then block-local, exact, and VECTORIZED
+    (pandas grouped kernels — no per-group Python dispatch; the only
+    per-group call left is the C-level str.join of group_concat)."""
+    import os
+
+    import numpy as np
     import pandas as pd
 
     group_vars = [v.lstrip("?") for v in group_vars]
     aggs = [(v.lstrip("?"), fn, alias) for v, fn, alias in aggs]
-    from octoray.query import sorted_map_groups
 
     keep = list(dict.fromkeys(
         group_vars + [v for v, _, _ in aggs]))
     slim = bindings.select_columns(keep)
 
-    def agg_group(g: pd.DataFrame) -> pd.DataFrame:
-        out = {k: [g[k].iloc[0]] for k in group_vars}
+    def _render(vals: "pd.Series") -> "pd.Series":
+        # int64-with-null binding columns (BIND date parts) decay to
+        # float in pandas — render integral floats as ints so the
+        # lexical form matches the SQL twin's cast
+        if vals.dtype.kind == "f":
+            ints = vals == np.floor(vals)
+            out = vals.astype(object).astype(str)
+            out[ints] = vals[ints].astype(np.int64).astype(str)
+            return out
+        if vals.dtype.kind in "iu":
+            return vals.astype(str)
+        return vals.astype(str)
+
+    def agg_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df
+        gb = df.groupby(group_vars, sort=False)
+        idx = gb.size().index  # group appearance order == sorted order
+        out = {}
         for var, fn, alias in aggs:
-            vals = g[var].dropna()
             if fn == "group_concat":
-                # int64-with-null binding columns (BIND date parts)
-                # decay to float in pandas — render integral floats as
-                # ints so the lexical form matches the SQL twin's cast
-                out[alias] = [sep.join(sorted(
-                    {str(int(x)) if isinstance(x, float) and x.is_integer()
-                     else str(x) for x in vals}))]
+                sub = df[group_vars + [var]].dropna(subset=[var])
+                sub = sub.assign(**{var: _render(sub[var])})
+                sub = sub.drop_duplicates().sort_values(var,
+                                                        kind="mergesort")
+                s = sub.groupby(group_vars, sort=False)[var].agg(sep.join)
+                s = s.reindex(idx, fill_value="")
             elif fn == "min":
-                out[alias] = [vals.min() if len(vals) else None]
+                s = gb[var].min()
             elif fn == "max":
-                out[alias] = [vals.max() if len(vals) else None]
+                s = gb[var].max()
             elif fn == "count":
-                out[alias] = [int(len(vals))]
+                s = gb[var].count().astype(np.int64)
             elif fn == "count_distinct":
-                out[alias] = [int(vals.nunique())]
+                s = gb[var].nunique().astype(np.int64)
             elif fn in ("sum", "avg"):
-                nv = pd.to_numeric(vals, errors="coerce").dropna()
-                if not len(nv):
-                    out[alias] = [None]
-                elif fn == "sum":
-                    out[alias] = [float(nv.sum())]
-                else:
-                    out[alias] = [float(nv.sum()) / len(nv)]
+                nv = pd.to_numeric(df[var], errors="coerce")
+                g2 = df[group_vars].assign(__v=nv).groupby(
+                    group_vars, sort=False)["__v"]
+                cnt = g2.count()
+                s = g2.sum(min_count=1).astype(np.float64)
+                if fn == "avg":
+                    s = s / cnt
+                s = s.where(cnt > 0, other=np.nan)
             else:  # pragma: no cover
                 raise ValueError(f"unknown aggregate {fn}")
-        return pd.DataFrame(out)
+            out[alias] = s
+        res = pd.DataFrame(out, index=idx).reset_index()
+        # min/max on all-null groups: pandas yields NaN — normalize to
+        # None like the per-group path did
+        for var, fn, alias in aggs:
+            if fn in ("min", "max") and res[alias].dtype == object:
+                res[alias] = res[alias].where(pd.notna(res[alias]), None)
+        return res[group_vars + [a for _, _, a in aggs]]
 
-    return sorted_map_groups(slim, group_vars, agg_group)
+    ds2 = slim.sort(group_vars)
+    if os.environ.get("OCTORAY_CHECK_BLOCKS"):
+        from octoray.query import assert_block_colocation
+
+        assert_block_colocation(ds2, group_vars)
+    return ds2.map_batches(agg_block, batch_format="pandas",
+                           batch_size=None)
 
 
 def aggregate_all(bindings, aggs: Sequence[tuple], *, sep: str = "+"):
