@@ -715,6 +715,31 @@ def _q_sparql_context(sf_dir: str):
                             "__MAX_DATE__": "2017-12-31"})
 
 
+def _q_turtle_roundtrip(sf_dir: str):
+    """Turtle codec roundtrip (reference `upload` path, ui.py:561-589):
+    canonical KG sample -> sinks.write_turtle -> sources.read_turtle.
+    The parquet dump of the same triples is the oracle hand-off;
+    equality proves sink->source identity incl. escapes, datatypes and
+    prefix re-abbreviation.  One golden-diff file here; at scale the
+    sharded path is turtle_lines(ds).write_parquet per shard with one
+    parse task per file."""
+    import os
+
+    from octoray import oracles as O
+    from octoray.sinks import write_turtle
+    from octoray.sources.turtle import read_turtle
+    from octoray.stages.canon import TRIPLE_COLS, dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "ttl_src_raw")) \
+        .select_columns(list(TRIPLE_COLS))
+    if O.dump_enabled():
+        O.dump_dataset("ttl_triples", triples)
+    os.makedirs(O.ORACLE_DIR, exist_ok=True)
+    path = os.path.join(O.ORACLE_DIR, "graph_roundtrip.ttl")
+    write_turtle(triples, path)
+    return read_turtle(path)
+
+
 def _q_sparql_stats(sf_dir: str):
     """Implicit-single-group aggregate head (no GROUP BY) through the
     text front end: COUNT(*) / COUNT(DISTINCT) / MIN / MAX /
@@ -1705,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_stats": _q_sparql_stats,
         "sparql_negated": _q_sparql_negated,
         "sparql_subquery": _q_sparql_subquery,
+        "turtle_roundtrip": _q_turtle_roundtrip,
         "sparql_years": _q_sparql_years,
         "entity_resolution": _q_entity_resolution,
         "entity_link": _q_entity_link,
@@ -2179,6 +2205,10 @@ def oracle_sql() -> dict[str, str]:
               coalesce(string_agg(DISTINCT magb, '+'
                                   ORDER BY magb), '') AS ma_genbanks
             FROM f GROUP BY strain
+        """,
+        "turtle_roundtrip": f"""
+            SELECT subject, predicate, object, object_datatype
+            FROM {Q.rpd('ttl_triples')}
         """,
         "sparql_subquery": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object

@@ -116,6 +116,7 @@ SUITE = [
     "sparql_stats",
     "sparql_negated",
     "sparql_subquery",
+    "turtle_roundtrip",
 ]
 
 

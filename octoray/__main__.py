@@ -10,6 +10,7 @@
     python -m octoray crawl   latest|delta|domains [--input DIR | --pages N] --out OUT
     python -m octoray warc    read|write IN --out OUT
     python -m octoray ingest  PAGES_PARQUET --store DIR  (incremental snapshot ingest)
+    python -m octoray upload  FILE.ttl [...] --store DIR (Turtle -> idempotent store partition)
 
 Each subcommand owns its own local Ray session (`ray job submit` on a
 real cluster runs the same module; the driver-contract entrypoints in
@@ -220,6 +221,38 @@ def cmd_warc(args) -> int:
         write_warc(rd.read_parquet(args.input), args.out,
                    payload_col=args.payload_col)
     print(args.out)
+    return 0
+
+
+def cmd_upload(args) -> int:
+    """Load Turtle file(s) into a graph store (reference `upload`,
+    ui.py:561-589): parse distributed (one task per file), exact-dedup,
+    land in a CONTENT-ADDRESSED ``shard=upload-<md5>`` partition — so
+    re-uploading identical content rewrites the same partition and the
+    store stays idempotent, the K4 contract."""
+    import hashlib
+    import shutil as _shutil
+
+    from octoray.sources.turtle import read_turtle
+    from octoray.stages.canon import TRIPLE_COLS, dedup_triples
+
+    triples = dedup_triples(read_turtle(args.files)) \
+        .select_columns(list(TRIPLE_COLS))
+    # content address from the canonical sorted stream (small: an
+    # upload is a user artifact, not a crawl)
+    tbl = triples.to_pandas()
+    h = hashlib.md5()
+    for row in tbl.itertuples(index=False):
+        h.update(("\x00".join(map(str, row)) + "\x01").encode("utf-8"))
+    part = os.path.join(args.store, f"shard=upload-{h.hexdigest()[:16]}")
+    _shutil.rmtree(part, ignore_errors=True)
+    os.makedirs(part, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False),
+                   os.path.join(part, "part-0.parquet"))
+    print(f"uploaded {len(tbl)} triples -> {part}")
     return 0
 
 
@@ -507,6 +540,11 @@ def main(argv=None) -> int:
     sq.add_argument("--param", action="append",
                     help="macro substitution KEY=VALUE (e.g. __YEAR__=2021)")
     sq.set_defaults(fn=cmd_sparql)
+
+    up = sub.add_parser("upload")
+    up.add_argument("files", nargs="+", help="Turtle file(s) to load")
+    up.add_argument("--store", required=True)
+    up.set_defaults(fn=cmd_upload)
 
     fe = sub.add_parser("fetch")
     fe.add_argument("kind", choices=["tag", "strain", "clear"])

@@ -1,0 +1,234 @@
+"""Turtle source: ``.ttl`` files -> canonical triple Dataset.
+
+The reference's ``upload`` command (ui.py:561-589) loads Turtle files
+into the store via rdflib; the Ray shape here is ``read_binary_files
+-> per-file parse inside map_batches -> (subject, predicate, object,
+object_datatype) rows`` — files are the parallelism unit, exactly the
+FASTA / WARC source pattern.  IRIs are re-abbreviated against the
+engine's canonical ``model.PREFIXES`` (the same normalization the
+SPARQL front end applies), so any local prefix naming lands in the
+stored representation and a sink->source roundtrip is identity.
+
+Grammar subset — covers this engine's own sink output
+(``sinks.write_turtle``) and rdflib's default turtle serialization:
+
+  @prefix / PREFIX declarations; statements with ``;``
+  predicate-object lists and ``,`` object lists; prefixed names;
+  ``<IRI>`` terms; the ``a`` keyword; quoted literals with the
+  N-Triples short escapes (\\" \\\\ \\n \\t \\r \\uXXXX \\UXXXXXXXX)
+  and optional ``^^datatype`` or ``@lang`` (language tags are DROPPED
+  — the store is lexical, mirroring the emitter); ``#`` comments.
+
+Blank nodes, collections and triple-quoted literals raise — the
+emitters this engine pairs with never produce them (documented
+capability boundary, like the xlsx codec gate).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from octoray.model import DT_PLAIN, DT_URI, PREFIXES
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+)
+    | (?P<COMMENT>\#[^\n]*)
+    | (?P<TRIPLEQ>\"{3})
+    | (?P<STRING>"(?:[^"\\\n]|\\.)*")
+    | (?P<IRI><[^<>\s]*>)
+    | (?P<DCARET>\^\^)
+    | (?P<AT>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<BNODE>_:[\w-]+)
+    | (?P<PNAME>[A-Za-z_][\w-]*:(?:[\w%+-]|\.(?=[\w%+-]))*)
+    | (?P<NUM>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<NAME>[A-Za-z_][\w-]*)
+    | (?P<PUNCT>[;,.()\[\]])
+    """,
+    re.VERBOSE,
+)
+
+_ESC_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[tbnrf\"'\\])")
+_ESC_MAP = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+
+
+class TurtleError(ValueError):
+    pass
+
+
+def _unescape(body: str) -> str:
+    def sub(m: "re.Match") -> str:
+        e = m.group(1)
+        if e[0] in "uU":
+            return chr(int(e[1:], 16))
+        return _ESC_MAP[e]
+
+    return _ESC_RE.sub(sub, body)
+
+
+def _abbrev(iri: str) -> str:
+    """Full IRI -> engine prefix form via the longest canonical base
+    (the SPARQL front end's normalization)."""
+    best = None
+    for pfx, base in PREFIXES.items():
+        if iri.startswith(base) and (best is None or len(base) > len(best[1])):
+            best = (pfx, base)
+    return best[0] + ":" + iri[len(best[1]):] if best else iri
+
+
+class _Lexer:
+    def __init__(self, text: str):
+        self.toks: List[Tuple[str, str, int]] = []
+        i = 0
+        while i < len(text):
+            m = _TOKEN_RE.match(text, i)
+            if not m:
+                raise TurtleError(
+                    f"cannot tokenize at offset {i}: {text[i:i + 30]!r}")
+            kind = m.lastgroup
+            if kind == "TRIPLEQ":
+                raise TurtleError(
+                    "triple-quoted literals not supported (offset "
+                    f"{i}; the paired emitters never produce them)")
+            if kind == "BNODE" or (kind == "PUNCT"
+                                   and m.group() in "()[]"):
+                raise TurtleError(
+                    f"blank nodes / collections not supported "
+                    f"(offset {i}: {m.group()!r})")
+            if kind not in ("WS", "COMMENT"):
+                self.toks.append((kind, m.group(), i))
+            i = m.end()
+        self.toks.append(("EOF", "", len(text)))
+        self.i = 0
+
+    def peek(self) -> Tuple[str, str, int]:
+        return self.toks[self.i]
+
+    def next(self) -> Tuple[str, str, int]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: Optional[str] = None):
+        t = self.next()
+        if t[0] != kind or (text is not None and t[1] != text):
+            raise TurtleError(
+                f"expected {text or kind} at offset {t[2]}, got {t[1]!r}")
+        return t
+
+
+def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
+    """Turtle document -> [(s, p, o, dt)] rows, prefix-normalized."""
+    lx = _Lexer(text)
+    prefixes: Dict[str, str] = {}
+    rows: List[Tuple[str, str, str, str]] = []
+
+    def resolve_pname(txt: str) -> str:
+        pfx, _, local = txt.partition(":")
+        if pfx in prefixes:
+            return _abbrev(prefixes[pfx] + local)
+        # no file-level declaration: assume it is already engine form
+        return txt
+
+    def iri_term() -> str:
+        kind, txt, pos = lx.next()
+        if kind == "IRI":
+            return _abbrev(txt[1:-1])
+        if kind == "PNAME":
+            return resolve_pname(txt)
+        if kind == "NAME" and txt == "a":
+            return "rdf:type"
+        raise TurtleError(f"expected IRI term at offset {pos}, "
+                          f"got {txt!r}")
+
+    def object_term() -> Tuple[str, str]:
+        kind, txt, pos = lx.peek()
+        if kind == "NUM":
+            # rdflib writes xsd numerics in bare form; keep the lexical
+            # value, recover the datatype from the shape
+            lx.next()
+            if re.fullmatch(r"[+-]?\d+", txt):
+                return txt, "xsd:integer"
+            if "e" in txt or "E" in txt:
+                return txt, "xsd:double"
+            return txt, "xsd:decimal"
+        if kind == "NAME" and txt in ("true", "false"):
+            lx.next()
+            return txt, "xsd:boolean"
+        if kind == "STRING":
+            lx.next()
+            val = _unescape(txt[1:-1])
+            k2, t2, _ = lx.peek()
+            if k2 == "DCARET":
+                lx.next()
+                return val, iri_term()
+            if k2 == "AT":
+                lx.next()  # language tag dropped — the store is lexical
+            return val, DT_PLAIN
+        return iri_term(), DT_URI
+
+    while True:
+        kind, txt, pos = lx.peek()
+        if kind == "EOF":
+            break
+        if (kind == "AT" and txt.lower() == "@prefix") or \
+                (kind == "NAME" and txt.upper() == "PREFIX"):
+            sparql_style = kind == "NAME"
+            lx.next()
+            p = lx.expect("PNAME")[1]
+            iri = lx.expect("IRI")[1]
+            prefixes[p[:-1] if p.endswith(":") else p.partition(":")[0]] = \
+                iri[1:-1]
+            if not sparql_style:
+                lx.expect("PUNCT", ".")
+            continue
+        if kind == "AT" and txt.lower() == "@base":
+            raise TurtleError("@base not supported (use absolute IRIs)")
+        subj = iri_term()
+        while True:
+            pred = iri_term()
+            while True:
+                obj, dt = object_term()
+                rows.append((subj, pred, obj, dt))
+                if lx.peek()[0] == "PUNCT" and lx.peek()[1] == ",":
+                    lx.next()
+                    continue
+                break
+            k2, t2, _ = lx.peek()
+            if k2 == "PUNCT" and t2 == ";":
+                lx.next()
+                # rdflib emits trailing ';' before '.'; tolerate it
+                if lx.peek()[0] == "PUNCT" and lx.peek()[1] == ".":
+                    break
+                continue
+            break
+        lx.expect("PUNCT", ".")
+    return rows
+
+
+def rows_table(rows: List[Tuple[str, str, str, str]]) -> pa.Table:
+    return pa.table({
+        "subject": pa.array([r[0] for r in rows], pa.string()),
+        "predicate": pa.array([r[1] for r in rows], pa.string()),
+        "object": pa.array([r[2] for r in rows], pa.string()),
+        "object_datatype": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
+def read_turtle(path_or_dir: str):
+    """Turtle file(s) -> streaming triple Dataset (one parse task per
+    file — the source's parallelism unit, like FASTA/WARC)."""
+    import ray.data as rd
+
+    def parse(t: pa.Table) -> pa.Table:
+        rows: List[Tuple[str, str, str, str]] = []
+        for blob in t.column("bytes").to_pylist():
+            rows.extend(parse_turtle_text(bytes(blob).decode("utf-8")))
+        return rows_table(rows)
+
+    return rd.read_binary_files(path_or_dir).map_batches(
+        parse, batch_format="pyarrow")

@@ -1,0 +1,129 @@
+"""Turtle source (sources/turtle.py): parser unit vectors and the
+sink -> source roundtrip identity (reference upload path,
+ui.py:561-589)."""
+
+import pyarrow as pa
+import pytest
+
+from octoray.model import triples_to_table
+from octoray.sources.turtle import (TurtleError, parse_turtle_text,
+                                    read_turtle)
+
+TTL = """\
+@prefix f: <https://flu-crew.org/term/> .
+@prefix fid: <https://flu-crew.org/id/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+# a comment
+fid:s1 f:strain_name "A/swine/Iowa/001/2021" .
+fid:s1 f:date "2021-05-04"^^xsd:date ;
+       f:host "swine" , "pig" .
+fid:s1 f:has_segment fid:g1 .
+fid:g1 a f:segment .
+"""
+
+
+def test_parse_basic_forms():
+    rows = parse_turtle_text(TTL)
+    assert ("fid:s1", "f:strain_name", "A/swine/Iowa/001/2021", "") in rows
+    assert ("fid:s1", "f:date", "2021-05-04", "xsd:date") in rows
+    # ',' object list
+    assert ("fid:s1", "f:host", "swine", "") in rows
+    assert ("fid:s1", "f:host", "pig", "") in rows
+    # IRI object + 'a' keyword
+    assert ("fid:s1", "f:has_segment", "fid:g1", "uri") in rows
+    assert ("fid:g1", "rdf:type", "f:segment", "uri") in rows
+    assert len(rows) == 6
+
+
+def test_parse_escapes_and_lang():
+    rows = parse_turtle_text(r'''
+        @prefix f: <https://flu-crew.org/term/> .
+        <https://flu-crew.org/id/x> f:note "line\nbreak \"q\" \\ é"@en .
+    ''')
+    assert rows == [("fid:x", "f:note", 'line\nbreak "q" \\ é', "")]
+
+
+def test_parse_local_prefix_normalizes():
+    # a foreign prefix name for the same IRI base lands in engine form
+    rows = parse_turtle_text("""
+        @prefix flu: <https://flu-crew.org/term/> .
+        <https://flu-crew.org/id/x> flu:host "swine" .
+    """)
+    assert rows == [("fid:x", "f:host", "swine", "")]
+
+
+def test_parse_bare_numerics_and_bool():
+    rows = parse_turtle_text("""
+        @prefix f: <https://flu-crew.org/term/> .
+        <https://flu-crew.org/id/x> f:n 42 ; f:r 1.5 ; f:b true .
+    """)
+    assert ("fid:x", "f:n", "42", "xsd:integer") in rows
+    assert ("fid:x", "f:r", "1.5", "xsd:decimal") in rows
+    assert ("fid:x", "f:b", "true", "xsd:boolean") in rows
+
+
+def test_parse_sparql_style_prefix():
+    rows = parse_turtle_text("""
+        PREFIX f: <https://flu-crew.org/term/>
+        <https://flu-crew.org/id/x> f:host "swine" .
+    """)
+    assert rows == [("fid:x", "f:host", "swine", "")]
+
+
+@pytest.mark.parametrize("bad", [
+    '_:b1 <http://p> "v" .',
+    '<http://s> <http://p> """long""" .',
+    "@base <http://ex/> .",
+])
+def test_parse_rejects_out_of_subset(bad):
+    with pytest.raises(TurtleError):
+        parse_turtle_text(bad)
+
+
+def test_sink_source_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from octoray import sinks
+
+    triples = [
+        ("fid:s1", "f:strain_name", 'A/swine "X"/1', ""),
+        ("fid:s1", "f:date", "2021-05-04", "xsd:date"),
+        ("fid:s1", "f:has_segment", "fid:g1", "uri"),
+        ("fid:g1", "f:genbank_id", "MG0001", ""),
+    ]
+    ds = rd.from_arrow(triples_to_table(sorted(triples)))
+    path = str(tmp_path / "g.ttl")
+    sinks.write_turtle(ds, path)
+    back = read_turtle(path).to_pandas()
+    got = sorted(map(tuple, back.values))
+    assert got == sorted(triples)
+
+
+def test_cli_upload_idempotent(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from octoray import sinks
+    from octoray.__main__ import main
+
+    triples = [
+        ("fid:s9", "f:strain_name", "A/swine/Ohio/9/2020", ""),
+        ("fid:s9", "f:host", "swine", ""),
+    ]
+    ttl = str(tmp_path / "up.ttl")
+    sinks.write_turtle(rd.from_arrow(triples_to_table(triples)), ttl)
+
+    store = str(tmp_path / "store")
+    assert main(["upload", ttl, "--store", store]) == 0
+    parts = [d for d in os.listdir(store) if d.startswith("shard=upload-")]
+    assert len(parts) == 1
+    got = rd.read_parquet(os.path.join(store, parts[0])).select_columns(
+        ["subject", "predicate", "object", "object_datatype"]).to_pandas()
+    assert sorted(map(tuple, got.values)) == sorted(triples)
+
+    # identical content re-uploads into the SAME partition (idempotent)
+    assert main(["upload", ttl, "--store", store]) == 0
+    assert [d for d in os.listdir(store)
+            if d.startswith("shard=upload-")] == parts
