@@ -905,6 +905,40 @@ def _q_sparql_tagged(sf_dir: str):
     return run_file(triples, _rq_path("tagged.rq"))
 
 
+def _q_sparql_segment(sf_dir: str):
+    """SPARQL text front end: the get-tagged-segment.rq level — tag
+    resolution UNION, then SEGMENT-keyed rows (GROUP BY two variables,
+    one OPTIONAL on the segment node and one on the strain node)."""
+    import re as _re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.model import make_query_tag_uri, triples_to_table
+    from octoray.sources.webtext import page_record
+    from octoray.sparql import run_file
+    from octoray.stages.canon import dedup_triples
+
+    ids = []
+    for pid in range(60):
+        fields = page_record(pid, 42)[1]
+        if not fields:
+            continue
+        ids.append(fields[0])
+        for f in fields:
+            if _re.fullmatch(r"A0\d{7}", f) or _re.fullmatch(r"[A-Z]{2}\d{6}", f):
+                ids.append(f)
+    ids = sorted(set(ids))[:80]
+    if O.dump_enabled():
+        O.dump_table("sparql_seg_ids",
+                     pa.table({"id": pa.array(ids, pa.string())}))
+    tags = rd.from_arrow(triples_to_table(
+        [(make_query_tag_uri(), "f:query_tag", i, "") for i in ids]))
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_seg_raw")).union(tags)
+    return run_file(triples, _rq_path("tagged-segment.rq"))
+
+
 def _q_sparql_unclassified(sf_dir: str):
     """SPARQL text front end: the fetch-unclassified-swine.rq MINUS
     shape — swine sequences lacking BOTH classification facts."""
@@ -1731,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_negated": _q_sparql_negated,
         "sparql_subquery": _q_sparql_subquery,
         "turtle_roundtrip": _q_turtle_roundtrip,
+        "sparql_segment": _q_sparql_segment,
         "sparql_years": _q_sparql_years,
         "entity_resolution": _q_entity_resolution,
         "entity_link": _q_entity_link,
@@ -2167,6 +2202,46 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY subtype), '') AS subtypes,
               min(dte) AS earliest_date
             FROM b GROUP BY strain
+        """,
+        "sparql_segment": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_seg_raw')}),
+            t AS (SELECT DISTINCT id AS tag FROM {Q.rp('sparql_seg_ids')}),
+            hit AS (
+              SELECT d.subject AS sid FROM d JOIN t ON d.object = t.tag
+              WHERE d.predicate = 'f:strain_name'
+              UNION
+              SELECT d.subject FROM d JOIN t ON d.object = t.tag
+              WHERE d.predicate = 'f:barcode'
+              UNION
+              SELECT seg.subject FROM d seg
+                JOIN d g ON seg.object = g.subject
+                JOIN t ON g.object = t.tag
+              WHERE seg.predicate = 'f:has_segment'
+                AND g.predicate = 'f:genbank_id'
+            ),
+            b AS (
+              SELECT gbv.object AS gb, n.object AS strain,
+                     c.object AS constellation, gl.object AS gl_clade
+              FROM hit
+              JOIN d n ON n.subject = hit.sid
+                AND n.predicate = 'f:strain_name'
+              JOIN d hs ON hs.subject = hit.sid
+                AND hs.predicate = 'f:has_segment'
+              JOIN d gbv ON gbv.subject = hs.object
+                AND gbv.predicate = 'f:genbank_id'
+              LEFT JOIN d c ON c.subject = hs.object
+                AND c.predicate = 'f:constellation'
+              LEFT JOIN d gl ON gl.subject = hit.sid
+                AND gl.predicate = 'f:global_clade'
+            )
+            SELECT gb, strain,
+              coalesce(string_agg(DISTINCT constellation, '+'
+                                  ORDER BY constellation),
+                       '') AS constellations,
+              coalesce(string_agg(DISTINCT gl_clade, '+'
+                                  ORDER BY gl_clade), '') AS gl_clades
+            FROM b GROUP BY gb, strain
         """,
         "sparql_context": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object

@@ -117,6 +117,7 @@ SUITE = [
     "sparql_negated",
     "sparql_subquery",
     "turtle_roundtrip",
+    "sparql_segment",
 ]
 
 

@@ -299,17 +299,29 @@ def cmd_fetch(args) -> int:
             res = delete_via_file(args.graph, fh.read())
         print(res)
         return 0
-    if args.ids:
+    if args.kind == "strain" and args.ids:
         from octoray.pipelines.reports import tagged_strain_report
 
         with open(args.ids, "r", encoding="utf-8") as fh:
             ids = [ln.strip() for ln in fh if ln.strip()]
         out = tagged_strain_report(read_graph(args.graph), ids)
     else:
+        # reference ui.py:1138-1205: one bundled query per entity
+        # level, always against the PUSHED tags
         from octoray.sparql import run_file
 
-        out = run_file(read_graph(args.graph), _rq_data("tagged.rq"))
-    sinks.write_tsv(out, args.out)
+        rq = {"strain": "tagged.rq",
+              "isolate": "tagged-isolate.rq",
+              "segment": "tagged-segment.rq",
+              "sequence": "tagged-sequence.rq"}[args.kind]
+        out = run_file(read_graph(args.graph), _rq_data(rq))
+    if args.kind == "sequence":
+        # fasta=True convention: the LAST projected variable is the
+        # sequence, the header '|'-joins the rest (ui.py:1196)
+        cols = out.schema().names
+        sinks.write_fasta(out, cols, args.out)
+    else:
+        sinks.write_tsv(out, args.out)
     print(args.out)
     return 0
 
@@ -547,7 +559,8 @@ def main(argv=None) -> int:
     up.set_defaults(fn=cmd_upload)
 
     fe = sub.add_parser("fetch")
-    fe.add_argument("kind", choices=["tag", "strain", "clear"])
+    fe.add_argument("kind", choices=["tag", "isolate", "strain",
+                                     "segment", "sequence", "clear"])
     fe.add_argument("--graph", required=True)
     fe.add_argument("--ids", default=None,
                     help="file with one free-form id per line (required "

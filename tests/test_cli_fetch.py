@@ -47,3 +47,60 @@ def test_fetch_tag_strain_clear(ray_session, tmp_path):
     n_tags = left.filter(
         lambda r: r["predicate"] == "f:query_tag").count()
     assert n_tags == 0
+
+
+def test_fetch_isolate_segment_sequence_levels(ray_session, tmp_path):
+    """Reference ui.py:1138-1205 — one bundled query per entity level;
+    sequence level writes FASTA (last variable is the sequence)."""
+    from octoray import sinks
+    from octoray.__main__ import main
+    from octoray.sources.webtext import page_record
+
+    kg = str(tmp_path / "kg")
+    assert main(["build", "--pages", "300", "--out", kg,
+                 "--shards", "2"]) == 0
+
+    strains = []
+    for pid in range(30):
+        f = page_record(pid, 42)[1]
+        if f:
+            strains.append(f[0])
+    idf = str(tmp_path / "ids.txt")
+    with open(idf, "w") as fh:
+        fh.write("\n".join(strains[:6]))
+    assert main(["fetch", "tag", "--graph", kg, "--ids", idf]) == 0
+
+    iso = str(tmp_path / "iso.tsv")
+    assert main(["fetch", "isolate", "--graph", kg, "--out", iso]) == 0
+    with open(iso) as fh:
+        head = fh.readline().rstrip("\n").split("\t")
+    assert head == ["strain", "hosts", "subtypes", "gl_clades",
+                    "constellations", "countries", "earliest_date"]
+
+    seg = str(tmp_path / "seg.tsv")
+    assert main(["fetch", "segment", "--graph", kg, "--out", seg]) == 0
+    with open(seg) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0].split("\t") == ["gb", "strain", "constellations",
+                                    "gl_clades"]
+    assert len(lines) > 1  # tagged strains carry segments
+
+    # sequence level: upload sequence-bearing triples (the prep-fasta
+    # vocabulary) for one tagged strain, then fetch FASTA
+    ttl = str(tmp_path / "seqs.ttl")
+    with open(ttl, "w") as fh:
+        fh.write(f"""
+@prefix f: <https://flu-crew.org/term/> .
+@prefix fid: <https://flu-crew.org/id/> .
+fid:x f:strain_name "{strains[0]}" .
+fid:x f:has_segment fid:h1 .
+fid:h1 f:dnaseq "ACGTACGT" .
+fid:h1 f:genbank_id "ZZ000001" .
+""")
+    assert main(["upload", ttl, "--store", kg]) == 0
+    fa = str(tmp_path / "seqs.fa")
+    assert main(["fetch", "sequence", "--graph", kg, "--out", fa]) == 0
+    with open(fa) as fh:
+        entries = fh.read().strip().splitlines()
+    assert f">{strains[0]}|ZZ000001" in entries
+    assert "ACGTACGT" in entries
