@@ -125,7 +125,9 @@ def cmd_report(args) -> int:
         out = reports.kg_monthly_report(read_graph(args.input))
     else:
         ds = rd.read_parquet(args.input)
-        if args.kind == "masterlist":
+        if args.kind in ("masterlist", "quarter"):
+            # reference ui.py:1325: `report quarter` IS the masterlist
+            # ("may eventually be specialized")
             out = reports.masterlist(ds)
         elif args.kind == "subtypes":
             out = reports.synthesize_subtypes(ds)
@@ -221,6 +223,27 @@ def cmd_warc(args) -> int:
         write_warc(rd.read_parquet(args.input), args.out,
                    payload_col=args.payload_col)
     print(args.out)
+    return 0
+
+
+def cmd_init(args) -> int:
+    """Initialize an EMPTY graph store (reference `init`, ui.py:120-160
+    creates the GraphDB repository): a zero-row canonical-schema shard
+    so every store consumer (query / sparql / fetch / upload / ingest)
+    runs against it from zero.  Idempotent — an existing store is left
+    untouched."""
+    import pyarrow.parquet as pq
+
+    from octoray.model import triples_to_table
+
+    part = os.path.join(args.store, "shard=00000")
+    if any(d.startswith("shard=") for d in os.listdir(args.store)) \
+            if os.path.isdir(args.store) else False:
+        print(f"store exists: {args.store}")
+        return 0
+    os.makedirs(part, exist_ok=True)
+    pq.write_table(triples_to_table([]), os.path.join(part, "part-0.parquet"))
+    print(f"initialized empty store: {args.store}")
     return 0
 
 
@@ -504,7 +527,8 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=cmd_prep)
 
     rp = sub.add_parser("report"); rp.add_argument("kind",
-        choices=["masterlist", "subtypes", "constellations", "monthly"])
+        choices=["masterlist", "quarter", "subtypes", "constellations",
+                 "monthly"])
     rp.add_argument("input"); rp.add_argument("--out", required=True)
     rp.set_defaults(fn=cmd_report)
 
@@ -552,6 +576,10 @@ def main(argv=None) -> int:
     sq.add_argument("--param", action="append",
                     help="macro substitution KEY=VALUE (e.g. __YEAR__=2021)")
     sq.set_defaults(fn=cmd_sparql)
+
+    ini = sub.add_parser("init")
+    ini.add_argument("--store", required=True)
+    ini.set_defaults(fn=cmd_init)
 
     up = sub.add_parser("upload")
     up.add_argument("files", nargs="+", help="Turtle file(s) to load")

@@ -127,3 +127,29 @@ def test_cli_upload_idempotent(ray_session, tmp_path):
     assert main(["upload", ttl, "--store", store]) == 0
     assert [d for d in os.listdir(store)
             if d.startswith("shard=upload-")] == parts
+
+
+def test_cli_init_then_upload_then_query(ray_session, tmp_path):
+    """init (reference ui.py:120-160) gives a valid empty store every
+    consumer can run against from zero."""
+    import os
+
+    import ray.data as rd
+
+    from octoray import sinks
+    from octoray.__main__ import main
+    from octoray.pipelines.pull import read_graph
+
+    store = str(tmp_path / "fresh")
+    assert main(["init", "--store", store]) == 0
+    assert read_graph(store).count() == 0
+    # idempotent: re-init leaves the store alone
+    assert main(["init", "--store", store]) == 0
+
+    triples = [("fid:z", "f:host", "swine", "")]
+    ttl = str(tmp_path / "z.ttl")
+    sinks.write_turtle(rd.from_arrow(triples_to_table(triples)), ttl)
+    assert main(["upload", ttl, "--store", store]) == 0
+    got = read_graph(store).select_columns(
+        ["subject", "predicate", "object"]).to_pandas()
+    assert sorted(map(tuple, got.values)) == [("fid:z", "f:host", "swine")]
