@@ -253,29 +253,12 @@ def cmd_upload(args) -> int:
     land in a CONTENT-ADDRESSED ``shard=upload-<md5>`` partition — so
     re-uploading identical content rewrites the same partition and the
     store stays idempotent, the K4 contract."""
-    import hashlib
-    import shutil as _shutil
-
+    from octoray.pipelines.update import land_triples
     from octoray.sources.turtle import read_turtle
-    from octoray.stages.canon import TRIPLE_COLS, dedup_triples
 
-    triples = dedup_triples(read_turtle(args.files)) \
-        .select_columns(list(TRIPLE_COLS))
-    # content address from the canonical sorted stream (small: an
-    # upload is a user artifact, not a crawl)
-    tbl = triples.to_pandas()
-    h = hashlib.md5()
-    for row in tbl.itertuples(index=False):
-        h.update(("\x00".join(map(str, row)) + "\x01").encode("utf-8"))
-    part = os.path.join(args.store, f"shard=upload-{h.hexdigest()[:16]}")
-    _shutil.rmtree(part, ignore_errors=True)
-    os.makedirs(part, exist_ok=True)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False),
-                   os.path.join(part, "part-0.parquet"))
-    print(f"uploaded {len(tbl)} triples -> {part}")
+    res = land_triples(args.store, read_turtle(args.files),
+                       prefix="upload")
+    print(f"uploaded {res['triples']} triples -> {res['partition']}")
     return 0
 
 
@@ -451,9 +434,11 @@ def cmd_sparql(args) -> int:
     reference's arbitrary-SPARQL entry points (``octofludb query
     x.rq`` / ``construct`` / ``update``, ui.py:436-560).  SELECT
     prints TSV (header + rows); CONSTRUCT writes Turtle to --out or
-    prints; DELETE applies predicate-shape retraction to the store."""
+    prints; DELETE applies predicate-shape retraction to the store;
+    INSERT lands its result in a content-addressed store partition."""
     from octoray.pipelines.pull import read_graph
-    from octoray.sparql import delete_via_file, parse_sparql, execute
+    from octoray.sparql import (delete_via_file, insert_via_file,
+                                parse_sparql, execute)
 
     params = {}
     for kv in args.param or []:
@@ -464,6 +449,10 @@ def cmd_sparql(args) -> int:
     q = parse_sparql(text, params=params)
     if q.form == "delete":
         res = delete_via_file(args.graph, text, params=params)
+        print(res)
+        return 0
+    if q.form == "insert":
+        res = insert_via_file(args.graph, text, params=params)
         print(res)
         return 0
     out = execute(q, read_graph(args.graph))

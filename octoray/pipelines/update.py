@@ -199,3 +199,30 @@ def retract_step(out_dir: str, name: str) -> Dict:
             n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         shutil.rmtree(d)
     return {"step": name, "existed": existed, "triples_deleted": n}
+
+
+def land_triples(store_dir: str, triples_ds, *, prefix: str = "insert") -> dict:
+    """Land a (small, user-artifact-sized) triple Dataset in a
+    CONTENT-ADDRESSED ``shard=<prefix>-<md5>`` store partition: exact
+    dedup first, the partition name derives from the canonical sorted
+    content, so re-landing identical triples rewrites the same
+    partition — the K4 idempotence contract shared by the `upload`
+    CLI and SPARQL INSERT."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from octoray.stages.canon import TRIPLE_COLS, dedup_triples
+
+    tbl = dedup_triples(triples_ds).select_columns(
+        list(TRIPLE_COLS)).to_pandas()
+    h = hashlib.md5()
+    for row in tbl.itertuples(index=False):
+        h.update(("\x00".join(map(str, row)) + "\x01").encode("utf-8"))
+    part = os.path.join(store_dir, f"shard={prefix}-{h.hexdigest()[:16]}")
+    shutil.rmtree(part, ignore_errors=True)
+    os.makedirs(part, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False),
+                   os.path.join(part, "part-0.parquet"))
+    return {"partition": part, "triples": int(len(tbl))}

@@ -315,6 +315,8 @@ class _Parser:
             return self._construct()
         if self.at_kw("DELETE"):
             return self._delete()
+        if self.at_kw("INSERT"):
+            return self._insert()
         if self.at_kw("ASK"):
             self.next()
             self.eat_kw("WHERE")
@@ -323,7 +325,8 @@ class _Parser:
             return self._describe()
         t = self.peek()
         raise SparqlError(
-            f"expected SELECT/CONSTRUCT/ASK/DESCRIBE/DELETE at {t.pos}")
+            f"expected SELECT/CONSTRUCT/ASK/DESCRIBE/DELETE/INSERT "
+            f"at {t.pos}")
 
     def _describe(self) -> Query:
         self.next()
@@ -501,14 +504,17 @@ class _Parser:
         if not (t.kind == "NAME" and t.text.upper() == "AS"):
             raise SparqlError(f"expected AS at offset {t.pos}")
 
-    def _template(self) -> List[Tuple[str, str, str]]:
+    def _template(self) -> List[tuple]:
         self.expect("OP", "{")
-        tmpl: List[Tuple[str, str, str]] = []
+        tmpl: List[tuple] = []
         while not (self.peek().kind == "OP" and self.peek().text == "}"):
             s, _ = self.term()
             p = self.path()
-            o, _ = self.term()
-            tmpl.append((s, p, o))
+            o, odt = self.term()
+            # a CONSTANT object keeps its parsed datatype (uri / plain /
+            # ^^dt) as the explicit 4th template element — without it a
+            # constant IRI object would instantiate as a plain literal
+            tmpl.append((s, p, o) if odt is None else (s, p, o, odt))
             if self.peek().kind == "OP" and self.peek().text == ".":
                 self.next()
         self.expect("OP", "}")
@@ -528,6 +534,27 @@ class _Parser:
         self.eat_kw("WHERE")
         where = self.group()
         return Query("delete", True, [], [], [], where, tmpl)
+
+    def _insert(self) -> Query:
+        """INSERT DATA { ground triples } or INSERT { template } WHERE
+        { patterns } — the update-surface complement of DELETE (the
+        reference's `update` command accepts both, ui.py:544-560)."""
+        self.next()
+        if self.eat_kw("DATA"):
+            tmpl = self._template()
+            for entry in tmpl:
+                if any(_is_var(x) for x in entry[:3]):
+                    raise SparqlError(
+                        "INSERT DATA requires ground triples "
+                        f"(got {entry[:3]})")
+            return Query("insert", True, [], [], [], Group(), tmpl)
+        tmpl = self._template()
+        if not self.at_kw("WHERE") and not (
+                self.peek().kind == "OP" and self.peek().text == "{"):
+            raise SparqlError("INSERT with variables needs WHERE")
+        self.eat_kw("WHERE")
+        where = self.group()
+        return Query("insert", True, [], [], [], where, tmpl)
 
     # -- graph groups ------------------------------------------------------
     def group(self) -> Group:
@@ -1082,15 +1109,27 @@ def execute(q: Query, triples, *, num_partitions: int = 8):
     """Run a parsed query against a triple Dataset.
 
     SELECT -> bindings Dataset with the SELECT head's columns in
-    declared order; CONSTRUCT and DELETE -> the instantiated (deduped)
-    template triples (for DELETE, the retraction set — apply it with
-    ``pipelines.update``; see :func:`delete_via_file`)."""
+    declared order; CONSTRUCT, DELETE and INSERT -> the instantiated
+    (deduped) template triples (for DELETE the retraction set, for
+    INSERT the assertion set — apply them with ``pipelines.update``;
+    see :func:`delete_via_file` / :func:`insert_via_file`)."""
     if q.form == "describe" and not q.where.patterns \
             and not q.where.unions:
         # constants-only DESCRIBE: no pattern evaluation needed
         return _describe_subjects(
             triples, None, [t[0] for t in q.template],
             num_partitions=num_partitions)
+    if q.form == "insert" and not q.where.patterns \
+            and not q.where.unions and not q.where.subqueries:
+        # INSERT DATA: the ground template IS the result set
+        import ray.data as rd
+
+        from octoray.model import DT_PLAIN, triples_to_table
+        from octoray.stages.canon import dedup_triples
+
+        rows = [(e[0], e[1], e[2], e[3] if len(e) == 4 else DT_PLAIN)
+                for e in q.template]
+        return dedup_triples(rd.from_arrow(triples_to_table(sorted(rows))))
     comp = _Compiler()
     root = comp.compile(q.where)
     hits = _tagged_hits(triples, comp.flat)
@@ -1108,7 +1147,7 @@ def execute(q: Query, triples, *, num_partitions: int = 8):
             vals = b.select_columns(list(q.proj))
         return _describe_subjects(triples, vals, consts,
                                   num_partitions=num_partitions)
-    if q.form in ("construct", "delete"):
+    if q.form in ("construct", "delete", "insert"):
         return instantiate_template(b, q.template, dedup=True)
     return _finish_select(q, b)
 
@@ -1207,7 +1246,8 @@ def delete_via_file(store_dir: str, text: str, *,
         raise SparqlError("not a DELETE query")
     preds = []
     wpats = {(s, p, o) for s, p, o in q.where.patterns}
-    for s, p, o in q.template:
+    for entry in q.template:
+        s, p, o = entry[0], entry[1], entry[2]
         if (_is_var(s) and _is_var(o) and not _is_var(p)
                 and (s, p, o) in wpats and not q.where.optionals
                 and not q.where.filters and not q.where.unions):
@@ -1218,3 +1258,19 @@ def delete_via_file(store_dir: str, text: str, *,
                 f"whole-predicate retraction (the reference's delete-*.rq "
                 f"shape) can target a store")
     return delete_where(store_dir, predicates=preds)
+
+
+def insert_via_file(store_dir: str, text: str, *,
+                    params: Optional[Dict[str, object]] = None) -> dict:
+    """Apply an INSERT-form query to a built graph store: evaluate it
+    (pattern INSERTs run against the store itself; INSERT DATA is the
+    ground template), then land the result in a content-addressed
+    ``shard=insert-<md5>`` partition — idempotent, like `upload`."""
+    from octoray.pipelines.pull import read_graph
+    from octoray.pipelines.update import land_triples
+
+    q = parse_sparql(text, params=params)
+    if q.form != "insert":
+        raise SparqlError("not an INSERT query")
+    out = execute(q, read_graph(store_dir))
+    return land_triples(store_dir, out, prefix="insert")

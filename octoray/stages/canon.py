@@ -99,8 +99,16 @@ def _with_canon_key(batch: pa.Table, cols) -> pa.Table:
         pc.replace_substring(batch.column(c), "\x00", "\x00\x01")
         for c in cols if c in batch.schema.names
     ]
+    # the join kernel needs ONE uniform string type: mixed
+    # string/large_string inputs (parquet readers emit large_string,
+    # in-memory template instantiation emits string) have no kernel
+    if any(pa.types.is_large_string(a.type) for a in arrs):
+        arrs = [a.cast(pa.large_string()) for a in arrs]
+        sep = pa.scalar("\x00\x00", pa.large_string())
+    else:
+        sep = "\x00\x00"
     k = pc.binary_join_element_wise(
-        *arrs, "\x00\x00", null_handling="replace",
+        *arrs, sep, null_handling="replace",
         null_replacement="\x00\x02"
     )
     return batch.append_column(_CANON_KEY, k)

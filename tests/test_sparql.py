@@ -570,3 +570,82 @@ def test_subquery_disconnected_rejected(ray_session):
     """)
     with pytest.raises((SparqlError, ValueError)):
         _rows(execute(q, _ds(GRAPH)))
+
+
+def test_insert_data_ground(ray_session):
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        INSERT DATA {
+            <https://flu-crew.org/id/n1> f:host "swine" .
+            <https://flu-crew.org/id/n1> f:date "2022-01-01"^^xsd:date .
+            <https://flu-crew.org/id/n1> f:has_segment <https://flu-crew.org/id/g9> .
+        }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    got = sorted(map(tuple, out.values))
+    assert got == [
+        ("fid:n1", "f:date", "2022-01-01", "xsd:date"),
+        ("fid:n1", "f:has_segment", "fid:g9", "uri"),
+        ("fid:n1", "f:host", "swine", ""),
+    ]
+
+
+def test_insert_where_pattern(ray_session):
+    # derive new triples from matched bindings (rule-style INSERT)
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        INSERT { ?sid f:reviewed "yes" . }
+        WHERE { ?sid f:host "swine" . }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    got = sorted(map(tuple, out.values))
+    assert got == [
+        ("fid:s1", "f:reviewed", "yes", ""),
+        ("fid:s2", "f:reviewed", "yes", ""),
+    ]
+
+
+def test_insert_data_rejects_variables():
+    with pytest.raises(SparqlError):
+        parse_sparql("INSERT DATA { ?s <http://p> \"v\" . }")
+
+
+def test_construct_constant_iri_object(ray_session):
+    # the template's constant IRI object must instantiate as a URI,
+    # not a plain literal
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        PREFIX fid: <https://flu-crew.org/id/>
+        CONSTRUCT { ?sid f:flagged_by fid:reviewer1 . }
+        WHERE { ?sid f:host "human" . }
+    """)
+    out = _rows(execute(q, _ds(GRAPH)))
+    assert sorted(map(tuple, out.values)) == [
+        ("fid:s3", "f:flagged_by", "fid:reviewer1", "uri")]
+
+
+def test_insert_via_file_lands_idempotent(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from octoray.sparql import insert_via_file
+
+    store = str(tmp_path / "store")
+    part = os.path.join(store, "shard=00000")
+    os.makedirs(part)
+    import pyarrow.parquet as pq
+
+    pq.write_table(triples_to_table(GRAPH), os.path.join(part, "p.parquet"))
+
+    text = """
+        PREFIX f: <https://flu-crew.org/term/>
+        INSERT { ?sid f:reviewed "yes" . }
+        WHERE { ?sid f:host "swine" . }
+    """
+    r1 = insert_via_file(store, text)
+    assert r1["triples"] == 2
+    r2 = insert_via_file(store, text)
+    assert r2["partition"] == r1["partition"]  # content-addressed
+    got = rd.read_parquet(r1["partition"]).count()
+    assert got == 2
