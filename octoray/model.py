@@ -232,8 +232,12 @@ def format_turtle_line(s: str, p: str, o: str, dt: str) -> str:
     sorted Turtle)."""
     if dt == DT_URI:
         obj = o
-    elif dt == DT_PLAIN:
-        obj = '"' + o.replace("\\", "\\\\").replace('"', '\\"') + '"'
     else:
-        obj = '"' + o.replace("\\", "\\\\").replace('"', '\\"') + '"^^' + dt
+        # N-Triples short escapes: backslash first, then quote and the
+        # line-control characters — a raw newline inside a value (web
+        # text) would otherwise split the statement across lines
+        lex = (o.replace("\\", "\\\\").replace('"', '\\"')
+               .replace("\n", "\\n").replace("\r", "\\r")
+               .replace("\t", "\\t"))
+        obj = '"' + lex + '"' + ("" if dt == DT_PLAIN else "^^" + dt)
     return f"{s} {p} {obj} ."

@@ -153,3 +153,27 @@ def test_cli_init_then_upload_then_query(ray_session, tmp_path):
     got = read_graph(store).select_columns(
         ["subject", "predicate", "object"]).to_pandas()
     assert sorted(map(tuple, got.values)) == [("fid:z", "f:host", "swine")]
+
+
+def test_roundtrip_property(ray_session, tmp_path):
+    """Arbitrary value bytes (quotes, backslashes, newlines, tabs,
+    unicode) survive the sink -> source roundtrip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octoray.model import format_turtle_line
+    from octoray.sources.turtle import parse_turtle_text
+
+    value = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0, max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(value)
+    def check(v):
+        line = format_turtle_line("fid:s", "f:note", v, "")
+        assert "\n" not in line and "\r" not in line
+        rows = parse_turtle_text(line)
+        assert rows == [("fid:s", "f:note", v, "")]
+
+    check()
