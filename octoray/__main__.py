@@ -475,13 +475,28 @@ def cmd_sparql(args) -> int:
         return 0
     import sys
 
+    if getattr(args, "fasta", False):
+        # the reference query --fasta convention (ui.py:451-453 ->
+        # formatting.py:10-27): last SELECT variable is the sequence
+        from octoray import sinks
+
+        cols = out.schema().names
+        if args.out:
+            sinks.write_fasta(out, cols, args.out)
+        else:
+            for b in sinks.fasta_text(out, cols).iter_batches(
+                    batch_format="pyarrow"):
+                for entry in b.column("entry").to_pylist():
+                    print(entry)
+        return 0
     fh = open(args.out, "w") if args.out else sys.stdout
     try:
         cols = None
         for b in out.iter_batches(batch_format="pyarrow"):
             if cols is None:
                 cols = b.schema.names
-                fh.write("\t".join(cols) + "\n")
+                if not getattr(args, "no_header", False):
+                    fh.write("\t".join(cols) + "\n")
             for row in zip(*(b.column(c).to_pylist() for c in cols)):
                 fh.write("\t".join("" if v is None else str(v)
                                    for v in row) + "\n")
@@ -564,6 +579,12 @@ def main(argv=None) -> int:
                          "instead of TSV/Turtle")
     sq.add_argument("--param", action="append",
                     help="macro substitution KEY=VALUE (e.g. __YEAR__=2021)")
+    sq.add_argument("--fasta", action="store_true",
+                    help="FASTA output: last SELECT variable is the "
+                         "sequence (reference query --fasta)")
+    sq.add_argument("--no-header", action="store_true", dest="no_header",
+                    help="omit the TSV header row (reference --header "
+                         "toggle)")
     sq.set_defaults(fn=cmd_sparql)
 
     ini = sub.add_parser("init")

@@ -104,3 +104,43 @@ fid:h1 f:genbank_id "ZZ000001" .
         entries = fh.read().strip().splitlines()
     assert f">{strains[0]}|ZZ000001" in entries
     assert "ACGTACGT" in entries
+
+
+def test_sparql_cli_fasta_and_no_header(ray_session, tmp_path):
+    """Reference query --fasta / --header toggles (ui.py:458-470)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from octoray.__main__ import main
+    from octoray.model import triples_to_table
+
+    store = str(tmp_path / "s")
+    os.makedirs(os.path.join(store, "shard=00000"))
+    pq.write_table(triples_to_table([
+        ("fid:x", "f:strain_name", "A/sw/1", ""),
+        ("fid:x", "f:has_segment", "fid:g", "uri"),
+        ("fid:g", "f:dnaseq", "ACGT", ""),
+    ]), os.path.join(store, "shard=00000", "p.parquet"))
+
+    rq = str(tmp_path / "q.rq")
+    with open(rq, "w") as fh:
+        fh.write("""
+            PREFIX f: <https://flu-crew.org/term/>
+            SELECT ?n ?seq WHERE {
+                ?s f:strain_name ?n .
+                ?s f:has_segment ?g .
+                ?g f:dnaseq ?seq .
+            }
+        """)
+    fa = str(tmp_path / "o.fa")
+    assert main(["sparql", rq, "--graph", store, "--fasta",
+                 "--out", fa]) == 0
+    with open(fa) as fh:
+        assert fh.read().splitlines() == [">A/sw/1", "ACGT"]
+
+    tsv = str(tmp_path / "o.tsv")
+    assert main(["sparql", rq, "--graph", store, "--no-header",
+                 "--out", tsv]) == 0
+    with open(tsv) as fh:
+        assert fh.read().splitlines() == ["A/sw/1\tACGT"]
