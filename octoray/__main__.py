@@ -151,9 +151,21 @@ def cmd_compact(args) -> int:
 
 def cmd_delete(args) -> int:
     """Scoped retraction (reference `octofludb update` delete templates,
-    ui.py:544-560): --pred / --tag / --step over a built graph dir."""
+    ui.py:544-560 and the named `delete` subcommands, ui.py:1364-1462):
+    --pred / --tag / --step / --shape over a built graph dir."""
     from octoray.pipelines.update import delete_where, retract_step
 
+    if args.shape:
+        # named delete templates (reference `octofludb delete
+        # constellations|subtypes|us-clades|gl-clades|motifs`) — the
+        # bundled .rq mirror runs through the SPARQL delete planner
+        # (whole-predicate fast path or general pattern-bound path)
+        from octoray.sparql import delete_via_file
+
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            f"delete-{args.shape.replace('-', '_')}.rq")
+        with open(path) as fh:
+            print(json.dumps(delete_via_file(args.graph, fh.read())))
     if args.step:
         for s in args.step:
             print(retract_step(args.graph, s))
@@ -543,6 +555,10 @@ def main(argv=None) -> int:
     dl.add_argument("--pred", action="append", help="retract all triples with this predicate")
     dl.add_argument("--tag", help="retract this tag's assignment triples")
     dl.add_argument("--step", action="append", help="drop a derived step partition")
+    dl.add_argument("--shape", choices=["constellations", "subtypes",
+                                        "us-clades", "gl-clades", "motifs"],
+                    help="named delete template (reference `octofludb "
+                         "delete X`, ui.py:1364-1462)")
     dl.set_defaults(fn=cmd_delete)
 
     cw = sub.add_parser("crawl"); cw.add_argument("kind",

@@ -182,6 +182,132 @@ def delete_where(
     }
 
 
+def _rewrite_partition_exact(part_dir: str, keys_dir: str) -> Dict:
+    """Drop the EXACT (s,p,o,dt) rows listed in ``keys_dir`` from one
+    partition; tmp-write + atomic swap, same transactional shape as
+    :func:`_rewrite_partition`.  Runs inside a Ray task.
+
+    Matching is one hash probe per row group: both sides get the
+    memcomparable composite key (stages/canon.py) so a single
+    ``is_in`` pass decides membership — order-preserving (the
+    partition's canonical sort survives), null- and NUL-safe."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from octoray.stages.canon import _CANON_KEY, _with_canon_key
+
+    cols = ["subject", "predicate", "object", "object_datatype"]
+    keys = pads.dataset(keys_dir).to_table(columns=cols)
+    karr = _with_canon_key(keys, cols).column(_CANON_KEY)
+    karr = karr.combine_chunks().cast(pa.large_string())
+
+    files = _parquet_files(part_dir)
+    tmp = os.path.join(
+        os.path.dirname(part_dir), ".tmp-delete-" + os.path.basename(part_dir)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    kept = deleted = 0
+    writer = None
+    try:
+        for batch in pads.dataset(files).to_batches():
+            t = pa.Table.from_batches([batch])
+            probe = _with_canon_key(t.select(cols), cols).column(_CANON_KEY)
+            probe = probe.combine_chunks().cast(pa.large_string())
+            drop = pc.is_in(probe, value_set=karr)
+            t = t.filter(pc.invert(drop))
+            deleted += int(pc.sum(drop).as_py() or 0)
+            kept += t.num_rows
+            if t.num_rows == 0:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(tmp, "part-0.parquet"), t.schema
+                )
+            writer.write_table(t)
+    finally:
+        if writer is not None:
+            writer.close()
+    mpath = os.path.join(part_dir, MANIFEST)
+    doc = {}
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            doc = json.load(fh)
+    doc["triples_out"] = kept
+    doc.setdefault("deletes", []).append(
+        {"exact_keys": len(karr), "rows_deleted": deleted}
+    )
+    with open(os.path.join(tmp, MANIFEST), "w") as fh:
+        json.dump(doc, fh, indent=1)
+    shutil.rmtree(part_dir)
+    os.replace(tmp, part_dir)
+    return {"partition": part_dir, "deleted": deleted, "kept": kept}
+
+
+def delete_exact(out_dir: str, triples_ds, *,
+                 subject_prune_limit: int = 100_000) -> Dict:
+    """Retract an EXPLICIT triple set from a built graph — the general
+    SPARQL-DELETE shape, where the template is instantiated by the
+    WHERE's bindings (e.g. the reference's delete-motifs.rq,
+    data/delete-motifs.rq: a VARIABLE predicate bound through a join —
+    no static predicate filter can express it).
+
+    Scale contract: the delete set is a query RESULT (bounded by the
+    WHERE's selectivity, not the corpus).  It is deduped and spilled
+    ONCE to parquet; every affected partition's rewrite task loads it
+    once and hash-probes per row group, so task memory is
+    O(delete set), never O(partition).  Partition pruning: when the
+    delete set touches <= ``subject_prune_limit`` distinct subjects,
+    parquet statistics skip partitions with no subject hit (the same
+    pushdown :func:`delete_where` uses); beyond that every partition
+    is rewritten (a delete that wide is a rebuild, and pruning would
+    cost a full scan anyway)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+
+    from octoray.stages.canon import dedup_triples
+
+    cols = ["subject", "predicate", "object", "object_datatype"]
+    keys_dir = os.path.join(out_dir, ".tmp-delete-keys")
+    shutil.rmtree(keys_dir, ignore_errors=True)
+    keys = dedup_triples(triples_ds).select_columns(cols)
+    keys.write_parquet(keys_dir)
+    try:
+        kds = pads.dataset(keys_dir)
+        n_keys = kds.count_rows()
+        if n_keys == 0:
+            return {"partitions_scanned": len(_partitions(out_dir)),
+                    "partitions_rewritten": 0, "triples_deleted": 0}
+        subjects = None
+        if n_keys <= subject_prune_limit:
+            subjects = pc.unique(
+                kds.to_table(columns=["subject"]).column("subject")
+            ).to_pylist()
+        affected = []
+        for part in _partitions(out_dir):
+            files = _parquet_files(part)
+            if not files:
+                continue
+            if subjects is None or pads.dataset(files).count_rows(
+                filter=pads.field("subject").isin(subjects)
+            ) > 0:
+                affected.append(part)
+        rewrite = ray.remote(_rewrite_partition_exact)
+        results = ray.get(
+            [rewrite.remote(p, keys_dir) for p in affected]
+        ) if affected else []
+        return {
+            "partitions_scanned": len(_partitions(out_dir)),
+            "partitions_rewritten": len(results),
+            "triples_deleted": sum(r["deleted"] for r in results),
+        }
+    finally:
+        shutil.rmtree(keys_dir, ignore_errors=True)
+
+
 def retract_step(out_dir: str, name: str) -> Dict:
     """Drop a whole derived step partition (the reference's
     delete-subtypes/constellations/motifs shape): no scan — derived

@@ -1233,31 +1233,42 @@ def delete_via_file(store_dir: str, text: str, *,
                     params: Optional[Dict[str, object]] = None) -> dict:
     """Apply a DELETE-form query to a built graph store.
 
-    The reference's shipped delete templates (data/delete-*.rq,
-    data/clear-query-tags.rq) all retract BY PREDICATE — the template
-    equals the WHERE pattern with a constant predicate and free
-    subject/object.  That shape maps directly onto the store layer's
-    partition-rewriting ``delete_where(predicates=...)``; anything
-    more general raises rather than half-applying."""
-    from octoray.pipelines.update import delete_where
+    Two physical plans, picked by template shape:
+
+    * **whole-predicate fast path** — most reference templates
+      (delete-subtypes.rq etc.) are ``?s f:p ?o`` with the template
+      equal to the WHERE pattern: a static predicate filter, applied
+      via the store layer's statistics-pruned partition rewrite
+      (``delete_where(predicates=...)``), no query evaluation at all;
+    * **general pattern-bound path** — anything else (e.g. the
+      reference's delete-motifs.rq, whose template predicate is a
+      VARIABLE bound through a join): evaluate the WHERE with the
+      pattern layer, instantiate the template, and retract the
+      resulting exact triple set (``delete_exact``)."""
+    from octoray.pipelines.update import delete_exact, delete_where
 
     q = parse_sparql(text, params=params)
     if q.form != "delete":
         raise SparqlError("not a DELETE query")
     preds = []
+    simple = not (q.where.optionals or q.where.filters or q.where.unions)
     wpats = {(s, p, o) for s, p, o in q.where.patterns}
     for entry in q.template:
         s, p, o = entry[0], entry[1], entry[2]
-        if (_is_var(s) and _is_var(o) and not _is_var(p)
-                and (s, p, o) in wpats and not q.where.optionals
-                and not q.where.filters and not q.where.unions):
+        if (simple and _is_var(s) and _is_var(o) and not _is_var(p)
+                and (s, p, o) in wpats):
             preds.append(p)
         else:
-            raise SparqlError(
-                f"unsupported DELETE template triple {(s, p, o)} — only "
-                f"whole-predicate retraction (the reference's delete-*.rq "
-                f"shape) can target a store")
-    return delete_where(store_dir, predicates=preds)
+            preds = None
+            break
+    # the fast path is only whole-predicate when the WHERE adds no
+    # extra constraint beyond the template patterns themselves
+    if preds is not None and len(wpats) == len(q.template):
+        return delete_where(store_dir, predicates=preds)
+    from octoray.pipelines.pull import read_graph
+
+    bound = execute(q, read_graph(store_dir))
+    return delete_exact(store_dir, bound)
 
 
 def insert_via_file(store_dir: str, text: str, *,

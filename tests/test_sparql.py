@@ -649,3 +649,89 @@ def test_insert_via_file_lands_idempotent(ray_session, tmp_path):
     assert r2["partition"] == r1["partition"]  # content-addressed
     got = rd.read_parquet(r1["partition"]).count()
     assert got == 2
+
+
+MOTIF_GRAPH = [
+    # g1: classified segment — seqid + motif, and the motif value ALSO
+    # appears under its concrete predicate (the reference's
+    # subPropertyOf materialization: sa_motif <= motif)
+    ("fid:g1", "f:seqid", "SQ1", ""),
+    ("fid:g1", "f:motif", "PNHD", ""),
+    ("fid:g1", "f:sa_motif", "PNHD", ""),
+    ("fid:g1", "f:segment_name", "HA", ""),
+    # g2: motif but NO seqid — the join must protect it
+    ("fid:g2", "f:motif", "QKRG", ""),
+    ("fid:g2", "f:sa_motif", "QKRG", ""),
+    # g3: seqid but no motif
+    ("fid:g3", "f:seqid", "SQ3", ""),
+    ("fid:g3", "f:segment_name", "NA", ""),
+]
+
+
+def test_delete_via_file_pattern_bound_motifs(ray_session, tmp_path):
+    """delete-motifs.rq: VARIABLE template predicate bound through a
+    join — must take the general pattern-bound path and retract
+    exactly the instantiated triples (reference data/delete-motifs.rq)."""
+    import ray.data as rd
+
+    from octoray.sparql import delete_via_file
+
+    store = str(tmp_path / "store")
+    _ds(MOTIF_GRAPH).write_parquet(os.path.join(store, "shard=00000"))
+    path = os.path.join(os.path.dirname(__file__), "..", "octoray",
+                        "data", "delete-motifs.rq")
+    with open(path) as fh:
+        res = delete_via_file(store, fh.read())
+    assert res["triples_deleted"] == 2  # g1's f:motif + f:sa_motif rows
+    left = {(r["subject"], r["predicate"], r["object"])
+            for r in rd.read_parquet(store).take_all()}
+    # g1 keeps seqid + segment_name; loses both motif-valued triples
+    assert ("fid:g1", "f:motif", "PNHD") not in left
+    assert ("fid:g1", "f:sa_motif", "PNHD") not in left
+    assert ("fid:g1", "f:seqid", "SQ1") in left
+    assert ("fid:g1", "f:segment_name", "HA") in left
+    # g2 (no seqid) untouched
+    assert ("fid:g2", "f:motif", "QKRG") in left
+    assert ("fid:g2", "f:sa_motif", "QKRG") in left
+
+
+def test_delete_via_file_constrained_where_not_whole_predicate(
+        ray_session, tmp_path):
+    """A WHERE that constrains beyond the template must NOT fall into
+    the whole-predicate fast path: only the constrained subjects'
+    triples go."""
+    import ray.data as rd
+
+    from octoray.sparql import delete_via_file
+
+    store = str(tmp_path / "store")
+    _ds(GRAPH).write_parquet(os.path.join(store, "shard=00000"))
+    res = delete_via_file(store, """
+        PREFIX f: <https://flu-crew.org/term/>
+        DELETE { ?s f:subtype ?o . }
+        WHERE { ?s f:subtype ?o . ?s f:host "swine" . }
+    """)
+    assert res["triples_deleted"] == 1  # only s1 is swine AND subtyped
+    left = {(r["subject"], r["predicate"])
+            for r in rd.read_parquet(store).take_all()}
+    assert ("fid:s1", "f:subtype") not in left
+    assert ("fid:s3", "f:subtype") in left  # human strain keeps its
+
+
+def test_cli_delete_shape(ray_session, tmp_path):
+    """`python -m octoray delete --shape` runs the bundled named
+    templates (reference `octofludb delete X`, ui.py:1364-1462)."""
+    import ray.data as rd
+
+    from octoray.__main__ import main
+
+    store = str(tmp_path / "store")
+    _ds(MOTIF_GRAPH + [("fid:s9", "f:subtype", "H1N1", "")]).write_parquet(
+        os.path.join(store, "shard=00000"))
+    assert main(["delete", "--graph", store, "--shape", "motifs"]) == 0
+    assert main(["delete", "--graph", store, "--shape", "subtypes"]) == 0
+    left = {(r["subject"], r["predicate"])
+            for r in rd.read_parquet(store).take_all()}
+    assert ("fid:g1", "f:motif") not in left
+    assert ("fid:s9", "f:subtype") not in left
+    assert ("fid:g2", "f:motif") in left
