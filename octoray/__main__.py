@@ -92,6 +92,46 @@ def cmd_prep(args) -> int:
             tsv_rows([args.input], column_names=[c for c, _ in _BLAST_COLS]),
             tag=args.tag, timestamp=args.timestamp,
         )
+    elif args.kind == "ivr":
+        from octoray.pipelines.prep import prep_ivr
+        from octoray.sources.tables import tsv_rows
+
+        # IVR influenza_na dumps are headerless positional 11-column
+        # tables (reference mk_influenza_na, recipes.py:74-110)
+        ds = prep_ivr(tsv_rows([args.input],
+                               column_names=[f"c{i}" for i in range(11)]))
+    elif args.kind == "ird":
+        from octoray.pipelines.prep import prep_ird
+        from octoray.sources.tables import tsv_rows
+
+        # IRD exports: headerless positional 12-column tables with
+        # '-N/A-' missing markers (reference mk_ird, recipes.py:113-151)
+        ds = prep_ird(tsv_rows([args.input],
+                               column_names=[f"c{i}" for i in range(12)]))
+    elif args.kind == "tag":
+        from octoray.pipelines.prep import tag_ids
+        from octoray.sources.tables import tsv_rows
+
+        if not args.tag:
+            raise SystemExit("prep tag requires --tag NAME")
+        # one free-form id per line (reference prep_tag, ui.py:600-619)
+        ds = tag_ids(tsv_rows([args.input], column_names=["id"]),
+                     args.tag, timestamp=args.timestamp)
+    elif args.kind == "gbids":
+        from octoray.pipelines.genbank import (prep_genbank,
+                                               synth_gb_records_for_ids)
+
+        # reference `prep gbids` fetches the listed accessions from
+        # Entrez (ui.py:697-713); the sandbox synthesizes each record
+        # deterministically from its id (no network)
+        import pyarrow as pa
+        import ray.data as rd
+
+        with open(args.input) as fh:
+            gbids = [ln.strip() for ln in fh if ln.strip()]
+        recs = rd.from_arrow(pa.table(
+            {"record": pa.array(synth_gb_records_for_ids(gbids), pa.string())}))
+        ds = prep_genbank(recs)
     elif args.kind == "gisaid":
         from octoray.pipelines.prep import prep_gisaid
         from octoray.sources.tables import excel_rows, tsv_rows
@@ -531,7 +571,8 @@ def main(argv=None) -> int:
     pl.add_argument("--no-resume", action="store_true"); pl.set_defaults(fn=cmd_pull)
 
     pr = sub.add_parser("prep"); pr.add_argument("kind",
-        choices=["fasta", "unpublished", "table", "blast", "gisaid"])
+        choices=["fasta", "unpublished", "table", "blast", "gisaid",
+                 "ivr", "ird", "tag", "gbids"])
     pr.add_argument("input"); pr.add_argument("--out", required=True)
     pr.add_argument("--tag"); pr.add_argument("--timestamp", default="")
     pr.add_argument("--include", default="",

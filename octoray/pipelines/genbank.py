@@ -214,69 +214,96 @@ def genbank_errors(records_ds, *, json_col: str = "record"):
 # ----------------------------------------------------------------------
 # deterministic synthetic Entrez records (replaces the network fetch)
 # ----------------------------------------------------------------------
+def _synth_gb_record(r: "np.ndarray", acc: str) -> str:
+    """One Entrez-shaped record JSON from a 12-stream draw row and a
+    fixed accession (shared by the index-keyed and id-keyed
+    synthesizers so both stay deterministic and byte-stable)."""
+    from octoray.sources.webtext import COUNTRIES, HOSTS, PLACES
+
+    genes = ["HA", "NA", "PB2", "PB1", "PA", "NP", "M1", "NS1"]
+    year = 2009 + int(r[1] % 15)
+    host = HOSTS[int(r[2]) % 2]
+    place = PLACES[int(r[3]) % len(PLACES)]
+    a0 = f"A0{int(r[4]) % 10_000_000:07d}"
+    strain = f"A/{host}/{place}/{a0}/{year}"
+    seq = "ACGT" * (20 + int(r[5] % 30))
+    country = "USA" if r[6] % 3 else COUNTRIES[int(r[7]) % len(COUNTRIES)]
+    rec: Dict = {
+        "GBSeq_primary-accession": acc,
+        "GBSeq_locus": acc,
+        "GBSeq_length": str(len(seq)),
+        "GBSeq_moltype": "cRNA",
+        "GBSeq_organism": "Influenza A virus",
+        "GBSeq_update-date": f"{year}-0{1 + int(r[8] % 9)}-15",
+        "GBSeq_create-date": f"0{1 + int(r[8] % 9)}/02/{year}",
+        "GBSeq_definition": f"Influenza A virus ({strain}) segment",
+        "GBSeq_sequence": seq.lower(),
+        "GBSeq_feature-table": [
+            {
+                "GBFeature_key": "source",
+                "GBFeature_location": f"1..{len(seq)}",
+                "GBFeature_quals": [
+                    {"GBQualifier_name": "strain", "GBQualifier_value": strain},
+                    {"GBQualifier_name": "host", "GBQualifier_value": host},
+                    {"GBQualifier_name": "country",
+                     "GBQualifier_value": f"{country}: {place}"},
+                    {"GBQualifier_name": "collection_date",
+                     "GBQualifier_value": f"{1 + int(r[9] % 28):02d}-Mar-{year}"},
+                ],
+            },
+            {
+                "GBFeature_key": "CDS",
+                "GBFeature_location": f"1..{len(seq) - 3}",
+                "GBFeature_quals": [
+                    {"GBQualifier_name": "gene",
+                     "GBQualifier_value": genes[int(r[10]) % len(genes)]},
+                    {"GBQualifier_name": "translation",
+                     "GBQualifier_value": "MKV" * (10 + int(r[11] % 10))},
+                ],
+            },
+        ],
+    }
+    bad_kind = int(r[11] % 30)
+    if bad_kind == 0:
+        rec.pop("GBSeq_organism")
+    elif bad_kind == 1:
+        rec["GBSeq_organism"] = "Homo sapiens"
+    elif bad_kind == 2:
+        rec["GBSeq_feature-table"][0]["GBFeature_quals"][0]["GBQualifier_value"] = "?!"
+    return json.dumps(rec, sort_keys=True)
+
+
 def synth_gb_records(n: int, seed: int = 42) -> List[str]:
     """Entrez-shaped record dicts (JSON strings) drawing on the webtext
     vocab; ~1/10 records are deliberately malformed the ways the
     reference guards against (no organism / not influenza / bad
     strain)."""
-    from octoray.sources.webtext import COUNTRIES, HOSTS, PLACES, _streams
+    from octoray.sources.webtext import _streams
 
-    out: List[str] = []
     r = _streams(np.arange(n, dtype=np.uint64), seed ^ 0x6B4EC, 12)
-    genes = ["HA", "NA", "PB2", "PB1", "PA", "NP", "M1", "NS1"]
-    for i in range(n):
-        acc = f"MG{int(r[i, 0]) % 900000 + 100000}"
-        year = 2009 + int(r[i, 1] % 15)
-        host = HOSTS[int(r[i, 2]) % 2]
-        place = PLACES[int(r[i, 3]) % len(PLACES)]
-        a0 = f"A0{int(r[i, 4]) % 10_000_000:07d}"
-        strain = f"A/{host}/{place}/{a0}/{year}"
-        seq = "ACGT" * (20 + int(r[i, 5] % 30))
-        country = "USA" if r[i, 6] % 3 else COUNTRIES[int(r[i, 7]) % len(COUNTRIES)]
-        rec: Dict = {
-            "GBSeq_primary-accession": acc,
-            "GBSeq_locus": acc,
-            "GBSeq_length": str(len(seq)),
-            "GBSeq_moltype": "cRNA",
-            "GBSeq_organism": "Influenza A virus",
-            "GBSeq_update-date": f"{year}-0{1 + int(r[i, 8] % 9)}-15",
-            "GBSeq_create-date": f"0{1 + int(r[i, 8] % 9)}/02/{year}",
-            "GBSeq_definition": f"Influenza A virus ({strain}) segment",
-            "GBSeq_sequence": seq.lower(),
-            "GBSeq_feature-table": [
-                {
-                    "GBFeature_key": "source",
-                    "GBFeature_location": f"1..{len(seq)}",
-                    "GBFeature_quals": [
-                        {"GBQualifier_name": "strain", "GBQualifier_value": strain},
-                        {"GBQualifier_name": "host", "GBQualifier_value": host},
-                        {"GBQualifier_name": "country",
-                         "GBQualifier_value": f"{country}: {place}"},
-                        {"GBQualifier_name": "collection_date",
-                         "GBQualifier_value": f"{1 + int(r[i, 9] % 28):02d}-Mar-{year}"},
-                    ],
-                },
-                {
-                    "GBFeature_key": "CDS",
-                    "GBFeature_location": f"1..{len(seq) - 3}",
-                    "GBFeature_quals": [
-                        {"GBQualifier_name": "gene",
-                         "GBQualifier_value": genes[int(r[i, 10]) % len(genes)]},
-                        {"GBQualifier_name": "translation",
-                         "GBQualifier_value": "MKV" * (10 + int(r[i, 11] % 10))},
-                    ],
-                },
-            ],
-        }
-        bad_kind = int(r[i, 11] % 30)
-        if bad_kind == 0:
-            rec.pop("GBSeq_organism")
-        elif bad_kind == 1:
-            rec["GBSeq_organism"] = "Homo sapiens"
-        elif bad_kind == 2:
-            rec["GBSeq_feature-table"][0]["GBFeature_quals"][0]["GBQualifier_value"] = "?!"
-        out.append(json.dumps(rec, sort_keys=True))
-    return out
+    return [
+        _synth_gb_record(r[i], f"MG{int(r[i, 0]) % 900000 + 100000}")
+        for i in range(n)
+    ]
+
+
+def synth_gb_records_for_ids(ids: List[str], seed: int = 42) -> List[str]:
+    """Per-ACCESSION deterministic record synthesis — the sandbox
+    stand-in for the reference's `prep gbids` Entrez fetch by id list
+    (_mk_gbids_cmd, ui.py:673-713): the same id always yields the same
+    record, independent of request order or batching (keys derive from
+    a hash of the id, not a list index)."""
+    import hashlib
+
+    from octoray.sources.webtext import _streams
+
+    keys = np.array(
+        [int.from_bytes(hashlib.md5(i.encode()).digest()[:8], "little")
+         for i in ids],
+        dtype=np.uint64,
+    )
+    r = _streams(keys, seed ^ 0x6B4EC, 12)
+    return [_synth_gb_record(r[k], acc) for k, acc in enumerate(ids)]
 
 
 def gb_records_dataset(n: int, seed: int = 42):
