@@ -341,6 +341,38 @@ def _q_kg_delete(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_kg_delete_bound(sf_dir: str):
+    """General pattern-bound SPARQL DELETE against a built store (the
+    reference's delete-motifs.rq shape class, ui.py:1440-1462): the
+    template is instantiated by the WHERE's bindings — here the
+    subtype triples of swine-host subjects, a join constraint no
+    static predicate filter expresses — then retracted EXACTLY via
+    hash-probed partition rewrites (update.delete_exact).  Oracle:
+    anti-join twin over the dumped raw triples."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from octoray.sparql import delete_via_file
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(
+        _kg_raw(sf_dir, "kg_delete_bound_raw")).materialize()
+    d = tempfile.mkdtemp(prefix="octoray_delb_")
+    try:
+        triples.write_parquet(os.path.join(d, "shard=00000"))
+        delete_via_file(d, """
+            PREFIX f: <https://flu-crew.org/term/>
+            DELETE { ?s f:subtype ?o . }
+            WHERE { ?s f:subtype ?o . ?s f:host "swine" . }
+        """)
+        return dedup_triples(rd.read_parquet(d)).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_kg_construct(sf_dir: str):
     """SPARQL CONSTRUCT analogue (reference ui.py:523-541): BGP match
     on the built KG (subtype + date per subject), then template
@@ -1736,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rules_expanded": _q_kg_rules,
         "kg_pull": _q_pull,
         "kg_delete": _q_kg_delete,
+        "kg_delete_bound": _q_kg_delete_bound,
         "kg_incremental": _q_kg_incremental,
         "kg_incremental_dist": _q_kg_incremental_dist,
         "kg_monthly_report": _q_kg_monthly,
@@ -2918,6 +2951,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_path": Q.sql_path_closure(Q.rp("kg_path_edges")),
         "kg_path_star": Q.sql_path_star(Q.rp("kg_path_star_edges")),
         "kg_delete": Q.sql_pull(Q.rpd("kg_delete_raw"), exclude=["f:genbank_id"]),
+        "kg_delete_bound": f"""
+            WITH raw AS (SELECT DISTINCT subject, predicate, object,
+                                object_datatype
+                         FROM {Q.rpd("kg_delete_bound_raw")}),
+            swine AS (SELECT DISTINCT subject FROM raw
+                      WHERE predicate = 'f:host' AND object = 'swine')
+            SELECT subject, predicate, object, object_datatype FROM raw
+            WHERE NOT (predicate = 'f:subtype'
+                       AND subject IN (SELECT subject FROM swine))
+        """,
         "kg_pagerank": Q.sql_pagerank(Q.rpd("kg_pagerank_raw"),
                                       damping=0.85, n_iters=5),
         # entity order: &lt;/&gt; first, &amp; LAST — the inverse of
