@@ -26,6 +26,7 @@ _JACCARD_MAXDF = 1000  # must mirror octoray.stages.dedup.jaccard_pairs default
 _KNN_IDS = [3, 7, 11, 19, 23]
 _KNN_K = 5
 _GAP_MIN = 30.0
+_BM25_TERMS = ["sort", "window", "merge"]
 _GAP_US = int(_GAP_MIN * 60 * 1_000_000)
 
 
@@ -1845,6 +1846,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": lambda sf: W.top_users_by_events(_events(sf), k=10),
         "sessionize": lambda sf: W.sessionize(_events(sf), gap_minutes=_GAP_MIN),
         "session_stats": lambda sf: W.session_stats(_events(sf), gap_minutes=_GAP_MIN),
+        "sliding_window": lambda sf: W.sliding_window(
+            _events(sf), hop_minutes=60, n_hops=3),
+        "funnel_depths": lambda sf: W.funnel_depths(
+            _events(sf), ["view", "click", "purchase"], within_minutes=120),
+        "approx_distinct": lambda sf: __import__(
+            "octoray.stages.sketch", fromlist=["approx_distinct"]
+        ).approx_distinct(
+            _events(sf).select_columns(["event_type", "user_id"]),
+            "event_type", "user_id", k=64),
+        "top_docs_per_source": lambda sf: __import__(
+            "octoray.query", fromlist=["grouped_top_k"]
+        ).grouped_top_k(
+            _docs(sf).select_columns(["source", "doc_id", "n_chars"]),
+            ["source"], "n_chars", 5, tie_cols=["doc_id"]),
+        "bm25_topk": lambda sf: __import__(
+            "octoray.stages.tfidf", fromlist=["bm25_topk"]
+        ).bm25_topk(_docs(sf), _BM25_TERMS, k=10),
         # --- text analysis ops ---
         "token_counts": token_counts,
         "quality_scores": quality_scores,
@@ -2015,6 +2033,13 @@ def oracle_sql() -> dict[str, str]:
         FROM g
     """
 
+    from octoray.stages.sketch import sql_approx_distinct
+    from octoray.stages.tfidf import sql_bm25_topk
+
+    _sketch_oracle = sql_approx_distinct("events", "event_type", "user_id",
+                                         k=64)
+    _bm25_oracle = sql_bm25_topk("documents", _BM25_TERMS, k=10)
+
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2075,6 +2100,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
             ORDER BY n_events DESC, user_id ASC LIMIT 10
         """,
+        "sliding_window": """
+            SELECT event_type,
+                   time_bucket(INTERVAL 60 minutes, ts)
+                     - j * (INTERVAL 60 minutes) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0 AS sum_value
+            FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+            GROUP BY 1, 2
+        """,
+        "funnel_depths": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 120 minutes
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s2.t2 + INTERVAL 120 minutes
+                   GROUP BY e.user_id)
+            SELECT s1.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS depth
+            FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                    LEFT JOIN s3 ON s1.user_id = s3.user_id
+        """,
+        "approx_distinct": _sketch_oracle,
+        "top_docs_per_source": """
+            SELECT source, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 5
+        """,
+        "bm25_topk": _bm25_oracle,
         "sessionize": sessionize_sql,
         "session_stats": f"""
             WITH s AS ({sessionize_sql}),

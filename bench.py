@@ -118,6 +118,11 @@ SUITE = [
     "sparql_subquery",
     "turtle_roundtrip",
     "sparql_segment",
+    "approx_distinct",
+    "sliding_window",
+    "funnel_depths",
+    "top_docs_per_source",
+    "bm25_topk",
 ]
 
 

@@ -391,6 +391,52 @@ def sorted_map_groups(ds, keys: Sequence[str], fn):
     return block_map_groups(ds.sort(list(keys)), keys, fn)
 
 
+def grouped_top_k(ds, group_cols: Sequence[str], order_col: str, k: int, *,
+                  tie_cols: Sequence[str] = (), descending: bool = True):
+    """Exact per-group top-k by ``order_col`` (ties broken by
+    ``tie_cols`` ascending — a unique total order makes the k-boundary
+    deterministic).
+
+    Plan: a MAP-SIDE partial top-k (each block keeps at most k rows
+    per group — a row can only be in the global top-k of its group if
+    it is in its block's top-k) prunes before the exchange, then ONE
+    range sort co-locates groups in (group, order, ties) order and a
+    block-local vectorized head(k) finishes.  The shuffle moves at most
+    k x blocks rows per group, never the raw table — the same
+    partial-combine discipline as ``sorted_groupby_count``.
+
+    Reference analogue: the per-document keyword cut in tfidf and the
+    reference's per-strain 'latest record wins' selections; generalized
+    here as the group-wise top-k every curation pipeline needs
+    (best-k documents per domain/source by quality score)."""
+    gcols, tcols = list(group_cols), list(tie_cols)
+    sort_cols = gcols + [order_col] + tcols
+    asc = [True] * len(gcols) + [not descending] + [True] * len(tcols)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return df
+        df = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return df.groupby(gcols, sort=False, group_keys=False).head(k)
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+
+    # Global sort keys are the GROUP columns only: sorting by the full
+    # (group, order) composite could put a range boundary INSIDE a
+    # group.  Equal group keys co-locate in one block (the same
+    # invariant sorted_groupby_count pins), and the within-block
+    # re-sort is cheap because the partial pass already pruned to at
+    # most k rows per (group, block).
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return df
+        df = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return df.groupby(gcols, sort=False, group_keys=False).head(k)
+
+    return pre.sort(gcols).map_batches(
+        finish, batch_format="pandas", batch_size=None)
+
+
 def salted_groupby_sum(ds, key: str, value_col: str, *, n_salts: int = 16,
                        alias: str = "sum"):
     """Two-phase salted aggregation for hot keys (SURVEY.md §4.3, the

@@ -146,6 +146,7 @@ class Query:
     sep: str = "+"                  # GROUP_CONCAT separator (uniform)
     order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: Optional[int] = None
+    offset: Optional[int] = None
     having: List[tuple] = field(default_factory=list)
 
 
@@ -424,9 +425,16 @@ class _Parser:
                 else:
                     break
         limit = None
-        if self.at_kw("LIMIT"):
-            self.next()
-            limit = int(self.expect("NUM").text)
+        offset = None
+        # LIMIT and OFFSET may appear in either order (SPARQL 1.1
+        # LimitOffsetClauses)
+        for _ in range(2):
+            if self.at_kw("LIMIT") and limit is None:
+                self.next()
+                limit = int(self.expect("NUM").text)
+            elif self.at_kw("OFFSET") and offset is None:
+                self.next()
+                offset = int(self.expect("NUM").text)
         # trailing solution modifiers we accept-and-ignore would be
         # silently wrong — raise on anything unconsumed but EOF (a
         # subquery instead stops at its closing brace, which the
@@ -446,6 +454,7 @@ class _Parser:
         q.sep = sep
         q.order_by = order_by
         q.limit = limit
+        q.offset = offset
         q.having = having
         for v, a in copies:
             q.where.binds.append((a, "?" + v))
@@ -1187,11 +1196,15 @@ def _finish_select(q: Query, b):
 
 
 def _modifiers(out, q: Query):
-    """ORDER BY / LIMIT solution modifiers (one range sort; LIMIT
-    streams through Ray's native limit operator)."""
+    """ORDER BY / LIMIT / OFFSET solution modifiers (one range sort;
+    LIMIT streams through Ray's native limit operator; OFFSET drops
+    the leading rows of the ordered stream via split_at_indices —
+    LIMIT counts AFTER the offset per SPARQL 1.1)."""
     if q.order_by:
         out = out.sort([v for v, _ in q.order_by],
                        descending=[not asc for _, asc in q.order_by])
+    if q.offset:
+        out = out.split_at_indices([q.offset])[1]
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

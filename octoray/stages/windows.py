@@ -171,3 +171,168 @@ def top_users_by_events(events, *, k: int = 10, user_col: str = "user_id",
                                   alias="n_events")
     # global top-k: sort desc by (n_events, -user) then limit
     return counts.sort(["n_events", user_col], descending=[True, False]).limit(k)
+
+
+def sliding_window(events, *, hop_minutes: int = 60, n_hops: int = 3,
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   value_col: str = "value"):
+    """Sliding (hopping) event-time windows: window length =
+    ``n_hops * hop_minutes``, advancing every ``hop_minutes``.  Output:
+    (event_type, window_start, n_events, sum_value) — one row per
+    window that CONTAINS the event, i.e. each event lands in
+    ``n_hops`` windows.
+
+    Plan: the n_hops replication happens INSIDE map_batches as a
+    vectorized np.repeat/tile, immediately followed by a block-local
+    pandas pre-aggregate — so the exchange moves one partial row per
+    (block, type, window), not n_hops x raw rows.  One combined
+    groupby-aggregate finishes (cents-exact sum: int64, order-free)."""
+    from ray.data.aggregate import Sum
+
+    from octoray.util import cents
+
+    span_us = hop_minutes * 60 * 1_000_000
+    offs = np.arange(n_hops, dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        hop = us // span_us
+        starts = (np.repeat(hop, n_hops) - np.tile(offs, len(us))) * span_us
+        df = pd.DataFrame({
+            type_col: np.repeat(
+                t.column(type_col).to_numpy(zero_copy_only=False), n_hops),
+            "window_start": starts,
+            "value_c": np.repeat(
+                cents(t.column(value_col)).to_numpy(zero_copy_only=False),
+                n_hops),
+        })
+        g = df.groupby([type_col, "window_start"], sort=False).agg(
+            n_partial=("value_c", "size"), value_sum_c=("value_c", "sum"),
+        ).reset_index()
+        return pa.table({
+            type_col: pa.array(g[type_col]),
+            "window_start": pa.array(g["window_start"], pa.int64()),
+            "n_partial": pa.array(g["n_partial"], pa.int64()),
+            "value_sum_c": pa.array(g["value_sum_c"], pa.int64()),
+        })
+
+    out = (
+        events.map_batches(assign, batch_format="pyarrow")
+        .groupby([type_col, "window_start"])
+        .aggregate(Sum("n_partial", alias_name="n_events"),
+                   Sum("value_sum_c", alias_name="value_sum_c"))
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        sv = pc.divide(pc.cast(t.column("value_sum_c"), pa.float64()), 100.0)
+        return pa.table({
+            type_col: t.column(type_col),
+            "window_start": pc.cast(t.column("window_start"),
+                                    pa.timestamp("us")),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+            "sum_value": sv,
+        })
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+def funnel_depths(events, steps, *, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  within_minutes: float | None = None,
+                  broadcast_limit: int = 2_000_000):
+    """Ordered funnel analysis: for each user with at least one
+    ``steps[0]`` event, the deepest prefix of ``steps`` completed IN
+    ORDER (each step strictly after the previous step's FIRST
+    completion — the classic min-ts funnel).  With ``within_minutes``
+    the next step must also land within that window of the previous
+    step's first completion (the windowed conversion funnel).
+    Output: (user_id, depth).
+
+    Plan: stage i is one slim (user, ts) projection filtered to the
+    step's type, a stats-gated join against the previous stage's
+    (user, t_prev) table (broadcast below the limit — the stage table
+    is one row per surviving user — merge-join above), a vectorized
+    strict-after filter, and an exact min-per-user.  The shuffle key is
+    ``user_id`` at every stage (the module's single-partitioning-key
+    note), and stage tables only shrink monotonically."""
+    import ray
+
+    from octoray.query import hash_join, sorted_groupby_min
+
+    steps = list(steps)
+    win_us = (None if within_minutes is None
+              else int(within_minutes * 60 * 1_000_000))
+
+    def typed(step: str):
+        def f(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.equal(t.column(type_col), pa.scalar(step)))
+            return pa.table({
+                user_col: sel.column(user_col),
+                "_ts": pc.cast(sel.column(ts_col), pa.int64()),
+            })
+        return events.map_batches(f, batch_format="pyarrow")
+
+    # stage 1: first occurrence of steps[0] per user
+    cur = sorted_groupby_min(typed(steps[0]), [user_col], "_ts",
+                             alias="_tprev").materialize()
+    depths = [cur]
+    for step in steps[1:]:
+        cand = typed(step)
+        n = cur.count()
+        if n == 0:
+            break
+        if n <= broadcast_limit:
+            ref = ray.put({r[user_col]: r["_tprev"] for r in cur.take_all()})
+
+            def after(t: pa.Table, *, _ref=ref) -> pa.Table:
+                prev = ray.get(_ref)
+                users = t.column(user_col).to_pandas()
+                ts = t.column("_ts").to_numpy(zero_copy_only=False)
+                tprev = users.map(prev)  # NaN where the user is absent
+                # sentinel keeps the arithmetic overflow-free; the
+                # notna mask already excludes these rows
+                tp = tprev.fillna(-(2**62)).to_numpy().astype(np.int64)
+                keep = tprev.notna().to_numpy() & (ts > tp)
+                if win_us is not None:
+                    keep &= ts <= tp + win_us
+                return t.filter(pa.array(keep))
+
+            nxt = cand.map_batches(after, batch_format="pyarrow")
+        else:
+            joined = hash_join(cand, cur, on=user_col)
+
+            def strictly_after(t: pa.Table) -> pa.Table:
+                keep = pc.greater(t.column("_ts"), t.column("_tprev"))
+                if win_us is not None:
+                    keep = pc.and_(keep, pc.less_equal(
+                        t.column("_ts"),
+                        pc.add(t.column("_tprev"), pa.scalar(win_us))))
+                return t.filter(keep).drop_columns(["_tprev"])
+
+            nxt = joined.map_batches(strictly_after, batch_format="pyarrow")
+        cur = sorted_groupby_min(nxt, [user_col], "_ts",
+                                 alias="_tprev").materialize()
+        if cur.count() == 0:
+            break
+        depths.append(cur)
+
+    # depth = deepest stage containing the user; stage tables are
+    # nested (u_{i+1} subset of u_i), so a max over stage markers wins
+    import ray.data as rd
+
+    marked = []
+    for i, d in enumerate(depths):
+        def mark(t: pa.Table, *, _i=i) -> pa.Table:
+            return pa.table({
+                user_col: t.column(user_col),
+                "depth": pa.array([_i + 1] * t.num_rows, pa.int64()),
+            })
+        marked.append(d.map_batches(mark, batch_format="pyarrow"))
+    allm = marked[0] if len(marked) == 1 else marked[0].union(*marked[1:])
+
+    def maxdepth(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(user_col, sort=False)["depth"].max().reset_index()
+        return g
+
+    return allm.sort([user_col]).map_batches(
+        maxdepth, batch_format="pandas", batch_size=None)

@@ -1,0 +1,205 @@
+"""KMV approx-distinct sketch, grouped top-k, sliding windows, funnel
+depths, BM25 — brute-force / SQL-twin equality and path equality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _rd(tbl):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+# ---------------------------------------------------------------- KMV sketch
+def test_kmv_exact_below_k(ray_session):
+    from octoray.stages.sketch import approx_distinct
+
+    # 3 groups, all with < k distinct values -> the sketch IS exact
+    rng = np.random.default_rng(7)
+    g = rng.choice(["a", "b", "c"], size=500)
+    v = rng.integers(0, 40, size=500)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v, pa.int64())})
+    out = (approx_distinct(_rd(t).repartition(4), "g", "v", k=64)
+           .to_pandas().set_index("g")["approx_distinct"].to_dict())
+    truth = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique().to_dict()
+    assert out == {k: float(n) for k, n in truth.items()}
+
+
+def test_kmv_estimator_accuracy_and_block_independence(ray_session):
+    from octoray.stages.sketch import approx_distinct
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 5000, size=20_000)
+    t = pa.table({"g": pa.array(["x"] * len(v)), "v": pa.array(v, pa.int64())})
+    truth = len(np.unique(v))
+    ests = []
+    for parts in (1, 7):
+        out = approx_distinct(_rd(t).repartition(parts), "g", "v", k=256)
+        ests.append(out.to_pandas()["approx_distinct"].iloc[0])
+    # mergeable: the estimate cannot depend on block boundaries
+    assert ests[0] == ests[1]
+    # KMV relative error ~ 1/sqrt(k) = 6.25%; allow 4 sigma
+    assert abs(ests[0] - truth) / truth < 0.25
+
+
+def test_kmv_hash_matches_duckdb(ray_session):
+    import duckdb
+
+    from octoray.stages.sketch import _md5_lower64
+
+    vals = ["", "hello", "42", "ÅÄÖ", "a b c"]
+    got = _md5_lower64(vals)
+    want = [duckdb.sql(f"select md5_number_lower('{v}')").fetchone()[0]
+            for v in vals]
+    assert got.tolist() == want
+
+
+# ------------------------------------------------------------ grouped top-k
+def test_grouped_top_k_matches_pandas(ray_session):
+    from octoray.query import grouped_top_k
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.choice([f"g{i}" for i in range(17)], size=n),
+        "s": rng.integers(0, 50, size=n),  # heavy ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = grouped_top_k(_rd(pa.Table.from_pandas(df)).repartition(6),
+                        ["g"], "s", 7, tie_cols=["id"]).to_pandas()
+    want = (df.sort_values(["g", "s", "id"], ascending=[True, False, True],
+                           kind="mergesort")
+              .groupby("g", sort=False).head(7))
+    key = ["g", "s", "id"]
+    assert (out.sort_values(key).reset_index(drop=True)[key]
+            .equals(want.sort_values(key).reset_index(drop=True)[key]))
+
+
+def test_grouped_top_k_ascending_and_small_groups(ray_session):
+    from octoray.query import grouped_top_k
+
+    df = pd.DataFrame({"g": ["a", "a", "b"], "s": [3, 1, 9],
+                       "id": [1, 2, 3]})
+    out = grouped_top_k(_rd(pa.Table.from_pandas(df)), ["g"], "s", 5,
+                        tie_cols=["id"], descending=False).to_pandas()
+    assert len(out) == 3  # k larger than any group: identity
+
+
+# ------------------------------------------------------------ sliding window
+def test_sliding_window_matches_brute(ray_session):
+    from octoray.stages.windows import sliding_window
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 3 * 86_400, size=n) * 1_000_000
+    et = rng.choice(["a", "b"], size=n)
+    val = np.round(rng.uniform(0, 9, size=n), 2)
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": pa.array(et),
+                  "value": pa.array(val, pa.float64())})
+    out = sliding_window(_rd(t).repartition(5), hop_minutes=60,
+                         n_hops=3).to_pandas()
+    span = 3600 * 1_000_000
+    rows = []
+    for j in range(3):
+        w = (ts // span - j) * span
+        rows.append(pd.DataFrame({"event_type": et, "window_start": w,
+                                  "vc": np.round(val * 100).astype(np.int64)}))
+    brute = (pd.concat(rows).groupby(["event_type", "window_start"])
+             .agg(n_events=("vc", "size"), sum_c=("vc", "sum")).reset_index())
+    brute["sum_value"] = brute["sum_c"] / 100.0
+    merged = out.merge(
+        brute.assign(window_start=pd.to_datetime(brute["window_start"],
+                                                 unit="us")),
+        on=["event_type", "window_start"], suffixes=("", "_b"))
+    assert len(merged) == len(out) == len(brute)
+    assert (merged["n_events"] == merged["n_events_b"]).all()
+    assert (merged["sum_value"] == merged["sum_value_b"]).all()
+
+
+# ------------------------------------------------------------------- funnel
+def _funnel_events():
+    # user 1: a->b->c in order/window (depth 3)
+    # user 2: a then b too late (depth 1); user 3: b before a only (depth 1)
+    # user 4: a->b in window, c before b (depth 2)
+    m = 60 * 1_000_000
+    rows = [
+        (1, "a", 0), (1, "b", 10 * m), (1, "c", 20 * m),
+        (2, "a", 0), (2, "b", 500 * m),
+        (3, "b", 0), (3, "a", 10 * m),
+        (4, "a", 0), (4, "c", 5 * m), (4, "b", 15 * m),
+        (5, "b", 0), (5, "c", 5 * m),  # no 'a': absent from output
+    ]
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([1_700_000_000_000_000 + r[2] for r in rows],
+                       pa.timestamp("us")),
+    })
+
+
+@pytest.mark.parametrize("bl", [2_000_000, 0])
+def test_funnel_depths_hand_case(ray_session, bl):
+    from octoray.stages.windows import funnel_depths
+
+    out = (funnel_depths(_rd(_funnel_events()).repartition(3),
+                         ["a", "b", "c"], within_minutes=60,
+                         broadcast_limit=bl)
+           .to_pandas().set_index("user_id")["depth"].to_dict())
+    assert out == {1: 3, 2: 1, 3: 1, 4: 2}
+
+
+def test_funnel_unwindowed_strictly_after(ray_session):
+    from octoray.stages.windows import funnel_depths
+
+    out = (funnel_depths(_rd(_funnel_events()), ["a", "b", "c"])
+           .to_pandas().set_index("user_id")["depth"].to_dict())
+    # without the window, user 2 converts (b at +500min), user 4 still
+    # lacks a c AFTER its b
+    assert out == {1: 3, 2: 2, 3: 1, 4: 2}
+
+
+# --------------------------------------------------------------------- BM25
+def test_bm25_matches_duckdb_twin(ray_session):
+    import duckdb
+
+    from octoray.stages.tfidf import bm25_topk, sql_bm25_topk
+
+    rng = np.random.default_rng(9)
+    vocab = ["red", "green", "blue", "sort", "merge", "the", "a"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+             for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts)})
+    out = bm25_topk(_rd(t).repartition(4), ["sort", "merge", "blue"],
+                    k=12).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.sql(sql_bm25_topk("documents", ["sort", "merge", "blue"],
+                                 k=12)).df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+# ------------------------------------------------------------- SPARQL OFFSET
+def test_sparql_offset(ray_session):
+    import ray.data as rd
+
+    from octoray.model import triples_to_table
+    from octoray.sparql import execute, parse_sparql
+
+    rows = [(f"fid:s{i}", "f:host", h, "")
+            for i, h in enumerate(["a", "b", "c", "d", "e"])]
+    ds = rd.from_arrow(triples_to_table(rows))
+    q = parse_sparql("SELECT ?h WHERE { ?s f:host ?h } "
+                     "ORDER BY ?h LIMIT 2 OFFSET 1")
+    assert execute(q, ds).to_pandas()["h"].tolist() == ["b", "c"]
+    # OFFSET-before-LIMIT order also parses (SPARQL 1.1 allows both)
+    q2 = parse_sparql("SELECT ?h WHERE { ?s f:host ?h } "
+                      "ORDER BY ?h OFFSET 3 LIMIT 1")
+    assert execute(q2, ds).to_pandas()["h"].tolist() == ["d"]
