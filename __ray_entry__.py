@@ -1131,6 +1131,17 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(triples, damping=0.85, n_iters=5)
 
 
+def _q_kg_kcore(sf_dir: str):
+    """k-core of the KG's undirected uri--uri graph (iterative peel,
+    stages/graphalgo.py::kcore).  Oracle: the same capped peel as a
+    generated MATERIALIZED CTE chain over the raw triple dump."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import kcore
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_kcore_raw"))
+    return kcore(triples, k=2, n_iters=16)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Global triangle count over the KG's undirected uri--uri graph
     (degree-oriented wedge join, stages/graphalgo.py).  Oracle: the
@@ -1805,6 +1816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_link": _q_entity_link,
         "entity_incremental": _q_entity_incremental,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_kcore": _q_kg_kcore,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
@@ -3027,6 +3039,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": Q.sql_pagerank(Q.rpd("kg_pagerank_raw"),
                                       damping=0.85, n_iters=5),
+        "kg_kcore": Q.sql_kcore(Q.rpd("kg_kcore_raw"), k=2, n_iters=16),
         # entity order: &lt;/&gt; first, &amp; LAST — the inverse of
         # html.escape(quote=False); '&amp;lt;' round-trips correctly
         "extract_text": ("""

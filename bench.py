@@ -123,6 +123,7 @@ SUITE = [
     "funnel_depths",
     "top_docs_per_source",
     "bm25_topk",
+    "kg_kcore",
 ]
 
 

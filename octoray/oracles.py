@@ -1153,3 +1153,29 @@ def sql_entity_link(mentions_src: str, lexicon_src: str) -> str:
                CAST(p.dist AS BIGINT) AS dist
         FROM m LEFT JOIN pick p ON m.mention_id = p.mention_id
     """
+
+
+def sql_kcore(src: str, *, k: int = 2, n_iters: int = 32) -> str:
+    """Boundary: raw emitted triples.  Re-derives the undirected
+    self-loop-free uri--uri edge set and peels ``n_iters`` capped
+    rounds as a generated MATERIALIZED CTE chain (the GD-classifier
+    trick: engine and oracle run the SAME capped recurrence, and the
+    engine's early fixpoint break is idempotent, so equality holds by
+    construction).  Mirrors stages/graphalgo.py::kcore."""
+    parts = [
+        f"b AS (SELECT DISTINCT subject AS src, object AS dst FROM {src}"
+        f" WHERE object_datatype = 'uri' AND subject <> object)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b))",
+    ]
+    for t in range(1, n_iters + 1):
+        p = t - 1
+        parts += [
+            f"a{t} AS MATERIALIZED (SELECT src AS node FROM e{p}"
+            f" GROUP BY 1 HAVING count(*) >= {k})",
+            f"e{t} AS MATERIALIZED (SELECT e.src, e.dst FROM e{p} e"
+            f" JOIN a{t} x ON e.src = x.node"
+            f" JOIN a{t} y ON e.dst = y.node)",
+        ]
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT node FROM a{n_iters}")

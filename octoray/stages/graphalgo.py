@@ -276,3 +276,115 @@ def triangle_count(triples):
         total = joined.filter(
             lambda r: r["_e"] is not None).count()
     return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
+
+
+def kcore(triples, *, k: int = 2, n_iters: int = 32,
+          driver_limit: int = 5_000_000, broadcast_limit: int = 2_000_000):
+    """Nodes of the k-core of the KG's UNDIRECTED uri--uri graph: the
+    maximal subgraph where every node keeps degree >= k.  Output: one
+    ``node`` column, the classic peel fixpoint.
+
+    Iteration count is CAPPED at ``n_iters`` on BOTH engine and oracle
+    (the generated-CTE-chain trick the GD classifier pinned): the
+    engine early-breaks at the true fixpoint, which is identical to
+    running all n_iters rounds because peeling is idempotent once
+    stable — so the two sides are equal by construction even if some
+    pathological graph hasn't converged by the cap.
+
+    Stats-gated two-path design (pagerank's): collected numpy peel
+    under ``driver_limit`` edges; above it, each round is ONE
+    degree count over the surviving subgraph (block pre-combined)
+    plus two stats-gated semi-joins trimming the edge list — the edge
+    list only shrinks, so per-round cost is monotone non-increasing.
+    """
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from octoray.query import semi_join_auto
+
+    base = uri_edges(triples)
+
+    # undirected, self-loop-free: emit both directions, distinct
+    def sym(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+        s = t.column("src").combine_chunks().cast(pa.string())
+        d = t.column("dst").combine_chunks().cast(pa.string())
+        return pa.table({"src": pa.concat_arrays([s, d]),
+                         "dst": pa.concat_arrays([d, s])})
+
+    from octoray.query import distinct_values
+
+    edges = distinct_values(base.map_batches(sym, batch_format="pyarrow"),
+                            ["src", "dst"]).materialize()
+    n_edges = edges.count()
+    empty = rd.from_arrow(pa.table({"node": pa.array([], pa.string())}))
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= driver_limit:
+        return _kcore_driver(edges, k=k, n_iters=n_iters)
+
+    def degree(e):
+        def pre(t: pa.Table) -> pa.Table:
+            g = t.group_by(["src"], use_threads=False).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["src", "c"])
+
+        from octoray.query import sorted_groupby_sum
+
+        return sorted_groupby_sum(
+            e.map_batches(pre, batch_format="pyarrow"), ["src"], "c",
+            alias="deg")
+
+    prev_alive = None
+    for _ in range(n_iters):
+        deg = degree(edges)
+
+        def keep_deg(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t.column("deg"),
+                                             pa.scalar(k))).select(["src"])
+
+        alive = deg.map_batches(keep_deg, batch_format="pyarrow").materialize()
+        n_alive = alive.count()
+        if n_alive == 0:
+            return empty
+        if prev_alive is not None and n_alive == prev_alive:
+            break  # fixpoint: another round reproduces the same set
+        prev_alive = n_alive
+        edges = semi_join_auto(
+            semi_join_auto(edges, "src", alive, key_col="src",
+                           broadcast_limit=broadcast_limit),
+            "dst", alive, key_col="src",
+            broadcast_limit=broadcast_limit).materialize()
+
+    return alive.map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
+
+
+def _kcore_driver(edges, *, k: int, n_iters: int):
+    """Collected-edges numpy peel (small-graph fast path): identical
+    fixpoint, pinned equal to the distributed loop in pytest."""
+    import numpy as np
+    import ray.data as rd
+
+    rows = edges.take_all()
+    names = sorted({r["src"] for r in rows})
+    idx = {v: i for i, v in enumerate(names)}
+    si = np.fromiter((idx[r["src"]] for r in rows), np.int64, len(rows))
+    di = np.fromiter((idx[r["dst"]] for r in rows), np.int64, len(rows))
+    alive = np.ones(len(names), dtype=bool)
+    ekeep = np.ones(len(rows), dtype=bool)
+    prev = -1
+    for _ in range(n_iters):
+        deg = np.bincount(si[ekeep], minlength=len(names))
+        alive = deg >= k
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            return rd.from_arrow(pa.table({"node": pa.array([], pa.string())}))
+        if n_alive == prev:
+            break
+        prev = n_alive
+        ekeep = alive[si] & alive[di]
+    keep = [names[i] for i in np.flatnonzero(alive)]
+    return rd.from_arrow(pa.table({"node": pa.array(keep, pa.string())}))

@@ -272,8 +272,17 @@ def funnel_depths(events, steps, *, user_col: str = "user_id",
             })
         return events.map_batches(f, batch_format="pyarrow")
 
+    def precombine(ds):
+        # block-local min per user BEFORE the exchange (min is
+        # idempotent) — the sort then moves one row per (block, user)
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by([user_col], use_threads=False).aggregate(
+                [("_ts", "min")])
+            return g.rename_columns([user_col, "_ts"])
+        return ds.map_batches(f, batch_format="pyarrow")
+
     # stage 1: first occurrence of steps[0] per user
-    cur = sorted_groupby_min(typed(steps[0]), [user_col], "_ts",
+    cur = sorted_groupby_min(precombine(typed(steps[0])), [user_col], "_ts",
                              alias="_tprev").materialize()
     depths = [cur]
     for step in steps[1:]:
@@ -310,7 +319,7 @@ def funnel_depths(events, steps, *, user_col: str = "user_id",
                 return t.filter(keep).drop_columns(["_tprev"])
 
             nxt = joined.map_batches(strictly_after, batch_format="pyarrow")
-        cur = sorted_groupby_min(nxt, [user_col], "_ts",
+        cur = sorted_groupby_min(precombine(nxt), [user_col], "_ts",
                                  alias="_tprev").materialize()
         if cur.count() == 0:
             break

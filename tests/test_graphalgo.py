@@ -96,3 +96,60 @@ def test_triangle_count_known_and_random(ray_session):
                if (x, y) in es and (y, z) in es and (x, z) in es)
     got = triangle_count(rd.from_arrow(triples_to_table(rows)))
     assert got.to_pydict()["n_triangles"] == [want]
+
+
+# ------------------------------------------------------------------- k-core
+def _edge_triples(pairs):
+    import pyarrow as pa
+
+    from octoray.model import triples_to_table
+
+    rows = [(a, "f:edge", b, "uri") for a, b in pairs]
+    return triples_to_table(rows)
+
+
+def test_kcore_hand_case(ray_session):
+    import ray.data as rd
+
+    from octoray.stages.graphalgo import kcore
+
+    # triangle a-b-c (2-core) + pendant path c-d-e (peels away)
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    ds = rd.from_arrow(_edge_triples(pairs))
+    out = sorted(r["node"] for r in kcore(ds, k=2).take_all())
+    assert out == ["a", "b", "c"]
+    # 3-core of a triangle is empty
+    assert kcore(ds, k=3).count() == 0
+
+
+def test_kcore_paths_agree_and_match_brute(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from octoray.stages.graphalgo import kcore
+
+    rng = np.random.default_rng(13)
+    n = 120
+    pairs = {(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, n, size=(600, 2)) if a != b}
+    ds = rd.from_arrow(_edge_triples(sorted(pairs)))
+    drv = sorted(r["node"] for r in kcore(ds, k=3).take_all())
+    dist = sorted(r["node"] for r in
+                  kcore(ds, k=3, driver_limit=0).take_all())
+    assert drv == dist
+    # brute-force peel
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive
+                if len(adj[v] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    assert drv == sorted(alive)
+    assert len(drv) > 0  # non-degenerate case
