@@ -27,6 +27,7 @@ _KNN_IDS = [3, 7, 11, 19, 23]
 _KNN_K = 5
 _GAP_MIN = 30.0
 _BM25_TERMS = ["sort", "window", "merge"]
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 _GAP_US = int(_GAP_MIN * 60 * 1_000_000)
 
 
@@ -1875,6 +1876,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: __import__(
             "octoray.stages.tfidf", fromlist=["bm25_topk"]
         ).bm25_topk(_docs(sf), _BM25_TERMS, k=10),
+        "profile_events": lambda sf: __import__(
+            "octoray.stages.profile", fromlist=["profile_columns"]
+        ).profile_columns(_events(sf), _PROFILE_COLS, k=256),
         # --- text analysis ops ---
         "token_counts": token_counts,
         "quality_scores": quality_scores,
@@ -2052,6 +2056,10 @@ def oracle_sql() -> dict[str, str]:
                                          k=64)
     _bm25_oracle = sql_bm25_topk("documents", _BM25_TERMS, k=10)
 
+    from octoray.stages.profile import sql_profile_columns
+
+    _profile_oracle = sql_profile_columns("events", _PROFILE_COLS, k=256)
+
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2143,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
                     LEFT JOIN s3 ON s1.user_id = s3.user_id
         """,
         "approx_distinct": _sketch_oracle,
+        "profile_events": _profile_oracle,
         "top_docs_per_source": """
             SELECT source, doc_id, n_chars FROM (
               SELECT source, doc_id, n_chars,

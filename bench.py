@@ -124,6 +124,7 @@ SUITE = [
     "top_docs_per_source",
     "bm25_topk",
     "kg_kcore",
+    "profile_events",
 ]
 
 

@@ -1,0 +1,173 @@
+"""One-pass distributed data profiling with mergeable sketches.
+
+The first thing anyone does to a new 100-TB table is ask what's in
+it: row counts, null rates, distinct cardinalities, value ranges.
+``profile_columns`` answers for every requested column in ONE corpus
+scan: each block emits one stats partial per column (n / n_null /
+min / max over the lexical form) plus the column's KMV k-minimum
+hash partial (stages/sketch.py) — so the exchange carries
+O(columns x blocks x k) tiny rows, never the data.  Distinct counts
+are the KMV estimate (exact below k survivors), mergeable across
+blocks by construction.
+
+Lexical form parity (the oracle contract): values compare as DuckDB's
+``CAST(x AS VARCHAR)``.  Python ``str()`` matches DuckDB for ints,
+floats ('1.0', '1e-07') and strings; timestamps differ only in
+trailing fractional zeros (pandas pads to 6 digits, DuckDB strips) —
+``_lexical`` strips them the same way.
+
+Reference analogue: octofludb's column-vote type inference
+(recipes.py table ingestion) profiles columns to pick classifiers;
+this is that profiling pass made corpus-scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from octoray.stages.sketch import _TWO64, _md5_lower64
+from octoray.util import round_half_up_scalar
+
+
+def _lexical(arr: pa.ChunkedArray | pa.Array) -> pd.Series:
+    """Non-null Arrow values as DuckDB-CAST-compatible strings.
+
+    Typed on the ARROW column, not a pandas block: an int64 column
+    with nulls becomes float64 in pandas and would render '3.0' where
+    DuckDB casts '3'."""
+    import pyarrow.compute as pc
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    arr = arr.drop_null()
+    t = arr.type
+    if pa.types.is_integer(t) or pa.types.is_string(t) \
+            or pa.types.is_large_string(t) or pa.types.is_boolean(t):
+        return pc.cast(arr, pa.string()).to_pandas()
+    if pa.types.is_timestamp(t):
+        # explicit format: pandas astype(str) renders date-only when a
+        # whole block happens to be midnight values; DuckDB never does
+        out = arr.to_pandas().dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return out.str.rstrip("0").str.rstrip(".")
+    # floats (and anything else Python str() renders like DuckDB)
+    return arr.to_pandas().astype(str)
+
+
+def profile_columns(ds, columns: Sequence[str], *, k: int = 256):
+    """(column, n, n_null, approx_distinct, min_val, max_val) — one
+    row per profiled column, ordered by column name."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    columns = list(columns)
+
+    # ONE corpus scan: stats partials and KMV hash partials ride the
+    # same output block (kind 0 = stats, kind 1 = hash row) and are
+    # split by a cheap filter downstream — the split operates on tiny
+    # partial rows, never on the data
+    def partials(tb: pa.Table) -> pd.DataFrame:
+        rows = {"column": [], "kind": [], "n": [], "n_null": [],
+                "min_val": [], "max_val": [], "hv": []}
+        for c in columns:
+            s = tb.column(c)
+            nn = s.null_count
+            vals = _lexical(s)
+            rows["column"].append(c)
+            rows["kind"].append(0)
+            rows["n"].append(len(s))
+            rows["n_null"].append(nn)
+            rows["min_val"].append(vals.min() if len(vals) else None)
+            rows["max_val"].append(vals.max() if len(vals) else None)
+            rows["hv"].append(0)
+            if len(vals):
+                for h in np.unique(_md5_lower64(vals.unique()))[:k]:
+                    rows["column"].append(c)
+                    rows["kind"].append(1)
+                    rows["n"].append(0)
+                    rows["n_null"].append(0)
+                    rows["min_val"].append(None)
+                    rows["max_val"].append(None)
+                    rows["hv"].append(h)
+        out = pd.DataFrame(rows)
+        out["hv"] = out["hv"].astype(np.uint64)
+        return out
+
+    both = ds.map_batches(partials, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    stats_ds = both.filter(expr="kind == 0")
+    kmv_ds = both.filter(expr="kind == 1").select_columns(["column", "hv"])
+
+    agg = (stats_ds.groupby("column")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_null", alias_name="n_null"),
+                      Min("min_val", alias_name="min_val"),
+                      Max("max_val", alias_name="max_val")))
+
+    def kmv_finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"column": df.get("column", []),
+                                 "approx_distinct":
+                                 pd.Series([], dtype="float64")})
+        cols, ests = [], []
+        for c, sub in df.groupby("column", sort=False):
+            hv = np.unique(sub["hv"].to_numpy())
+            nd = len(hv)
+            est = (float(nd) if nd < k
+                   else (k - 1) / (float(hv[k - 1]) / _TWO64))
+            cols.append(c)
+            ests.append(round_half_up_scalar(est, 6))
+        return pd.DataFrame({"column": cols, "approx_distinct": ests})
+
+    kmv = kmv_ds.sort(["column"]).map_batches(
+        kmv_finish, batch_format="pandas", batch_size=None)
+
+    # both sides are <= len(columns) rows — a driver combine is exact
+    # and bounded regardless of corpus size
+    import ray.data as rd
+
+    srows = {r["column"]: r for r in agg.take_all()}
+    krows = {r["column"]: r["approx_distinct"] for r in kmv.take_all()}
+    out = []
+    for c in sorted(srows):
+        r = srows[c]
+        out.append((c, int(r["n"]), int(r["n_null"]),
+                    float(krows.get(c, 0.0)), r["min_val"], r["max_val"]))
+    return rd.from_arrow(pa.table({
+        "column": pa.array([o[0] for o in out], pa.string()),
+        "n": pa.array([o[1] for o in out], pa.int64()),
+        "n_null": pa.array([o[2] for o in out], pa.int64()),
+        "approx_distinct": pa.array([o[3] for o in out], pa.float64()),
+        "min_val": pa.array([o[4] for o in out], pa.string()),
+        "max_val": pa.array([o[5] for o in out], pa.string()),
+    }))
+
+
+def sql_profile_columns(table: str, columns: Sequence[str], *,
+                        k: int = 256) -> str:
+    """DuckDB twin: per-column UNION ALL of the same stats + the same
+    KMV estimator over ``md5_number_lower(CAST(col AS VARCHAR))``."""
+    parts = []
+    for c in sorted(columns):
+        parts.append(f"""
+        SELECT '{c}' AS column, n, n_null, approx_distinct,
+               min_val, max_val FROM
+          (SELECT count(*) AS n,
+                  count(*) - count({c}) AS n_null,
+                  min(CAST({c} AS VARCHAR)) AS min_val,
+                  max(CAST({c} AS VARCHAR)) AS max_val
+           FROM {table})
+          CROSS JOIN
+          (SELECT floor((CASE WHEN nd < {k} THEN CAST(nd AS DOUBLE)
+                   ELSE ({k} - 1) / (CAST(hv AS DOUBLE)
+                                     / 18446744073709551616.0) END)
+                  * 1000000 + 0.5) / 1000000 AS approx_distinct
+           FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+                        count(*) OVER () AS nd
+                 FROM (SELECT DISTINCT
+                         md5_number_lower(CAST({c} AS VARCHAR)) AS hv
+                       FROM {table} WHERE {c} IS NOT NULL))
+           WHERE rn = least(nd, {k}))
+        """)
+    return " UNION ALL ".join(parts)

@@ -203,3 +203,51 @@ def test_sparql_offset(ray_session):
     q2 = parse_sparql("SELECT ?h WHERE { ?s f:host ?h } "
                       "ORDER BY ?h OFFSET 3 LIMIT 1")
     assert execute(q2, ds).to_pandas()["h"].tolist() == ["d"]
+
+
+# ------------------------------------------------------------ column profile
+def test_profile_columns_nulls_and_ts(ray_session):
+    import duckdb
+
+    from octoray.stages.profile import profile_columns, sql_profile_columns
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00",          # zero fraction: no '.' suffix
+        "2024-01-02 03:04:05.640140",   # trailing-zero fraction strip
+        None,
+        "2024-01-02 03:04:05.100000",
+    ], format="mixed")
+    t = pa.table({
+        "a": pa.array([1, None, 3, None], pa.int64()),
+        "b": pa.array([1.5, 2.0, None, 1e-07], pa.float64()),
+        "c": pa.array(["x", "y", "y", None]),
+        "ts": pa.Array.from_pandas(pd.Series(ts), type=pa.timestamp("us")),
+    })
+    out = profile_columns(_rd(t).repartition(3), ["a", "b", "c", "ts"],
+                          k=8).to_pandas()
+    con = duckdb.connect()
+    con.register("tt", t)
+    want = con.sql(sql_profile_columns("tt", ["a", "b", "c", "ts"],
+                                       k=8)).df()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_profile_columns_estimator_branch(ray_session):
+    import duckdb
+
+    from octoray.stages.profile import profile_columns, sql_profile_columns
+
+    rng = np.random.default_rng(21)
+    t = pa.table({"v": pa.array(rng.integers(0, 3000, size=9000), pa.int64())})
+    out = profile_columns(_rd(t).repartition(5), ["v"], k=64).to_pandas()
+    con = duckdb.connect()
+    con.register("tt", t)
+    want = con.sql(sql_profile_columns("tt", ["v"], k=64)).df()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+    truth = len(np.unique(t.column("v").to_numpy()))
+    est = out["approx_distinct"].iloc[0]
+    assert abs(est - truth) / truth < 0.5
