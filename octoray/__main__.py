@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 
 
@@ -132,6 +133,44 @@ def cmd_prep(args) -> int:
         recs = rd.from_arrow(pa.table(
             {"record": pa.array(synth_gb_records_for_ids(gbids), pa.string())}))
         ds = prep_genbank(recs)
+    elif args.kind == "update-gb":
+        # reference `prep update_gb` (ui.py:715-760): one Entrez
+        # modified-since query per trailing month, one turtle PER
+        # MONTH.  The sandbox synthesizes each month's record batch
+        # deterministically from the month label (seed = stable hash),
+        # and the month anchor comes from --timestamp (YYYY-MM), never
+        # the wall clock (§2.10 determinism contract).
+        import zlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from octoray.pipelines.genbank import prep_genbank, synth_gb_records
+
+        if not args.timestamp:
+            raise SystemExit("prep update-gb requires --timestamp YYYY-MM "
+                             "(the month anchor; no wall clock)")
+        y, m = (int(x) for x in args.timestamp.split("-")[:2])
+        nmonths = args.nmonths
+        os.makedirs(args.out, exist_ok=True)
+        outs = []
+        for back in range(nmonths):
+            mm = (y * 12 + (m - 1)) - back
+            label = f"{mm // 12:04d}-{mm % 12 + 1:02d}"
+            seed = zlib.crc32(label.encode()) & 0x7FFFFFFF
+            recs = rd.from_arrow(pa.table({"record": pa.array(
+                synth_gb_records(args.per_month, seed=seed), pa.string())}))
+            month_ds = prep_genbank(recs)
+            dst = os.path.join(args.out, f"month={label}")
+            if args.out.endswith(".ttl"):
+                raise SystemExit("prep update-gb writes a directory of "
+                                 "per-month partitions; --out must be a dir")
+            shutil.rmtree(dst, ignore_errors=True)
+            month_ds.write_parquet(dst)
+            outs.append(dst)
+        for d in outs:
+            print(d)
+        return 0
     elif args.kind == "gisaid":
         from octoray.pipelines.prep import prep_gisaid
         from octoray.sources.tables import excel_rows, tsv_rows
@@ -572,13 +611,17 @@ def main(argv=None) -> int:
 
     pr = sub.add_parser("prep"); pr.add_argument("kind",
         choices=["fasta", "unpublished", "table", "blast", "gisaid",
-                 "ivr", "ird", "tag", "gbids"])
+                 "ivr", "ird", "tag", "gbids", "update-gb"])
     pr.add_argument("input"); pr.add_argument("--out", required=True)
     pr.add_argument("--tag"); pr.add_argument("--timestamp", default="")
     pr.add_argument("--include", default="",
                     help="only parse using these classifiers (comma list)")
     pr.add_argument("--exclude", default="",
                     help="remove these classifiers (comma list)")
+    pr.add_argument("--nmonths", type=int, default=3,
+                    help="update-gb: trailing months to synthesize")
+    pr.add_argument("--per-month", type=int, default=20, dest="per_month",
+                    help="update-gb: records per month (synthetic)")
     pr.add_argument("--segment-key", action="store_true", dest="segment_key",
                     help="table: treat the first column as a forced segment id")
     pr.set_defaults(fn=cmd_prep)

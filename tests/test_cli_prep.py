@@ -81,3 +81,27 @@ def test_cli_prep_gbids(ray_session, tmp_path):
     a = sorted((r["subject"], r["predicate"], r["object"]) for r in rows)
     b = sorted((r["subject"], r["predicate"], r["object"]) for r in _read(out2))
     assert a == b
+
+
+def test_cli_prep_update_gb(ray_session, tmp_path):
+    from octoray.__main__ import main
+
+    out = str(tmp_path / "upgb")
+    assert main(["prep", "update-gb", "/dev/null", "--out", out,
+                 "--timestamp", "2021-02", "--nmonths", "3",
+                 "--per-month", "4"]) == 0
+    # one partition per trailing month, year rollover included
+    months = sorted(os.listdir(out))
+    assert months == ["month=2020-12", "month=2021-01", "month=2021-02"]
+    # each month's synthesis is deterministic: rerun produces the
+    # identical triple set
+    import ray.data as rd
+
+    before = {tuple(sorted(r.items())) for r in
+              rd.read_parquet(out).take_all()}
+    assert main(["prep", "update-gb", "/dev/null", "--out", out,
+                 "--timestamp", "2021-02", "--nmonths", "3",
+                 "--per-month", "4"]) == 0
+    after = {tuple(sorted(r.items())) for r in
+             rd.read_parquet(out).take_all()}
+    assert before == after and len(before) > 0
