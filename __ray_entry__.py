@@ -28,6 +28,7 @@ _KNN_K = 5
 _GAP_MIN = 30.0
 _BM25_TERMS = ["sort", "window", "merge"]
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+_RRF_QID = 3
 _GAP_US = int(_GAP_MIN * 60 * 1_000_000)
 
 
@@ -1132,6 +1133,59 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(triples, damping=0.85, n_iters=5)
 
 
+def _q_rrf_search(sf_dir: str):
+    """Hybrid retrieval: BM25 lexical top-50 fused with embedding
+    cosine top-50 (query = vec 3) by reciprocal-rank fusion.  The two
+    rankers are the distributed stages; the fuse runs over their
+    already-reduced k-row lists (stages/similarity.py::rrf_fuse)."""
+    from octoray.stages.similarity import knn_brute, rrf_fuse
+    from octoray.stages.tfidf import bm25_topk
+
+    bm = bm25_topk(_docs(sf_dir), _BM25_TERMS, k=50).take_all()
+    bm_ids = [r["doc_id"] for r in sorted(
+        bm, key=lambda r: (-r["score"], r["doc_id"]))]
+    kn = knn_brute(_embeddings(sf_dir), [_RRF_QID], k=50).take_all()
+    kn_ids = [r["neighbor_id"] for r in sorted(
+        kn, key=lambda r: (-r["score"], r["neighbor_id"]))]
+    return rrf_fuse([bm_ids, kn_ids], c=60, k_out=20)
+
+
+def _q_window_unique_users(sf_dir: str):
+    """Windowed distinct counting: KMV sketch of distinct users per
+    (event_type, 6h tumbling window) — the streaming analytics
+    composition (window assignment is a vectorized epoch floor, the
+    sketch bounds the exchange to k rows per group-block)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from octoray.stages.sketch import approx_distinct
+
+    span_us = 6 * 3600 * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        start = pc.multiply(pc.divide(us, span_us), span_us)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "window_start": pc.cast(start, pa.timestamp("us")),
+            "user_id": t.column("user_id"),
+        })
+
+    ev = _events(sf_dir).map_batches(assign, batch_format="pyarrow")
+    out = approx_distinct(ev, ["event_type", "window_start"], "user_id",
+                          k=64)
+
+    # the sketch's pandas finish pass upcasts timestamps to ns; pin
+    # the contract schema back to timestamp[us]
+    def us(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(i, "window_start",
+                            pc.cast(t.column("window_start"),
+                                    pa.timestamp("us")))
+
+    return out.map_batches(us, batch_format="pyarrow")
+
+
 def _q_kg_kcore(sf_dir: str):
     """k-core of the KG's undirected uri--uri graph (iterative peel,
     stages/graphalgo.py::kcore).  Oracle: the same capped peel as a
@@ -1879,6 +1933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": lambda sf: __import__(
             "octoray.stages.profile", fromlist=["profile_columns"]
         ).profile_columns(_events(sf), _PROFILE_COLS, k=256),
+        "rrf_search": _q_rrf_search,
+        "window_unique_users": _q_window_unique_users,
         # --- text analysis ops ---
         "token_counts": token_counts,
         "quality_scores": quality_scores,
@@ -2152,6 +2208,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct": _sketch_oracle,
         "profile_events": _profile_oracle,
+        "window_unique_users": sql_approx_distinct(
+            "(SELECT event_type,"
+            " time_bucket(INTERVAL 6 hours, ts) AS window_start,"
+            " user_id FROM events)",
+            ["event_type", "window_start"], "user_id", k=64),
+        "rrf_search": f"""
+            WITH bm AS ({sql_bm25_topk("documents", _BM25_TERMS, k=50)}),
+            bmr AS (SELECT doc_id AS id,
+                           row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS r FROM bm),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = {_RRF_QID}),
+            sc AS (SELECT e.vec_id AS id,
+                          list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+                   FROM embeddings e, q WHERE e.vec_id <> {_RRF_QID}),
+            rk AS (SELECT id, s, row_number() OVER (ORDER BY s DESC, id)
+                     AS rn FROM sc),
+            k50 AS (SELECT id, floor(s * 1000000 + 0.5) / 1000000 AS s6
+                    FROM rk WHERE rn <= 50),
+            knr AS (SELECT id, row_number() OVER (ORDER BY s6 DESC, id)
+                      AS r FROM k50),
+            u AS (SELECT id, r FROM bmr UNION ALL SELECT id, r FROM knr),
+            f AS (SELECT id, sum(1.0 / (60.0 + r)) AS s FROM u GROUP BY id)
+            SELECT id, floor(s * 1000000 + 0.5) / 1000000 AS rrf
+            FROM f ORDER BY rrf DESC, id LIMIT 20
+        """,
         "top_docs_per_source": """
             SELECT source, doc_id, n_chars FROM (
               SELECT source, doc_id, n_chars,

@@ -125,6 +125,8 @@ SUITE = [
     "bm25_topk",
     "kg_kcore",
     "profile_events",
+    "rrf_search",
+    "window_unique_users",
 ]
 
 

@@ -723,3 +723,32 @@ def ivf_index_knn(index_dir: str, query_vectors: np.ndarray,
     pruned = rd.read_parquet(dirs, columns=[id_col, vec_col])
     return ivf_knn(pruned, list(query_ids), k=k, nprobe=nprobe,
                    centroids=C, id_col=id_col, vec_col=vec_col)
+
+
+def rrf_fuse(ranked_lists: Sequence[Sequence[int]], *, c: int = 60,
+             k_out: int = 20):
+    """Reciprocal-rank fusion of top-k id lists (Cormack et al. 2009):
+    score(id) = sum over lists of 1/(c + rank).  Operates on the
+    ALREADY-REDUCED top-k lists by definition — each input is O(k)
+    ids, so the fuse is a bounded driver combine no matter the corpus
+    size; all the distributed work happened in the rankers (BM25 /
+    ANN) that produced the lists.  With <= a handful of lists the
+    float sum has so few terms that commutativity alone makes it
+    order-free — the SQL twin is exactly equal after the house
+    6-decimal rounding."""
+    import ray.data as rd
+
+    scores: dict = {}
+    for lst in ranked_lists:
+        for r, i in enumerate(lst, 1):
+            scores[i] = scores.get(i, 0.0) + 1.0 / (c + r)
+    # order on the ROUNDED score (the value the contract compares) so
+    # the k_out cut is identical to the SQL twin even when two raw
+    # sums differ only beyond the rounding grain
+    rows = sorted(((i, round_half_up_scalar(s, 6))
+                   for i, s in scores.items()),
+                  key=lambda kv: (-kv[1], kv[0]))[:k_out]
+    return rd.from_arrow(pa.table({
+        "id": pa.array([i for i, _ in rows], pa.int64()),
+        "rrf": pa.array([s for _, s in rows], pa.float64()),
+    }))

@@ -48,9 +48,11 @@ def _md5_lower64(values: Sequence[str]) -> np.ndarray:
     return out
 
 
-def approx_distinct(ds, group_col: str, value_col: str, *, k: int = 64):
-    """(group, approx_distinct): KMV estimate of COUNT(DISTINCT value)
-    per group.  Exact when a group has <= k distinct hashes.
+def approx_distinct(ds, group_col, value_col: str, *, k: int = 64):
+    """(group..., approx_distinct): KMV estimate of
+    COUNT(DISTINCT value) per group (``group_col`` may be one column
+    name or a list — e.g. (event_type, window_start) for windowed
+    distinct users).  Exact when a group has < k distinct hashes.
 
     Plan: block-local distinct (group, value) -> hash -> keep k
     smallest hashes per group (the map-side combiner: a hash can only
@@ -58,28 +60,28 @@ def approx_distinct(ds, group_col: str, value_col: str, *, k: int = 64):
     -> ONE range sort on the group key -> block-local merge + estimate.
     The exchange moves at most k x blocks rows per group regardless of
     input size."""
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
 
     def partial(t: pa.Table) -> pa.Table:
-        # distinct pairs within the block, then hash each distinct value
-        pairs = (t.select([group_col, value_col])
-                  .group_by([group_col, value_col], use_threads=False)
+        # distinct tuples within the block, then hash each distinct value
+        pairs = (t.select(gcols + [value_col])
+                  .group_by(gcols + [value_col], use_threads=False)
                   .aggregate([]))
         vals = [str(v) for v in pairs.column(value_col).to_pylist()]
-        df = pd.DataFrame({
-            group_col: pairs.column(group_col).to_pandas(),
-            "hv": _md5_lower64(vals),
-        })
-        df = df.sort_values([group_col, "hv"], kind="mergesort")
-        return df.groupby(group_col, sort=False, group_keys=False).head(k)
+        df = pairs.select(gcols).to_pandas()
+        df["hv"] = _md5_lower64(vals)
+        df = df.sort_values(gcols + ["hv"], kind="mergesort")
+        return df.groupby(gcols, sort=False, group_keys=False).head(k)
 
     pre = ds.map_batches(partial, batch_format="pyarrow")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame({group_col: df[group_col],
-                                 "approx_distinct": pd.Series([], dtype="float64")})
+            out = {c: df[c] for c in gcols}
+            out["approx_distinct"] = pd.Series([], dtype="float64")
+            return pd.DataFrame(out)
         groups, ests = [], []
-        for g, sub in df.groupby(group_col, sort=False):
+        for g, sub in df.groupby(gcols, sort=False):
             hv = np.unique(sub["hv"].to_numpy())  # cross-block dedup
             nd = len(hv)
             # strictly fewer than k survivors means NOTHING was pruned
@@ -90,28 +92,33 @@ def approx_distinct(ds, group_col: str, value_col: str, *, k: int = 64):
                 est = float(nd)
             else:
                 est = (k - 1) / (float(hv[k - 1]) / _TWO64)
-            groups.append(g)
+            groups.append(g if isinstance(g, tuple) else (g,))
             ests.append(round_half_up_scalar(est, 6))
-        return pd.DataFrame({group_col: groups, "approx_distinct": ests})
+        out = {c: [g[i] for g in groups] for i, c in enumerate(gcols)}
+        out["approx_distinct"] = ests
+        return pd.DataFrame(out)
 
-    return pre.sort([group_col]).map_batches(
+    return pre.sort(gcols).map_batches(
         finish, batch_format="pandas", batch_size=None)
 
 
-def sql_approx_distinct(table: str, group_col: str, value_col: str, *,
+def sql_approx_distinct(table: str, group_col, value_col: str, *,
                         k: int = 64) -> str:
     """DuckDB twin: identical hash (md5_number_lower), identical
-    estimator, identical rounding grid."""
+    estimator, identical rounding grid.  ``group_col`` may be a name
+    or a list of grouping expressions (aliased name form)."""
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    gl = ", ".join(gcols)
     return f"""
-        WITH h AS (SELECT DISTINCT {group_col},
+        WITH h AS (SELECT DISTINCT {gl},
                           md5_number_lower(CAST({value_col} AS VARCHAR)) AS hv
                    FROM {table}),
-        r AS (SELECT {group_col}, hv,
-                     row_number() OVER (PARTITION BY {group_col}
+        r AS (SELECT {gl}, hv,
+                     row_number() OVER (PARTITION BY {gl}
                                         ORDER BY hv) AS rn,
-                     count(*) OVER (PARTITION BY {group_col}) AS nd
+                     count(*) OVER (PARTITION BY {gl}) AS nd
               FROM h)
-        SELECT {group_col},
+        SELECT {gl},
                floor((CASE WHEN nd < {k} THEN CAST(nd AS DOUBLE)
                       ELSE ({k} - 1) / (CAST(hv AS DOUBLE)
                                         / 18446744073709551616.0)

@@ -251,3 +251,38 @@ def test_profile_columns_estimator_branch(ray_session):
     truth = len(np.unique(t.column("v").to_numpy()))
     est = out["approx_distinct"].iloc[0]
     assert abs(est - truth) / truth < 0.5
+
+
+def test_rrf_fuse_hand_case(ray_session):
+    from octoray.stages.similarity import rrf_fuse
+
+    out = rrf_fuse([[1, 2, 3], [2, 1]], c=60, k_out=3).to_pandas()
+    want = {
+        1: 1 / 61 + 1 / 62,
+        2: 1 / 62 + 1 / 61,
+        3: 1 / 63,
+    }
+    assert out["id"].tolist() == [1, 2, 3]  # 1 and 2 tie -> id order
+    assert abs(out["rrf"].iloc[0] - round(want[1], 6)) < 1e-9
+    assert abs(out["rrf"].iloc[2] - round(want[3], 6)) < 1e-9
+
+
+def test_approx_distinct_composite_group(ray_session):
+    from octoray.stages.sketch import approx_distinct
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y"], size=n)),
+        "b": pa.array(rng.integers(0, 3, size=n), pa.int64()),
+        "v": pa.array(rng.integers(0, 30, size=n), pa.int64()),
+    })
+    out = approx_distinct(_rd(t).repartition(4), ["a", "b"], "v",
+                          k=64).to_pandas()
+    truth = (pd.DataFrame({"a": t.column("a").to_pylist(),
+                           "b": t.column("b").to_pylist(),
+                           "v": t.column("v").to_pylist()})
+             .groupby(["a", "b"])["v"].nunique().reset_index())
+    merged = out.merge(truth, on=["a", "b"])
+    assert len(merged) == len(truth) == len(out)
+    assert (merged["approx_distinct"] == merged["v"].astype(float)).all()
