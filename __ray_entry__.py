@@ -1538,6 +1538,16 @@ def _q_kmeans(sf_dir: str):
     return S.kmeans_cluster(_embeddings(sf_dir), k=8, n_iters=3)
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product quantization: 4 independent 16-dim spherical codebooks
+    (k=8, 3 Lloyd iterations each — the kmeans_clusters recurrence per
+    subspace), corpus encoded to (vec_id, subspace, code).  Oracle:
+    one sql_kmeans CTE chain per sliced subspace."""
+    from octoray.stages import similarity as S
+
+    return S.pq_codes(_embeddings(sf_dir), m=4, k=8, n_iters=3)
+
+
 def _q_cosine_dup_pairs(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import similarity as S
@@ -1994,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "kmeans_clusters": _q_kmeans,
+        "pq_codes": _q_pq_codes,
     }
 
 
@@ -3166,6 +3177,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dup_kept": Q.sql_near_dup_kept(
             Q.rpd("semantic_dup_pairs"), table="embeddings", id_col="vec_id"),
         "kmeans_clusters": Q.sql_kmeans("embeddings", k=8, n_iters=3),
+        "pq_codes": Q.sql_pq_codes("embeddings", m=4, k=8, n_iters=3,
+                                   dim=64),
         "knn_lsh": Q.sql_knn_lsh(
             Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=24),
         "knn_ivf": Q.sql_knn_ivf(

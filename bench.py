@@ -127,6 +127,7 @@ SUITE = [
     "profile_events",
     "rrf_search",
     "window_unique_users",
+    "pq_codes",
 ]
 
 

@@ -1179,3 +1179,21 @@ def sql_kcore(src: str, *, k: int = 2, n_iters: int = 32) -> str:
         ]
     return ("WITH " + ", ".join(parts) +
             f" SELECT node FROM a{n_iters}")
+
+
+def sql_pq_codes(src: str, *, m: int, k: int, n_iters: int, dim: int) -> str:
+    """Boundary: the embeddings table.  One sql_kmeans CTE chain per
+    subspace over the SLICED vectors (DuckDB 1-based inclusive list
+    slicing), UNION ALL'd with the subspace label — mirrors
+    stages/similarity.py::pq_codes exactly."""
+    per = dim // m
+    parts = []
+    for j in range(m):
+        lo, hi = j * per + 1, (j + 1) * per
+        sliced = (f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+                  f" FROM {src})")
+        inner = sql_kmeans(sliced, k=k, n_iters=n_iters)
+        parts.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS subspace,"
+            f" cluster AS code FROM ({inner})")
+    return " UNION ALL ".join(parts)

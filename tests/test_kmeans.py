@@ -61,3 +61,32 @@ def test_empty_cluster_carries_forward(ray_session):
     assert np.isfinite(C).all()
     out = kmeans_cluster(ds, k=3, n_iters=3).to_pandas()
     assert out["cluster"].nunique() <= 3
+
+
+def test_pq_codes_match_per_subspace_kmeans(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.similarity import kmeans_cluster, pq_codes
+
+    rng = np.random.default_rng(17)
+    n, dim, m = 120, 16, 4
+    vecs = rng.standard_normal((n, dim))
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    out = (pq_codes(rd.from_arrow(t).repartition(3), m=m, k=4, n_iters=2)
+           .to_pandas())
+    assert len(out) == n * m
+    per = dim // m
+    for j in range(m):
+        sub = pa.table({
+            "vec_id": t.column("vec_id"),
+            "embedding": pa.array([v[j * per:(j + 1) * per].tolist()
+                                   for v in vecs], pa.list_(pa.float64()))})
+        want = (kmeans_cluster(rd.from_arrow(sub), k=4, n_iters=2)
+                .to_pandas().set_index("vec_id")["cluster"].to_dict())
+        got = (out[out["subspace"] == j]
+               .set_index("vec_id")["code"].to_dict())
+        assert got == want
