@@ -1548,6 +1548,16 @@ def _q_pq_codes(sf_dir: str):
     return S.pq_codes(_embeddings(sf_dir), m=4, k=8, n_iters=3)
 
 
+def _q_pq_search(sf_dir: str):
+    """ADC search over PQ codes: query stays float, corpus is scored
+    through its m codes via a broadcast micro-quantized LUT — corpus
+    floats never touched at query time (similarity.py::pq_adc_search)."""
+    from octoray.stages import similarity as S
+
+    return S.pq_adc_search(_embeddings(sf_dir), _RRF_QID, m=4, k=8,
+                           n_iters=3, k_out=10)
+
+
 def _q_cosine_dup_pairs(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import similarity as S
@@ -2005,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "kmeans_clusters": _q_kmeans,
         "pq_codes": _q_pq_codes,
+        "pq_search": _q_pq_search,
     }
 
 
@@ -3179,6 +3190,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": Q.sql_kmeans("embeddings", k=8, n_iters=3),
         "pq_codes": Q.sql_pq_codes("embeddings", m=4, k=8, n_iters=3,
                                    dim=64),
+        "pq_search": Q.sql_pq_adc("embeddings", _RRF_QID, m=4, k=8,
+                                  n_iters=3, dim=64, k_out=10),
         "knn_lsh": Q.sql_knn_lsh(
             Q.rpd("knn_lsh_buckets"), _KNN_IDS, k=_KNN_K, n_tables=24),
         "knn_ivf": Q.sql_knn_ivf(

@@ -128,6 +128,7 @@ SUITE = [
     "rrf_search",
     "window_unique_users",
     "pq_codes",
+    "pq_search",
 ]
 
 

@@ -1197,3 +1197,85 @@ def sql_pq_codes(src: str, *, m: int, k: int, n_iters: int, dim: int) -> str:
             f"SELECT vec_id, CAST({j} AS BIGINT) AS subspace,"
             f" cluster AS code FROM ({inner})")
     return " UNION ALL ".join(parts)
+
+
+def _kmeans_parts(src: str, *, k: int, n_iters: int, pfx: str):
+    """The sql_kmeans CTE chain with PREFIXED names (safe to embed
+    several chains in one statement).  Returns (parts, assignment_cte,
+    centroid_cte, normalized_cte)."""
+    P = pfx
+    parts = [
+        f"{P}e AS (SELECT vec_id, embedding AS emb FROM {src})",
+        f"{P}x AS (SELECT vec_id, unnest(range(1, len(emb) + 1)) AS i, emb"
+        f" FROM {P}e)",
+        f"{P}xv AS (SELECT vec_id, i, CAST(emb[i] AS DOUBLE) AS v FROM {P}x)",
+        f"{P}nr AS (SELECT vec_id, sqrt(sum(v * v)) AS s FROM {P}xv GROUP BY 1)",
+        f"{P}n AS (SELECT {P}xv.vec_id, i, CASE WHEN s = 0 THEN v ELSE v / s"
+        f" END AS v FROM {P}xv JOIN {P}nr ON {P}xv.vec_id = {P}nr.vec_id)",
+        f"{P}ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS cluster FROM (SELECT DISTINCT vec_id FROM {P}e"
+        f" ORDER BY vec_id LIMIT {k}))",
+        f"{P}c0 AS (SELECT {P}ids.cluster, n.i, n.v FROM {P}n n"
+        f" JOIN {P}ids USING (vec_id))",
+    ]
+    for t in range(1, n_iters + 1):
+        p = t - 1
+        parts += [
+            f"{P}s{t} AS (SELECT n.vec_id, c.cluster, sum(n.v * c.v) AS sim"
+            f" FROM {P}n n JOIN {P}c{p} c ON n.i = c.i GROUP BY 1, 2)",
+            f"{P}a{t} AS (SELECT vec_id, cluster FROM"
+            f" (SELECT vec_id, cluster, row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn"
+            f" FROM {P}s{t}) WHERE rn = 1)",
+            f"{P}m{t} AS (SELECT a.cluster, n.i, sum(n.v) AS sv"
+            f" FROM {P}a{t} a JOIN {P}n n ON a.vec_id = n.vec_id GROUP BY 1, 2)",
+            f"{P}mn{t} AS (SELECT cluster, sqrt(sum(sv * sv)) AS s"
+            f" FROM {P}m{t} GROUP BY 1)",
+            f"{P}c{t} AS (SELECT m.cluster, m.i,"
+            f" CASE WHEN s = 0 THEN sv ELSE sv / s END AS v"
+            f" FROM {P}m{t} m JOIN {P}mn{t} USING (cluster)"
+            f" UNION ALL SELECT c.cluster, c.i, c.v FROM {P}c{p} c"
+            f" WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM {P}m{t}))",
+        ]
+    f = n_iters + 1
+    parts += [
+        f"{P}s{f} AS (SELECT n.vec_id, c.cluster, sum(n.v * c.v) AS sim"
+        f" FROM {P}n n JOIN {P}c{n_iters} c ON n.i = c.i GROUP BY 1, 2)",
+        f"{P}a{f} AS (SELECT vec_id, cluster FROM"
+        f" (SELECT vec_id, cluster, row_number() OVER"
+        f" (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn"
+        f" FROM {P}s{f}) WHERE rn = 1)",
+    ]
+    return parts, f"{P}a{f}", f"{P}c{n_iters}", f"{P}n"
+
+
+def sql_pq_adc(src: str, query_id: int, *, m: int, k: int, n_iters: int,
+               dim: int, k_out: int) -> str:
+    """Boundary: the embeddings table.  Mirrors
+    stages/similarity.py::pq_adc_search — per-subspace kmeans chains
+    (prefixed CTEs), per-subspace LUT of micro-quantized
+    query-sub x codeword dot products, integer m-way sum per vector,
+    top k_out by (score DESC, id)."""
+    per = dim // m
+    parts: list = []
+    score_sqls = []
+    for j in range(m):
+        lo, hi = j * per + 1, (j + 1) * per
+        sliced = (f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+                  f" FROM {src})")
+        ch, a_cte, c_cte, n_cte = _kmeans_parts(
+            sliced, k=k, n_iters=n_iters, pfx=f"p{j}_")
+        parts += ch
+        parts.append(
+            f"lut{j} AS (SELECT c.cluster,"
+            f" CAST(floor(sum(c.v * q.v) * 1000000 + 0.5) AS BIGINT) AS w"
+            f" FROM {c_cte} c JOIN (SELECT i, v FROM {n_cte}"
+            f" WHERE vec_id = {query_id}) q USING (i) GROUP BY c.cluster)")
+        score_sqls.append(
+            f"SELECT a.vec_id, l.w FROM {a_cte} a JOIN lut{j} l"
+            f" USING (cluster)")
+    parts.append("u AS (" + " UNION ALL ".join(score_sqls) + ")")
+    parts.append("fin AS (SELECT vec_id, sum(w) AS sw FROM u GROUP BY 1)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT vec_id, CAST(sw AS DOUBLE) / 1000000.0 AS score"
+            f" FROM fin ORDER BY score DESC, vec_id LIMIT {k_out}")

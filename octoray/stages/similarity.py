@@ -805,3 +805,84 @@ def pq_codes(embeddings, *, m: int = 4, k: int = 8, n_iters: int = 3,
 
         parts.append(asg.map_batches(label, batch_format="pyarrow"))
     return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+
+def pq_adc_search(embeddings, query_id: int, *, m: int = 4, k: int = 8,
+                  n_iters: int = 3, k_out: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Asymmetric-distance (ADC) search over product-quantized codes:
+    the query stays a full float vector; every corpus vector is scored
+    through its m codes via a broadcast (m x k) lookup table of
+    query-sub x codeword dot products.  Output: (id, score) — top
+    ``k_out`` by (score DESC, id ASC).
+
+    The LUT entries are quantized to integer micro-units BEFORE the
+    per-vector m-way sum, so the reduction is order-free and exactly
+    matches the SQL twin (the BM25 summation trick).  Scale shape:
+    codebook training is the zero-shuffle combiner k-means per
+    subspace; scoring is ONE pass over the code table (m int rows per
+    vector) + one small-row sum keyed by id — the corpus floats are
+    never touched at query time, which is the entire point of PQ at
+    100 TB."""
+    import ray
+    import pyarrow.compute as pc
+
+    from octoray.query import sorted_groupby_sum
+    from octoray.stages.similarity import (  # noqa: PLW0406
+        kmeans_init_centroids, kmeans_iterate)
+
+    first = embeddings.limit(1).take_all()
+    dim = len(first[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    per = dim // m
+
+    _, Qfull = load_queries(embeddings, [query_id], id_col=id_col,
+                            vec_col=vec_col)
+    q = Qfull[0]
+
+    parts = []
+    for j in range(m):
+        lo, hi = j * per, (j + 1) * per
+
+        def slc(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            M = _as_matrix(t.column(vec_col))[:, lo:hi]
+            flat = pa.array(np.ascontiguousarray(M).ravel(), pa.float64())
+            offs = pa.array(np.arange(0, (len(M) + 1) * (hi - lo),
+                                      hi - lo, dtype=np.int32))
+            return pa.table({
+                id_col: t.column(id_col),
+                vec_col: pa.ListArray.from_arrays(offs, flat),
+            })
+
+        sub = embeddings.map_batches(slc, batch_format="pyarrow")
+        C = kmeans_init_centroids(sub, k=k, id_col=id_col, vec_col=vec_col)
+        C = kmeans_iterate(sub, C, n_iters=n_iters, id_col=id_col,
+                           vec_col=vec_col)
+        qn = _normalize(q[lo:hi][None, :])[0]
+        lut = np.floor((C @ qn) * 1_000_000.0 + 0.5).astype(np.int64)
+        lut_ref = ray.put(lut)
+        asg = ivf_assignments(sub, C, id_col=id_col, vec_col=vec_col)
+
+        def weigh(t: pa.Table, *, _ref=lut_ref) -> pa.Table:
+            L = ray.get(_ref)
+            codes = t.column("cluster").to_numpy(zero_copy_only=False)
+            return pa.table({id_col: t.column(id_col),
+                             "w": pa.array(L[codes], pa.int64())})
+
+        parts.append(asg.map_batches(weigh, batch_format="pyarrow"))
+
+    allw = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    summed = sorted_groupby_sum(allw, [id_col], "w", alias="sw")
+
+    def finish(t: pa.Table) -> pa.Table:
+        sv = pc.divide(pc.cast(t.column("sw"), pa.float64()), 1_000_000.0)
+        out = pa.table({id_col: t.column(id_col), "score": sv})
+        order = pc.sort_indices(out, sort_keys=[("score", "descending"),
+                                                (id_col, "ascending")])
+        return out.take(order[:k_out])
+
+    pruned = summed.map_batches(finish, batch_format="pyarrow",
+                                batch_size=None)
+    return pruned.sort(["score", id_col],
+                       descending=[True, False]).limit(k_out)

@@ -90,3 +90,31 @@ def test_pq_codes_match_per_subspace_kmeans(ray_session):
         got = (out[out["subspace"] == j]
                .set_index("vec_id")["code"].to_dict())
         assert got == want
+
+
+def test_pq_adc_search_reasonable_recall(ray_session):
+    """ADC search over PQ codes should roughly agree with brute cosine
+    on a clustered corpus (quantization loses precision, so we gate
+    overlap, not equality)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.similarity import knn_brute, pq_adc_search
+
+    rng = np.random.default_rng(23)
+    # 4 tight clusters so quantized scores preserve the neighborhood
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.concatenate([c + rng.standard_normal((30, 16)) * 0.2
+                           for c in centers])
+    t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(3)
+    adc = pq_adc_search(ds, 0, m=4, k=8, n_iters=3, k_out=10).take_all()
+    adc_ids = {r["vec_id"] for r in adc}
+    brute = knn_brute(ds, [0], k=10, exclude_self=False).take_all()
+    brute_ids = {r["neighbor_id"] for r in brute}
+    assert len(adc_ids & brute_ids) >= 5  # same-cluster overlap
+    # the query's own cluster dominates the ADC top list
+    assert 0 in adc_ids
