@@ -1935,6 +1935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": lambda sf: W.session_stats(_events(sf), gap_minutes=_GAP_MIN),
         "sliding_window": lambda sf: W.sliding_window(
             _events(sf), hop_minutes=60, n_hops=3),
+        "window_anomalies": lambda sf: W.window_anomalies(
+            _events(sf), minutes=60, z_threshold=2.0),
         "funnel_depths": lambda sf: W.funnel_depths(
             _events(sf), ["view", "click", "purchase"], within_minutes=120),
         "approx_distinct": lambda sf: __import__(
@@ -1955,6 +1957,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).profile_columns(_events(sf), _PROFILE_COLS, k=256),
         "rrf_search": _q_rrf_search,
         "window_unique_users": _q_window_unique_users,
+        "weighted_sample": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["weighted_sample"]
+        ).weighted_sample(
+            _docs(sf).select_columns(["doc_id", "n_chars"]), 50),
         # --- text analysis ops ---
         "token_counts": token_counts,
         "quality_scores": quality_scores,
@@ -2230,6 +2236,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct": _sketch_oracle,
         "profile_events": _profile_oracle,
+        "window_anomalies": """
+            WITH c AS (SELECT event_type,
+                              time_bucket(INTERVAL 60 minutes, ts)
+                                AS window_start,
+                              count(*) AS n_events
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type,
+                         CAST(sum(n_events) AS BIGINT) AS sc,
+                         CAST(sum(n_events * n_events) AS BIGINT) AS sq,
+                         count(*) AS nw
+                  FROM c GROUP BY 1),
+            z AS (SELECT c.event_type, window_start, n_events,
+                    CASE WHEN (CAST(sq AS DOUBLE) / nw)
+                              - (CAST(sc AS DOUBLE) / nw)
+                                * (CAST(sc AS DOUBLE) / nw) = 0.0
+                         THEN 0.0
+                         ELSE (CAST(n_events AS DOUBLE)
+                               - (CAST(sc AS DOUBLE) / nw))
+                              / sqrt((CAST(sq AS DOUBLE) / nw)
+                                     - (CAST(sc AS DOUBLE) / nw)
+                                       * (CAST(sc AS DOUBLE) / nw))
+                    END AS zz
+                  FROM c JOIN s USING (event_type))
+            SELECT event_type, window_start, n_events,
+                   floor(zz * 1000000 + 0.5) / 1000000 AS z,
+                   floor(zz * 1000000 + 0.5) / 1000000 >= 2.0
+                     OR floor(zz * 1000000 + 0.5) / 1000000 <= -2.0
+                     AS is_anomaly
+            FROM z
+        """,
+        "weighted_sample": """
+            WITH kdf AS (SELECT doc_id, n_chars,
+                   ln(md5_number_lower(CAST(doc_id AS VARCHAR))
+                      / 18446744073709551616.0) / n_chars AS key
+                 FROM documents WHERE n_chars > 0)
+            SELECT doc_id, n_chars FROM kdf
+            ORDER BY key DESC, doc_id LIMIT 50
+        """,
         "window_unique_users": sql_approx_distinct(
             "(SELECT event_type,"
             " time_bucket(INTERVAL 6 hours, ts) AS window_start,"

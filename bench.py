@@ -129,6 +129,8 @@ SUITE = [
     "window_unique_users",
     "pq_codes",
     "pq_search",
+    "weighted_sample",
+    "window_anomalies",
 ]
 
 

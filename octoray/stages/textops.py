@@ -776,3 +776,42 @@ def bigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
     return terms.map_batches(part_sum, batch_format="pyarrow") \
         .sort([id_col]).map_batches(finish, batch_format="pyarrow",
                                     batch_size=None)
+
+
+def weighted_sample(docs, k: int, *, weight_col: str = "n_chars",
+                    id_col: str = "doc_id"):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row draws u from its id's md5
+    hash (the DuckDB-twin `md5_number_lower` / 2^64 uniform) and the k
+    largest ln(u)/weight keys win — inclusion probability proportional
+    to weight, reproducible run-to-run and engine-to-oracle because
+    the randomness IS the content hash, never a wall-clock RNG
+    (§2.10).  The curation use-case: quality- or length-weighted
+    corpus subsampling.
+
+    Plan: one streaming pass computes keys and keeps a block-local
+    top-k (a row can only be in the global top-k if it is in its
+    block's), then a k x blocks-row sort finishes — the corpus itself
+    never shuffles."""
+    import numpy as np
+
+    from octoray.stages.sketch import _TWO64, _md5_lower64
+
+    def keyed(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_pylist()
+        pos = np.asarray(w, np.float64) > 0
+        u = _md5_lower64([str(i) for i in ids]).astype(np.float64) / _TWO64
+        with np.errstate(divide="ignore"):
+            key = np.where(pos, np.log(u) / np.where(pos, w, 1.0), -np.inf)
+        tb = t.select([id_col, weight_col]).append_column(
+            "_key", pa.array(key, pa.float64()))
+        tb = tb.filter(pa.array(pos))
+        order = pc.sort_indices(tb, sort_keys=[("_key", "descending"),
+                                               (id_col, "ascending")])
+        return tb.take(order[:k])
+
+    pruned = docs.map_batches(keyed, batch_format="pyarrow")
+    top = pruned.sort(["_key", id_col], descending=[True, False]).limit(k)
+    return top.map_batches(lambda t: t.drop_columns(["_key"]),
+                           batch_format="pyarrow")

@@ -345,3 +345,92 @@ def funnel_depths(events, steps, *, user_col: str = "user_id",
 
     return allm.sort([user_col]).map_batches(
         maxdepth, batch_format="pandas", batch_size=None)
+
+
+def window_anomalies(events, *, minutes: int = 60, z_threshold: float = 3.0,
+                     ts_col: str = "ts", type_col: str = "event_type"):
+    """Volume anomaly detection: per (event_type, tumbling window)
+    event counts z-scored against the type's own mean/std across all
+    its observed windows; |z| >= threshold flags the window.  The
+    monitoring pass every ingestion pipeline wants over its crawl
+    traffic.
+
+    Exactness: per-window counts and the per-type sum / sum-of-squares
+    are integers (order-free), so mean/std/z are a fixed float
+    expression mirrored verbatim by the SQL twin; z is rounded to the
+    house grid and the FLAG compares the ROUNDED value, so the
+    threshold boundary is stable across engines.  Zero-variance types
+    define z = 0 on both sides.
+
+    Scale: one combined groupby for the window counts, one tiny
+    per-type aggregate (rows = types x blocks partials), stats
+    broadcast back as a dict — the raw events shuffle once."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    span_us = minutes * 60 * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col), pa.int64())
+        start = pc.multiply(pc.divide(us, span_us), span_us)
+        df = pd.DataFrame({
+            type_col: t.column(type_col).to_numpy(zero_copy_only=False),
+            "window_start": start.to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby([type_col, "window_start"], sort=False).size()
+        g = g.reset_index(name="c")
+        return pa.table({
+            type_col: pa.array(g[type_col]),
+            "window_start": pa.array(g["window_start"], pa.int64()),
+            "c": pa.array(g["c"], pa.int64()),
+        })
+
+    counts = (events.map_batches(assign, batch_format="pyarrow")
+              .groupby([type_col, "window_start"])
+              .aggregate(Sum("c", alias_name="n_events"))).materialize()
+
+    def sq(t: pa.Table) -> pa.Table:
+        n = t.column("n_events")
+        return pa.table({
+            type_col: t.column(type_col),
+            "sc": n,
+            "sq": pc.multiply(n, n),
+            "nw": pa.array([1] * t.num_rows, pa.int64()),
+        })
+
+    stats = (counts.map_batches(sq, batch_format="pyarrow")
+             .groupby(type_col)
+             .aggregate(Sum("sc", alias_name="sc"),
+                        Sum("sq", alias_name="sq"),
+                        Sum("nw", alias_name="nw")))
+    # bounded by the number of event types
+    sref = ray.put({r[type_col]: (r["sc"], r["sq"], r["nw"])
+                    for r in stats.take_all()})
+
+    from octoray.util import round_half_up_scalar
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(sref)
+        zs, flags = [], []
+        for et, c in zip(df[type_col], df["n_events"]):
+            sc, sqs, nw = st[et]
+            mean = float(sc) / nw
+            var = (float(sqs) / nw) - mean * mean
+            zz = 0.0 if var == 0.0 else (float(c) - mean) / (var ** 0.5)
+            z6 = round_half_up_scalar(zz, 6)
+            zs.append(z6)
+            flags.append(z6 >= z_threshold or z6 <= -z_threshold)
+        out = df.copy()
+        out["z"] = zs
+        out["is_anomaly"] = flags
+        return out
+
+    scored = counts.map_batches(score, batch_format="pandas")
+
+    def us(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(i, "window_start",
+                            pc.cast(t.column("window_start"),
+                                    pa.timestamp("us")))
+
+    return scored.map_batches(us, batch_format="pyarrow")

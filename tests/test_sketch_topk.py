@@ -286,3 +286,42 @@ def test_approx_distinct_composite_group(ray_session):
     merged = out.merge(truth, on=["a", "b"])
     assert len(merged) == len(truth) == len(out)
     assert (merged["approx_distinct"] == merged["v"].astype(float)).all()
+
+
+# ------------------------------------------------- weighted sample / anomaly
+def test_weighted_sample_proportional_and_deterministic(ray_session):
+    from octoray.stages.textops import weighted_sample
+
+    n = 3000
+    # two weight tiers: heavy rows 100x more likely per unit
+    w = np.where(np.arange(n) % 10 == 0, 5000, 50).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "n_chars": pa.array(w, pa.int64())})
+    out1 = weighted_sample(_rd(t).repartition(4), 100).to_pandas()
+    out2 = weighted_sample(_rd(t).repartition(7), 100).to_pandas()
+    # deterministic and partition-independent
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    # heavy rows are 10% of the corpus but should dominate the sample
+    heavy = (out1["doc_id"] % 10 == 0).mean()
+    assert heavy > 0.5
+
+
+def test_window_anomalies_flags_spike(ray_session):
+    from octoray.stages.windows import window_anomalies
+
+    base = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    ts, et = [], []
+    for h in range(24):
+        n = 500 if h == 7 else 10  # big spike in hour 7
+        for i in range(n):
+            ts.append(base + h * hour + i * 1000)
+            et.append("a")
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": pa.array(et),
+                  "value": pa.array([0.0] * len(ts), pa.float64())})
+    out = window_anomalies(_rd(t).repartition(5), minutes=60,
+                           z_threshold=3.0).to_pandas()
+    flagged = out[out["is_anomaly"]]
+    assert len(flagged) == 1
+    assert flagged["n_events"].iloc[0] == 500
