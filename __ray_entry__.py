@@ -1937,6 +1937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf), hop_minutes=60, n_hops=3),
         "window_anomalies": lambda sf: W.window_anomalies(
             _events(sf), minutes=60, z_threshold=2.0),
+        "cohort_retention": lambda sf: W.cohort_retention(
+            _events(sf), period_days=7),
         "funnel_depths": lambda sf: W.funnel_depths(
             _events(sf), ["view", "click", "purchase"], within_minutes=120),
         "approx_distinct": lambda sf: __import__(
@@ -2236,6 +2238,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct": _sketch_oracle,
         "profile_events": _profile_oracle,
+        "cohort_retention": """
+            WITH w AS (SELECT user_id,
+                              epoch_us(ts) // 604800000000 AS wk
+                       FROM events),
+            f AS (SELECT user_id, min(wk) AS cohort_period FROM w
+                  GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, wk FROM w)
+            SELECT cohort_period, wk - cohort_period AS offset,
+                   count(*) AS n_users
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2
+        """,
         "window_anomalies": """
             WITH c AS (SELECT event_type,
                               time_bucket(INTERVAL 60 minutes, ts)

@@ -131,6 +131,7 @@ SUITE = [
     "pq_search",
     "weighted_sample",
     "window_anomalies",
+    "cohort_retention",
 ]
 
 

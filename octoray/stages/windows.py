@@ -434,3 +434,55 @@ def window_anomalies(events, *, minutes: int = 60, z_threshold: float = 3.0,
                                     pa.timestamp("us")))
 
     return scored.map_batches(us, batch_format="pyarrow")
+
+
+def cohort_retention(events, *, period_days: int = 7,
+                     user_col: str = "user_id", ts_col: str = "ts"):
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; for every later period they are active in, the
+    (cohort, offset) cell counts them.  Output: (cohort_period,
+    offset, n_users) — the growth-analytics staple.
+
+    Plan: per-user first period is a block-pre-combined min + one
+    sorted min; the activity set is the exact distinct (user, period)
+    projection (one small-row exchange); one stats-gated join keyed on
+    the SAME user_id both stages already shuffle by; final count is a
+    combined groupby over (cohort, offset) — rows bounded by
+    users x periods, never raw events."""
+    from ray.data.aggregate import Count
+
+    from octoray.query import distinct_values, hash_join, sorted_groupby_min
+
+    span_us = period_days * 86_400 * 1_000_000
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col), pa.int64())
+        return pa.table({
+            user_col: t.column(user_col),
+            "_w": pc.divide(us, span_us),  # integer floor
+        })
+
+    weeks = events.map_batches(proj, batch_format="pyarrow")
+
+    def pre_min(t: pa.Table) -> pa.Table:
+        g = t.group_by([user_col], use_threads=False).aggregate(
+            [("_w", "min")])
+        return g.rename_columns([user_col, "_w"])
+
+    first = sorted_groupby_min(
+        weeks.map_batches(pre_min, batch_format="pyarrow"),
+        [user_col], "_w", alias="cohort_period").materialize()
+
+    act = distinct_values(weeks, [user_col, "_w"])
+    joined = hash_join(act, first, on=user_col)
+
+    def off(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_period": t.column("cohort_period"),
+            "offset": pc.subtract(t.column("_w"),
+                                  t.column("cohort_period")),
+        })
+
+    return (joined.map_batches(off, batch_format="pyarrow")
+            .groupby(["cohort_period", "offset"])
+            .aggregate(Count(alias_name="n_users")))
