@@ -1133,6 +1133,28 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(triples, damping=0.85, n_iters=5)
 
 
+def _q_value_quantiles(sf_dir: str):
+    """Exact per-type quantiles of the cents-exact value column via
+    the counting-sort plan (length_quantiles generalized: the value
+    domain is bounded, so the exchange is one (type, cents) count
+    table, never raw rows)."""
+    import pyarrow as pa
+
+    from octoray.stages.textops import length_quantiles
+    from octoray.util import cents
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "vc": cents(t.column("value"))})
+
+    ev = _events(sf_dir).map_batches(proj, batch_format="pyarrow")
+    df = length_quantiles(ev, probs=(0.5, 0.9, 0.99), value_col="vc",
+                          stratum_col="event_type")
+    for c in ("p50", "p90", "p99"):
+        df[c] = df[c] / 100.0
+    return df
+
+
 def _q_rrf_search(sf_dir: str):
     """Hybrid retrieval: BM25 lexical top-50 fused with embedding
     cosine top-50 (query = vec 3) by reciprocal-rank fusion.  The two
@@ -1939,6 +1961,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf), minutes=60, z_threshold=2.0),
         "cohort_retention": lambda sf: W.cohort_retention(
             _events(sf), period_days=7),
+        "value_quantiles": _q_value_quantiles,
+        "top_pmi_bigrams": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["top_pmi_bigrams"]
+        ).top_pmi_bigrams(_docs(sf), k=20, min_count=5),
         "funnel_depths": lambda sf: W.funnel_depths(
             _events(sf), ["view", "click", "purchase"], within_minutes=120),
         "approx_distinct": lambda sf: __import__(
@@ -2238,6 +2264,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct": _sketch_oracle,
         "profile_events": _profile_oracle,
+        "top_pmi_bigrams": r"""
+            WITH tk AS (SELECT doc_id,
+                               regexp_extract_all(text, '\S+') AS t
+                        FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS word,
+                           generate_subscripts(t, 1) AS wi FROM tk),
+            uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+                    FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            bi AS (SELECT l.word AS w1, r.word AS w2,
+                          CAST(count(*) AS BIGINT) AS c12
+                   FROM tok l JOIN tok r
+                     ON r.doc_id = l.doc_id AND r.wi = l.wi + 1
+                   GROUP BY 1, 2),
+            sc AS (SELECT w1, w2, c12,
+                     floor(ln((CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE))
+                              / (CAST(u1.c AS DOUBLE)
+                                 * CAST(u2.c AS DOUBLE)))
+                           * 1000000 + 0.5) / 1000000 AS pmi
+                   FROM bi JOIN uni u1 ON w1 = u1.word
+                           JOIN uni u2 ON w2 = u2.word CROSS JOIN tot
+                   WHERE c12 >= 5)
+            SELECT w1, w2, c12 AS n12, pmi
+            FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
+        "value_quantiles": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vc,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            w AS (SELECT event_type, vc,
+                         sum(n) OVER (PARTITION BY event_type
+                                      ORDER BY vc) AS cum,
+                         sum(n) OVER (PARTITION BY event_type) AS tot
+                  FROM c)
+            SELECT event_type,
+              CAST(min(vc) FILTER (WHERE cum >= ceil(0.50 * tot))
+                   AS DOUBLE) / 100.0 AS p50,
+              CAST(min(vc) FILTER (WHERE cum >= ceil(0.90 * tot))
+                   AS DOUBLE) / 100.0 AS p90,
+              CAST(min(vc) FILTER (WHERE cum >= ceil(0.99 * tot))
+                   AS DOUBLE) / 100.0 AS p99
+            FROM w GROUP BY event_type
+        """,
         "cohort_retention": """
             WITH w AS (SELECT user_id,
                               epoch_us(ts) // 604800000000 AS wk

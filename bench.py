@@ -132,6 +132,8 @@ SUITE = [
     "weighted_sample",
     "window_anomalies",
     "cohort_retention",
+    "value_quantiles",
+    "top_pmi_bigrams",
 ]
 
 

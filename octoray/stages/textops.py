@@ -815,3 +815,92 @@ def weighted_sample(docs, k: int, *, weight_col: str = "n_chars",
     top = pruned.sort(["_key", id_col], descending=[True, False]).limit(k)
     return top.map_batches(lambda t: t.drop_columns(["_key"]),
                            batch_format="pyarrow")
+
+
+def top_pmi_bigrams(docs, *, k: int = 20, min_count: int = 5,
+                    text_col: str = "text"):
+    """Top-k collocations by pointwise mutual information:
+    PMI(a,b) = ln(c(a,b) * N / (c(a) * c(b))) over adjacent token
+    pairs, restricted to pairs seen >= ``min_count`` times (the
+    classic low-count PMI blowup guard).  Output: (w1, w2, n12, pmi),
+    ranked by the ROUNDED pmi (engine-stable boundary) with (w1, w2)
+    ties.
+
+    Plan: bigram and unigram counts are map-side-combined partials ->
+    one sort-sum each (rows bounded by vocab, not corpus); two
+    stats-gated joins attach the unigram counts; the ratio is computed
+    in float64 (no int overflow at corpus scale) in the exact
+    expression order the SQL twin uses; a per-block top-k prunes
+    before the final small sort."""
+    from collections import Counter
+
+    import numpy as np
+
+    from octoray.query import hash_join, sorted_groupby_sum
+
+    SEP = "\x1f"
+
+    def uni_partials(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            c.update(text.split())
+        return pa.table({"w1": pa.array(list(c.keys()), pa.string()),
+                         "_n": pa.array(list(c.values()), pa.int64())})
+
+    def bi_partials(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            toks = text.split()
+            c.update(a + SEP + b for a, b in zip(toks, toks[1:]))
+        return pa.table({"bigram": pa.array(list(c.keys()), pa.string()),
+                         "_n": pa.array(list(c.values()), pa.int64())})
+
+    uni = sorted_groupby_sum(
+        docs.map_batches(uni_partials, batch_format="pyarrow"),
+        ["w1"], "_n", alias="c1").materialize()
+    big = sorted_groupby_sum(
+        docs.map_batches(bi_partials, batch_format="pyarrow"),
+        ["bigram"], "_n", alias="n12")
+    total = int(uni.sum("c1")) if uni.count() else 0
+    if total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+            "n12": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("bigram"), SEP)
+        keep = pc.greater_equal(t.column("n12"), pa.scalar(min_count))
+        out = pa.table({
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+            "n12": t.column("n12"),
+        }).filter(keep)
+        return out
+
+    pairs = big.map_batches(split, batch_format="pyarrow")
+    j1 = hash_join(pairs, uni, on="w1")
+    j2 = hash_join(j1, uni.rename_columns({"w1": "w2", "c1": "c2"}),
+                   on="w2")
+
+    from octoray.util import round_half_up_scalar
+
+    def score(t: pa.Table) -> pa.Table:
+        c12 = t.column("n12").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((c12 * float(total)) / (c1 * c2))
+        p6 = np.array([round_half_up_scalar(v, 6) for v in pmi])
+        out = pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                        "n12": t.column("n12"),
+                        "pmi": pa.array(p6, pa.float64())})
+        order = pc.sort_indices(out, sort_keys=[("pmi", "descending"),
+                                                ("w1", "ascending"),
+                                                ("w2", "ascending")])
+        return out.take(order[:k])
+
+    pruned = j2.map_batches(score, batch_format="pyarrow", batch_size=None)
+    return pruned.sort(["pmi", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)
