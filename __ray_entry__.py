@@ -1962,6 +1962,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": lambda sf: W.cohort_retention(
             _events(sf), period_days=7),
         "value_quantiles": _q_value_quantiles,
+        "event_transitions": lambda sf: W.event_transitions(_events(sf)),
+        "quality_tiers": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["ntile_tiers"]
+        ).ntile_tiers(
+            _docs(sf).select_columns(["doc_id", "n_chars"]), 4),
         "top_pmi_bigrams": lambda sf: __import__(
             "octoray.stages.textops", fromlist=["top_pmi_bigrams"]
         ).top_pmi_bigrams(_docs(sf), k=20, min_count=5),
@@ -2264,6 +2269,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct": _sketch_oracle,
         "profile_events": _profile_oracle,
+        "quality_tiers": """
+            SELECT doc_id, n_chars,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS tier
+            FROM documents
+        """,
+        "event_transitions": """
+            WITH s AS (SELECT user_id, event_type,
+                              lead(event_type) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   count(*) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
         "top_pmi_bigrams": r"""
             WITH tk AS (SELECT doc_id,
                                regexp_extract_all(text, '\S+') AS t

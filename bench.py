@@ -134,6 +134,8 @@ SUITE = [
     "cohort_retention",
     "value_quantiles",
     "top_pmi_bigrams",
+    "event_transitions",
+    "quality_tiers",
 ]
 
 

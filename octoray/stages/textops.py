@@ -904,3 +904,55 @@ def top_pmi_bigrams(docs, *, k: int = 20, min_count: int = 5,
     pruned = j2.map_batches(score, batch_format="pyarrow", batch_size=None)
     return pruned.sort(["pmi", "w1", "w2"],
                        descending=[True, False, False]).limit(k)
+
+
+def ntile_tiers(docs, n_tiles: int = 4, *, order_col: str = "n_chars",
+                id_col: str = "doc_id"):
+    """Global quantile-bucket assignment (SQL ntile): rows ranked by
+    (order_col, id) ascending are split into ``n_tiles`` buckets as
+    evenly as possible, earlier buckets taking the remainder — the
+    quality-tier split a curriculum or quality-mix pipeline cuts a
+    corpus with.  Output: (id, order_col, tier) with 1-based tiers,
+    exactly DuckDB's ntile.
+
+    Plan: a composite zero-padded sort key makes the order unique;
+    query.sorted_prefix_sum of ones gives every row its 0-based global
+    rank with ONE sort and a block-count driver reduce; the
+    rank->bucket map is closed-form integer math (no second pass)."""
+    import numpy as np
+
+    from octoray.query import sorted_prefix_sum
+
+    def key(df):
+        import pandas as pd
+
+        return pd.DataFrame({
+            id_col: df[id_col],
+            order_col: df[order_col],
+            "_sk": (df[order_col].astype(np.int64).astype(str).str.zfill(12)
+                    + ":" +
+                    df[id_col].astype(np.int64).astype(str).str.zfill(12)),
+            "_one": 1,
+        })
+
+    keyed = docs.map_batches(key, batch_format="pandas")
+    ranked = sorted_prefix_sum(keyed, "_one", order_col="_sk",
+                               alias="_rank0")
+    n = docs.count()
+    size, big = divmod(n, n_tiles) if n else (0, 0)
+    boundary = big * (size + 1)
+
+    def tier(t: pa.Table) -> pa.Table:
+        r = t.column("_rank0").to_numpy(zero_copy_only=False)
+        if size == 0:
+            tr = r + 1
+        else:
+            tr = np.where(r < boundary, r // (size + 1),
+                          big + (r - boundary) // size) + 1
+        return pa.table({
+            id_col: t.column(id_col),
+            order_col: t.column(order_col),
+            "tier": pa.array(tr.astype(np.int64), pa.int64()),
+        })
+
+    return ranked.map_batches(tier, batch_format="pyarrow")

@@ -486,3 +486,37 @@ def cohort_retention(events, *, period_days: int = 7,
     return (joined.map_batches(off, batch_format="pyarrow")
             .groupby(["cohort_period", "offset"])
             .aggregate(Count(alias_name="n_users")))
+
+
+def event_transitions(events, *, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id"):
+    """Per-user next-event transition counts: (from_type, to_type, n)
+    over each user's (ts, event_id)-ordered stream — the Markov-chain
+    view of behavioral data (and of crawl fetch sequences).
+
+    Plan: ONE groupby(user) shuffle (the module's standing partition
+    key); adjacent pairs are emitted vectorized inside the group and
+    pre-counted per block, so the final exchange carries
+    (type x type)-bounded partial rows."""
+    from octoray.query import sorted_groupby_sum, sorted_map_groups
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        t = g[type_col].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": []})
+        return pd.DataFrame({"from_type": t[:-1], "to_type": t[1:]})
+
+    pairs = sorted_map_groups(
+        events.select_columns([user_col, type_col, ts_col, id_col]),
+        [user_col], per_user)
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["from_type", "to_type"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["from_type", "to_type", "_n"])
+
+    return sorted_groupby_sum(
+        pairs.map_batches(pre, batch_format="pyarrow"),
+        ["from_type", "to_type"], "_n", alias="n")
