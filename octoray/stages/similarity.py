@@ -754,23 +754,20 @@ def rrf_fuse(ranked_lists: Sequence[Sequence[int]], *, c: int = 60,
     }))
 
 
-def pq_codes(embeddings, *, m: int = 4, k: int = 8, n_iters: int = 3,
-             id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Product quantization (spherical variant): split each D-dim
-    vector into ``m`` contiguous subspaces and learn an independent
-    k-codeword spherical-Lloyd codebook per subspace (the EXACT
-    kmeans_cluster recurrence, so each subspace inherits its
-    oracle-pinned determinism).  Output: (id, subspace, code) — the
-    compressed representation is m log2(k)-bit codes per vector,
-    the storage layout the 100-TB ANN serving path wants (codes are
-    64x smaller than float32 vectors at m=4, k=256).
+def _pq_fit(embeddings, *, m: int, k: int, n_iters: int,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Train all ``m`` subspace codebooks in FUSED passes: one
+    map_batches per Lloyd iteration computes every subspace's
+    combiner partials from the same block (the full vectors are
+    sliced in-memory), so the whole fit costs 1 init + n_iters
+    executions instead of m x (n_iters + 2).
 
-    Scale shape: each subspace run is the zero-shuffle combiner
-    k-means (k rows per block per iteration) over a SLICED projection
-    of the corpus — the slice happens inside map_batches on the Arrow
-    matrix, so the full vectors are read once per subspace and never
-    re-keyed."""
-    import pyarrow.compute as pc
+    Bit-identical to running kmeans_cluster per sliced subspace: the
+    per-block partials are the same numpy expressions over the same
+    block boundaries, and the driver reduce consumes rows in the same
+    (block, cluster) order per subspace — pinned by
+    tests/test_kmeans.py::test_pq_codes_match_per_subspace_kmeans."""
+    import ray
 
     first = embeddings.limit(1).take_all()
     dim = len(first[0][vec_col])
@@ -778,33 +775,97 @@ def pq_codes(embeddings, *, m: int = 4, k: int = 8, n_iters: int = 3,
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     per = dim // m
 
-    parts = []
-    for j in range(m):
-        lo, hi = j * per, (j + 1) * per
+    emb = embeddings.materialize()  # every pass below re-scans it
+    rows = emb.sort(id_col).limit(k).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    full = np.stack([np.asarray(r[vec_col], np.float64) for r in rows])
+    Cs = [_normalize(full[:, j * per:(j + 1) * per]) for j in range(m)]
 
-        def slc(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
-            M = _as_matrix(t.column(vec_col))[:, lo:hi]
-            flat = pa.array(np.ascontiguousarray(M).ravel(), pa.float64())
-            offs = pa.array(np.arange(0, (len(M) + 1) * (hi - lo),
-                                      hi - lo, dtype=np.int32))
+    for _ in range(n_iters):
+        refs = ray.put([np.ascontiguousarray(C) for C in Cs])
+
+        def partial(t: pa.Table) -> pa.Table:
+            CL = ray.get(refs)
+            sub, clu, cnt, vs = [], [], [], []
+            if t.num_rows:
+                Mf = _as_matrix(t.column(vec_col))
+                for j, Cb in enumerate(CL):
+                    M = _normalize(Mf[:, j * per:(j + 1) * per])
+                    assign = np.argmax(M @ Cb.T, axis=1)
+                    sums = np.zeros((len(Cb), M.shape[1]), np.float64)
+                    np.add.at(sums, assign, M)
+                    counts = np.bincount(assign, minlength=len(Cb))
+                    present = np.flatnonzero(counts)
+                    sub += [j] * len(present)
+                    clu += present.tolist()
+                    cnt += counts[present].tolist()
+                    vs += [sums[c].tolist() for c in present]
             return pa.table({
-                id_col: t.column(id_col),
-                vec_col: pa.ListArray.from_arrays(offs, flat),
+                "subspace": pa.array(sub, pa.int64()),
+                "cluster": pa.array(clu, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "vsum": pa.array(vs, pa.list_(pa.float64())),
             })
 
-        sub = embeddings.map_batches(slc, batch_format="pyarrow")
-        asg = kmeans_cluster(sub, k=k, n_iters=n_iters, id_col=id_col,
-                             vec_col=vec_col)
+        prows = emb.map_batches(partial, batch_format="pyarrow").take_all()
+        nxt = []
+        for j, C in enumerate(Cs):
+            sums = np.zeros_like(C)
+            counts = np.zeros(k, np.int64)
+            for r in prows:
+                if r["subspace"] != j:
+                    continue
+                sums[r["cluster"]] += np.asarray(r["vsum"], np.float64)
+                counts[r["cluster"]] += r["n"]
+            nn = C.copy()
+            present = counts > 0
+            nn[present] = sums[present] / counts[present, None]
+            nxt.append(_normalize(nn))
+        Cs = nxt
+    return per, Cs, emb
 
-        def label(t: pa.Table, j=j) -> pa.Table:
-            return pa.table({
-                id_col: t.column(id_col),
-                "subspace": pa.array([j] * t.num_rows, pa.int64()),
-                "code": pc.cast(t.column("cluster"), pa.int64()),
-            })
 
-        parts.append(asg.map_batches(label, batch_format="pyarrow"))
-    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+def pq_codes(embeddings, *, m: int = 4, k: int = 8, n_iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product quantization (spherical variant): split each D-dim
+    vector into ``m`` contiguous subspaces and learn an independent
+    k-codeword spherical-Lloyd codebook per subspace (the EXACT
+    kmeans_cluster recurrence per subspace — equality pytest-pinned).
+    Output: (id, subspace, code) — the compressed representation is
+    m log2(k)-bit codes per vector, the storage layout the 100-TB ANN
+    serving path wants (codes are 64x smaller than float32 at m=4,
+    k=256).
+
+    Scale/overhead shape: all subspaces train in FUSED passes
+    (_pq_fit: 1 + n_iters executions total) with k x m combiner rows
+    per block; one fused assignment pass encodes the corpus."""
+    import ray
+
+    per, Cs, emb = _pq_fit(embeddings, m=m, k=k, n_iters=n_iters,
+                           id_col=id_col, vec_col=vec_col)
+    refs = ray.put([np.ascontiguousarray(C) for C in Cs])
+
+    def encode(t: pa.Table) -> pa.Table:
+        CL = ray.get(refs)
+        if not t.num_rows:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "subspace": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        Mf = _as_matrix(t.column(vec_col))
+        ids, subs, codes = [], [], []
+        for j, Cb in enumerate(CL):
+            M = _normalize(Mf[:, j * per:(j + 1) * per])
+            assign = np.argmax(M @ Cb.T, axis=1).astype(np.int64)
+            ids.append(t.column(id_col).to_numpy(zero_copy_only=False))
+            subs.append(np.full(len(M), j, np.int64))
+            codes.append(assign)
+        return pa.table({
+            id_col: pa.array(np.concatenate(ids)),
+            "subspace": pa.array(np.concatenate(subs), pa.int64()),
+            "code": pa.array(np.concatenate(codes), pa.int64()),
+        })
+
+    return emb.map_batches(encode, batch_format="pyarrow")
 
 
 def pq_adc_search(embeddings, query_id: int, *, m: int = 4, k: int = 8,
@@ -818,71 +879,47 @@ def pq_adc_search(embeddings, query_id: int, *, m: int = 4, k: int = 8,
 
     The LUT entries are quantized to integer micro-units BEFORE the
     per-vector m-way sum, so the reduction is order-free and exactly
-    matches the SQL twin (the BM25 summation trick).  Scale shape:
-    codebook training is the zero-shuffle combiner k-means per
-    subspace; scoring is ONE pass over the code table (m int rows per
-    vector) + one small-row sum keyed by id — the corpus floats are
-    never touched at query time, which is the entire point of PQ at
-    100 TB."""
+    matches the SQL twin (the BM25 summation trick); the m-way sum now
+    happens INSIDE the scoring block (integer adds — order-free), so
+    serving is ONE pass + a per-block top-k prune, no groupby at all.
+    Scale note: in the stored-index deployment the codes are the
+    persisted table and this pass reads codes only — the corpus floats
+    are never touched at query time, which is the entire point of PQ
+    at 100 TB."""
     import ray
     import pyarrow.compute as pc
 
-    from octoray.query import sorted_groupby_sum
-    from octoray.stages.similarity import (  # noqa: PLW0406
-        kmeans_init_centroids, kmeans_iterate)
+    per, Cs, emb = _pq_fit(embeddings, m=m, k=k, n_iters=n_iters,
+                           id_col=id_col, vec_col=vec_col)
 
-    first = embeddings.limit(1).take_all()
-    dim = len(first[0][vec_col])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    per = dim // m
-
-    _, Qfull = load_queries(embeddings, [query_id], id_col=id_col,
-                            vec_col=vec_col)
+    _, Qfull = load_queries(emb, [query_id], id_col=id_col, vec_col=vec_col)
     q = Qfull[0]
+    luts = []
+    for j, C in enumerate(Cs):
+        qn = _normalize(q[j * per:(j + 1) * per][None, :])[0]
+        luts.append(np.floor((C @ qn) * 1_000_000.0 + 0.5).astype(np.int64))
+    lut_ref = ray.put(luts)
 
-    parts = []
-    for j in range(m):
-        lo, hi = j * per, (j + 1) * per
-
-        def slc(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
-            M = _as_matrix(t.column(vec_col))[:, lo:hi]
-            flat = pa.array(np.ascontiguousarray(M).ravel(), pa.float64())
-            offs = pa.array(np.arange(0, (len(M) + 1) * (hi - lo),
-                                      hi - lo, dtype=np.int32))
-            return pa.table({
-                id_col: t.column(id_col),
-                vec_col: pa.ListArray.from_arrays(offs, flat),
-            })
-
-        sub = embeddings.map_batches(slc, batch_format="pyarrow")
-        C = kmeans_init_centroids(sub, k=k, id_col=id_col, vec_col=vec_col)
-        C = kmeans_iterate(sub, C, n_iters=n_iters, id_col=id_col,
-                           vec_col=vec_col)
-        qn = _normalize(q[lo:hi][None, :])[0]
-        lut = np.floor((C @ qn) * 1_000_000.0 + 0.5).astype(np.int64)
-        lut_ref = ray.put(lut)
-        asg = ivf_assignments(sub, C, id_col=id_col, vec_col=vec_col)
-
-        def weigh(t: pa.Table, *, _ref=lut_ref) -> pa.Table:
-            L = ray.get(_ref)
-            codes = t.column("cluster").to_numpy(zero_copy_only=False)
-            return pa.table({id_col: t.column(id_col),
-                             "w": pa.array(L[codes], pa.int64())})
-
-        parts.append(asg.map_batches(weigh, batch_format="pyarrow"))
-
-    allw = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-    summed = sorted_groupby_sum(allw, [id_col], "w", alias="sw")
-
-    def finish(t: pa.Table) -> pa.Table:
-        sv = pc.divide(pc.cast(t.column("sw"), pa.float64()), 1_000_000.0)
-        out = pa.table({id_col: t.column(id_col), "score": sv})
+    def score(t: pa.Table) -> pa.Table:
+        L = ray.get(lut_ref)
+        if not t.num_rows:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        Mf = _as_matrix(t.column(vec_col))
+        w = np.zeros(t.num_rows, np.int64)
+        for j, Cb in enumerate(Cs):
+            M = _normalize(Mf[:, j * per:(j + 1) * per])
+            assign = np.argmax(M @ Cb.T, axis=1)
+            w += L[j][assign]
+        out = pa.table({
+            id_col: t.column(id_col),
+            "score": pa.array(w.astype(np.float64) / 1_000_000.0,
+                              pa.float64()),
+        })
         order = pc.sort_indices(out, sort_keys=[("score", "descending"),
                                                 (id_col, "ascending")])
         return out.take(order[:k_out])
 
-    pruned = summed.map_batches(finish, batch_format="pyarrow",
-                                batch_size=None)
+    pruned = emb.map_batches(score, batch_format="pyarrow")
     return pruned.sort(["score", id_col],
                        descending=[True, False]).limit(k_out)
