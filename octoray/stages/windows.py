@@ -239,7 +239,71 @@ def sliding_window(events, *, hop_minutes: int = 60, n_hops: int = 3,
 def funnel_depths(events, steps, *, user_col: str = "user_id",
                   type_col: str = "event_type", ts_col: str = "ts",
                   within_minutes: float | None = None,
-                  broadcast_limit: int = 2_000_000):
+                  broadcast_limit: int = 2_000_000,
+                  strategy: str = "per_user"):
+    """Dispatch: the default ``per_user`` plan computes the whole
+    funnel in ONE user-keyed shuffle (each user's slim event rows
+    co-locate — the sessionize contract — and the min-ts walk runs
+    vectorized inside the group); ``joins`` is the stage-wise
+    stats-gated join plan for corpora whose per-user histories exceed
+    a worker (equality of the two pinned in pytest)."""
+    if strategy == "per_user":
+        return _funnel_per_user(events, steps, user_col=user_col,
+                                type_col=type_col, ts_col=ts_col,
+                                within_minutes=within_minutes)
+    return _funnel_joins(events, steps, user_col=user_col,
+                         type_col=type_col, ts_col=ts_col,
+                         within_minutes=within_minutes,
+                         broadcast_limit=broadcast_limit)
+
+
+def _funnel_per_user(events, steps, *, user_col: str, type_col: str,
+                     ts_col: str, within_minutes: float | None):
+    from octoray.query import sorted_map_groups
+
+    steps = list(steps)
+    win_us = (None if within_minutes is None
+              else int(within_minutes * 60 * 1_000_000))
+
+    def slim(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column(type_col),
+                        value_set=pa.array(steps, pa.string()))
+        sel = t.filter(keep)
+        return pa.table({
+            user_col: sel.column(user_col),
+            type_col: sel.column(type_col),
+            "_ts": pc.cast(sel.column(ts_col), pa.int64()),
+        })
+
+    ev = events.map_batches(slim, batch_format="pyarrow")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        by_step = {
+            st: np.sort(g.loc[g[type_col] == st, "_ts"].to_numpy())
+            for st in steps}
+        t0 = by_step[steps[0]]
+        if not len(t0):
+            return None
+        depth, tprev = 1, int(t0[0])
+        for st in steps[1:]:
+            arr = by_step[st]
+            i = np.searchsorted(arr, tprev, side="right")
+            if i >= len(arr):
+                break
+            nxt = int(arr[i])
+            if win_us is not None and nxt > tprev + win_us:
+                break
+            depth += 1
+            tprev = nxt
+        return pd.DataFrame({user_col: [g[user_col].iloc[0]],
+                             "depth": np.array([depth], np.int64)})
+
+    return sorted_map_groups(ev, [user_col], per_user)
+
+
+def _funnel_joins(events, steps, *, user_col: str, type_col: str,
+                  ts_col: str, within_minutes: float | None,
+                  broadcast_limit: int):
     """Ordered funnel analysis: for each user with at least one
     ``steps[0]`` event, the deepest prefix of ``steps`` completed IN
     ORDER (each step strictly after the previous step's FIRST

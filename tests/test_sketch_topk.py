@@ -144,13 +144,15 @@ def _funnel_events():
     })
 
 
-@pytest.mark.parametrize("bl", [2_000_000, 0])
-def test_funnel_depths_hand_case(ray_session, bl):
+@pytest.mark.parametrize("kw", [dict(strategy="per_user"),
+                                dict(strategy="joins",
+                                     broadcast_limit=2_000_000),
+                                dict(strategy="joins", broadcast_limit=0)])
+def test_funnel_depths_hand_case(ray_session, kw):
     from octoray.stages.windows import funnel_depths
 
     out = (funnel_depths(_rd(_funnel_events()).repartition(3),
-                         ["a", "b", "c"], within_minutes=60,
-                         broadcast_limit=bl)
+                         ["a", "b", "c"], within_minutes=60, **kw)
            .to_pandas().set_index("user_id")["depth"].to_dict())
     assert out == {1: 3, 2: 1, 3: 1, 4: 2}
 
