@@ -388,10 +388,13 @@ def _path_bindings(triples, pat: Pattern):
     construction (paths traverse the graph), so the hidden dt column
     is DT_URI.
 
-    ``p*`` adds the zero-length matches as the IDENTITY over the
-    predicate's node set (every subject or object of a p edge) — the
-    useful restriction of SPARQL's zero-length path, whose full form
-    ranges over every term in the graph; documented deviation."""
+    ``p*`` and ``p?`` add the zero-length matches as the IDENTITY over
+    the predicate's node set (every subject or object of a p edge) —
+    the useful restriction of SPARQL's zero-length path, whose full
+    form ranges over every term in the graph; documented deviation.
+    When an endpoint is a CONSTANT, that constant is unioned into the
+    identity set first, so ``<s> p? ?o`` yields the SPARQL-mandated
+    reflexive s=o solution even when s has no p edge."""
     from octoray.stages.rules import transitive_closure
 
     s, p, o = pat
@@ -416,9 +419,19 @@ def _path_bindings(triples, pat: Pattern):
             u = pc.unique(vals)
             return pa.table({"subject": u, "object": u})
 
-        closed = distinct_values(
-            closed.union(edges.map_batches(ident, batch_format="pyarrow")),
-            ["subject", "object"])
+        closed = closed.union(edges.map_batches(ident,
+                                                batch_format="pyarrow"))
+        consts = [x for x in (s, o) if not _is_var(x)]
+        if consts:
+            # constant endpoints participate in the zero-length match
+            # even with no incident p edge (SPARQL reflexive solution)
+            import ray.data as rd
+
+            u = list(dict.fromkeys(consts))
+            closed = closed.union(rd.from_arrow(pa.table(
+                {"subject": pa.array(u, pa.string()),
+                 "object": pa.array(u, pa.string())})))
+        closed = distinct_values(closed, ["subject", "object"])
 
     def shape(t: pa.Table) -> pa.Table:
         mask = None

@@ -495,6 +495,15 @@ class _Parser:
         self._expect_as()
         alias = self.expect("VAR").text[1:]
         self.expect("OP", ")")
+        if fn_raw == "GROUP_CONCAT" and not distinct:
+            # aggregate_bindings implements the reference's sorted
+            # DISTINCT '+' convention only; silently dropping
+            # duplicate bag solutions would be wrong, so refuse
+            # (the engine's raise-on-unsupported policy).
+            raise SparqlError(
+                "GROUP_CONCAT without DISTINCT is not supported "
+                "(the engine implements the reference's sorted-"
+                "DISTINCT convention only)")
         fn = {
             "GROUP_CONCAT": "group_concat",
             "MIN": "min",
@@ -1264,7 +1273,13 @@ def delete_via_file(store_dir: str, text: str, *,
     if q.form != "delete":
         raise SparqlError("not a DELETE query")
     preds = []
-    simple = not (q.where.optionals or q.where.filters or q.where.unions)
+    # the fast path is ONLY safe when the WHERE is a bare BGP: any
+    # other clause (VALUES, MINUS / FILTER [NOT] EXISTS, subquery,
+    # BIND, ...) constrains the solution set, and taking the
+    # whole-predicate shortcut would retract unmatched triples too.
+    simple = not (q.where.optionals or q.where.filters or q.where.unions
+                  or q.where.minus or q.where.values
+                  or q.where.subqueries or q.where.binds)
     wpats = {(s, p, o) for s, p, o in q.where.patterns}
     for entry in q.template:
         s, p, o = entry[0], entry[1], entry[2]

@@ -28,6 +28,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _floor_multiple(us: pa.Array, span_us: int) -> pa.Array:
+    """Largest multiple of ``span_us`` <= ``us`` (int64 microseconds).
+
+    Arrow's integer divide truncates toward zero, so a bare
+    divide*multiply mis-assigns pre-1970 (negative-epoch) timestamps
+    to the window AFTER theirs; this computes a true floor, matching
+    numpy's ``//`` used by sliding_window."""
+    q = pc.divide(us, span_us)
+    r = pc.subtract(us, pc.multiply(q, span_us))  # trunc rem, sign of us
+    floor_rem = pc.if_else(pc.less(r, 0), pc.add(r, span_us), r)
+    return pc.subtract(us, floor_rem)
+
+
 def monthly_rollup(events, *, ts_col: str = "ts", type_col: str = "event_type", value_col: str = "value"):
     """(event_type, year, month) -> n_events, sum_value.
 
@@ -137,7 +150,7 @@ def tumbling_window(events, *, minutes: int = 15, ts_col: str = "ts",
 
     def assign(t: pa.Table) -> pa.Table:
         us = pc.cast(t.column(ts_col), pa.int64())
-        start = pc.multiply(pc.divide(us, span_us), span_us)  # integer floor
+        start = _floor_multiple(us, span_us)
         return pa.table(
             {
                 type_col: t.column(type_col),
@@ -436,7 +449,7 @@ def window_anomalies(events, *, minutes: int = 60, z_threshold: float = 3.0,
 
     def assign(t: pa.Table) -> pa.Table:
         us = pc.cast(t.column(ts_col), pa.int64())
-        start = pc.multiply(pc.divide(us, span_us), span_us)
+        start = _floor_multiple(us, span_us)
         df = pd.DataFrame({
             type_col: t.column(type_col).to_numpy(zero_copy_only=False),
             "window_start": start.to_numpy(zero_copy_only=False),
@@ -523,7 +536,7 @@ def cohort_retention(events, *, period_days: int = 7,
         us = pc.cast(t.column(ts_col), pa.int64())
         return pa.table({
             user_col: t.column(user_col),
-            "_w": pc.divide(us, span_us),  # integer floor
+            "_w": pc.divide(_floor_multiple(us, span_us), span_us),
         })
 
     weeks = events.map_batches(proj, batch_format="pyarrow")

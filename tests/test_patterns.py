@@ -64,6 +64,21 @@ def test_property_path_plus(ray_session):
     }
 
 
+def test_zero_length_path_constant_endpoint_reflexive(ray_session):
+    """`<s> p? ?o` / `<s> p* ?o` must yield the reflexive s=o solution
+    even when s has NO p edge (ADVICE r3: the identity set used to be
+    only p-incident nodes)."""
+    # fid:s1 has no f:locatedIn edge at all
+    b = match_patterns(_ds(GRAPH), [("fid:s1", "f:locatedIn?", "?a")])
+    assert {r["a"] for r in b.take_all()} == {"fid:s1"}
+    b2 = match_patterns(_ds(GRAPH), [("fid:s1", "f:locatedIn*", "?a")])
+    assert {r["a"] for r in b2.take_all()} == {"fid:s1"}
+    # an incident node still gets identity + hops, no duplicates
+    b3 = match_patterns(_ds(GRAPH), [("geo:IA", "f:locatedIn?", "?a")])
+    assert sorted(r["a"] for r in b3.take_all()) == [
+        "geo:IA", "geo:Region3"]
+
+
 def test_disconnected_raises(ray_session):
     with pytest.raises(ValueError, match="disconnected"):
         match_patterns(

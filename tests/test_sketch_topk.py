@@ -90,6 +90,24 @@ def test_grouped_top_k_ascending_and_small_groups(ray_session):
     assert len(out) == 3  # k larger than any group: identity
 
 
+def test_tumbling_window_negative_epoch_floor(ray_session):
+    """Pre-1970 timestamps must floor DOWN to their window start
+    (ADVICE r3: Arrow integer divide truncates toward zero)."""
+    from octoray.stages.windows import tumbling_window
+
+    span = 15 * 60 * 1_000_000
+    ts = np.array([-1, -span, -span - 1, 0, 1, span], dtype=np.int64)
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": pa.array(["a"] * len(ts)),
+                  "value": pa.array([1.0] * len(ts), pa.float64())})
+    out = tumbling_window(_rd(t), minutes=15).to_pandas()
+    got = {int(w.value) // 1000: n for w, n in  # ns -> us
+           zip(out["window_start"], out["n_events"])}
+    # numpy true-floor reference
+    want = pd.Series((ts // span) * span).value_counts().to_dict()
+    assert got == {int(k): int(v) for k, v in want.items()}
+
+
 # ------------------------------------------------------------ sliding window
 def test_sliding_window_matches_brute(ray_session):
     from octoray.stages.windows import sliding_window

@@ -395,6 +395,20 @@ def test_star_and_optional_paths_parse(ray_session):
     assert q2.where.patterns == [("?x", "f:locatedIn?", "?a")]
 
 
+def test_group_concat_without_distinct_raises(ray_session):
+    """Non-DISTINCT GROUP_CONCAT would silently drop duplicate bag
+    solutions under the engine's sorted-DISTINCT convention, so it is
+    refused (raise-on-unsupported policy)."""
+    from octoray.sparql import SparqlError
+
+    with pytest.raises(SparqlError, match="GROUP_CONCAT"):
+        parse_sparql("""
+            PREFIX f: <https://flu-crew.org/term/>
+            SELECT ?s (GROUP_CONCAT(?o; separator="+") AS ?os)
+            WHERE { ?s f:host ?o . } GROUP BY ?s
+        """)
+
+
 def test_count_star_and_having(ray_session):
     q = parse_sparql("""
         PREFIX f: <https://flu-crew.org/term/>
@@ -716,6 +730,50 @@ def test_delete_via_file_constrained_where_not_whole_predicate(
             for r in rd.read_parquet(store).take_all()}
     assert ("fid:s1", "f:subtype") not in left
     assert ("fid:s3", "f:subtype") in left  # human strain keeps its
+
+
+def test_delete_via_file_values_constrained(ray_session, tmp_path):
+    """A VALUES clause in the WHERE must keep the DELETE off the
+    whole-predicate fast path (ADVICE r3 high: the fast path used to
+    ignore VALUES and retract every f:host triple)."""
+    import ray.data as rd
+
+    from octoray.sparql import delete_via_file
+
+    store = str(tmp_path / "store")
+    _ds(GRAPH).write_parquet(os.path.join(store, "shard=00000"))
+    res = delete_via_file(store, """
+        PREFIX f: <https://flu-crew.org/term/>
+        PREFIX fid: <https://flu-crew.org/id/>
+        DELETE { ?s f:host ?o . }
+        WHERE { ?s f:host ?o . VALUES ?s { fid:s1 } }
+    """)
+    assert res["triples_deleted"] == 1
+    left = {(r["subject"], r["predicate"])
+            for r in rd.read_parquet(store).take_all()}
+    assert ("fid:s1", "f:host") not in left
+    assert ("fid:s2", "f:host") in left
+    assert ("fid:s3", "f:host") in left
+
+
+def test_delete_via_file_minus_constrained(ray_session, tmp_path):
+    """MINUS in the WHERE must also take the general plan."""
+    import ray.data as rd
+
+    from octoray.sparql import delete_via_file
+
+    store = str(tmp_path / "store")
+    _ds(GRAPH).write_parquet(os.path.join(store, "shard=00000"))
+    res = delete_via_file(store, """
+        PREFIX f: <https://flu-crew.org/term/>
+        DELETE { ?s f:subtype ?o . }
+        WHERE { ?s f:subtype ?o . MINUS { ?s f:host "human" . } }
+    """)
+    assert res["triples_deleted"] == 1  # s1 only; s3 is human
+    left = {(r["subject"], r["predicate"])
+            for r in rd.read_parquet(store).take_all()}
+    assert ("fid:s1", "f:subtype") not in left
+    assert ("fid:s3", "f:subtype") in left
 
 
 def test_cli_delete_shape(ray_session, tmp_path):
