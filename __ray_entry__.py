@@ -1970,6 +1970,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_pmi_bigrams": lambda sf: __import__(
             "octoray.stages.textops", fromlist=["top_pmi_bigrams"]
         ).top_pmi_bigrams(_docs(sf), k=20, min_count=5),
+        "dsir_weights": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["dsir_weights"]
+        ).dsir_weights(_docs(sf), target_source="src1", n_buckets=1024),
+        "normalize_text": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["normalize_text"]
+        ).normalize_text(_docs(sf)),
         "funnel_depths": lambda sf: W.funnel_depths(
             _events(sf), ["view", "click", "purchase"], within_minutes=120),
         "approx_distinct": lambda sf: __import__(
@@ -1977,6 +1983,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).approx_distinct(
             _events(sf).select_columns(["event_type", "user_id"]),
             "event_type", "user_id", k=64),
+        "approx_quantiles": lambda sf: __import__(
+            "octoray.stages.sketch", fromlist=["approx_quantiles"]
+        ).approx_quantiles(
+            _events(sf).select_columns(["event_type", "event_id", "value"]),
+            "event_type", "event_id", "value", k=256),
         "top_docs_per_source": lambda sf: __import__(
             "octoray.query", fromlist=["grouped_top_k"]
         ).grouped_top_k(
@@ -2166,11 +2177,14 @@ def oracle_sql() -> dict[str, str]:
         FROM g
     """
 
-    from octoray.stages.sketch import sql_approx_distinct
+    from octoray.stages.sketch import (sql_approx_distinct,
+                                       sql_approx_quantiles)
     from octoray.stages.tfidf import sql_bm25_topk
 
     _sketch_oracle = sql_approx_distinct("events", "event_type", "user_id",
                                          k=64)
+    _quant_oracle = sql_approx_quantiles("events", "event_type", "event_id",
+                                         "value", k=256)
     _bm25_oracle = sql_bm25_topk("documents", _BM25_TERMS, k=10)
 
     from octoray.stages.profile import sql_profile_columns
@@ -2268,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
                     LEFT JOIN s3 ON s1.user_id = s3.user_id
         """,
         "approx_distinct": _sketch_oracle,
+        "approx_quantiles": _quant_oracle,
         "profile_events": _profile_oracle,
         "quality_tiers": """
             SELECT doc_id, n_chars,
@@ -2285,6 +2300,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
         """,
+        "dsir_weights": __import__(
+            "octoray.stages.textops", fromlist=["sql_dsir_weights"]
+        ).sql_dsir_weights(target_source="src1", n_buckets=1024),
+        "normalize_text": __import__(
+            "octoray.stages.textops", fromlist=["SQL_NORMALIZE_TEXT"]
+        ).SQL_NORMALIZE_TEXT,
         "top_pmi_bigrams": r"""
             WITH tk AS (SELECT doc_id,
                                regexp_extract_all(text, '\S+') AS t

@@ -136,6 +136,9 @@ SUITE = [
     "top_pmi_bigrams",
     "event_transitions",
     "quality_tiers",
+    "approx_quantiles",
+    "dsir_weights",
+    "normalize_text",
 ]
 
 

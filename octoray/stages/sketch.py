@@ -102,6 +102,100 @@ def approx_distinct(ds, group_col, value_col: str, *, k: int = 64):
         finish, batch_format="pandas", batch_size=None)
 
 
+def approx_quantiles(ds, group_col, id_col: str, value_col: str, *,
+                     k: int = 256, qs: Sequence[float] = (0.5, 0.9, 0.99)):
+    """Per-group approximate quantiles from a BOTTOM-K uniform sample.
+
+    The k rows with the smallest md5(id) hashes form a uniform
+    without-replacement sample of the group [bottom-k sampling,
+    Cohen & Kaplan 2007]; the requested quantiles are then read off
+    the sorted sample (discrete: element at ceil(q*n), 1-indexed).
+    Exact when the group has <= k rows (the sample IS the group).
+
+    Mergeable like the KMV sketch: bottom-k of a union is the merge of
+    per-block bottom-k's, so each block contributes at most k slim
+    (group, hv, value) rows to the exchange and the estimate is
+    independent of block boundaries / parallelism.  The hash is
+    DuckDB's ``md5_number_lower``, so :func:`sql_approx_quantiles`
+    computes the IDENTICAL sample and therefore identical quantiles —
+    the approximate operator stays exactly checkable.
+
+    Contrast with ``textops.length_quantiles`` / ``value_quantiles``
+    (exact counting-sort plans, exchange bounded by value levels):
+    this sketch is for value domains too wide to count — latencies,
+    scores — where a bounded-error sample quantile is the right tool
+    at 100 TB."""
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    qlist = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = t.select(gcols + [id_col, value_col])
+        ids = [str(v) for v in sel.column(id_col).to_pylist()]
+        df = sel.to_pandas()
+        df["hv"] = _md5_lower64(ids)
+        df = df.drop(columns=[id_col])
+        df = df.sort_values(gcols + ["hv"], kind="mergesort")
+        return df.groupby(gcols, sort=False, group_keys=False).head(k)
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        qcols = [f"q{int(q * 100):02d}" for q in qlist]
+        if len(df) == 0:
+            out = {c: df[c] for c in gcols}
+            for qc in qcols:
+                out[qc] = pd.Series([], dtype="float64")
+            return pd.DataFrame(out)
+        groups, rows = [], []
+        for g, sub in df.groupby(gcols, sort=False):
+            sub = sub.sort_values("hv", kind="mergesort").head(k)
+            vals = np.sort(sub[value_col].to_numpy(dtype=np.float64))
+            n = len(vals)
+            # discrete quantile: 1-indexed element ceil(q*n)
+            picks = [vals[max(int(np.ceil(q * n)), 1) - 1] for q in qlist]
+            groups.append(g if isinstance(g, tuple) else (g,))
+            rows.append(picks)
+        out = {c: [g[i] for g in groups] for i, c in enumerate(gcols)}
+        for j, qc in enumerate(qcols):
+            out[qc] = [r[j] for r in rows]
+        return pd.DataFrame(out)
+
+    return pre.sort(gcols).map_batches(
+        finish, batch_format="pandas", batch_size=None)
+
+
+def sql_approx_quantiles(table: str, group_col, id_col: str,
+                         value_col: str, *, k: int = 256,
+                         qs: Sequence[float] = (0.5, 0.9, 0.99)) -> str:
+    """DuckDB twin: identical md5 bottom-k sample, identical discrete
+    quantile picks."""
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    gl = ", ".join(gcols)
+    qexprs = ",\n               ".join(
+        f"max(CASE WHEN rn = greatest(1, CAST(ceil({q} * n) AS BIGINT)) "
+        f"THEN v END) AS q{int(q * 100):02d}" for q in qs)
+    return f"""
+        WITH keyed AS (
+            SELECT {gl}, {value_col} AS v,
+                   md5_number_lower(CAST({id_col} AS VARCHAR)) AS hv
+            FROM {table}),
+        samp AS (
+            SELECT {gl}, v,
+                   row_number() OVER (PARTITION BY {gl}
+                                      ORDER BY hv) AS srn
+            FROM keyed),
+        vals AS (
+            SELECT {gl}, v,
+                   row_number() OVER (PARTITION BY {gl}
+                                      ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY {gl}) AS n
+            FROM samp WHERE srn <= {k})
+        SELECT {gl},
+               {qexprs}
+        FROM vals GROUP BY {gl}
+    """
+
+
 def sql_approx_distinct(table: str, group_col, value_col: str, *,
                         k: int = 64) -> str:
     """DuckDB twin: identical hash (md5_number_lower), identical

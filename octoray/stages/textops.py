@@ -817,6 +817,210 @@ def weighted_sample(docs, k: int, *, weight_col: str = "n_chars",
                            batch_format="pyarrow")
 
 
+def normalize_text(docs, *, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Corpus text canonicalization: collapse whitespace runs to one
+    space, trim, then Unicode NFC normalization — the standard prep
+    before hashing/dedup so visually-identical strings (decomposed
+    accents, stray control whitespace) hash identically.
+
+    Streaming map, no shuffle, no state.  Whitespace collapse and trim
+    are Arrow C kernels (RE2, same regex engine as DuckDB's); NFC runs
+    through ``unicodedata.normalize`` ONLY on the non-ASCII rows
+    (``string_is_ascii`` prefilter — ASCII is NFC-invariant, so the
+    Python call is bounded by the non-ASCII fraction, not the corpus).
+    pyarrow's own ``utf8_normalize(form='NFC')`` is NOT used: as of
+    pyarrow 16 it fails to canonically compose (e + U+0301 stays
+    decomposed), diverging from DuckDB's ``nfc_normalize`` and
+    Python's ``unicodedata``.  Output:
+    (doc_id, text_norm, n_chars_norm, changed)."""
+    import unicodedata
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        collapsed = pc.replace_substring_regex(txt, pattern=r"\s+",
+                                               replacement=" ")
+        trimmed = pc.utf8_trim(collapsed, characters=" ")
+        ascii_mask = pc.string_is_ascii(trimmed)
+        if pc.all(ascii_mask).as_py():
+            norm = trimmed
+        else:
+            vals = trimmed.to_pylist()
+            mask = ascii_mask.to_pylist()
+            norm = pa.array(
+                [v if ok else unicodedata.normalize("NFC", v)
+                 for v, ok in zip(vals, mask)], pa.string())
+        return pa.table({
+            id_col: t.column(id_col),
+            "text_norm": norm,
+            "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+            "changed": pc.not_equal(norm, txt),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_NORMALIZE_TEXT = r"""
+    SELECT doc_id,
+           nfc_normalize(trim(regexp_replace(text, '\s+', ' ', 'g'), ' '))
+               AS text_norm,
+           CAST(length(nfc_normalize(trim(
+               regexp_replace(text, '\s+', ' ', 'g'), ' '))) AS BIGINT)
+               AS n_chars_norm,
+           nfc_normalize(trim(regexp_replace(text, '\s+', ' ', 'g'), ' '))
+               <> text AS changed
+    FROM documents
+"""
+
+
+def dsir_weights(docs, *, target_source: str, n_buckets: int = 1024,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 source_col: str = "source"):
+    """DSIR-style importance weights for data selection [Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"]: score every document by how target-like its hashed
+    unigram distribution is, log w(x) = sum over tokens of
+    ln(p_target(b) / p_raw(b)) with b = hash(token) mod ``n_buckets``
+    and add-1 smoothed bucket distributions.  Feed the weights to
+    ``weighted_sample`` / ``mixture_resample`` to resample raw data
+    toward the target domain.
+
+    Plan (two corpus passes, zero corpus shuffle):
+
+    1. block-local bucket counts for the target slice
+       (source == target_source) and the raw corpus (= all docs) —
+       at most ``n_buckets`` partial rows per block — then one tiny
+       groupby-sum (exchange O(n_buckets x blocks));
+    2. the per-bucket log ratios are rounded to the 6-decimal grid and
+       fixed as INTEGER micro-units, broadcast once via ray.put; each
+       doc's score is an integer sum over its tokens' buckets —
+       order-free, so engine and SQL twin are exactly equal.
+
+    The hash is DuckDB's ``md5_number_lower`` (mod n_buckets), computed
+    once per DISTINCT token per block (np.unique first — token streams
+    are Zipfian, so the md5 loop is vocabulary-bounded, not
+    corpus-bounded).  Docs with no tokens are dropped (both sides
+    derive rows from the token stream).  Output:
+    (doc_id, n_tokens, dsir_logw)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from octoray.stages.sketch import _md5_lower64
+
+    B = int(n_buckets)
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        toks: List[str] = []
+        is_tgt: List[bool] = []
+        srcs = t.column(source_col).to_pylist()
+        for text, src in zip(t.column(text_col).to_pylist(), srcs):
+            tt = text.split()
+            toks.extend(tt)
+            is_tgt.extend([src == target_source] * len(tt))
+        if not toks:
+            return pa.table({"bkt": pa.array([], pa.int64()),
+                             "nt": pa.array([], pa.int64()),
+                             "nr": pa.array([], pa.int64())})
+        uniq, inv = np.unique(np.asarray(toks, dtype=object),
+                              return_inverse=True)
+        bkt_u = (_md5_lower64(list(uniq)) % np.uint64(B)).astype(np.int64)
+        bkt = bkt_u[inv]
+        tgt = np.asarray(is_tgt)
+        nt = np.bincount(bkt[tgt], minlength=B).astype(np.int64)
+        nr = np.bincount(bkt, minlength=B).astype(np.int64)
+        nz = np.flatnonzero(nr)
+        return pa.table({"bkt": pa.array(nz, pa.int64()),
+                         "nt": pa.array(nt[nz], pa.int64()),
+                         "nr": pa.array(nr[nz], pa.int64())})
+
+    counts = (docs.map_batches(bucket_partials, batch_format="pyarrow")
+              .groupby("bkt")
+              .aggregate(Sum("nt", alias_name="nt"),
+                         Sum("nr", alias_name="nr"))
+              .to_pandas())  # <= n_buckets rows — driver-bounded
+    NT = float(counts["nt"].sum()) if len(counts) else 0.0
+    NR = float(counts["nr"].sum()) if len(counts) else 0.0
+    lam_micro = np.zeros(B, dtype=np.int64)
+    if len(counts):
+        bkt = counts["bkt"].to_numpy()
+        pt = (counts["nt"].to_numpy(dtype=np.float64) + 1.0) / (NT + B)
+        pr = (counts["nr"].to_numpy(dtype=np.float64) + 1.0) / (NR + B)
+        lam = np.log(pt) - np.log(pr)  # same op order as the SQL twin
+        lam_micro[bkt] = np.floor(lam * 1_000_000.0 + 0.5).astype(np.int64)
+    ref = ray.put(lam_micro)
+
+    def score(t: pa.Table) -> pa.Table:
+        lm = ray.get(ref)
+        ids = t.column(id_col).to_pylist()
+        out_ids: List[object] = []
+        n_toks: List[int] = []
+        sums: List[int] = []
+        toks_all: List[str] = []
+        doc_idx: List[int] = []
+        for i, text in enumerate(t.column(text_col).to_pylist()):
+            tt = text.split()
+            if tt:
+                toks_all.extend(tt)
+                doc_idx.extend([i] * len(tt))
+        if toks_all:
+            uniq, inv = np.unique(np.asarray(toks_all, dtype=object),
+                                  return_inverse=True)
+            bkt = (_md5_lower64(list(uniq)) % np.uint64(B)).astype(np.int64)
+            per_tok = lm[bkt[inv]]
+            di = np.asarray(doc_idx, dtype=np.int64)
+            n_docs = len(ids)
+            tot = np.bincount(di, weights=per_tok.astype(np.float64),
+                              minlength=n_docs).astype(np.int64)
+            cnt = np.bincount(di, minlength=n_docs)
+            for i in range(n_docs):
+                if cnt[i]:
+                    out_ids.append(ids[i])
+                    n_toks.append(int(cnt[i]))
+                    sums.append(int(tot[i]))
+        return pa.table({
+            id_col: pa.array(out_ids, t.schema.field(id_col).type),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "dsir_logw": pa.array([s / 1_000_000.0 for s in sums],
+                                  pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def sql_dsir_weights(*, target_source: str, n_buckets: int = 1024,
+                     table: str = "documents") -> str:
+    """DuckDB twin: identical md5 bucket hash, identical smoothed
+    log-ratio expression, identical micro-integer rounding and sum."""
+    B = int(n_buckets)
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   unnest(regexp_extract_all(text, '\\S+')) AS t
+            FROM {table}),
+        b AS (SELECT doc_id, source,
+                     CAST(md5_number_lower(t) % {B} AS BIGINT) AS bkt
+              FROM tok),
+        rc AS (SELECT bkt, count(*) AS nr FROM b GROUP BY bkt),
+        tc AS (SELECT bkt, count(*) AS nt FROM b
+               WHERE source = '{target_source}' GROUP BY bkt),
+        tot AS (SELECT
+                  (SELECT count(*) FROM b
+                   WHERE source = '{target_source}') AS big_nt,
+                  (SELECT count(*) FROM b) AS big_nr),
+        lam AS (SELECT rc.bkt,
+                       CAST(floor((ln((COALESCE(tc.nt, 0) + 1.0)
+                                      / (tot.big_nt + {B}))
+                                   - ln((rc.nr + 1.0)
+                                        / (tot.big_nr + {B})))
+                                  * 1000000 + 0.5) AS BIGINT) AS lmicro
+                FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN tot)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               sum(lmicro) / 1000000.0 AS dsir_logw
+        FROM b JOIN lam USING (bkt)
+        GROUP BY doc_id
+    """
+
+
 def top_pmi_bigrams(docs, *, k: int = 20, min_count: int = 5,
                     text_col: str = "text"):
     """Top-k collocations by pointwise mutual information:

@@ -152,6 +152,85 @@ def test_unigram_logprob_paths_and_bruteforce(ray_session):
         assert got == want, f"limit={limit}"
 
 
+def test_normalize_text_matches_duckdb(ray_session):
+    """Arrow NFC + whitespace collapse must equal the DuckDB twin on
+    messy unicode (decomposed accents, ligatures untouched by NFC,
+    tabs/newlines, leading/trailing runs)."""
+    import duckdb
+    import ray.data as rd
+
+    from octoray.stages.textops import SQL_NORMALIZE_TEXT, normalize_text
+
+    texts = ["école  \t deux", "  lead trail  ", "a\nb\r\nc",
+             "café", "ﬁne ligature", "", "plain"]
+    docs = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    got = (normalize_text(rd.from_arrow(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (con.sql(SQL_NORMALIZE_TEXT).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["text_norm"]) == list(want["text_norm"])
+    assert list(got["n_chars_norm"]) == list(want["n_chars_norm"])
+    assert list(got["changed"]) == list(want["changed"])
+    # NFC actually composed the decomposed accent
+    assert got["text_norm"][0].startswith("école")
+
+
+def test_dsir_weights_bruteforce_and_direction(ray_session):
+    """DSIR importance weights match a driver-side re-derivation,
+    are partition-invariant, and rank target-vocabulary docs above
+    off-target docs."""
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from octoray.stages.textops import dsir_weights
+
+    B = 64
+    texts = ["apple banana apple", "apple cherry", "dog cat dog cat",
+             "cat mouse", "apple dog", ""]
+    srcs = ["tgt", "tgt", "raw", "raw", "raw", "raw"]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+
+    def bkt(w):
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16],
+                              "little") % B
+
+    nt, nr = defaultdict(int), defaultdict(int)
+    for t, s in zip(texts, srcs):
+        for w in t.split():
+            nr[bkt(w)] += 1
+            if s == "tgt":
+                nt[bkt(w)] += 1
+    NT, NR = sum(nt.values()), sum(nr.values())
+    lam_micro = {b: math.floor((math.log((nt.get(b, 0) + 1.0) / (NT + B))
+                                - math.log((nr[b] + 1.0) / (NR + B)))
+                               * 1e6 + 0.5)
+                 for b in nr}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if toks:
+            want[i] = (len(toks),
+                       sum(lam_micro[bkt(w)] for w in toks) / 1e6)
+
+    for parts in (1, 4):
+        got = {r["doc_id"]: (r["n_tokens"], r["dsir_logw"])
+               for r in dsir_weights(
+                   rd.from_arrow(docs).repartition(parts),
+                   target_source="tgt", n_buckets=B).take_all()}
+        assert got == want, f"parts={parts}"
+    # direction: the all-target-vocab doc outranks the off-target doc
+    assert want[0][1] > want[2][1]
+
+
 def test_canonical_url_rules():
     from octoray.stages.crawl import canonical_url as c
 

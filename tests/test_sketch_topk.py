@@ -287,6 +287,47 @@ def test_rrf_fuse_hand_case(ray_session):
     assert abs(out["rrf"].iloc[2] - round(want[3], 6)) < 1e-9
 
 
+def test_approx_quantiles_exact_below_k(ray_session):
+    """Groups with <= k rows: the bottom-k sample IS the group, so the
+    discrete quantiles are exact."""
+    from octoray.stages.sketch import approx_quantiles
+
+    rng = np.random.default_rng(3)
+    g = rng.choice(["a", "b"], size=200)
+    v = np.round(rng.uniform(0, 50, size=200), 2)
+    t = pa.table({"g": pa.array(g), "id": pa.array(np.arange(200), pa.int64()),
+                  "v": pa.array(v, pa.float64())})
+    out = approx_quantiles(_rd(t).repartition(4), "g", "id", "v",
+                           k=500).to_pandas().set_index("g")
+    for grp in ("a", "b"):
+        vals = np.sort(v[g == grp])
+        n = len(vals)
+        for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+            assert out.loc[grp, col] == vals[max(int(np.ceil(q * n)), 1) - 1]
+
+
+def test_approx_quantiles_partition_invariance(ray_session):
+    """The bottom-k sample quantiles must not depend on block
+    boundaries (mergeability) and must approximate the true quantile."""
+    from octoray.stages.sketch import approx_quantiles
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    v = np.round(rng.exponential(10, size=n), 2)
+    t = pa.table({"g": pa.array(["x"] * n),
+                  "id": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(v, pa.float64())})
+    results = []
+    for parts in (1, 3, 16):
+        out = approx_quantiles(_rd(t).repartition(parts), "g", "id", "v",
+                               k=512).to_pandas()
+        results.append(tuple(out.iloc[0][["q50", "q90", "q99"]]))
+    assert results[0] == results[1] == results[2]
+    true_q50 = np.quantile(v, 0.5)
+    # 512-point sample: the median should be within a few percent
+    assert abs(results[0][0] - true_q50) / true_q50 < 0.15
+
+
 def test_approx_distinct_composite_group(ray_session):
     from octoray.stages.sketch import approx_distinct
 
