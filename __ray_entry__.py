@@ -1976,6 +1976,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": lambda sf: __import__(
             "octoray.stages.textops", fromlist=["normalize_text"]
         ).normalize_text(_docs(sf)),
+        "token_entropy": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["token_entropy"]
+        ).token_entropy(_docs(sf)),
+        "ngram_novelty": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["ngram_novelty"]
+        ).ngram_novelty(_docs(sf), k=8),
+        "group_sample": lambda sf: __import__(
+            "octoray.query", fromlist=["group_sample"]
+        ).group_sample(
+            _docs(sf).select_columns(["source", "doc_id", "n_chars"]),
+            ["source"], "doc_id", 3),
         "funnel_depths": lambda sf: W.funnel_depths(
             _events(sf), ["view", "click", "purchase"], within_minutes=120),
         "approx_distinct": lambda sf: __import__(
@@ -2306,6 +2317,16 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": __import__(
             "octoray.stages.textops", fromlist=["SQL_NORMALIZE_TEXT"]
         ).SQL_NORMALIZE_TEXT,
+        "group_sample": __import__(
+            "octoray.query", fromlist=["sql_group_sample"]
+        ).sql_group_sample("documents", ["source"], "doc_id", 3,
+                           ["source", "doc_id", "n_chars"]),
+        "token_entropy": __import__(
+            "octoray.stages.textops", fromlist=["SQL_TOKEN_ENTROPY"]
+        ).SQL_TOKEN_ENTROPY,
+        "ngram_novelty": __import__(
+            "octoray.stages.textops", fromlist=["sql_ngram_novelty"]
+        ).sql_ngram_novelty(k=8),
         "top_pmi_bigrams": r"""
             WITH tk AS (SELECT doc_id,
                                regexp_extract_all(text, '\S+') AS t

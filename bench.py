@@ -139,6 +139,9 @@ SUITE = [
     "approx_quantiles",
     "dsir_weights",
     "normalize_text",
+    "ngram_novelty",
+    "token_entropy",
+    "group_sample",
 ]
 
 

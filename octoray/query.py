@@ -437,6 +437,50 @@ def grouped_top_k(ds, group_cols: Sequence[str], order_col: str, k: int, *,
         finish, batch_format="pandas", batch_size=None)
 
 
+def group_sample(ds, group_cols: Sequence[str], id_col: str, k: int):
+    """Deterministic uniform sample of k ROWS per group (bottom-k by
+    md5(id) — the same hash-as-randomness convention as
+    weighted_sample / approx_quantiles, so the sample is reproducible
+    run-to-run and engine-to-oracle).  The curation use-case: "show me
+    k examples per source/domain" over a corpus too large to sort.
+
+    Plan: attach the md5 key in a streaming map, then
+    :func:`grouped_top_k` ascending on it — map-side partial bottom-k
+    per block, one group-key range sort over at most k x blocks rows
+    per group."""
+    import pyarrow as pa
+
+    from octoray.stages.sketch import _md5_lower64
+
+    def keyed(t: "pa.Table") -> "pa.Table":
+        ids = [str(v) for v in t.column(id_col).to_pylist()]
+        hv = _md5_lower64(ids)
+        return t.append_column("_hv", pa.array(hv, pa.uint64()))
+
+    top = grouped_top_k(ds.map_batches(keyed, batch_format="pyarrow"),
+                        list(group_cols), "_hv", k,
+                        tie_cols=[id_col], descending=False)
+    return top.map_batches(lambda t: t.drop_columns(["_hv"]),
+                           batch_format="pyarrow")
+
+
+def sql_group_sample(table: str, group_cols: Sequence[str], id_col: str,
+                     k: int, cols: Sequence[str]) -> str:
+    """DuckDB twin of :func:`group_sample`: identical md5 bottom-k."""
+    gl = ", ".join(group_cols)
+    cl = ", ".join(cols)
+    return f"""
+        SELECT {cl} FROM (
+            SELECT {cl},
+                   row_number() OVER (
+                       PARTITION BY {gl}
+                       ORDER BY md5_number_lower(
+                           CAST({id_col} AS VARCHAR)), {id_col}) AS rn
+            FROM {table})
+        WHERE rn <= {k}
+    """
+
+
 def salted_groupby_sum(ds, key: str, value_col: str, *, n_salts: int = 16,
                        alias: str = "sum"):
     """Two-phase salted aggregation for hot keys (SURVEY.md §4.3, the

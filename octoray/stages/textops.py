@@ -873,6 +873,182 @@ SQL_NORMALIZE_TEXT = r"""
 """
 
 
+def ngram_novelty(docs, *, k: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Per-document novelty: the fraction of a doc's overlapping
+    k-token grams that are globally UNIQUE in the corpus (count == 1).
+    Low novelty = the doc is largely assembled from text that occurs
+    elsewhere — the memorization-risk / boilerplate signal that
+    complements span dedup (Lee et al. 2022 report most duplicated
+    text lives in near-identical gram runs).
+
+    Plan (two slim exchanges, the corpus never shuffles):
+
+    1. one streaming pass hashes every gram with the shared vectorized
+       128-bit kernel (``dedup._window_hashes`` — no gram strings, no
+       per-gram Python); the exchange rows are (h1, h2, doc_id);
+    2. ONE range sort on (h1, h2) co-locates equal grams (Ray's range
+       partition keeps equal keys in one block — the pinned
+       block-colocation invariant, query.py:305); a block-local run
+       scan marks count==1 grams and pre-combines to
+       (doc_id, n_grams, n_novel) partial rows;
+    3. a tiny groupby-sum on doc_id finishes.
+
+    Gram identity is the 128-bit hash pair (collision odds ~1e-14 at
+    10^12 grams); the DuckDB twin keys on the literal gram string.
+    Docs with fewer than k tokens are dropped (no grams — both sides
+    derive rows from the gram stream).  Output:
+    (doc_id, n_grams, novelty)."""
+    from ray.data.aggregate import Sum
+
+    from octoray.stages.dedup import _window_hashes
+    from octoray.util import round_half_up
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        doc_idx, _, g1, g2 = _window_hashes(t.column(text_col), k,
+                                            short_gram=False)
+        return pa.table({
+            "h1": pa.array(g1, pa.uint64()),
+            "h2": pa.array(g2, pa.uint64()),
+            id_col: pa.array(ids[doc_idx], t.schema.field(id_col).type),
+        })
+
+    g = docs.map_batches(grams, batch_format="pyarrow")
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_novel": pa.array([], pa.int64())})
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        # equal grams are adjacent (sorted) and co-located (invariant)
+        new_run = np.empty(len(h1), dtype=bool)
+        new_run[0] = True
+        np.not_equal(h1[1:], h1[:-1], out=new_run[1:])
+        np.logical_or(new_run[1:], h2[1:] != h2[:-1], out=new_run[1:])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        novel = run_len[run_id] == 1
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(uids, t.schema.field(id_col).type),
+            "n_grams": pa.array(np.bincount(inv), pa.int64()),
+            "n_novel": pa.array(
+                np.bincount(inv, weights=novel.astype(np.float64))
+                .astype(np.int64), pa.int64()),
+        })
+
+    partials = g.sort(["h1", "h2"]).map_batches(mark, batch_format="pyarrow")
+    sums = partials.groupby(id_col).aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_novel", alias_name="n_novel"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_grams"), pa.float64())
+        nov = pc.divide(pc.cast(t.column("n_novel"), pa.float64()), n)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_grams": t.column("n_grams"),
+            "novelty": round_half_up(nov, 6),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_ngram_novelty(*, k: int = 8, table: str = "documents") -> str:
+    """DuckDB twin of :func:`ngram_novelty`, keyed on the literal gram
+    string (the engine's 128-bit hash pair is collision-free at test
+    scale by construction)."""
+    return rf"""
+        WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                   FROM {table}),
+        g AS (SELECT doc_id,
+                     array_to_string(t[wi:wi + {k - 1}], ' ') AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(
+                               1, len(t) - {k} + 1)) AS wi
+                    FROM l WHERE len(t) >= {k})),
+        c AS (SELECT gram, count(*) AS cc FROM g GROUP BY gram)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               floor(sum(CASE WHEN c.cc = 1 THEN 1.0 ELSE 0.0 END)
+                     / count(*) * 1000000 + 0.5) / 1000000 AS novelty
+        FROM g JOIN c USING (gram)
+        GROUP BY doc_id
+    """
+
+
+def token_entropy(docs, *, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Per-document Shannon entropy of the token distribution — the
+    Gopher-family "unigram entropy" quality signal (near-zero entropy
+    = keyword-stuffing / boilerplate repetition; natural prose sits in
+    a characteristic band).
+
+    Pure streaming map, no shuffle, no state: per block the token
+    stream is flattened once, per-(doc, token) counts come from ONE
+    np.unique over composite codes, and the entropy terms are summed
+    per doc with np.bincount.  Terms use the exact float expression of
+    the SQL twin ((c/n) * ln(c/n)) and the result lands on the house
+    6-decimal grid.  Token-less docs are dropped (both sides derive
+    rows from the token stream).  Output:
+    (doc_id, n_tokens, token_entropy)."""
+    from octoray.util import round_half_up
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        toks_all: List[str] = []
+        doc_idx: List[int] = []
+        for i, text in enumerate(t.column(text_col).to_pylist()):
+            tt = text.split()
+            toks_all.extend(tt)
+            doc_idx.extend([i] * len(tt))
+        if not toks_all:
+            return pa.table({
+                id_col: pa.array([], ids.type),
+                "n_tokens": pa.array([], pa.int64()),
+                "token_entropy": pa.array([], pa.float64()),
+            })
+        di = np.asarray(doc_idx, dtype=np.int64)
+        # token -> dense code, then one unique over (doc, token) pairs
+        _, tok_code = np.unique(np.asarray(toks_all, dtype=object),
+                                return_inverse=True)
+        pair = di * (tok_code.max() + 1) + tok_code
+        upair, c = np.unique(pair, return_counts=True)
+        pair_doc = upair // (tok_code.max() + 1)
+        n_docs = len(ids)
+        n = np.bincount(di, minlength=n_docs).astype(np.float64)
+        p = c / n[pair_doc]
+        ent = -np.bincount(pair_doc, weights=p * np.log(p),
+                           minlength=n_docs)
+        keep = n > 0
+        return pa.table({
+            id_col: ids.filter(pa.array(keep)),
+            "n_tokens": pa.array(n[keep].astype(np.int64), pa.int64()),
+            "token_entropy": round_half_up(
+                pa.array(ent[keep], pa.float64()), 6),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_TOKEN_ENTROPY = r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_extract_all(text, '\S+')) AS t
+                 FROM documents),
+    c AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS c
+          FROM tok GROUP BY doc_id, t),
+    n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id)
+    SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+           floor(-sum((c.c / n.n) * ln(c.c / n.n)) * 1000000 + 0.5)
+               / 1000000 AS token_entropy
+    FROM c JOIN n USING (doc_id)
+    GROUP BY c.doc_id, n.n
+"""
+
+
 def dsir_weights(docs, *, target_source: str, n_buckets: int = 1024,
                  id_col: str = "doc_id", text_col: str = "text",
                  source_col: str = "source"):

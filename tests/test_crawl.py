@@ -152,6 +152,104 @@ def test_unigram_logprob_paths_and_bruteforce(ray_session):
         assert got == want, f"limit={limit}"
 
 
+def test_token_entropy_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from octoray.stages.textops import token_entropy
+    from octoray.util import round_half_up_scalar
+
+    texts = ["a a a a", "a b c d", "a a b b c", "", "x"]
+    docs = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    for parts in (1, 3):
+        got = {r["doc_id"]: (r["n_tokens"], r["token_entropy"])
+               for r in token_entropy(
+                   rd.from_arrow(docs).repartition(parts)).take_all()}
+        want = {}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            if not toks:
+                continue
+            n = len(toks)
+            ent = -sum((c / n) * math.log(c / n)
+                       for c in defaultdict(int, {}).values())
+            cnt = defaultdict(int)
+            for w in toks:
+                cnt[w] += 1
+            ent = -sum((c / n) * math.log(c / n) for c in cnt.values())
+            want[i] = (n, round_half_up_scalar(ent, 6))
+        assert got == want, f"parts={parts}"
+    # uniform distribution maximizes entropy; constant minimizes
+    assert got[1][1] > got[2][1] > got[0][1] == 0.0
+
+
+def test_ngram_novelty_bruteforce(ray_session):
+    """Novelty fractions match a brute-force gram count, independent
+    of partitioning (the sorted run-scan must not split equal grams
+    across blocks)."""
+    import ray.data as rd
+
+    from octoray.stages.textops import ngram_novelty
+
+    k = 3
+    shared = "one two three four"          # grams shared by docs 0/1
+    texts = [shared + " alpha", shared + " beta",
+             "u v w x y", "too short", ""]
+    docs = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    cnt = defaultdict(int)
+    grams = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        gs = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        grams[i] = gs
+        for g in gs:
+            cnt[g] += 1
+    want = {}
+    for i, gs in grams.items():
+        if gs:
+            nov = sum(1 for g in gs if cnt[g] == 1) / len(gs)
+            want[i] = (len(gs), np.floor(nov * 1e6 + 0.5) / 1e6)
+    for parts in (1, 4):
+        got = {r["doc_id"]: (r["n_grams"], r["novelty"])
+               for r in ngram_novelty(
+                   rd.from_arrow(docs).repartition(parts), k=k).take_all()}
+        assert got == want, f"parts={parts}"
+    # the two shared-prefix docs are partially novel; the unique doc fully
+    assert want[2][1] == 1.0 and 0 < want[0][1] < 1.0
+    assert 3 not in want and 4 not in want  # short/empty docs dropped
+
+
+def test_group_sample_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from octoray.query import group_sample, sql_group_sample
+
+    rng = np.random.default_rng(4)
+    n = 300
+    docs = pa.table({
+        "source": pa.array(rng.choice(["a", "b", "c"], size=n)),
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "n_chars": pa.array(rng.integers(1, 99, size=n), pa.int64()),
+    })
+    for parts in (1, 5):
+        got = (group_sample(rd.from_arrow(docs).repartition(parts),
+                            ["source"], "doc_id", 4)
+               .to_pandas().sort_values(["source", "doc_id"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (con.sql(sql_group_sample(
+            "documents", ["source"], "doc_id", 4,
+            ["source", "doc_id", "n_chars"])).df()
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))
+        assert got.equals(want), f"parts={parts}"
+        assert (got.groupby("source").size() == 4).all()
+
+
 def test_normalize_text_matches_duckdb(ray_session):
     """Arrow NFC + whitespace collapse must equal the DuckDB twin on
     messy unicode (decomposed accents, ligatures untouched by NFC,
