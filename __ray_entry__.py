@@ -1219,6 +1219,18 @@ def _q_kg_kcore(sf_dir: str):
     return kcore(triples, k=2, n_iters=16)
 
 
+def _q_kg_hops(sf_dir: str):
+    """BFS neighborhood radius from a geography hub over the KG's
+    undirected uri--uri graph (stages/graphalgo.py::hop_distances).
+    Oracle: recursive CTE with UNION dedup and min(depth) over the
+    same symmetric edge set."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import hop_distances
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_hops_raw"))
+    return hop_distances(triples, "world:CAN", max_hops=4)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Global triangle count over the KG's undirected uri--uri graph
     (degree-oriented wedge join, stages/graphalgo.py).  Oracle: the
@@ -1374,6 +1386,16 @@ def _q_media_frame_sample(sf_dir: str):
     if O.dump_enabled():
         O.dump_dataset("media_meta", media.select_columns(["media_id", "kind", "meta_n"]))
     return M.sample_frames(media, every=2).select_columns(["media_id", "frame_idx"])
+
+
+def _q_media_ahash(sf_dir: str):
+    from octoray import oracles as O
+    from octoray.stages import multimodal as M
+
+    media = M.media_dataset(_synth_n(sf_dir, 5_000))
+    if O.dump_enabled():
+        O.dump_dataset("media_ahash_pixels", M.image_pixels(media))
+    return M.image_ahash(media, grid=8, concurrency=(1, 4))
 
 
 def _q_media_knn(sf_dir: str):
@@ -1914,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_incremental": _q_entity_incremental,
         "kg_pagerank": _q_kg_pagerank,
         "kg_kcore": _q_kg_kcore,
+        "kg_hops": _q_kg_hops,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
@@ -2068,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": _q_media_audio_features,
         "media_frame_sample": _q_media_frame_sample,
         "media_knn": _q_media_knn,
+        "media_ahash": _q_media_ahash,
         # --- similarity search over embeddings ---
         "knn_brute": lambda sf: S.knn_brute(_embeddings(sf), _KNN_IDS, k=_KNN_K),
         "knn_lsh": _q_knn_lsh,
@@ -3344,6 +3368,22 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": Q.sql_pagerank(Q.rpd("kg_pagerank_raw"),
                                       damping=0.85, n_iters=5),
         "kg_kcore": Q.sql_kcore(Q.rpd("kg_kcore_raw"), k=2, n_iters=16),
+        "kg_hops": f"""
+            WITH RECURSIVE raw AS (
+                SELECT DISTINCT subject AS src, object AS dst
+                FROM {Q.rpd('kg_hops_raw')}
+                WHERE object_datatype = 'uri' AND subject <> object),
+            e AS (SELECT src, dst FROM raw
+                  UNION SELECT dst, src FROM raw),
+            walk(node, d) AS (
+                SELECT 'world:CAN' AS node, 0 AS d
+                UNION
+                SELECT e.dst, w.d + 1
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.d < 4)
+            SELECT node, CAST(min(d) AS BIGINT) AS hops
+            FROM walk GROUP BY node
+        """,
         # entity order: &lt;/&gt; first, &amp; LAST — the inverse of
         # html.escape(quote=False); '&amp;lt;' round-trips correctly
         "extract_text": ("""
@@ -3394,4 +3434,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_features": Q.sql_media_audio(Q.rpd("media_pcm")),
         "media_frame_sample": Q.sql_media_frames(Q.rpd("media_meta"), every=2),
         "media_knn": Q.sql_media_knn(Q.rpd("media_embeddings"), [0, 1, 2], k=5),
+        "media_ahash": __import__(
+            "octoray.stages.multimodal", fromlist=["sql_image_ahash"]
+        ).sql_image_ahash(Q.rpd("media_ahash_pixels"), grid=8),
     }

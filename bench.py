@@ -142,6 +142,8 @@ SUITE = [
     "ngram_novelty",
     "token_entropy",
     "group_sample",
+    "media_ahash",
+    "kg_hops",
 ]
 
 

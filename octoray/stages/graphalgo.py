@@ -362,6 +362,93 @@ def kcore(triples, *, k: int = 2, n_iters: int = 32,
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
 
 
+def hop_distances(triples, source: str, *, max_hops: int = 4,
+                  driver_limit: int = 5_000_000,
+                  broadcast_limit: int = 2_000_000):
+    """BFS hop distances from ``source`` over the KG's UNDIRECTED
+    uri--uri graph, capped at ``max_hops``.  Output: (node, hops) with
+    hops = the minimum undirected distance — the neighborhood-radius
+    primitive behind "everything within k hops of this entity"
+    exploration queries (reference analogue: the 2-hop geography
+    expansion J4, generalized to any anchor and depth).
+
+    Stats-gated two-path design (kcore's): a collected numpy BFS under
+    ``driver_limit`` edges; above it, each round broadcasts the
+    CURRENT FRONTIER (never the visited set — frontiers are bounded by
+    one hop's reach), expands it with one streaming semi-join over the
+    edge list, and subtracts the visited set with the stats-gated
+    anti-join (broadcast below ``broadcast_limit``, distributed hash
+    join above).  Per-round exchange is bounded by the frontier's
+    adjacency, never the graph."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from octoray.query import distinct_values, semi_join_auto
+
+    base = uri_edges(triples)
+
+    def sym(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+        s = t.column("src").combine_chunks().cast(pa.string())
+        d = t.column("dst").combine_chunks().cast(pa.string())
+        return pa.table({"src": pa.concat_arrays([s, d]),
+                         "dst": pa.concat_arrays([d, s])})
+
+    edges = distinct_values(base.map_batches(sym, batch_format="pyarrow"),
+                            ["src", "dst"]).materialize()
+
+    def result(pairs):
+        nodes = [n for n, _ in pairs]
+        hops = [h for _, h in pairs]
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "hops": pa.array(hops, pa.int64())}))
+
+    if edges.count() <= driver_limit:
+        adj: dict = {}
+        for r in edges.take_all():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        dist = {source: 0}
+        frontier = [source]
+        for d in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        return result(sorted(dist.items()))
+
+    # distributed frontier expansion
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array([source], pa.string()),
+        "hops": pa.array([0], pa.int64())})).materialize()
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        reached = distinct_values(
+            semi_join_auto(edges, "src", frontier, key_col="node",
+                           broadcast_limit=broadcast_limit)
+            .map_batches(lambda t: t.select(["dst"])
+                         .rename_columns(["node"]),
+                         batch_format="pyarrow"),
+            ["node"])
+        fresh = semi_join_auto(reached, "node", visited, key_col="node",
+                               anti=True,
+                               broadcast_limit=broadcast_limit)
+        frontier = fresh.map_batches(
+            lambda t, _d=d: t.append_column(
+                "hops", pa.array([_d] * t.num_rows, pa.int64())),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+    return visited
+
+
 def _kcore_driver(edges, *, k: int, n_iters: int):
     """Collected-edges numpy peel (small-graph fast path): identical
     fixpoint, pinned equal to the distributed loop in pytest."""

@@ -275,6 +275,78 @@ def image_pixels(media):
     return media.map_batches(f, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
 
 
+def image_ahash(media, *, grid: int = 8, concurrency=(1, 4)):
+    """Sampled average-hash (aHash) perceptual fingerprint per image:
+    bit(i, j) = 1 iff the gray value at the fixed grid position
+    (h*i//grid, w*j//grid) exceeds the image's mean gray.  Exact-match
+    aHash grouping is the cheap first tier of image dedup (identical
+    and near-identical re-encodes collide); Hamming-near pairs can
+    ride the existing SimHash pigeonhole machinery.
+
+    All-integer definition so the DuckDB twin is exact: with S = sum
+    of all channel values and wh = w*h, bit = (r+g+b at the sample)
+    * wh > S (both sides integer — no float mean).  The hash travels
+    as a grid^2-char '0'/'1' string (uint64 would overflow BIGINT's
+    sign bit in SQL).  Decode runs in the actor-pool decoder
+    (compressed codecs gated per actor, like every image stage)."""
+    import pyarrow.compute as pc
+
+    class AHasher:
+        def __init__(self):
+            self._dec = ImageDecoder()
+            self._grid = grid
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = self._grid
+            ids, hashes = [], []
+            for mid, data in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("payload").to_pylist(),
+            ):
+                img = self._dec.decode(data).astype(np.int64)
+                h, w = img.shape[:2]
+                s = int(img.sum())
+                yi = np.arange(g) * h // g
+                xi = np.arange(g) * w // g
+                gray3 = img[yi][:, xi].sum(axis=2)  # (g, g) of r+g+b
+                bits = (gray3 * (w * h) > s).astype(np.uint8).reshape(-1)
+                ids.append(mid)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "ahash": pa.array(hashes, pa.string()),
+            })
+
+    imgs = media.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), pa.scalar("image"))),
+        batch_format="pyarrow",
+    )
+    return imgs.map_batches(AHasher, batch_format="pyarrow",
+                            batch_size=MEDIA_BATCH_SIZE,
+                            concurrency=concurrency)
+
+
+def sql_image_ahash(src: str, *, grid: int = 8) -> str:
+    """DuckDB twin of :func:`image_ahash` over the dumped
+    ``media_pixels`` artifact (media_id, width, height, pixels)."""
+    terms = []
+    for i in range(grid):
+        for j in range(grid):
+            idx = (f"3 * (((height * {i}) // {grid}) * width"
+                   f" + ((width * {j}) // {grid})) + 1")
+            g3 = (f"(pixels[{idx}] + pixels[{idx} + 1]"
+                  f" + pixels[{idx} + 2])")
+            terms.append(f"CASE WHEN {g3} * (width * height) > s "
+                         f"THEN '1' ELSE '0' END")
+    concat = " || ".join(terms)
+    return f"""
+        WITH p AS (SELECT media_id, width, height, pixels,
+                          list_aggregate(pixels, 'sum') AS s
+                   FROM {src})
+        SELECT media_id, {concat} AS ahash FROM p
+    """
+
+
 def audio_pcm(media):
     """Audio -> (media_id, pcm list<int32>): the decoded PCM samples
     (oracle hand-off artifact for the feature-math twin)."""

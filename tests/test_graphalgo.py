@@ -153,3 +153,28 @@ def test_kcore_paths_agree_and_match_brute(ray_session):
         alive -= drop
     assert drv == sorted(alive)
     assert len(drv) > 0  # non-degenerate case
+
+
+def test_hop_distances_hand_case_and_paths_agree(ray_session):
+    """Undirected BFS depths on a hand graph; the driver fast path and
+    the distributed frontier loop must be identical."""
+    from octoray.stages.graphalgo import hop_distances
+
+    # a - b - c - d chain plus a - e; f isolated from a
+    edges = [("a", "b"), ("c", "b"), ("c", "d"), ("e", "a"), ("f", "g")]
+    tri = _triples(edges)
+    want = {"a": 0, "b": 1, "e": 1, "c": 2, "d": 3}
+    for kwargs in ({}, {"driver_limit": 0}):
+        out = {r["node"]: r["hops"]
+               for r in hop_distances(tri, "a", max_hops=4,
+                                      **kwargs).take_all()}
+        assert out == want, f"{kwargs}"
+    # cap stops the walk
+    out2 = {r["node"]: r["hops"]
+            for r in hop_distances(tri, "a", max_hops=1).take_all()}
+    assert out2 == {"a": 0, "b": 1, "e": 1}
+    # absent source: just the anchor row
+    out3 = {r["node"]: r["hops"]
+            for r in hop_distances(tri, "zz", max_hops=3,
+                                   driver_limit=0).take_all()}
+    assert out3 == {"zz": 0}

@@ -61,6 +61,35 @@ def test_pipeline_stages(ray_session):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
 
 
+def test_image_ahash_handcomputed_and_deterministic(ray_session):
+    """aHash bits match a hand computation on a constructed gradient
+    image; equal payloads collide; hash is grid^2 chars of 0/1."""
+    import ray.data as rd
+
+    # 8x8 image: left half dark (0), right half bright (200)
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, 4:, :] = 200
+    payload = M._pack(0, 8, 8, 1, img)
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([payload, payload], pa.binary()),
+    })
+    out = (M.image_ahash(rd.from_arrow(t), grid=8, concurrency=(1, 1))
+           .to_pandas().sort_values("media_id"))
+    assert len(out) == 2
+    h1, h2 = out["ahash"].tolist()
+    assert h1 == h2 and len(h1) == 64 and set(h1) <= {"0", "1"}
+    # mean gray3 = 300; sampled columns 0-3 are 0 (bit 0), 4-7 are 600
+    assert h1 == ("0000" + "1111") * 8
+    # full pipeline over synth media: one hash per image, stable
+    media = M.media_dataset(30)
+    a = M.image_ahash(media, concurrency=(1, 2)).to_pandas()
+    b = M.image_ahash(media, concurrency=(1, 2)).to_pandas()
+    assert len(a) == 10
+    assert a.sort_values("media_id").equals(b.sort_values("media_id"))
+
+
 def test_media_embeddings_feed_knn(ray_session):
     """Media embeddings compose with the similarity-search family."""
     from octoray.stages.similarity import knn_brute
