@@ -1533,6 +1533,61 @@ def _q_knn_ivf_indexed(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_knn_ivf_increment(sf_dir: str):
+    """Incremental IVF index maintenance: build the index on HALF the
+    corpus, append the other half against the frozen centroids
+    (stages/similarity.py::append_ivf_index — O(increment), existing
+    part files untouched), then answer top-k over the merged on-disk
+    index.  The oracle re-derives the answer from the post-append
+    on-disk assignments + probe sets, so the append's placement is
+    what the hash compare certifies."""
+    import glob
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from octoray import oracles as O
+    from octoray.stages import similarity as S
+
+    emb = _embeddings(sf_dir)
+
+    def _parity(p):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == p))
+        return f
+
+    first = emb.map_batches(_parity(0), batch_format="pyarrow")
+    second = emb.map_batches(_parity(1), batch_format="pyarrow")
+    d = tempfile.mkdtemp(prefix="octoray_ivf_inc_")
+    try:
+        S.write_ivf_index(first, d, n_centroids=_IVF_CENTROIDS)
+        C = S.append_ivf_index(second, d)
+        qids, Q = S.load_queries(emb, _KNN_IDS)
+        if O.dump_enabled():
+            parts = []
+            for cdir in sorted(glob.glob(os.path.join(d, "cluster=*"))):
+                c = int(cdir.rsplit("=", 1)[1])
+                for f in sorted(glob.glob(os.path.join(cdir, "*.parquet"))):
+                    t = pq.read_table(f, columns=["vec_id"])
+                    parts.append(t.append_column(
+                        "cluster", pa.array([c] * t.num_rows, pa.int64())))
+            O.dump_table("ivf_assign_inc", pa.concat_tables(parts))
+            probes = S.ivf_probe_sets(Q, C, nprobe=min(_IVF_NPROBE, len(C)))
+            O.dump_table("ivf_probes_inc", pa.table({
+                "query_id": pa.array(np.repeat(qids, probes.shape[1]),
+                                     pa.int64()),
+                "cluster": pa.array(probes.reshape(-1), pa.int64()),
+            }))
+        return S.ivf_index_knn(d, Q, qids, k=_KNN_K,
+                               nprobe=_IVF_NPROBE).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_knn_lsh(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import similarity as S
@@ -1937,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_kcore": _q_kg_kcore,
         "kg_hops": _q_kg_hops,
+        "knn_ivf_increment": _q_knn_ivf_increment,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
@@ -3428,6 +3484,8 @@ def oracle_sql() -> dict[str, str]:
             Q.rpd("ivf_assign"), Q.rp("ivf_probes"), _KNN_IDS, k=_KNN_K),
         "knn_ivf_indexed": Q.sql_knn_ivf(
             Q.rp("ivf_assign_idx"), Q.rp("ivf_probes_idx"), _KNN_IDS, k=_KNN_K),
+        "knn_ivf_increment": Q.sql_knn_ivf(
+            Q.rp("ivf_assign_inc"), Q.rp("ivf_probes_inc"), _KNN_IDS, k=_KNN_K),
         "cosine_dup_pairs": Q.sql_cosine_dup(
             Q.rpd("cosine_buckets"), threshold=0.4, n_tables=8),
         "media_image_features": Q.sql_media_image(Q.rpd("media_pixels")),

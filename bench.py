@@ -144,6 +144,7 @@ SUITE = [
     "group_sample",
     "media_ahash",
     "kg_hops",
+    "knn_ivf_increment",
 ]
 
 

@@ -676,6 +676,34 @@ def write_ivf_index(embeddings, index_dir: str, *, n_centroids: int = 64,
     return C
 
 
+def append_ivf_index(new_embeddings, index_dir: str, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> np.ndarray:
+    """Incremental IVF maintenance: assign NEW vectors to the
+    EXISTING centroids (standard IVF practice — the coarse quantizer
+    is not retrained on appends; recall drifts only as the data
+    distribution does, and a periodic ``write_ivf_index`` rebuild
+    resets it) and append fresh part files into the cluster
+    partitions.  Existing files are never touched — the append is
+    O(increment), crash-safe at file granularity, and a reader mid-
+    append sees a consistent (older) index."""
+    import ray
+
+    C = read_ivf_centroids(index_dir)
+    c_ref = ray.put(np.ascontiguousarray(C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cb = ray.get(c_ref)
+        M = _normalize(_as_matrix(t.column(vec_col)))
+        a = (np.argmax(M @ Cb.T, axis=1).astype(np.int64) if len(M)
+             else np.zeros(0, np.int64))
+        return t.append_column("cluster", pa.array(a, pa.int64()))
+
+    new_embeddings.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cluster"])
+    return C
+
+
 def read_ivf_centroids(index_dir: str) -> np.ndarray:
     import os
 

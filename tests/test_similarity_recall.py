@@ -76,3 +76,47 @@ def test_ivf_index_roundtrip_equals_inmemory(ray_session, tmp_path):
         for r in S.ivf_knn(emb, [0, 1, 2], k=5, nprobe=4,
                            centroids=C).take_all())
     assert got == want
+
+
+def test_ivf_append_equals_inmemory_over_union(ray_session, tmp_path):
+    """Incremental append against frozen centroids: the post-append
+    on-disk index answers exactly like in-memory IVF over the UNION
+    corpus with the same centroids, existing part files untouched."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages import similarity as S
+
+    emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def parity(p):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == p))
+        return f
+
+    first = emb.map_batches(parity(0), batch_format="pyarrow")
+    second = emb.map_batches(parity(1), batch_format="pyarrow")
+    d = str(tmp_path / "ivf")
+    C = S.write_ivf_index(first, d, n_centroids=8)
+    before = sorted(glob.glob(os.path.join(d, "cluster=*", "*.parquet")))
+    sizes = {f: os.path.getsize(f) for f in before}
+    C2 = S.append_ivf_index(second, d)
+    import numpy as np
+
+    assert np.allclose(C, C2)  # centroids frozen, not retrained
+    after = sorted(glob.glob(os.path.join(d, "cluster=*", "*.parquet")))
+    assert set(before) <= set(after) and len(after) > len(before)
+    assert all(os.path.getsize(f) == s for f, s in sizes.items())
+    qids, Q = S.load_queries(emb, [0, 1, 2])
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in S.ivf_index_knn(d, Q, qids, k=5, nprobe=4).take_all())
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in S.ivf_knn(emb, [0, 1, 2], k=5, nprobe=4,
+                           centroids=C).take_all())
+    assert got == want
