@@ -508,6 +508,77 @@ def _collect_string_table(ds, names) -> pa.Table:
         [_as_string_table(p) for p in parts]).combine_chunks()
 
 
+# bindings at or below this many rows fold DRIVER-LOCALLY (one Acero
+# hash join — the identical C kernel the broadcast fold ships to every
+# worker) instead of paying a Ray execution per fold step.  The
+# reference's .rq workloads produce binding tables of 10^2..10^5 rows
+# whose per-fold wall time was ~100% Ray fixed overhead (53 dataset
+# executions for one 3-branch UNION query); beyond the gate the
+# distributed fold below takes over unchanged.
+_LOCAL_FOLD_LIMIT = 200_000
+
+
+def _fold_join_any(bindings, bcols: set, tbl, tvars: List[str], *,
+                   how: str, num_partitions: int):
+    """Fold step over bindings that may be a DRIVER-LOCAL Arrow table
+    (small, below _LOCAL_FOLD_LIMIT) or a Dataset; ``tbl`` likewise.
+    Local x small-right joins run one Acero join on the driver with
+    byte-identical semantics to the broadcast fold (same kernel, same
+    null-key behavior); any side beyond its gate falls back to the
+    distributed plan."""
+    import ray.data as rd
+
+    left_local = isinstance(bindings, pa.Table)
+    right_local = isinstance(tbl, pa.Table)
+    if not left_local:
+        if right_local:
+            lifted = rd.from_arrow(tbl).materialize()
+            from octoray.util import drop_empty_blocks
+
+            tbl = drop_empty_blocks(
+                lifted, pa.schema([(n, pa.string())
+                                   for n in tbl.column_names]))
+        return _fold_join(bindings, bcols, tbl, tvars, how=how,
+                          num_partitions=num_partitions)
+
+    shared = sorted(bcols & set(tvars))
+    if not shared:
+        raise ValueError("pattern shares no variable with prior bindings")
+    rnames = (list(tbl.column_names) if right_local
+              else list(tbl.schema().names))
+    drop = [v + "__dt" for v in tvars
+            if v + "__dt" in bcols and v in shared]
+    keep_right = [n for n in rnames if n not in drop]
+    n_right = tbl.num_rows if right_local else tbl.count()
+    if n_right > _FOLD_BROADCAST_LIMIT:
+        # giant right side: lift the local bindings and go distributed
+        lifted = rd.from_arrow(bindings).materialize()
+        from octoray.util import drop_empty_blocks
+
+        lifted = drop_empty_blocks(
+            lifted, pa.schema([(n, pa.string())
+                               for n in bindings.column_names]))
+        return _fold_join(lifted, bcols, tbl, tvars, how=how,
+                          num_partitions=num_partitions)
+    rt = (tbl.select(keep_right) if right_local
+          else _collect_string_table(tbl, keep_right))
+    out_names = (list(bindings.column_names)
+                 + [n for n in keep_right if n not in bindings.column_names])
+    jt = "inner" if how == "inner" else "left outer"
+    joined = _as_string_table(bindings).join(
+        _as_string_table(rt), keys=list(shared), join_type=jt)
+    joined = joined.select(out_names).combine_chunks()
+    if joined.num_rows > _LOCAL_FOLD_LIMIT:
+        # a fan-out fold outgrew the local gate: hand the (already
+        # materialized) table back to the distributed plan
+        from octoray.util import drop_empty_blocks
+
+        lifted = rd.from_arrow(joined).materialize()
+        return drop_empty_blocks(
+            lifted, pa.schema([(n, pa.string()) for n in out_names]))
+    return joined
+
+
 def _fold_join(bindings, bcols: set, tbl, tvars: List[str], *, how: str,
                num_partitions: int):
     """One fold step, SCHEMA-STABLE by construction: Ray drops 0-row
@@ -628,6 +699,19 @@ def _tagged_hits(triples, pats: Sequence[Pattern]):
     return drop_empty_blocks(hits, hit_schema)
 
 
+def _shape_hit_table(t: pa.Table, idx: int, pat: Pattern) -> pa.Table:
+    """One tagged-hits block -> the pattern's binding columns."""
+    s, p, o = pat
+    sel = t.filter(pc.equal(t.column("_pat"), pa.scalar(idx, pa.int32())))
+    cols = {}
+    for slot, col in zip((s, p, o), _SLOTS):
+        if _is_var(slot):
+            cols[slot[1:]] = sel.column(col)
+    if _is_var(o):
+        cols[o[1:] + "__dt"] = sel.column("object_datatype")
+    return pa.table(cols)
+
+
 def _bindings_from_hits(hits, idx: int, pat: Pattern):
     """Pattern hits (pre-filtered on constants) -> binding columns."""
     s, p, o = pat
@@ -640,17 +724,8 @@ def _bindings_from_hits(hits, idx: int, pat: Pattern):
             pat,
         )
 
-    def shape(t: pa.Table) -> pa.Table:
-        sel = t.filter(pc.equal(t.column("_pat"), pa.scalar(idx, pa.int32())))
-        cols = {}
-        for slot, col in zip((s, p, o), _SLOTS):
-            if _is_var(slot):
-                cols[slot[1:]] = sel.column(col)
-        if _is_var(o):
-            cols[o[1:] + "__dt"] = sel.column("object_datatype")
-        return pa.table(cols)
-
-    return hits.map_batches(shape, batch_format="pyarrow")
+    return hits.map_batches(lambda t: _shape_hit_table(t, idx, pat),
+                            batch_format="pyarrow")
 
 
 def _binding_schema(pat: Pattern) -> pa.Schema:
@@ -708,14 +783,22 @@ def match_patterns(triples, where: Sequence[Pattern], *,
         ds_ = _bindings_from_hits(hits, pat_idx[id(pat)], pat)
         return drop_empty_blocks(ds_.materialize(), _binding_schema(pat))
 
+    def localize(ds_):
+        # small binding tables fold driver-locally (zero executions
+        # per step); the gate hands back to the distributed fold
+        if not isinstance(ds_, pa.Table) and ds_.count() <= _LOCAL_FOLD_LIMIT:
+            return _collect_string_table(ds_, ds_.schema().names)
+        return ds_
+
     ordered = _order_patterns(list(where))
-    bindings = tbl_of(ordered[0])
+    bindings = localize(tbl_of(ordered[0]))
     bcols = set(_binding_vars(ordered[0]))
     bcols |= {v + "__dt" for s_, p_, o_ in [ordered[0]] if _is_var(o_)
               for v in [o_[1:]]}
     for pat in ordered[1:]:
-        bindings = _fold_join(bindings, bcols, tbl_of(pat), _binding_vars(pat),
-                              how="inner", num_partitions=num_partitions)
+        bindings = _fold_join_any(bindings, bcols, localize(tbl_of(pat)),
+                                  _binding_vars(pat),
+                                  how="inner", num_partitions=num_partitions)
         bcols |= set(_binding_vars(pat))
         if _is_var(pat[2]):
             bcols.add(pat[2][1:] + "__dt")
@@ -724,34 +807,53 @@ def match_patterns(triples, where: Sequence[Pattern], *,
         # path matches as a unit; schema stability through empty
         # results is _fold_join's job)
         g_ordered = _order_patterns(list(grp))
-        gtbl = tbl_of(g_ordered[0])
+        gtbl = localize(tbl_of(g_ordered[0]))
         gcols = set(_binding_vars(g_ordered[0]))
         if _is_var(g_ordered[0][2]):
             gcols.add(g_ordered[0][2][1:] + "__dt")
         for pat in g_ordered[1:]:
-            gtbl = _fold_join(gtbl, gcols, tbl_of(pat), _binding_vars(pat),
-                              how="inner", num_partitions=num_partitions)
+            gtbl = _fold_join_any(gtbl, gcols, localize(tbl_of(pat)),
+                                  _binding_vars(pat),
+                                  how="inner",
+                                  num_partitions=num_partitions)
             gcols |= set(_binding_vars(pat))
             if _is_var(pat[2]):
                 gcols.add(pat[2][1:] + "__dt")
         # hidden intermediates never leave the group
         hidden = sorted(c for c in gcols if c.startswith("__opt"))
         if hidden:
-            from octoray.util import drop_empty_blocks
-
-            gtbl = gtbl.map_batches(
-                lambda t, drop=tuple(hidden): t.drop_columns(
-                    [c for c in drop if c in t.column_names]),
-                batch_format="pyarrow",
-            )
             gcols -= set(hidden)
-            gtbl = drop_empty_blocks(
-                gtbl.materialize(),
-                pa.schema([(n, pa.string()) for n in sorted(gcols)]))
+            if isinstance(gtbl, pa.Table):
+                gtbl = gtbl.drop_columns(
+                    [c for c in hidden if c in gtbl.column_names])
+            else:
+                from octoray.util import drop_empty_blocks
+
+                gtbl = gtbl.map_batches(
+                    lambda t, drop=tuple(hidden): t.drop_columns(
+                        [c for c in drop if c in t.column_names]),
+                    batch_format="pyarrow",
+                )
+                gtbl = drop_empty_blocks(
+                    gtbl.materialize(),
+                    pa.schema([(n, pa.string()) for n in sorted(gcols)]))
         gvars = sorted(c for c in gcols if not c.endswith("__dt"))
-        bindings = _fold_join(bindings, bcols, gtbl, gvars,
-                              how="left_outer", num_partitions=num_partitions)
+        bindings = _fold_join_any(bindings, bcols, gtbl, gvars,
+                                  how="left_outer",
+                                  num_partitions=num_partitions)
         bcols |= gcols
+    if isinstance(bindings, pa.Table):
+        # lift once: downstream operators (filters, heads, MINUS,
+        # VALUES, aggregates) speak Dataset.  An empty local result is
+        # normalized through drop_empty_blocks like every fold output.
+        import ray.data as rd
+
+        from octoray.util import drop_empty_blocks
+
+        schema = pa.schema([(n, pa.string())
+                            for n in bindings.column_names])
+        bindings = drop_empty_blocks(
+            rd.from_arrow(bindings).materialize(), schema)
     bindings = apply_filters(bindings, filters)
     # hidden sequence-path variables never reach the caller
     seq_cols = sorted({c for c in bcols if c.startswith("__seq")}

@@ -66,7 +66,30 @@ from octoray.patterns import (_binding_schema, _fold_join, _is_var,
                               _bindings_from_hits, extend_bindings,
                               instantiate_template, select_bindings,
                               values_bindings, aggregate_bindings,
-                              aggregate_all)
+                              aggregate_all, _fold_join_any,
+                              _collect_string_table, _LOCAL_FOLD_LIMIT)
+
+
+def _lift(bindings):
+    """Driver-local binding table -> Dataset (identity on Datasets).
+    The lift is the ONE Ray handoff a locally-folded group pays; empty
+    results are normalized exactly like fold outputs."""
+    if not isinstance(bindings, pa.Table):
+        return bindings
+    import ray.data as rd
+
+    from octoray.util import drop_empty_blocks
+
+    schema = pa.schema([(n, pa.string()) for n in bindings.column_names])
+    return drop_empty_blocks(rd.from_arrow(bindings).materialize(), schema)
+
+
+def _localize(ds_):
+    """Dataset below the local-fold gate -> driver Arrow table (the
+    evaluator's folds then run Acero locally, zero executions/step)."""
+    if isinstance(ds_, pa.Table) or ds_.count() > _LOCAL_FOLD_LIMIT:
+        return ds_
+    return _collect_string_table(ds_, ds_.schema().names)
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -932,19 +955,49 @@ class _Evaluator:
         self.hits = hits
         self.np = num_partitions
         self._tbl_cache: dict = {}
+        # a hit set below the local gate collects ONCE; every
+        # non-path pattern then shapes its bindings with pure Arrow —
+        # zero Ray executions per pattern (path patterns still go
+        # through the distributed closure)
+        self._local_hits = None
+        if hits.count() <= _LOCAL_FOLD_LIMIT:
+            parts = [pa.Table.from_batches([b])
+                     if isinstance(b, pa.RecordBatch) else b
+                     for b in hits.iter_batches(batch_format="pyarrow",
+                                                batch_size=None)]
+            parts = [p for p in parts if p.num_rows]
+            if parts:
+                self._local_hits = pa.concat_tables(parts).combine_chunks()
+            else:
+                from octoray.patterns import _TRIPLE_OUT_SCHEMA
+
+                self._local_hits = _TRIPLE_OUT_SCHEMA.append(
+                    pa.field("_pat", pa.int32())).empty_table()
 
     def tbl(self, prim: _Prim):
         # UNION variants share most of their primitive patterns: cache
         # the materialized per-pattern binding table by hit index so a
-        # 4-branch union pays each pattern's shaping pass once
+        # 4-branch union pays each pattern's shaping pass once.  Small
+        # tables are cached DRIVER-LOCAL so the folds run Acero with
+        # no Ray execution per step.
         hit = self._tbl_cache.get(prim.idx)
         if hit is not None:
             return hit
-        from octoray.util import drop_empty_blocks
+        s_, p_, o_ = prim.pat
+        is_path = not _is_var(p_) and p_[-1] in "+*?"
+        if self._local_hits is not None and not is_path:
+            from octoray.patterns import _shape_hit_table
 
-        ds = _bindings_from_hits(self.hits, prim.idx, prim.pat)
-        out = drop_empty_blocks(ds.materialize(),
-                                _binding_schema(prim.pat))
+            out = _shape_hit_table(self._local_hits, prim.idx, prim.pat)
+            # all-string, like _collect_string_table guarantees
+            out = pa.table({n: pa.compute.cast(out.column(n), pa.string())
+                            for n in out.column_names})
+        else:
+            from octoray.util import drop_empty_blocks
+
+            ds = _bindings_from_hits(self.hits, prim.idx, prim.pat)
+            out = _localize(drop_empty_blocks(ds.materialize(),
+                                              _binding_schema(prim.pat)))
         self._tbl_cache[prim.idx] = out
         return out
 
@@ -969,32 +1022,43 @@ class _Evaluator:
                         cols_out[c] = pa.nulls(t.num_rows, pa.string())
                 return pa.table(cols_out)
 
-            from octoray.util import drop_empty_blocks
-
             want = tuple(allcols)
-            aligned = []
-            for ds_i, cols_i in evs:
-                a = ds_i.map_batches(
-                    lambda t, w=want, h=tuple(sorted(cols_i)): align(t, h, w),
-                    batch_format="pyarrow")
-                aligned.append(drop_empty_blocks(
-                    a.materialize(),
-                    pa.schema([(c, pa.string()) for c in allcols])))
-            ds = aligned[0].union(*aligned[1:])
+            if all(isinstance(d, pa.Table) for d, _ in evs):
+                # every branch stayed local: bag-union is one concat
+                ds = pa.concat_tables(
+                    [align(d, (), want) for d, _ in evs]).combine_chunks()
+            else:
+                from octoray.util import drop_empty_blocks
+
+                aligned = []
+                for ds_i, cols_i in evs:
+                    ds_i = _lift(ds_i)
+                    a = ds_i.map_batches(
+                        lambda t, w=want, h=tuple(sorted(cols_i)):
+                        align(t, h, w),
+                        batch_format="pyarrow")
+                    aligned.append(drop_empty_blocks(
+                        a.materialize(),
+                        pa.schema([(c, pa.string()) for c in allcols])))
+                ds = aligned[0].union(*aligned[1:])
             cols = set(allcols)
         hidden = sorted(c for c in cols if c.startswith("__sp"))
         if hidden:
-            from octoray.util import drop_empty_blocks
-
-            drop = tuple(hidden)
-            ds = ds.map_batches(
-                lambda t, d=drop: t.drop_columns(
-                    [c for c in d if c in t.column_names]),
-                batch_format="pyarrow")
             cols -= set(hidden)
-            ds = drop_empty_blocks(
-                ds.materialize(),
-                pa.schema([(c, pa.string()) for c in sorted(cols)]))
+            if isinstance(ds, pa.Table):
+                ds = ds.drop_columns(
+                    [c for c in hidden if c in ds.column_names])
+            else:
+                from octoray.util import drop_empty_blocks
+
+                drop = tuple(hidden)
+                ds = ds.map_batches(
+                    lambda t, d=drop: t.drop_columns(
+                        [c for c in d if c in t.column_names]),
+                    batch_format="pyarrow")
+                ds = drop_empty_blocks(
+                    ds.materialize(),
+                    pa.schema([(c, pa.string()) for c in sorted(cols)]))
         return ds, cols
 
     def _subquery(self, sq: "Query", sroot: _Node):
@@ -1006,7 +1070,7 @@ class _Evaluator:
         from octoray.util import drop_empty_blocks
 
         sb, _ = self.group(sroot)
-        sds = _finish_select(sq, sb)
+        sds = _finish_select(sq, _lift(sb))
         names = tuple(sq.proj)
 
         def lex(t: pa.Table) -> pa.Table:
@@ -1074,21 +1138,24 @@ class _Evaluator:
             tbl = self.tbl(pr)
             pvars = list(_vars_of(pr.pat))
             if not (bcols & set(pvars)):
-                from octoray.util import drop_empty_blocks
-
                 pairs = tuple(bridge(bcols, set(pvars)))
-                tbl = tbl.map_batches(
-                    lambda t, ps=pairs: _mirror_cols(t, ps),
-                    batch_format="pyarrow")
-                names = list(_binding_schema(pr.pat).names) + \
-                    [a for a, _ in pairs]
-                tbl = drop_empty_blocks(
-                    tbl.materialize(),
-                    pa.schema([(n, pa.string()) for n in names]))
+                if isinstance(tbl, pa.Table):
+                    tbl = _mirror_cols(tbl, pairs)
+                else:
+                    from octoray.util import drop_empty_blocks
+
+                    tbl = tbl.map_batches(
+                        lambda t, ps=pairs: _mirror_cols(t, ps),
+                        batch_format="pyarrow")
+                    names = list(_binding_schema(pr.pat).names) + \
+                        [a for a, _ in pairs]
+                    tbl = drop_empty_blocks(
+                        tbl.materialize(),
+                        pa.schema([(n, pa.string()) for n in names]))
                 pvars = pvars + [a for a, _ in pairs]
-            bindings = _fold_join(bindings, bcols, tbl,
-                                  pvars, how="inner",
-                                  num_partitions=self.np)
+            bindings = _fold_join_any(bindings, bcols, tbl,
+                                      pvars, how="inner",
+                                      num_partitions=self.np)
             bcols |= set(pvars)
             if _is_var(pr.pat[2]):
                 bcols.add(pr.pat[2][1:] + "__dt")
@@ -1099,27 +1166,29 @@ class _Evaluator:
         VALUES, subqueries (inner join on shared variables), OPTIONAL,
         MINUS / [NOT] EXISTS, BIND, FILTER."""
         for names, rows in v.values:
-            bindings = values_bindings(bindings, names, rows)
+            bindings = values_bindings(_lift(bindings), names, rows)
             bcols |= set(names)
         for sq, sroot in v.subqueries[sub_start:]:
             sds = self._subquery(sq, sroot)
-            bindings = _fold_join(bindings, bcols, sds, list(sq.proj),
-                                  how="inner", num_partitions=self.np)
+            bindings = _fold_join_any(bindings, bcols, sds, list(sq.proj),
+                                      how="inner", num_partitions=self.np)
             bcols |= set(sq.proj)
         for opt in v.optionals:
             gds, gcols = self.group(opt)
             gvars = sorted(c for c in gcols if not c.endswith("__dt"))
-            bindings = _fold_join(bindings, bcols, gds, gvars,
-                                  how="left_outer", num_partitions=self.np)
+            bindings = _fold_join_any(bindings, bcols, gds, gvars,
+                                      how="left_outer",
+                                      num_partitions=self.np)
             bcols |= gcols
         for mnode, mode in v.minus:
             ids_, _ = self.group(mnode)
-            bindings = anti_bindings(bindings, ids_, mode=mode,
-                                     num_partitions=self.np)
+            bindings = anti_bindings(_lift(bindings), _lift(ids_),
+                                     mode=mode, num_partitions=self.np)
         if v.binds:
-            bindings = extend_bindings(bindings, v.binds)
+            bindings = extend_bindings(_lift(bindings), v.binds)
             bcols |= {a for a, _ in v.binds}
-        bindings = apply_filters(bindings, v.filters)
+        if v.filters:
+            bindings = apply_filters(_lift(bindings), v.filters)
         return bindings, bcols
 
 
@@ -1153,6 +1222,7 @@ def execute(q: Query, triples, *, num_partitions: int = 8):
     hits = _tagged_hits(triples, comp.flat)
     ev = _Evaluator(hits, num_partitions)
     b, bcols = ev.group(root)
+    b = _lift(b)
     if q.form == "ask":
         import ray.data as rd
 
