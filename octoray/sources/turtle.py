@@ -70,38 +70,60 @@ def _unescape(body: str) -> str:
     return _ESC_RE.sub(sub, body)
 
 
+_ABBREV_CACHE: dict = {}
+
+
 def _abbrev(iri: str) -> str:
     """Full IRI -> engine prefix form via the longest canonical base
-    (the SPARQL front end's normalization)."""
+    (the SPARQL front end's normalization).  Memoized: web-scale
+    graphs repeat a small IRI vocabulary millions of times and the
+    prefix scan was the parser's second-hottest loop; the cache is
+    capped so a pathological all-distinct-IRI document stays bounded."""
+    hit = _ABBREV_CACHE.get(iri)
+    if hit is not None:
+        return hit
     best = None
     for pfx, base in PREFIXES.items():
         if iri.startswith(base) and (best is None or len(base) > len(best[1])):
             best = (pfx, base)
-    return best[0] + ":" + iri[len(best[1]):] if best else iri
+    out = best[0] + ":" + iri[len(best[1]):] if best else iri
+    if len(_ABBREV_CACHE) > 1_000_000:
+        _ABBREV_CACHE.clear()
+    _ABBREV_CACHE[iri] = out
+    return out
 
 
 class _Lexer:
     def __init__(self, text: str):
+        # finditer keeps the scan loop in C; the contiguity check
+        # restores match()'s tokenize-everything guarantee (finditer
+        # would silently skip an unlexable gap)
         self.toks: List[Tuple[str, str, int]] = []
-        i = 0
-        while i < len(text):
-            m = _TOKEN_RE.match(text, i)
-            if not m:
+        append = self.toks.append
+        pos = 0
+        for m in _TOKEN_RE.finditer(text):
+            if m.start() != pos:
                 raise TurtleError(
-                    f"cannot tokenize at offset {i}: {text[i:i + 30]!r}")
+                    f"cannot tokenize at offset {pos}: "
+                    f"{text[pos:pos + 30]!r}")
+            pos = m.end()
             kind = m.lastgroup
+            if kind == "WS" or kind == "COMMENT":
+                continue
             if kind == "TRIPLEQ":
                 raise TurtleError(
                     "triple-quoted literals not supported (offset "
-                    f"{i}; the paired emitters never produce them)")
+                    f"{m.start()}; the paired emitters never produce them)")
             if kind == "BNODE" or (kind == "PUNCT"
                                    and m.group() in "()[]"):
                 raise TurtleError(
                     f"blank nodes / collections not supported "
-                    f"(offset {i}: {m.group()!r})")
-            if kind not in ("WS", "COMMENT"):
-                self.toks.append((kind, m.group(), i))
-            i = m.end()
+                    f"(offset {m.start()}: {m.group()!r})")
+            append((kind, m.group(), m.start()))
+        if pos != len(text):
+            raise TurtleError(
+                f"cannot tokenize at offset {pos}: "
+                f"{text[pos:pos + 30]!r}")
         self.toks.append(("EOF", "", len(text)))
         self.i = 0
 
@@ -219,16 +241,76 @@ def rows_table(rows: List[Tuple[str, str, str, str]]) -> pa.Table:
     })
 
 
+_CHUNK_BYTES = 4 * 1024 * 1024
+
+
+def _split_statements(text: str, target: int) -> List[str]:
+    """Split a Turtle document into independently-parseable pieces of
+    roughly ``target`` bytes, each carrying the directive header.
+
+    A piece boundary is only placed after a line ending in '.':
+    legal Turtle cannot contain a RAW newline inside a single-quoted
+    literal (it must be escaped — the paired sink does), and this
+    parser refuses triple-quoted literals outright, so every newline
+    in an accepted document sits between terms; a line whose stripped
+    tail is '.' therefore ends a statement (or a directive).  All
+    @prefix/@base directives are hoisted into every piece's header —
+    the reference emitters declare them up front."""
+    header_lines = []
+    lines = text.splitlines(keepends=True)
+    body_start = 0
+    for i, ln in enumerate(lines):
+        s = ln.strip()
+        if s.startswith("@prefix") or s.startswith("@base") \
+                or s.startswith("PREFIX") or s.startswith("BASE") \
+                or not s or s.startswith("#"):
+            header_lines.append(ln)
+            body_start = i + 1
+        else:
+            break
+    header = "".join(header_lines)
+    pieces: List[str] = []
+    buf: List[str] = []
+    size = 0
+    for ln in lines[body_start:]:
+        buf.append(ln)
+        size += len(ln)
+        if size >= target and ln.rstrip().endswith("."):
+            pieces.append(header + "".join(buf))
+            buf, size = [], 0
+    if buf:
+        pieces.append(header + "".join(buf))
+    return pieces or [header]
+
+
 def read_turtle(path_or_dir: str):
-    """Turtle file(s) -> streaming triple Dataset (one parse task per
-    file — the source's parallelism unit, like FASTA/WARC)."""
+    """Turtle file(s) -> streaming triple Dataset.  Parallelism: one
+    parse task per file (like FASTA/WARC), and WITHIN a large file one
+    task per ~4 MB statement-aligned piece — a single giant upload
+    parses on every core instead of one."""
     import ray.data as rd
+
+    def split(t: pa.Table) -> pa.Table:
+        pieces: List[str] = []
+        for blob in t.column("bytes").to_pylist():
+            text = bytes(blob).decode("utf-8")
+            if len(text) <= _CHUNK_BYTES:
+                pieces.append(text)
+            else:
+                pieces.extend(_split_statements(text, _CHUNK_BYTES))
+        return pa.table({"piece": pa.array(pieces, pa.string())})
 
     def parse(t: pa.Table) -> pa.Table:
         rows: List[Tuple[str, str, str, str]] = []
-        for blob in t.column("bytes").to_pylist():
-            rows.extend(parse_turtle_text(bytes(blob).decode("utf-8")))
+        for text in t.column("piece").to_pylist():
+            rows.extend(parse_turtle_text(text))
         return rows_table(rows)
 
-    return rd.read_binary_files(path_or_dir).map_batches(
-        parse, batch_format="pyarrow")
+    pieces = rd.read_binary_files(path_or_dir).map_batches(
+        split, batch_format="pyarrow").materialize()
+    n = pieces.count()
+    if n > 1:
+        # one block (= one parse task) per piece so the heavy parse
+        # fans out across the pool; single-piece inputs skip the split
+        pieces = pieces.repartition(n)
+    return pieces.map_batches(parse, batch_format="pyarrow")
