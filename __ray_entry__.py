@@ -1231,6 +1231,17 @@ def _q_kg_hops(sf_dir: str):
     return hop_distances(triples, "world:CAN", max_hops=4)
 
 
+def _q_kg_walks(sf_dir: str):
+    """Deterministic DeepWalk corpus over the KG (graphalgo.py::
+    random_walks): md5-driven neighbor picks over dst-sorted
+    adjacency, so the SQL twin re-walks the identical paths."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import random_walks
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_walks_raw"))
+    return random_walks(triples, n_walks=2, walk_len=3, seed=1)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Global triangle count over the KG's undirected uri--uri graph
     (degree-oriented wedge join, stages/graphalgo.py).  Oracle: the
@@ -1992,6 +2003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_kcore": _q_kg_kcore,
         "kg_hops": _q_kg_hops,
+        "kg_walks": _q_kg_walks,
         "knn_ivf_increment": _q_knn_ivf_increment,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
@@ -3424,6 +3436,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": Q.sql_pagerank(Q.rpd("kg_pagerank_raw"),
                                       damping=0.85, n_iters=5),
         "kg_kcore": Q.sql_kcore(Q.rpd("kg_kcore_raw"), k=2, n_iters=16),
+        "kg_walks": __import__(
+            "octoray.stages.graphalgo", fromlist=["sql_random_walks"]
+        ).sql_random_walks(Q.rpd("kg_walks_raw"), n_walks=2, walk_len=3,
+                           seed=1),
         "kg_hops": f"""
             WITH RECURSIVE raw AS (
                 SELECT DISTINCT subject AS src, object AS dst

@@ -145,6 +145,7 @@ SUITE = [
     "media_ahash",
     "kg_hops",
     "knn_ivf_increment",
+    "kg_walks",
 ]
 
 

@@ -449,6 +449,173 @@ def hop_distances(triples, source: str, *, max_hops: int = 4,
     return visited
 
 
+def random_walks(triples, *, n_walks: int = 2, walk_len: int = 3,
+                 seed: int = 1, broadcast_limit: int = 2_000_000):
+    """DeepWalk-style random-walk corpus over the KG's DIRECTED
+    uri->uri graph [Perozzi et al. 2014] — the export that feeds
+    skip-gram graph embeddings.  Every node with out-edges starts
+    ``n_walks`` walks of up to ``walk_len`` steps; a walk stops early
+    at a sink.  Output: (start, walk, step, node) rows including
+    step 0.
+
+    The "randomness" is the house content hash — step t from node u
+    on walk w picks neighbor index md5(f"{seed}:{w}:{t}:{u}") mod
+    out-degree over the dst-SORTED adjacency — so the corpus is
+    deterministic, partition-independent, and the DuckDB twin walks
+    the identical paths (§2.10: no wall-clock RNG).
+
+    Plan: adjacency ranks come from ONE src-keyed range sort (equal
+    keys co-locate; rn/deg are block-local window computations); each
+    of the ``walk_len`` rounds is two stats-gated hash joins (degree
+    lookup, then (src, rn) edge lookup) over a frontier bounded by
+    starts x n_walks — the walk NEVER fans out."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    import ray.data as rd
+
+    from octoray.query import distinct_values, hash_join
+    from octoray.stages.sketch import _md5_lower64
+
+    SEP = "\x1f"
+    edges = uri_edges(triples)
+
+    def rank_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return df.assign(rn=pd.Series([], dtype="int64"),
+                             deg=pd.Series([], dtype="int64"))
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        g = df.groupby("src", sort=False)
+        df["rn"] = g.cumcount() + 1
+        df["deg"] = g["dst"].transform("size")
+        return df
+
+    import pandas as pd
+
+    adj = edges.sort(["src"]).map_batches(
+        rank_block, batch_format="pandas", batch_size=None).materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_pylist()
+        rn = t.column("rn").to_pylist()
+        k = pa.array([f"{s}{SEP}{r}" for s, r in zip(src, rn)], pa.string())
+        return pa.table({"_k": k, "dst": t.column("dst")})
+
+    adj_keyed = adj.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def deg_block(t: pa.Table) -> pa.Table:
+        g = t.select(["src", "deg"]).group_by(
+            ["src"], use_threads=False).aggregate([("deg", "max")])
+        return g.rename_columns(["src", "deg"])
+
+    deg = distinct_values(adj.map_batches(deg_block, batch_format="pyarrow"),
+                          ["src", "deg"]).materialize()
+
+    def seed_walks(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        starts = t.column("src").to_pylist()
+        n = len(starts)
+        return pa.table({
+            "start": pa.array(np.repeat(np.asarray(starts, object), n_walks),
+                              pa.string()),
+            "walk": pa.array(np.tile(np.arange(n_walks), n), pa.int64()),
+            "node": pa.array(np.repeat(np.asarray(starts, object), n_walks),
+                             pa.string()),
+        })
+
+    frontier = deg.map_batches(seed_walks, batch_format="pyarrow")
+
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "start": t.column("start"), "walk": t.column("walk"),
+            "step": pa.array([0] * t.num_rows, pa.int64()),
+            "node": t.column("node")})
+
+    out = [frontier.map_batches(zero, batch_format="pyarrow").materialize()]
+    for t_step in range(1, walk_len + 1):
+        fd = hash_join(frontier, deg, on="node", right_on="src",
+                       broadcast_limit=broadcast_limit)
+
+        def pick(t: pa.Table, _t=t_step) -> pa.Table:
+            import numpy as np
+
+            nodes = t.column("node").to_pylist()
+            walks = t.column("walk").to_pylist()
+            degs = np.asarray(t.column("deg").to_pylist(), np.uint64)
+            hv = _md5_lower64([f"{seed}:{w}:{_t}:{u}"
+                               for w, u in zip(walks, nodes)])
+            rn = (hv % degs).astype(np.int64) + 1
+            k = pa.array([f"{u}{SEP}{r}" for u, r in zip(nodes, rn)],
+                         pa.string())
+            return pa.table({"start": t.column("start"),
+                             "walk": t.column("walk"), "_k": k})
+
+        stepped = hash_join(
+            fd.map_batches(pick, batch_format="pyarrow"), adj_keyed,
+            on="_k", broadcast_limit=broadcast_limit)
+
+        def emit(t: pa.Table, _t=t_step) -> pa.Table:
+            return pa.table({
+                "start": t.column("start"), "walk": t.column("walk"),
+                "step": pa.array([_t] * t.num_rows, pa.int64()),
+                "node": t.column("dst")})
+
+        frontier = stepped.map_batches(
+            lambda t: pa.table({"start": t.column("start"),
+                                "walk": t.column("walk"),
+                                "node": t.column("dst")}),
+            batch_format="pyarrow").materialize()
+        out.append(stepped.map_batches(emit,
+                                       batch_format="pyarrow").materialize())
+        if frontier.count() == 0:
+            break
+    res = out[0]
+    for o in out[1:]:
+        res = res.union(o)
+    return res
+
+
+def sql_random_walks(src: str, *, n_walks: int = 2, walk_len: int = 3,
+                     seed: int = 1) -> str:
+    """DuckDB twin of :func:`random_walks` over the raw triple dump:
+    identical dst-sorted adjacency ranks, identical md5 neighbor
+    picks, one CTE per step."""
+    steps = []
+    prev = "w0"
+    for t in range(1, walk_len + 1):
+        steps.append(f"""
+            s{t} AS (
+                SELECT {prev}.start, {prev}.walk, {t} AS step,
+                       a.dst AS node
+                FROM {prev}
+                JOIN dg ON dg.src = {prev}.node
+                JOIN adj a ON a.src = {prev}.node
+                 AND a.rn = CAST(md5_number_lower(
+                         concat('{seed}', ':', {prev}.walk, ':', {t},
+                                ':', {prev}.node)) % dg.deg
+                     AS BIGINT) + 1)""")
+        prev = f"s{t}"
+    unions = "\n            UNION ALL ".join(
+        f"SELECT * FROM s{t}" for t in range(1, walk_len + 1))
+    return f"""
+        WITH e AS (SELECT DISTINCT subject AS src, object AS dst
+                   FROM {src} WHERE object_datatype = 'uri'),
+        adj AS (SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY dst) AS rn,
+                       count(*) OVER (PARTITION BY src) AS deg
+                FROM e),
+        dg AS (SELECT src, max(deg) AS deg FROM adj GROUP BY src),
+        w0 AS (SELECT src AS start, w.walk, 0 AS step, src AS node
+               FROM dg CROSS JOIN (
+                   SELECT unnest(generate_series(
+                       0, {n_walks - 1})) AS walk) w),
+        {','.join(steps)}
+        SELECT * FROM w0
+            UNION ALL {unions}
+    """
+
+
 def _kcore_driver(edges, *, k: int, n_iters: int):
     """Collected-edges numpy peel (small-graph fast path): identical
     fixpoint, pinned equal to the distributed loop in pytest."""

@@ -178,3 +178,39 @@ def test_hop_distances_hand_case_and_paths_agree(ray_session):
             for r in hop_distances(tri, "zz", max_hops=3,
                                    driver_limit=0).take_all()}
     assert out3 == {"zz": 0}
+
+
+def test_random_walks_deterministic_and_handchecked(ray_session):
+    """Walk picks match a brute-force md5 re-derivation; sinks stop
+    walks early; output is partition-independent."""
+    import hashlib
+
+    from octoray.stages.graphalgo import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c")]  # c is a sink
+    tri = _triples(edges)
+    adj = {"a": ["b", "c"], "b": ["c"]}
+
+    def pick(w, t, u):
+        hv = int.from_bytes(
+            hashlib.md5(f"1:{w}:{t}:{u}".encode()).digest()[8:16], "little")
+        return adj[u][hv % len(adj[u])]
+
+    want = set()
+    for start in ("a", "b"):
+        for w in range(2):
+            node = start
+            want.add((start, w, 0, node))
+            for t in range(1, 4):
+                if node not in adj:
+                    break
+                node = pick(w, t, node)
+                want.add((start, w, t, node))
+    got = {(r["start"], r["walk"], r["step"], r["node"])
+           for r in random_walks(tri, n_walks=2, walk_len=3,
+                                 seed=1).take_all()}
+    assert got == want
+    got2 = {(r["start"], r["walk"], r["step"], r["node"])
+            for r in random_walks(tri, n_walks=2, walk_len=3,
+                                  seed=1).take_all()}
+    assert got2 == want  # deterministic rerun
