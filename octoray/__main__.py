@@ -687,6 +687,20 @@ def main(argv=None) -> int:
                          "toggle)")
     sq.set_defaults(fn=cmd_sparql)
 
+    # reference surface parity: `construct FILE.rq` and `update
+    # FILE.rq` are the reference's dedicated commands (ui.py:517-554)
+    # for what `sparql` dispatches by query form — same handler
+    for alias in ("construct", "update"):
+        al = sub.add_parser(
+            alias, help=f"run a {alias.upper()} .rq file against a "
+                        "store (alias of `sparql`)")
+        al.add_argument("file")
+        al.add_argument("--graph", required=True)
+        al.add_argument("--out", default=None)
+        al.add_argument("--parquet", default=None)
+        al.add_argument("--param", action="append")
+        al.set_defaults(fn=cmd_sparql, fasta=False, no_header=False)
+
     ini = sub.add_parser("init")
     ini.add_argument("--store", required=True)
     ini.set_defaults(fn=cmd_init)

@@ -144,3 +144,38 @@ def test_sparql_cli_fasta_and_no_header(ray_session, tmp_path):
                  "--out", tsv]) == 0
     with open(tsv) as fh:
         assert fh.read().splitlines() == ["A/sw/1\tACGT"]
+
+
+def test_cli_construct_update_aliases(ray_session, tmp_path):
+    """`construct FILE.rq` / `update FILE.rq` (reference ui.py:517-554)
+    are form-dispatching aliases of `sparql`."""
+    import ray.data as rd
+
+    from octoray.__main__ import main
+
+    kg = str(tmp_path / "kg")
+    assert main(["build", "--pages", "200", "--out", kg,
+                 "--shards", "1"]) == 0
+    cq = str(tmp_path / "c.rq")
+    with open(cq, "w") as fh:
+        fh.write("""
+            PREFIX f: <https://flu-crew.org/term/>
+            CONSTRUCT { ?s f:hosted ?o . }
+            WHERE { ?s f:host ?o . }
+        """)
+    out = str(tmp_path / "c.ttl")
+    assert main(["construct", cq, "--graph", kg, "--out", out]) == 0
+    assert os.path.getsize(out) > 0
+    uq = str(tmp_path / "u.rq")
+    with open(uq, "w") as fh:
+        fh.write("""
+            PREFIX f: <https://flu-crew.org/term/>
+            DELETE { ?s f:host ?o . } WHERE { ?s f:host ?o . }
+        """)
+    before = rd.read_parquet(kg).to_pandas()
+    n_host = (before["predicate"] == "f:host").sum()
+    assert n_host > 0
+    assert main(["update", uq, "--graph", kg]) == 0
+    after = rd.read_parquet(kg).to_pandas()
+    assert (after["predicate"] == "f:host").sum() == 0
+    assert len(after) == len(before) - n_host
