@@ -1242,6 +1242,25 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(triples, n_walks=2, walk_len=3, seed=1)
 
 
+def _q_kg_skipgrams(sf_dir: str):
+    """Walks -> skip-gram pairs (the DeepWalk second half): symmetric
+    window-2 co-occurrence counts.  The dumped walk table is the
+    oracle hand-off (the walks themselves are oracle-checked by
+    kg_walks); the twin is a window self-join."""
+    from octoray import oracles as O
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import random_walks, walk_skipgrams
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_sg_raw"))
+    walks = random_walks(triples, n_walks=2, walk_len=3, seed=1)
+    if O.dump_enabled():
+        import ray.data as rd
+
+        src = O.dump_dataset("kg_sg_walks", walks)
+        walks = rd.read_parquet(src)
+    return walk_skipgrams(walks, window=2)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Global triangle count over the KG's undirected uri--uri graph
     (degree-oriented wedge join, stages/graphalgo.py).  Oracle: the
@@ -2004,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_hops": _q_kg_hops,
         "kg_walks": _q_kg_walks,
+        "kg_skipgrams": _q_kg_skipgrams,
         "knn_ivf_increment": _q_knn_ivf_increment,
         "kg_triangles": _q_kg_triangles,
         # --- corpus-release ops over the pages table ---
@@ -3440,6 +3460,9 @@ def oracle_sql() -> dict[str, str]:
             "octoray.stages.graphalgo", fromlist=["sql_random_walks"]
         ).sql_random_walks(Q.rpd("kg_walks_raw"), n_walks=2, walk_len=3,
                            seed=1),
+        "kg_skipgrams": __import__(
+            "octoray.stages.graphalgo", fromlist=["sql_walk_skipgrams"]
+        ).sql_walk_skipgrams(Q.rpd("kg_sg_walks"), window=2),
         "kg_hops": f"""
             WITH RECURSIVE raw AS (
                 SELECT DISTINCT subject AS src, object AS dst

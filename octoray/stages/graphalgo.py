@@ -575,6 +575,71 @@ def random_walks(triples, *, n_walks: int = 2, walk_len: int = 3,
     return res
 
 
+def walk_skipgrams(walks, *, window: int = 2):
+    """Random-walk corpus -> skip-gram training pairs
+    (center, context, n): co-occurrence counts of nodes within
+    ``window`` steps on the same walk — the second half of the
+    DeepWalk/node2vec recipe (the pairs feed any word2vec trainer).
+
+    ONE (start, walk) range sort co-locates each walk (equal leading
+    keys share a block — the pinned invariant), then a block-local
+    vectorized shift emits pairs per offset (walks are walk_len+1
+    rows, so the within-block work is trivial) with map-side counts;
+    a final groupby-sum collapses globally.  Exchange rows are
+    bounded by distinct (center, context) pairs."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def pairs_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame({"center": pd.Series([], dtype=object),
+                                 "context": pd.Series([], dtype=object),
+                                 "_n": pd.Series([], dtype="int64")})
+        df = df.sort_values(["start", "walk", "step"], kind="mergesort")
+        outs = []
+        for d in range(1, window + 1):
+            g = df.groupby(["start", "walk"], sort=False)
+            nxt = g["node"].shift(-d)
+            ok = nxt.notna()
+            if ok.any():
+                c = df.loc[ok, "node"].to_numpy()
+                x = nxt[ok].to_numpy()
+                # symmetric pairs: center->context both directions
+                outs.append(pd.DataFrame({"center": c, "context": x}))
+                outs.append(pd.DataFrame({"center": x, "context": c}))
+        if not outs:
+            return pd.DataFrame({"center": pd.Series([], dtype=object),
+                                 "context": pd.Series([], dtype=object),
+                                 "_n": pd.Series([], dtype="int64")})
+        allp = pd.concat(outs)
+        g = allp.groupby(["center", "context"], sort=False).size()
+        return g.reset_index(name="_n")
+
+    pre = walks.sort(["start", "walk"]).map_batches(
+        pairs_block, batch_format="pandas", batch_size=None)
+    return pre.groupby(["center", "context"]).aggregate(
+        Sum("_n", alias_name="n"))
+
+
+def sql_walk_skipgrams(src: str, *, window: int = 2) -> str:
+    """DuckDB twin of :func:`walk_skipgrams` over the dumped walk
+    table: window self-join, symmetric, counted."""
+    return f"""
+        WITH w AS (SELECT start, walk, step, node FROM {src}),
+        p AS (SELECT a.node AS center, b.node AS context
+              FROM w a JOIN w b
+                ON a.start = b.start AND a.walk = b.walk
+               AND b.step > a.step AND b.step <= a.step + {window}
+              UNION ALL
+              SELECT b.node, a.node
+              FROM w a JOIN w b
+                ON a.start = b.start AND a.walk = b.walk
+               AND b.step > a.step AND b.step <= a.step + {window})
+        SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY center, context
+    """
+
+
 def sql_random_walks(src: str, *, n_walks: int = 2, walk_len: int = 3,
                      seed: int = 1) -> str:
     """DuckDB twin of :func:`random_walks` over the raw triple dump:

@@ -214,3 +214,37 @@ def test_random_walks_deterministic_and_handchecked(ray_session):
             for r in random_walks(tri, n_walks=2, walk_len=3,
                                   seed=1).take_all()}
     assert got2 == want  # deterministic rerun
+
+
+def test_walk_skipgrams_bruteforce(ray_session):
+    """Skip-gram pairs match a brute-force window count, independent
+    of partitioning (walks co-locate on the (start, walk) sort)."""
+    import ray.data as rd
+
+    from octoray.stages.graphalgo import walk_skipgrams
+
+    rows = [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"),
+            ("a", 0, 3, "d"), ("b", 0, 0, "b"), ("b", 0, 1, "c"),
+            ("a", 1, 0, "a"), ("a", 1, 1, "c")]
+    t = pa.table({"start": pa.array([r[0] for r in rows]),
+                  "walk": pa.array([r[1] for r in rows], pa.int64()),
+                  "step": pa.array([r[2] for r in rows], pa.int64()),
+                  "node": pa.array([r[3] for r in rows])})
+    from collections import Counter
+    want = Counter()
+    walks = {}
+    for s, w, st, n in rows:
+        walks.setdefault((s, w), []).append((st, n))
+    for seq in walks.values():
+        seq = [n for _, n in sorted(seq)]
+        for i, c in enumerate(seq):
+            for d in (1, 2):
+                if i + d < len(seq):
+                    want[(c, seq[i + d])] += 1
+                    want[(seq[i + d], c)] += 1
+    for parts in (1, 4):
+        got = {(r["center"], r["context"]): r["n"]
+               for r in walk_skipgrams(
+                   rd.from_arrow(t).repartition(parts),
+                   window=2).take_all()}
+        assert got == dict(want), f"parts={parts}"
