@@ -1273,6 +1273,19 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_count(triples)
 
 
+def _q_kg_jaccard_links(sf_dir: str):
+    """Link prediction over the KG: top-100 non-adjacent uri pairs by
+    neighborhood Jaccard (common-neighbor wedge counts, hub-capped
+    centers, stats-gated edge drop — stages/graphalgo.py).  Oracle:
+    the orientation-free wedge self-join with the identical center cap
+    and int64->double division."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import neighborhood_similarity
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_jl_raw"))
+    return neighborhood_similarity(triples, k=100, max_center_degree=512)
+
+
 def _q_extract_text(sf_dir: str):
     """The byte-identical HTML->text extraction itself (the north
     rule's per-row invariant), verified against an INDEPENDENT SQL
@@ -2026,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_skipgrams": _q_kg_skipgrams,
         "knn_ivf_increment": _q_knn_ivf_increment,
         "kg_triangles": _q_kg_triangles,
+        "kg_jaccard_links": _q_kg_jaccard_links,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -3039,6 +3053,11 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1 JOIN e e2 ON e1.b = e2.a
                       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
+        "kg_jaccard_links": __import__(
+            "octoray.stages.graphalgo",
+            fromlist=["sql_neighborhood_similarity"]
+        ).sql_neighborhood_similarity(
+            Q.rpd('kg_jl_raw'), k=100, max_center_degree=512),
         "kg_incremental": f"""
             WITH log AS (SELECT * FROM {Q.rp('ingest_log')}),
             led AS (SELECT url, max(run) AS r FROM {Q.rp('ingest_ledger')}

@@ -278,6 +278,216 @@ def triangle_count(triples):
     return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
 
 
+def neighborhood_similarity(triples, *, k: int = 100,
+                            max_center_degree: int = 512,
+                            broadcast_edge_limit: int = 2_000_000):
+    """Link prediction over the KG's undirected uri--uri graph: the
+    top-k NON-adjacent node pairs by neighborhood Jaccard similarity
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| (common-neighbors machinery — the
+    classic Liben-Nowell/Kleinberg predictor family), with the common
+    count emitted alongside so Adamic-Adar-style reweighting composes
+    downstream.
+
+    Plan (all slim rows, one sort, no all-pairs anywhere):
+      1. canonical undirected distinct edge set (a < b), self-loops
+         dropped — same base as :func:`triangle_count`
+      2. true per-node degrees (map-side partial counts over the
+         stacked endpoints)
+      3. wedge expansion per CENTER node: one node-keyed range sort
+         co-locates each adjacency list (equal keys share a block —
+         the pinned invariant), then block-local np.triu pair
+         expansion.  Skew guard: centers with degree above
+         ``max_center_degree`` emit no wedges (a hub everyone links
+         to certifies nothing about pairwise similarity; the cap
+         bounds per-center fan-out at max_center_degree^2/2 and is
+         MIRRORED IN THE ORACLE, so equality stays exact) — the same
+         stop-key discipline as jaccard_pairs' max_df
+      4. common-neighbor counts per candidate pair: map-side partial
+         count + one groupby exchange over (a, b)
+      5. existing edges drop out: stats-gated broadcast membership
+         filter (vectorized np.isin over joined keys) below
+         ``broadcast_edge_limit``, merge-join anti fallback above
+      6. degrees join in (node-sized table), jaccard = common /
+         (deg_a + deg_b - common) in float64 — int64-sourced IEEE
+         division, bit-identical to the SQL twin
+      7. exact global top-k by (jaccard desc, a, b): per-block
+         partial head-k prunes before ONE constant-key exchange —
+         at most k rows per block move
+
+    Returns a k-row (a, b, common, jaccard) Table; ties at the
+    boundary are broken by (a, b) so membership is deterministic."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from octoray.query import (
+        combined_groupby_count,
+        distinct_values,
+        hash_join,
+        merge_join,
+    )
+
+    edges = uri_edges(triples)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t.column("src"), t.column("dst"))
+        b = pc.max_element_wise(t.column("src"), t.column("dst"))
+        tbl = pa.table({"a": a, "b": b})
+        return tbl.filter(pc.not_equal(tbl.column("a"), tbl.column("b")))
+
+    und = distinct_values(
+        edges.map_batches(undirect, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+
+    def stack(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("a").combine_chunks().cast(pa.string()),
+             t.column("b").combine_chunks().cast(pa.string())])})
+
+    deg = combined_groupby_count(
+        und.map_batches(stack, batch_format="pyarrow"),
+        ["node"], alias="deg").materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks().cast(pa.string())
+        b = t.column("b").combine_chunks().cast(pa.string())
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
+
+    nb = und.map_batches(both_dirs, batch_format="pyarrow")
+    nb = hash_join(nb, deg, on="node")
+    nb = nb.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("deg"),
+                                         pa.scalar(max_center_degree)))
+        .select(["node", "nbr"]),
+        batch_format="pyarrow")
+
+    def wedges_block(df):
+        import pandas as pd
+
+        out_a, out_b = [], []
+        for _, g in df.groupby("node", sort=False):
+            ns = np.sort(g["nbr"].to_numpy())
+            m = len(ns)
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ns[ia])
+            out_b.append(ns[ib])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    wedges = nb.sort(["node"]).map_batches(
+        wedges_block, batch_format="pandas", batch_size=None)
+
+    common = combined_groupby_count(wedges, ["a", "b"], alias="common")
+
+    n_edges = und.count()
+    if n_edges <= broadcast_edge_limit:
+        import ray
+
+        keys = []
+        for blk in und.iter_batches(batch_format="pyarrow"):
+            keys.append(pc.binary_join_element_wise(
+                blk.column("a").cast(pa.string()),
+                blk.column("b").cast(pa.string()), "\x1f").to_numpy(
+                    zero_copy_only=False))
+        ref = ray.put(np.sort(np.concatenate(keys)) if keys
+                      else np.array([], dtype=object))
+
+        def drop_edges(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            eset = _ray.get(ref)
+            ks = pc.binary_join_element_wise(
+                t.column("a").cast(pa.string()),
+                t.column("b").cast(pa.string()), "\x1f").to_numpy(
+                    zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(ks, eset)))
+
+        cand = common.map_batches(drop_edges, batch_format="pyarrow")
+    else:
+        marked = und.map_batches(
+            lambda t: t.append_column(
+                "_e", pa.array([1] * t.num_rows, pa.int8())),
+            batch_format="pyarrow")
+        joined = merge_join(common, marked, ["a", "b"], how="left_outer")
+        cand = joined.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("_e")))
+            .select(["a", "b", "common"]),
+            batch_format="pyarrow")
+
+    cand = hash_join(cand, deg.map_batches(
+        lambda t: t.rename_columns(["a", "da"]), batch_format="pyarrow"),
+        on="a")
+    cand = hash_join(cand, deg.map_batches(
+        lambda t: t.rename_columns(["b", "db"]), batch_format="pyarrow"),
+        on="b")
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t.column("common").combine_chunks().cast(pa.int64())
+        da = t.column("da").combine_chunks().cast(pa.int64())
+        db = t.column("db").combine_chunks().cast(pa.int64())
+        cn = c.to_numpy(zero_copy_only=False).astype(np.int64)
+        un = (da.to_numpy(zero_copy_only=False).astype(np.int64)
+              + db.to_numpy(zero_copy_only=False).astype(np.int64) - cn)
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "common": c,
+                         "jaccard": pa.array(cn.astype(np.float64)
+                                             / un.astype(np.float64),
+                                             pa.float64())})
+
+    scored = cand.map_batches(score, batch_format="pyarrow")
+
+    def head_k(df):
+        if len(df) == 0:
+            return df
+        return df.sort_values(
+            ["jaccard", "a", "b"], ascending=[False, True, True],
+            kind="mergesort").head(k)
+
+    parts = scored.map_batches(head_k, batch_format="pandas")
+    final = parts.to_pandas()
+    final = head_k(final).reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def sql_neighborhood_similarity(src: str, *, k: int = 100,
+                                max_center_degree: int = 512) -> str:
+    """DuckDB twin of :func:`neighborhood_similarity` over a raw triple
+    dump: orientation-free wedge self-join with the identical center
+    degree cap, NOT-EXISTS edge drop, identical int64->double jaccard."""
+    return f"""
+        WITH raw AS (SELECT DISTINCT subject, object FROM {src}
+                     WHERE object_datatype = 'uri' AND subject <> object),
+        e AS (SELECT DISTINCT least(subject, object) AS a,
+                     greatest(subject, object) AS b FROM raw),
+        nb AS (SELECT a AS node, b AS nbr FROM e
+               UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                FROM nb GROUP BY node),
+        ctr AS (SELECT nb.node, nb.nbr FROM nb JOIN deg USING (node)
+                WHERE deg.d <= {max_center_degree}),
+        w AS (SELECT n1.nbr AS a, n2.nbr AS b,
+                     CAST(count(*) AS BIGINT) AS common
+              FROM ctr n1 JOIN ctr n2
+                ON n1.node = n2.node AND n1.nbr < n2.nbr
+              GROUP BY n1.nbr, n2.nbr),
+        cand AS (SELECT w.* FROM w
+                 WHERE NOT EXISTS (SELECT 1 FROM e
+                                   WHERE e.a = w.a AND e.b = w.b))
+        SELECT c.a, c.b, c.common,
+               CAST(c.common AS DOUBLE) / (da.d + db.d - c.common)
+                   AS jaccard
+        FROM cand c JOIN deg da ON da.node = c.a
+                    JOIN deg db ON db.node = c.b
+        ORDER BY jaccard DESC, c.a, c.b
+        LIMIT {k}
+    """
+
+
 def kcore(triples, *, k: int = 2, n_iters: int = 32,
           driver_limit: int = 5_000_000, broadcast_limit: int = 2_000_000):
     """Nodes of the k-core of the KG's UNDIRECTED uri--uri graph: the

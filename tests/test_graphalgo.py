@@ -248,3 +248,60 @@ def test_walk_skipgrams_bruteforce(ray_session):
                    rd.from_arrow(t).repartition(parts),
                    window=2).take_all()}
         assert got == dict(want), f"parts={parts}"
+
+
+def test_neighborhood_similarity_brute_and_paths(ray_session):
+    """Jaccard link prediction matches a brute-force enumeration on a
+    random graph (non-adjacent pairs only, hub cap honored), and the
+    broadcast and merge-join edge-drop paths return identical rows."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from octoray.model import DT_URI, triples_to_table
+    from octoray.stages.graphalgo import neighborhood_similarity
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    es = set()
+    for _ in range(90):
+        a, b = rng.choice(25, 2, replace=False)
+        es.add((min(nodes[a], nodes[b]), max(nodes[a], nodes[b])))
+    rows = [(a, "f:rel", b, DT_URI) for a, b in es]
+    rows += [("n00", "f:name", "lit", "")]  # literals never edges
+    tr = rd.from_arrow(triples_to_table(rows))
+
+    nbr = {n: set() for n in nodes}
+    for a, b in es:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    cap = 8
+    want = {}
+    for u, v in itertools.combinations(sorted(nodes), 2):
+        if (u, v) in es:
+            continue
+        common = sum(1 for c in nbr[u] & nbr[v] if len(nbr[c]) <= cap)
+        if common:
+            want[(u, v)] = (common,
+                            common / (len(nbr[u]) + len(nbr[v]) - common))
+
+    got = neighborhood_similarity(tr, k=10_000, max_center_degree=cap
+                                  ).to_pandas()
+    got_map = {(r.a, r.b): (int(r.common), float(r.jaccard))
+               for r in got.itertuples()}
+    assert got_map == {k: (c, j) for k, (c, j) in want.items()}
+
+    # top-k boundary: k smaller than candidates, deterministic ties
+    top = neighborhood_similarity(tr, k=5, max_center_degree=cap
+                                  ).to_pandas()
+    ordered = sorted(want.items(),
+                     key=lambda kv: (-kv[1][1], kv[0][0], kv[0][1]))[:5]
+    assert [(r.a, r.b) for r in top.itertuples()] == [k for k, _ in ordered]
+
+    # merge-join path (broadcast gate forced off) identical
+    dist = neighborhood_similarity(tr, k=10_000, max_center_degree=cap,
+                                   broadcast_edge_limit=0).to_pandas()
+    dmap = {(r.a, r.b): (int(r.common), float(r.jaccard))
+            for r in dist.itertuples()}
+    assert dmap == got_map
