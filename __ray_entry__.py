@@ -1441,6 +1441,40 @@ def _q_media_ahash(sf_dir: str):
     return M.image_ahash(media, grid=8, concurrency=(1, 4))
 
 
+def _q_media_dedup(sf_dir: str):
+    """Perceptual image dedup over a corpus with injected re-crawls:
+    every image whose id % 7 == 0 re-appears under media_id+1e6 with
+    the IDENTICAL payload (a byte-stable re-encode).  aHash groups
+    must collapse each re-crawl onto the original (min media_id) and
+    report group sizes.  Oracle re-derives every hash from the dumped
+    pixel artifact, so hash + grouping + keep-first are all certified
+    by the one compare."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from octoray import oracles as O
+    from octoray.stages import multimodal as M
+
+    media = M.media_dataset(_synth_n(sf_dir, 5_000))
+
+    def recrawl(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        keep = pa.array((ids % 7 == 0))
+        t = t.filter(pc.and_(
+            pc.equal(t.column("kind"), pa.scalar("image")), keep))
+        new_ids = pc.add(t.column("media_id"),
+                         pa.scalar(1_000_000)).cast(pa.int64())
+        return t.set_column(t.schema.get_field_index("media_id"),
+                            "media_id", new_ids)
+
+    media = media.union(media.map_batches(recrawl, batch_format="pyarrow"))
+    if O.dump_enabled():
+        O.dump_dataset("media_dedup_pixels", M.image_pixels(media))
+    return M.image_dedup(media, grid=8, concurrency=(1, 4))
+
+
 def _q_media_knn(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import multimodal as M
@@ -2194,6 +2228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _q_media_frame_sample,
         "media_knn": _q_media_knn,
         "media_ahash": _q_media_ahash,
+        "media_dedup": _q_media_dedup,
         # --- similarity search over embeddings ---
         "knn_brute": lambda sf: S.knn_brute(_embeddings(sf), _KNN_IDS, k=_KNN_K),
         "knn_lsh": _q_knn_lsh,
@@ -3553,4 +3588,7 @@ def oracle_sql() -> dict[str, str]:
         "media_ahash": __import__(
             "octoray.stages.multimodal", fromlist=["sql_image_ahash"]
         ).sql_image_ahash(Q.rpd("media_ahash_pixels"), grid=8),
+        "media_dedup": __import__(
+            "octoray.stages.multimodal", fromlist=["sql_image_dedup"]
+        ).sql_image_dedup(Q.rpd("media_dedup_pixels"), grid=8),
     }

@@ -326,6 +326,37 @@ def image_ahash(media, *, grid: int = 8, concurrency=(1, 4)):
                             concurrency=concurrency)
 
 
+def image_dedup(media, *, grid: int = 8, concurrency=(1, 4)):
+    """Exact-tier perceptual image dedup: group images by aHash and
+    keep the lowest media_id as the group representative (identical
+    and byte-identical-after-re-encode images collide on the hash;
+    the Hamming-near tier composes via the SimHash pigeonhole index).
+
+    The hash table is one slim row per image (media_id + grid^2-char
+    hash), so the groupby exchange moves O(images) tiny rows, never
+    pixels; Min/Count aggregate map-side partials before the shuffle.
+    Returns (ahash, media_id, n_dups) — representative id + group
+    size per distinct perceptual hash."""
+    from ray.data.aggregate import Count, Min
+
+    hashes = image_ahash(media, grid=grid, concurrency=concurrency)
+    return hashes.groupby("ahash").aggregate(
+        Min("media_id", alias_name="media_id"),
+        Count(alias_name="n_dups"))
+
+
+def sql_image_dedup(src: str, *, grid: int = 8) -> str:
+    """DuckDB twin of :func:`image_dedup` over the dumped
+    ``media_pixels`` artifact: re-derives every aHash from raw pixels
+    (certifying hash + grouping + keep-first in one compare)."""
+    return f"""
+        WITH h AS ({sql_image_ahash(src, grid=grid)})
+        SELECT ahash, min(media_id) AS media_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM h GROUP BY ahash
+    """
+
+
 def sql_image_ahash(src: str, *, grid: int = 8) -> str:
     """DuckDB twin of :func:`image_ahash` over the dumped
     ``media_pixels`` artifact (media_id, width, height, pixels)."""

@@ -99,3 +99,25 @@ def test_media_embeddings_feed_knn(ray_session):
     out = knn_brute(emb, [0, 1], k=3).take_all()
     assert {r["query_id"] for r in out} == {0, 1}
     assert all(r["neighbor_id"] != r["query_id"] for r in out)
+
+
+def test_image_dedup_groups_recrawls(ray_session):
+    """Identical payloads under different ids collapse onto the min
+    media_id with the right group size; distinct images stay apart."""
+    import numpy as np
+    import ray.data as rd
+
+    img_a = np.full(8 * 8 * 3, 9, dtype=np.uint8)
+    img_a[: 8 * 3] = 200  # top row bright -> nontrivial hash
+    img_b = np.zeros(8 * 8 * 3, dtype=np.uint8)
+    img_b[-8 * 3:] = 200
+    pa_, pb_ = M._pack(0, 8, 8, 1, img_a), M._pack(0, 8, 8, 1, img_b)
+    t = pa.table({
+        "media_id": pa.array([5, 1, 9, 3], pa.int64()),
+        "kind": pa.array(["image"] * 4),
+        "payload": pa.array([pa_, pa_, pa_, pb_], pa.binary()),
+    })
+    out = (M.image_dedup(rd.from_arrow(t), grid=8, concurrency=(1, 1))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert out["media_id"].tolist() == [1, 3]
+    assert out["n_dups"].tolist() == [3, 1]
