@@ -1273,6 +1273,18 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_count(triples)
 
 
+def _q_kg_communities(sf_dir: str):
+    """Deterministic synchronous label-propagation communities over
+    the KG (3 rounds, majority label, ties to the smallest —
+    stages/graphalgo.py).  Oracle: generated per-round majority-vote
+    CTE chain with the identical tie-break."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import label_propagation
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_lp_raw"))
+    return label_propagation(triples, n_rounds=3)
+
+
 def _q_kg_jaccard_links(sf_dir: str):
     """Link prediction over the KG: top-100 non-adjacent uri pairs by
     neighborhood Jaccard (common-neighbor wedge counts, hub-capped
@@ -2074,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_increment": _q_knn_ivf_increment,
         "kg_triangles": _q_kg_triangles,
         "kg_jaccard_links": _q_kg_jaccard_links,
+        "kg_communities": _q_kg_communities,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -3093,6 +3106,10 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["sql_neighborhood_similarity"]
         ).sql_neighborhood_similarity(
             Q.rpd('kg_jl_raw'), k=100, max_center_degree=512),
+        "kg_communities": __import__(
+            "octoray.stages.graphalgo",
+            fromlist=["sql_label_propagation"]
+        ).sql_label_propagation(Q.rpd('kg_lp_raw'), n_rounds=3),
         "kg_incremental": f"""
             WITH log AS (SELECT * FROM {Q.rp('ingest_log')}),
             led AS (SELECT url, max(run) AS r FROM {Q.rp('ingest_ledger')}

@@ -454,6 +454,102 @@ def neighborhood_similarity(triples, *, k: int = 100,
     return pa.Table.from_pandas(final, preserve_index=False)
 
 
+def label_propagation(triples, *, n_rounds: int = 3):
+    """Community detection by SYNCHRONOUS label propagation over the
+    KG's undirected uri--uri graph (Raghavan et al. 2007, made
+    deterministic): every node starts labeled by its own id; each
+    round, every node adopts the most frequent label among its
+    neighbors, ties broken by the LEXICALLY SMALLEST label.  Fixed
+    ``n_rounds`` synchronous rounds — no order-dependence, no random
+    tie coin, so the result is reproducible at any parallelism and a
+    generated per-round CTE twin re-derives it exactly (the same
+    determinism discipline as random_walks).
+
+    Per round: one node-keyed hash join ships the label table (node-
+    sized, never the corpus) onto the edge list, map-side partial
+    counts collapse (node, label) pairs before ONE groupby exchange,
+    and the majority cut is the exact grouped top-1 (partial head-k
+    before a group-keyed range sort).  Returns (node, label) sorted
+    by node."""
+    import pyarrow.compute as pc
+
+    from octoray.query import (
+        combined_groupby_count,
+        distinct_values,
+        grouped_top_k,
+        hash_join,
+    )
+
+    edges = uri_edges(triples)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("src").combine_chunks().cast(pa.string())
+        b = t.column("dst").combine_chunks().cast(pa.string())
+        tbl = pa.table({"node": pa.concat_arrays([a, b]),
+                        "nbr": pa.concat_arrays([b, a])})
+        return tbl.filter(pc.not_equal(tbl.column("node"),
+                                       tbl.column("nbr")))
+
+    nb = distinct_values(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        ["node", "nbr"]).materialize()
+
+    labels = distinct_values(
+        nb.map_batches(lambda t: t.select(["node"]),
+                       batch_format="pyarrow"), ["node"]).map_batches(
+        lambda t: t.append_column("lbl", t.column("node")),
+        batch_format="pyarrow")
+
+    for _ in range(n_rounds):
+        j = hash_join(
+            nb,
+            labels.map_batches(lambda t: t.rename_columns(["nbr", "lbl"]),
+                               batch_format="pyarrow"),
+            on="nbr")
+        cnt = combined_groupby_count(
+            j.map_batches(lambda t: t.select(["node", "lbl"]),
+                          batch_format="pyarrow"),
+            ["node", "lbl"], alias="cnt")
+        labels = grouped_top_k(cnt, ["node"], "cnt", 1,
+                               tie_cols=["lbl"], descending=True
+                               ).map_batches(
+            lambda t: t.select(["node", "lbl"]),
+            batch_format="pyarrow").materialize()
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "label"]),
+        batch_format="pyarrow").sort("node")
+
+
+def sql_label_propagation(src: str, *, n_rounds: int = 3) -> str:
+    """DuckDB twin of :func:`label_propagation` over a raw triple
+    dump: one majority-vote CTE per synchronous round, identical
+    (count DESC, label ASC) tie-break."""
+    rounds = []
+    prev = "l0"
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""
+        c{r} AS (SELECT nb.node, l.lbl, count(*) AS cnt
+                 FROM nb JOIN {prev} l ON nb.nbr = l.node
+                 GROUP BY nb.node, l.lbl),
+        l{r} AS (SELECT node, lbl FROM (
+                   SELECT node, lbl, row_number() OVER (
+                     PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                   FROM c{r}) WHERE rn = 1)""")
+        prev = f"l{r}"
+    return f"""
+        WITH raw AS (SELECT DISTINCT subject, object FROM {src}
+                     WHERE object_datatype = 'uri' AND subject <> object),
+        e AS (SELECT DISTINCT least(subject, object) AS a,
+                     greatest(subject, object) AS b FROM raw),
+        nb AS (SELECT a AS node, b AS nbr FROM e
+               UNION SELECT b, a FROM e),
+        l0 AS (SELECT DISTINCT node, node AS lbl FROM nb),
+        {','.join(rounds)}
+        SELECT node, lbl AS label FROM {prev}
+    """
+
+
 def sql_neighborhood_similarity(src: str, *, k: int = 100,
                                 max_center_degree: int = 512) -> str:
     """DuckDB twin of :func:`neighborhood_similarity` over a raw triple

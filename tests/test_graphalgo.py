@@ -305,3 +305,51 @@ def test_neighborhood_similarity_brute_and_paths(ray_session):
     dmap = {(r.a, r.b): (int(r.common), float(r.jaccard))
             for r in dist.itertuples()}
     assert dmap == got_map
+
+
+def test_label_propagation_two_cliques(ray_session):
+    """Two triangles joined by one bridge edge settle into two
+    communities labeled by each clique's smallest node; a brute-force
+    synchronous re-derivation matches on a random graph."""
+    import numpy as np
+    import ray.data as rd
+
+    from octoray.model import DT_URI, triples_to_table
+    from octoray.stages.graphalgo import label_propagation
+
+    es = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+          ("b1", "b2"), ("b1", "b3"), ("b2", "b3"), ("a3", "b1")]
+    rows = [(s, "f:rel", o, DT_URI) for s, o in es]
+    out = label_propagation(
+        rd.from_arrow(triples_to_table(rows)), n_rounds=3).to_pandas()
+    lab = dict(zip(out["node"], out["label"]))
+    # synchronous dynamics traced by hand: the a-clique settles on a1;
+    # the b-clique converges on the bridge-imported a3 (the classic
+    # synchronous-LPA label bleed — deterministic, and what the
+    # brute-force below re-derives)
+    assert lab["a1"] == lab["a2"] == lab["a3"] == "a1"
+    assert lab["b1"] == lab["b2"] == lab["b3"] == "a3"
+
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i:02d}" for i in range(20)]
+    es = set()
+    for _ in range(50):
+        a, b = rng.choice(20, 2, replace=False)
+        es.add((min(nodes[a], nodes[b]), max(nodes[a], nodes[b])))
+    nbr = {}
+    for a, b in es:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    lab = {n: n for n in nbr}
+    for _ in range(3):
+        nxt = {}
+        for n in nbr:
+            cnt = {}
+            for m in nbr[n]:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            nxt[n] = min(sorted(cnt), key=lambda L: (-cnt[L], L))
+        lab = nxt
+    rows = [(s, "f:rel", o, DT_URI) for s, o in es]
+    got = label_propagation(
+        rd.from_arrow(triples_to_table(rows)), n_rounds=3).to_pandas()
+    assert dict(zip(got["node"], got["label"])) == lab
