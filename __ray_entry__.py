@@ -775,6 +775,25 @@ def _q_turtle_roundtrip(sf_dir: str):
     return read_turtle(path)
 
 
+def _q_ntriples_roundtrip(sf_dir: str):
+    """Strict N-Triples export (full-IRI interop surface beside the
+    prefix-form Turtle sink): the SERIALIZED LINES are the checked
+    result — the oracle re-derives every statement from the dumped
+    triple table with a generated prefix-expansion CASE and the
+    identical escape chain, so IRI expansion, literal escaping and
+    datatype tags are all value-certified.  The parse-back identity
+    (NT rides the Turtle source) is pinned in pytest."""
+    from octoray import oracles as O
+    from octoray.sinks import ntriples_lines
+    from octoray.stages.canon import TRIPLE_COLS, dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "nt_src_raw")) \
+        .select_columns(list(TRIPLE_COLS))
+    if O.dump_enabled():
+        O.dump_dataset("nt_triples", triples)
+    return ntriples_lines(triples)
+
+
 def _q_sparql_stats(sf_dir: str):
     """Implicit-single-group aggregate head (no GROUP BY) through the
     text front end: COUNT(*) / COUNT(DISTINCT) / MIN / MAX /
@@ -2073,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_negated": _q_sparql_negated,
         "sparql_subquery": _q_sparql_subquery,
         "turtle_roundtrip": _q_turtle_roundtrip,
+        "ntriples_roundtrip": _q_ntriples_roundtrip,
         "sparql_segment": _q_sparql_segment,
         "sparql_years": _q_sparql_years,
         "entity_resolution": _q_entity_resolution,
@@ -2868,6 +2888,9 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY magb), '') AS ma_genbanks
             FROM f GROUP BY strain
         """,
+        "ntriples_roundtrip": __import__(
+            "octoray.sinks", fromlist=["sql_ntriples_lines"]
+        ).sql_ntriples_lines(Q.rpd("nt_triples")),
         "turtle_roundtrip": f"""
             SELECT subject, predicate, object, object_datatype
             FROM {Q.rpd('ttl_triples')}

@@ -146,6 +146,12 @@ SUITE = [
     "kg_hops",
     "knn_ivf_increment",
     "kg_walks",
+    # round-4 (cont.): link prediction, LPA communities, image dedup
+    "kg_jaccard_links",
+    "kg_communities",
+    "media_dedup",
+    "kg_skipgrams",
+    "ntriples_roundtrip",
 ]
 
 

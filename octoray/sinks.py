@@ -63,6 +63,88 @@ def write_turtle(triples_ds, path: str) -> str:
     return path
 
 
+def ntriples_lines(triples_ds):
+    """Canonical triple Dataset -> strict W3C N-Triples statements
+    with FULLY EXPANDED ``<IRI>`` terms — the interop surface for
+    external RDF tooling (prefix-form Turtle stays the compact
+    golden-diff sink).  Literals carry the N-Triples short escapes
+    and ``^^<datatype IRI>`` tags; parsing back rides the Turtle
+    source (N-Triples is a subset) whose ``_abbrev`` re-normalizes
+    IRIs against ``model.PREFIXES``, so sink -> source is identity.
+    Pure per-batch string concat, same streaming shape as
+    :func:`turtle_lines`."""
+    from octoray.model import DT_PLAIN, DT_URI, expand_uri
+
+    def esc(o: str) -> str:
+        return (o.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n").replace("\r", "\\r")
+                .replace("\t", "\\t"))
+
+    def f(t: pa.Table) -> pa.Table:
+        lines = []
+        for s, p, o, dt in zip(
+            t.column("subject").to_pylist(),
+            t.column("predicate").to_pylist(),
+            t.column("object").to_pylist(),
+            t.column("object_datatype").to_pylist(),
+        ):
+            if dt == DT_URI:
+                obj = f"<{expand_uri(o)}>"
+            elif dt == DT_PLAIN:
+                obj = '"' + esc(o) + '"'
+            else:
+                obj = '"' + esc(o) + f'"^^<{expand_uri(dt)}>'
+            lines.append(
+                f"<{expand_uri(s)}> <{expand_uri(p)}> {obj} .")
+        return pa.table({"line": pa.array(lines, pa.string())})
+
+    return triples_ds.map_batches(f, batch_format="pyarrow")
+
+
+def write_ntriples(triples_ds, path: str) -> str:
+    """Stream the graph to ONE .nt file (interop hand-off).  Constant
+    driver memory; at scale prefer ``ntriples_lines(ds).write_parquet``
+    (or a text sink) per shard."""
+    with open(path, "w", encoding="utf-8") as fh:
+        for batch in ntriples_lines(triples_ds).iter_batches(
+                batch_format="pyarrow"):
+            for line in batch.column("line").to_pylist():
+                fh.write(line + "\n")
+    return path
+
+
+def sql_ntriples_lines(src: str) -> str:
+    """DuckDB twin of :func:`ntriples_lines` over a dumped triple
+    table: prefix expansion as a generated CASE over the canonical
+    ``model.PREFIXES`` and the identical escape-replace chain
+    (backslash first, then quote and the line controls)."""
+    from octoray.model import PREFIXES
+
+    def exp(col: str) -> str:
+        whens = " ".join(
+            f"WHEN {col} LIKE '{p}:%' THEN "
+            f"'{base}' || substr({col}, {len(p) + 2})"
+            for p, base in sorted(PREFIXES.items()))
+        return f"CASE {whens} ELSE {col} END"
+
+    e = ("replace(replace(replace(replace(replace(object,"
+         " chr(92), chr(92) || chr(92)),"
+         " '\"', chr(92) || '\"'),"
+         " chr(10), chr(92) || 'n'),"
+         " chr(13), chr(92) || 'r'),"
+         " chr(9), chr(92) || 't')")
+    obj = f"""CASE
+        WHEN object_datatype = 'uri' THEN '<' || {exp('object')} || '>'
+        WHEN object_datatype = '' THEN '"' || {e} || '"'
+        ELSE '"' || {e} || '"^^<' || {exp('object_datatype')} || '>'
+    END"""
+    return f"""
+        SELECT '<' || {exp('subject')} || '> <' || {exp('predicate')}
+               || '> ' || {obj} || ' .' AS line
+        FROM {src}
+    """
+
+
 def fasta_text(ds, columns: Sequence[str]) -> "ray.data.Dataset":  # noqa: F821
     """Binding Dataset -> FASTA lines: header '|'-joins all but the
     last column; the LAST column is the sequence (formatting.py:14-15

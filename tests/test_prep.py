@@ -343,3 +343,39 @@ def test_prep_fasta_exclude_changes_typing(ray_session):
               for r in prep_fasta(fasta_rows(FASTA), exclude=("date",)).take_all()}
     assert any(p == "f:date" for _, p, _ in base)
     assert not any(p == "f:date" for _, p, _ in nodate)
+
+
+def test_ntriples_roundtrip_identity(ray_session, tmp_path):
+    """sink -> .nt file -> Turtle-source parse is identity, including
+    escapes, unicode, datatype tags and prefix re-abbreviation."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.model import triples_to_table
+    from octoray.sinks import ntriples_lines, write_ntriples
+    from octoray.sources.turtle import read_turtle
+
+    rows = [
+        ("fid:a", "f:name", 'he said "hi"\nline2\tand \\slash', ""),
+        ("fid:a", "f:date", "2020-01-02", "xsd:date"),
+        ("fid:a", "f:link", "fid:b", "uri"),
+        ("fid:b", "f:note", "café — naïve", ""),
+        ("http://example.org/x", "f:link", "http://example.org/y", "uri"),
+    ]
+    ds = rd.from_arrow(triples_to_table(rows))
+    path = str(tmp_path / "g.nt")
+    write_ntriples(ds, path)
+    # every line is a strict single-line statement
+    lines = open(path, encoding="utf-8").read().splitlines()
+    assert len(lines) == len(rows) and all(l.endswith(" .") for l in lines)
+    assert all("\n" not in l for l in lines)
+    back = read_turtle(path).to_pandas().sort_values(
+        ["subject", "predicate", "object"]).reset_index(drop=True)
+    want = triples_to_table(rows).to_pandas().sort_values(
+        ["subject", "predicate", "object"]).reset_index(drop=True)
+    assert back.equals(want)
+
+    # line shape: full IRIs in <>, typed literal tag expanded
+    nt = {l.split(" ", 1)[0]: l for l in lines}
+    assert any("^^<" in l and "XMLSchema#date" in l for l in lines)
+    assert all(k.startswith("<http") for k in nt)
