@@ -755,8 +755,61 @@ def hop_distances(triples, source: str, *, max_hops: int = 4,
     return visited
 
 
+def _walks_driver(edges, *, n_walks: int, walk_len: int, seed: int):
+    """Collected-edges driver fast path (small-graph gate): the
+    IDENTICAL md5 neighbor picks over the dst-sorted adjacency as the
+    distributed loop — pinned equal in pytest.  Collapses the
+    per-step join executions (the toy-scale cost is execution count,
+    not data) into one local pass."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from octoray.stages.sketch import _md5_lower64
+
+    df = edges.to_pandas()
+    schema = pa.schema([("start", pa.string()), ("walk", pa.int64()),
+                        ("step", pa.int64()), ("node", pa.string())])
+    if not len(df):
+        return rd.from_arrow(schema.empty_table())
+    df = df.sort_values(["src", "dst"], kind="mergesort")
+    adj = {s: g["dst"].to_numpy()
+           for s, g in df.groupby("src", sort=True)}
+    starts = sorted(adj)
+    start_arr = np.repeat(np.asarray(starts, object), n_walks)
+    walk_arr = np.tile(np.arange(n_walks, dtype=np.int64), len(starts))
+    node = start_arr.copy()
+    cols = [pd.DataFrame({"start": start_arr, "walk": walk_arr,
+                          "step": np.int64(0), "node": node})]
+    alive = np.ones(len(node), bool)
+    for t in range(1, walk_len + 1):
+        mask = alive & np.fromiter((u in adj for u in node),
+                                   bool, len(node))
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            break
+        nodes_t = node[idx]
+        walks_t = walk_arr[idx]
+        hv = _md5_lower64([f"{seed}:{w}:{t}:{u}"
+                           for w, u in zip(walks_t, nodes_t)])
+        degs = np.fromiter((len(adj[u]) for u in nodes_t),
+                           np.uint64, len(nodes_t))
+        rn = (hv % degs).astype(np.int64)
+        nxt = np.array([adj[u][r] for u, r in zip(nodes_t, rn)], object)
+        cols.append(pd.DataFrame({"start": start_arr[idx],
+                                  "walk": walks_t,
+                                  "step": np.int64(t), "node": nxt}))
+        node = node.copy()
+        node[idx] = nxt
+        alive = mask
+    out = pd.concat(cols, ignore_index=True)
+    return rd.from_arrow(pa.Table.from_pandas(out, schema=schema,
+                                              preserve_index=False))
+
+
 def random_walks(triples, *, n_walks: int = 2, walk_len: int = 3,
-                 seed: int = 1, broadcast_limit: int = 2_000_000):
+                 seed: int = 1, broadcast_limit: int = 2_000_000,
+                 driver_limit: int = 500_000):
     """DeepWalk-style random-walk corpus over the KG's DIRECTED
     uri->uri graph [Perozzi et al. 2014] — the export that feeds
     skip-gram graph embeddings.  Every node with out-edges starts
@@ -774,7 +827,10 @@ def random_walks(triples, *, n_walks: int = 2, walk_len: int = 3,
     keys co-locate; rn/deg are block-local window computations); each
     of the ``walk_len`` rounds is two stats-gated hash joins (degree
     lookup, then (src, rn) edge lookup) over a frontier bounded by
-    starts x n_walks — the walk NEVER fans out."""
+    starts x n_walks — the walk NEVER fans out.  Below
+    ``driver_limit`` edges the whole loop folds into one driver pass
+    (:func:`_walks_driver` — identical picks, pinned equal), the same
+    stats-gate discipline as pagerank/kcore."""
     import pyarrow.compute as pc  # noqa: F401
 
     import ray.data as rd
@@ -783,7 +839,10 @@ def random_walks(triples, *, n_walks: int = 2, walk_len: int = 3,
     from octoray.stages.sketch import _md5_lower64
 
     SEP = "\x1f"
-    edges = uri_edges(triples)
+    edges = uri_edges(triples).materialize()
+    if edges.count() <= driver_limit:
+        return _walks_driver(edges, n_walks=n_walks, walk_len=walk_len,
+                             seed=seed)
 
     def rank_block(df: "pd.DataFrame") -> "pd.DataFrame":
         if len(df) == 0:
@@ -891,10 +950,15 @@ def walk_skipgrams(walks, *, window: int = 2):
     keys share a block — the pinned invariant), then a block-local
     vectorized shift emits pairs per offset (walks are walk_len+1
     rows, so the within-block work is trivial) with map-side counts;
-    a final groupby-sum collapses globally.  Exchange rows are
-    bounded by distinct (center, context) pairs."""
+    ONE further (center, context) range sort collapses the partials
+    globally (``sorted_groupby_sum`` — the task-based plan; Ray
+    2.49's hash-aggregate operator measured 100x slower on
+    few-block inputs, the same aggregator pathology hash_join
+    documents).  Exchange rows are bounded by distinct
+    (center, context) pairs."""
     import pandas as pd
-    from ray.data.aggregate import Sum
+
+    from octoray.query import sorted_groupby_sum
 
     def pairs_block(df: "pd.DataFrame") -> "pd.DataFrame":
         if len(df) == 0:
@@ -923,8 +987,7 @@ def walk_skipgrams(walks, *, window: int = 2):
 
     pre = walks.sort(["start", "walk"]).map_batches(
         pairs_block, batch_format="pandas", batch_size=None)
-    return pre.groupby(["center", "context"]).aggregate(
-        Sum("_n", alias_name="n"))
+    return sorted_groupby_sum(pre, ["center", "context"], "_n", alias="n")
 
 
 def sql_walk_skipgrams(src: str, *, window: int = 2) -> str:

@@ -353,3 +353,25 @@ def test_label_propagation_two_cliques(ray_session):
     got = label_propagation(
         rd.from_arrow(triples_to_table(rows)), n_rounds=3).to_pandas()
     assert dict(zip(got["node"], got["label"])) == lab
+
+
+def test_random_walks_driver_and_distributed_identical(ray_session):
+    """The driver fast path and the distributed per-step join loop
+    produce the identical corpus on a random graph."""
+    import numpy as np
+    import ray.data as rd
+
+    from octoray.model import DT_URI, triples_to_table
+    from octoray.stages.graphalgo import random_walks
+
+    rng = np.random.default_rng(13)
+    es = {(f"n{a}", f"n{b}") for a, b in rng.integers(0, 30, (80, 2))
+          if a != b}
+    rows = [(s, "f:rel", o, DT_URI) for s, o in es]
+    tri = rd.from_arrow(triples_to_table(rows))
+    key = lambda r: (r["start"], r["walk"], r["step"], r["node"])
+    fast = sorted(map(key, random_walks(
+        tri, n_walks=2, walk_len=4, seed=3).take_all()))
+    dist = sorted(map(key, random_walks(
+        tri, n_walks=2, walk_len=4, seed=3, driver_limit=0).take_all()))
+    assert fast == dist and len(fast) > 0
