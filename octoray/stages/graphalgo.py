@@ -227,20 +227,13 @@ def triangle_count(triples):
     def wedges_block(df):
         import pandas as pd
 
-        out_a, out_b = [], []
-        for _, g in df.groupby("src", sort=False):
-            ds_ = np.sort(g["dst"].to_numpy())
-            m = len(ds_)
-            if m < 2:
-                continue
-            ia, ib = np.triu_indices(m, k=1)
-            out_a.append(ds_[ia])
-            out_b.append(ds_[ib])
-        if not out_a:
+        if not len(df):
             return pd.DataFrame({"a": pd.Series([], dtype=object),
                                  "b": pd.Series([], dtype=object)})
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)})
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        _, counts = np.unique(df["src"].to_numpy(), return_counts=True)
+        a, b = _within_group_pairs(counts, df["dst"].to_numpy())
+        return pd.DataFrame({"a": a, "b": b})
 
     wedges = oriented.sort(["src"]).map_batches(
         wedges_block, batch_format="pandas", batch_size=None)
@@ -278,9 +271,83 @@ def triangle_count(triples):
     return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
 
 
+def _within_group_pairs(group_sizes, values):
+    """All within-group unordered pairs (i < j in stored order) over a
+    group-contiguous value array — the vectorized wedge kernel shared
+    by triangle counting and link prediction.  One pass per DISTINCT
+    group size (bounded by the degree cap), each a single fancy-index
+    + triu gather: no per-group Python loop."""
+    import numpy as np
+
+    group_sizes = np.asarray(group_sizes, np.int64)
+    starts = np.r_[0, np.cumsum(group_sizes)[:-1]]
+    out_a, out_b = [], []
+    for m in np.unique(group_sizes):
+        if m < 2:
+            continue
+        gs = starts[group_sizes == m]
+        idx = gs[:, None] + np.arange(m)
+        vals = values[idx]
+        ia, ib = np.triu_indices(int(m), 1)
+        out_a.append(vals[:, ia].ravel())
+        out_b.append(vals[:, ib].ravel())
+    if not out_a:
+        e = np.array([], dtype=values.dtype)
+        return e, e
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _jaccard_driver(und, *, k: int, max_center_degree: int):
+    """Collected-edges driver fast path (small-graph gate): identical
+    wedge expansion, degree math and (jaccard desc, a, b) cut as the
+    distributed plan — pinned equal in pytest."""
+    import numpy as np
+    import pandas as pd
+
+    df = und.to_pandas()
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "common": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not len(df):
+        return empty
+    stacked = pd.concat([
+        df.rename(columns={"a": "node", "b": "nbr"}),
+        df.rename(columns={"b": "node", "a": "nbr"})], ignore_index=True)
+    stacked = stacked.sort_values(["node", "nbr"], kind="mergesort")
+    nodes_s = stacked["node"].to_numpy()
+    nbrs_s = stacked["nbr"].to_numpy()
+    uniq, counts = np.unique(nodes_s, return_counts=True)
+    deg = pd.Series(counts, index=uniq)
+    ok = counts <= max_center_degree
+    # keep only the allowed centers' contiguous runs
+    keep = np.repeat(ok, counts)
+    pa_, pb_ = _within_group_pairs(counts[ok], nbrs_s[keep])
+    if not len(pa_):
+        return empty
+    pairs = pd.DataFrame({"a": pa_, "b": pb_})
+    common = pairs.groupby(["a", "b"], sort=False).size().reset_index(
+        name="common")
+    eset = set(zip(df["a"], df["b"]))
+    keep = [(x, y) not in eset for x, y in zip(common["a"], common["b"])]
+    cand = common.loc[keep].copy()
+    if not len(cand):
+        return empty
+    cn = cand["common"].to_numpy().astype(np.int64)
+    un = (deg.reindex(cand["a"]).to_numpy().astype(np.int64)
+          + deg.reindex(cand["b"]).to_numpy().astype(np.int64) - cn)
+    cand["common"] = cn
+    cand["jaccard"] = cn.astype(np.float64) / un.astype(np.float64)
+    cand = cand.sort_values(["jaccard", "a", "b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(cand, preserve_index=False)
+
+
 def neighborhood_similarity(triples, *, k: int = 100,
                             max_center_degree: int = 512,
-                            broadcast_edge_limit: int = 2_000_000):
+                            broadcast_edge_limit: int = 2_000_000,
+                            driver_limit: int = 500_000):
     """Link prediction over the KG's undirected uri--uri graph: the
     top-k NON-adjacent node pairs by neighborhood Jaccard similarity
     |N(u) ∩ N(v)| / |N(u) ∪ N(v)| (common-neighbors machinery — the
@@ -314,6 +381,10 @@ def neighborhood_similarity(triples, *, k: int = 100,
          partial head-k prunes before ONE constant-key exchange —
          at most k rows per block move
 
+    Below ``driver_limit`` edges the whole plan folds into one local
+    pass (:func:`_jaccard_driver` — identical math and cut, pinned
+    equal), the same stats-gate discipline as pagerank/kcore/walks.
+
     Returns a k-row (a, b, common, jaccard) Table; ties at the
     boundary are broken by (a, b) so membership is deterministic."""
     import numpy as np
@@ -337,6 +408,9 @@ def neighborhood_similarity(triples, *, k: int = 100,
     und = distinct_values(
         edges.map_batches(undirect, batch_format="pyarrow"), ["a", "b"]
     ).materialize()
+    if und.count() <= driver_limit:
+        return _jaccard_driver(und, k=k,
+                               max_center_degree=max_center_degree)
 
     def stack(t: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays(
@@ -364,20 +438,13 @@ def neighborhood_similarity(triples, *, k: int = 100,
     def wedges_block(df):
         import pandas as pd
 
-        out_a, out_b = [], []
-        for _, g in df.groupby("node", sort=False):
-            ns = np.sort(g["nbr"].to_numpy())
-            m = len(ns)
-            if m < 2:
-                continue
-            ia, ib = np.triu_indices(m, k=1)
-            out_a.append(ns[ia])
-            out_b.append(ns[ib])
-        if not out_a:
+        if not len(df):
             return pd.DataFrame({"a": pd.Series([], dtype=object),
                                  "b": pd.Series([], dtype=object)})
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)})
+        df = df.sort_values(["node", "nbr"], kind="mergesort")
+        _, counts = np.unique(df["node"].to_numpy(), return_counts=True)
+        a, b = _within_group_pairs(counts, df["nbr"].to_numpy())
+        return pd.DataFrame({"a": a, "b": b})
 
     wedges = nb.sort(["node"]).map_batches(
         wedges_block, batch_format="pandas", batch_size=None)

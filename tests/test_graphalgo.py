@@ -299,12 +299,20 @@ def test_neighborhood_similarity_brute_and_paths(ray_session):
                      key=lambda kv: (-kv[1][1], kv[0][0], kv[0][1]))[:5]
     assert [(r.a, r.b) for r in top.itertuples()] == [k for k, _ in ordered]
 
-    # merge-join path (broadcast gate forced off) identical
+    # distributed path (driver gate forced off) identical
     dist = neighborhood_similarity(tr, k=10_000, max_center_degree=cap,
-                                   broadcast_edge_limit=0).to_pandas()
+                                   driver_limit=0).to_pandas()
     dmap = {(r.a, r.b): (int(r.common), float(r.jaccard))
             for r in dist.itertuples()}
     assert dmap == got_map
+
+    # merge-join edge-drop path (both gates forced off) identical
+    mj = neighborhood_similarity(tr, k=10_000, max_center_degree=cap,
+                                 driver_limit=0,
+                                 broadcast_edge_limit=0).to_pandas()
+    mmap = {(r.a, r.b): (int(r.common), float(r.jaccard))
+            for r in mj.itertuples()}
+    assert mmap == got_map
 
 
 def test_label_propagation_two_cliques(ray_session):
