@@ -474,6 +474,7 @@ def ivf_knn(
     vec_col: str = "embedding",
     seed: int = 7,
     centroids: Optional[np.ndarray] = None,
+    queries: Optional[tuple] = None,
 ):
     """Approximate top-k via an IVF coarse quantizer: score a corpus
     row for query q only if the row's nearest centroid is among q's
@@ -493,7 +494,14 @@ def ivf_knn(
         centroids = kmeans_centroids(
             embeddings, n_centroids=n_centroids, sample_size=sample_size,
             seed=seed, id_col=id_col, vec_col=vec_col)
-    qids, Q = load_queries(embeddings, query_ids, id_col=id_col, vec_col=vec_col)
+    if queries is not None:
+        # caller already holds (qids, Q) — e.g. ivf_index_knn loaded
+        # them BEFORE pruning; skips one full scan execution of the
+        # (many-small-files) pruned read
+        qids, Q = queries
+    else:
+        qids, Q = load_queries(embeddings, query_ids,
+                               id_col=id_col, vec_col=vec_col)
     Qn = _normalize(Q)
     probes = ivf_probe_sets(Q, centroids, nprobe=min(nprobe, len(centroids)))
     ref = ray.put((qids, Qn, np.ascontiguousarray(centroids), probes))
@@ -750,7 +758,9 @@ def ivf_index_knn(index_dir: str, query_vectors: np.ndarray,
             "score": pa.array([], pa.float64())}))
     pruned = rd.read_parquet(dirs, columns=[id_col, vec_col])
     return ivf_knn(pruned, list(query_ids), k=k, nprobe=nprobe,
-                   centroids=C, id_col=id_col, vec_col=vec_col)
+                   centroids=C, id_col=id_col, vec_col=vec_col,
+                   queries=(np.asarray(query_ids, np.int64),
+                            np.asarray(query_vectors)))
 
 
 def rrf_fuse(ranked_lists: Sequence[Sequence[int]], *, c: int = 60,
