@@ -2210,6 +2210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf).select_columns(["doc_id", "n_chars"]), 50),
         # --- text analysis ops ---
         "token_counts": token_counts,
+        "oov_rate": lambda sf: __import__(
+            "octoray.stages.vocab", fromlist=["oov_rate"]
+        ).oov_rate(_docs(sf), vocab_size=1000),
         "quality_scores": quality_scores,
         "quality_classifier": quality_classifier,
         "unigram_logprob": lambda sf: T.unigram_logprob(_docs(sf)),
@@ -2657,6 +2660,9 @@ def oracle_sql() -> dict[str, str]:
                    max(n) AS max_session_len
             FROM per GROUP BY 1
         """,
+        "oov_rate": __import__(
+            "octoray.stages.vocab", fromlist=["sql_oov_rate"]
+        ).sql_oov_rate(vocab_size=1000),
         "token_counts": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -152,6 +152,7 @@ SUITE = [
     "media_dedup",
     "kg_skipgrams",
     "ntriples_roundtrip",
+    "oov_rate",
 ]
 
 

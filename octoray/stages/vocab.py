@@ -189,3 +189,73 @@ def heavy_hitters(docs, *, phi: float = 0.001, text_col: str = "text",
 
     return exact.map_batches(keep_heavy, batch_format="pyarrow").sort(
         ["count", "token"], descending=[True, False])
+
+
+def oov_rate(docs, *, vocab_size: int = 1000, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Per-document out-of-vocabulary rate against the corpus-global
+    top-``vocab_size`` unigram vocabulary — the classic cheap
+    language-quality signal (gibberish / non-language / wrong-corpus
+    docs score high OOV even when length and punctuation look fine).
+
+    Two passes, zero corpus shuffle: pass 1 is :func:`top_ngrams`
+    (n=1) — exact global counts via the map-side-combiner sort plan,
+    deterministic (count DESC, token ASC) boundary — whose k-row
+    result broadcasts ONCE via ray.put; pass 2 streams documents
+    through one vectorized np.isin per batch (sorted-vocab binary
+    search).  Whitespace tokenization is the house ``_flat_tokens``
+    (identical to the '\\S+' SQL twin).  Documents with zero tokens
+    emit no row (mirrors the twin's token-CTE join semantics).
+
+    Output: (doc_id, n_tokens, n_oov, oov_rate float64)."""
+    import numpy as np
+    import ray
+
+    from octoray.stages.dedup import _flat_tokens
+
+    vocab_rows = top_ngrams(docs, n=1, k=vocab_size,
+                            text_col=text_col).take_all()
+    vocab = np.sort(np.array([r["gram"] for r in vocab_rows], object))
+    ref = ray.put(vocab)
+
+    def f(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v = _ray.get(ref)
+        lens, flat = _flat_tokens(t.column(text_col))
+        oov = ~np.isin(flat.to_numpy(zero_copy_only=False), v)
+        idx = np.repeat(np.arange(len(lens)), lens)
+        n_oov = np.bincount(idx, weights=oov,
+                            minlength=len(lens)).astype(np.int64)
+        mask = lens > 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)[mask]
+        nt = lens[mask]
+        no = n_oov[mask]
+        return pa.table({
+            id_col: pa.array(ids, t.schema.field(id_col).type),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_oov": pa.array(no, pa.int64()),
+            "oov_rate": pa.array(no.astype(np.float64)
+                                 / nt.astype(np.float64), pa.float64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def sql_oov_rate(*, vocab_size: int = 1000) -> str:
+    """DuckDB twin of :func:`oov_rate` over the ``documents`` view:
+    identical top-V vocabulary boundary and int64->double division."""
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+                     FROM documents),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        voc AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT {vocab_size}),
+        per AS (SELECT t.doc_id, count(*) AS n_tokens,
+                       sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+                FROM tok t LEFT JOIN voc v ON t.w = v.w
+                GROUP BY t.doc_id)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_oov AS BIGINT) AS n_oov,
+               CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+        FROM per
+    """

@@ -42,3 +42,36 @@ def test_normalize_text_matches_duckdb_property(ray_session, texts):
     assert list(got["text_norm"]) == list(want["text_norm"])
     assert list(got["n_chars_norm"]) == list(want["n_chars_norm"])
     assert list(got["changed"]) == list(want["changed"])
+
+
+def test_oov_rate_bruteforce(ray_session):
+    """oov_rate matches a brute-force python re-derivation, including
+    the deterministic (count desc, token asc) vocab boundary and the
+    zero-token-doc omission."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.vocab import oov_rate
+
+    texts = ["the cat sat", "the the dog", "  ", "zz yy xx the",
+             "cat dog zz", ""]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}))
+    V = 3
+    cnt = collections.Counter(w for t in texts for w in t.split())
+    vocab = {w for w, _ in sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:V]}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            continue
+        no = sum(1 for w in toks if w not in vocab)
+        want[i] = (len(toks), no, no / len(toks))
+    out = oov_rate(ds, vocab_size=V).to_pandas()
+    got = {int(r.doc_id): (int(r.n_tokens), int(r.n_oov), float(r.oov_rate))
+           for r in out.itertuples()}
+    assert got == want
