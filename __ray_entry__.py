@@ -1292,6 +1292,18 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_count(triples)
 
 
+def _q_kg_adjacency(sf_dir: str):
+    """Adjacency-list export of the KG's directed uri graph (the
+    GNN/embedding-trainer hand-off): one src sort + block-local
+    vectorized group-concat, '+'-join house convention
+    (stages/graphalgo.py::adjacency_export)."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import adjacency_export
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_adj_raw"))
+    return adjacency_export(triples)
+
+
 def _q_kg_communities(sf_dir: str):
     """Deterministic synchronous label-propagation communities over
     the KG (3 rounds, majority label, ties to the smallest —
@@ -2107,6 +2119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_jaccard_links": _q_kg_jaccard_links,
         "kg_communities": _q_kg_communities,
+        "kg_adjacency": _q_kg_adjacency,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -3139,6 +3152,10 @@ def oracle_sql() -> dict[str, str]:
             "octoray.stages.graphalgo",
             fromlist=["sql_label_propagation"]
         ).sql_label_propagation(Q.rpd('kg_lp_raw'), n_rounds=3),
+        "kg_adjacency": __import__(
+            "octoray.stages.graphalgo",
+            fromlist=["sql_adjacency_export"]
+        ).sql_adjacency_export(Q.rpd('kg_adj_raw')),
         "kg_incremental": f"""
             WITH log AS (SELECT * FROM {Q.rp('ingest_log')}),
             led AS (SELECT url, max(run) AS r FROM {Q.rp('ingest_ledger')}

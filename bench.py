@@ -153,6 +153,7 @@ SUITE = [
     "kg_skipgrams",
     "ntriples_roundtrip",
     "oov_rate",
+    "kg_adjacency",
 ]
 
 

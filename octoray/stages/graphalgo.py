@@ -521,6 +521,51 @@ def neighborhood_similarity(triples, *, k: int = 100,
     return pa.Table.from_pandas(final, preserve_index=False)
 
 
+def adjacency_export(triples):
+    """Materialize the KG's directed uri->uri graph as adjacency
+    lists: (node, neighbors '+'-joined sorted-distinct, out_degree) —
+    the hand-off shape GNN/embedding trainers consume (each row is one
+    node's full neighborhood; partition by node range for resumable
+    sharded output).  ONE src-keyed range sort co-locates each
+    adjacency list (the pinned equal-keys-share-a-block invariant),
+    then a block-local vectorized group-concat — the same plan and
+    '+'-join convention as the subject pivot (query.pivot_subjects),
+    so the SQL twin is a plain string_agg."""
+    import numpy as np
+    import pandas as pd
+
+    edges = uri_edges(triples)
+
+    def concat_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "neighbors": pd.Series([], dtype=object),
+                                 "out_degree": pd.Series([], dtype="int64")})
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        g = df.groupby("src", sort=False)["dst"]
+        out = g.agg("+".join).reset_index()
+        out.columns = ["node", "neighbors"]
+        out["out_degree"] = g.size().to_numpy().astype(np.int64)
+        return out
+
+    return edges.sort(["src"]).map_batches(
+        concat_block, batch_format="pandas", batch_size=None)
+
+
+def sql_adjacency_export(src: str) -> str:
+    """DuckDB twin of :func:`adjacency_export` over a raw triple
+    dump."""
+    return f"""
+        WITH raw AS (SELECT DISTINCT subject, object FROM {src}
+                     WHERE object_datatype = 'uri'),
+        e AS (SELECT subject AS node, object AS nbr FROM raw)
+        SELECT node,
+               string_agg(nbr, '+' ORDER BY nbr) AS neighbors,
+               CAST(count(*) AS BIGINT) AS out_degree
+        FROM e GROUP BY node
+    """
+
+
 def label_propagation(triples, *, n_rounds: int = 3):
     """Community detection by SYNCHRONOUS label propagation over the
     KG's undirected uri--uri graph (Raghavan et al. 2007, made

@@ -383,3 +383,16 @@ def test_random_walks_driver_and_distributed_identical(ray_session):
     dist = sorted(map(key, random_walks(
         tri, n_walks=2, walk_len=4, seed=3, driver_limit=0).take_all()))
     assert fast == dist and len(fast) > 0
+
+
+def test_adjacency_export_sorted_and_distinct(ray_session):
+    """Neighbor lists are sorted-distinct '+'-joins; degree matches;
+    literal triples excluded; result is partition-invariant."""
+    from octoray.stages.graphalgo import adjacency_export
+
+    tri = _triples([("a", "c"), ("a", "b"), ("a", "c"), ("b", "a")])
+    out = adjacency_export(tri).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert out["node"].tolist() == ["a", "b"]
+    assert out["neighbors"].tolist() == ["b+c", "a"]
+    assert out["out_degree"].tolist() == [2, 1]
