@@ -1292,6 +1292,24 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_count(triples)
 
 
+_KG_CONSTRAINTS = [("datatype", "f:date", "xsd:date"),
+                   ("max_card", "f:date", 1),
+                   ("requires", "f:subtype", "f:date")]
+
+
+def _q_kg_validate(sf_dir: str):
+    """SHACL-lite KG validation (stages/rules.py::validate_constraints):
+    datatype / max-cardinality / co-occurrence shapes over the built
+    graph, violations as (rule, subject, detail) rows.  The gYearMonth
+    partial dates violate the xsd:date shape by construction, so the
+    check is non-trivial at every scale."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.rules import validate_constraints
+
+    triples = dedup_triples(_kg_raw(sf_dir, "kg_val_raw"))
+    return validate_constraints(triples, _KG_CONSTRAINTS)
+
+
 def _q_kg_adjacency(sf_dir: str):
     """Adjacency-list export of the KG's directed uri graph (the
     GNN/embedding-trainer hand-off): one src sort + block-local
@@ -2120,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_jaccard_links": _q_kg_jaccard_links,
         "kg_communities": _q_kg_communities,
         "kg_adjacency": _q_kg_adjacency,
+        "kg_validate": _q_kg_validate,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -3156,6 +3175,10 @@ def oracle_sql() -> dict[str, str]:
             "octoray.stages.graphalgo",
             fromlist=["sql_adjacency_export"]
         ).sql_adjacency_export(Q.rpd('kg_adj_raw')),
+        "kg_validate": __import__(
+            "octoray.stages.rules",
+            fromlist=["sql_validate_constraints"]
+        ).sql_validate_constraints(Q.rpd('kg_val_raw'), _KG_CONSTRAINTS),
         "kg_incremental": f"""
             WITH log AS (SELECT * FROM {Q.rp('ingest_log')}),
             led AS (SELECT url, max(run) AS r FROM {Q.rp('ingest_ledger')}

@@ -154,6 +154,7 @@ SUITE = [
     "ntriples_roundtrip",
     "oov_rate",
     "kg_adjacency",
+    "kg_validate",
 ]
 
 

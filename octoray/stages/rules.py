@@ -290,3 +290,137 @@ def expand_locations(triples):
         return pa.concat_tables([left, new.select(cols).cast(left.schema)])
 
     return triples.map_batches(f, batch_format="pyarrow")
+
+
+def validate_constraints(triples, rules):
+    """SHACL-lite constraint validation over a deduped triple Dataset
+    — the KG quality-assurance stage every construction pipeline runs
+    before publishing (reference analogue: the emitter's implicit
+    schema, made checkable).  ``rules`` is a list of:
+
+      ("datatype", p, dt)   every p-triple's object_datatype must be dt
+      ("max_card", p, n)    a subject may carry at most n p-triples
+      ("requires", p, q)    a subject with p must also have q
+
+    Returns (rule, subject, detail) violation rows — rule ids are
+    stable strings (``datatype:p`` / ``max_card:p`` /
+    ``requires:p->q``) so downstream dashboards and the SQL twin key
+    on them.  Each rule is one vectorized pass or one slim groupby:
+    datatype = an Arrow filter; max_card = map-side partial counts +
+    one (subject) exchange; requires = two distinct-subject sets and
+    a stats-gated anti semi-join.  Violations union; nothing
+    materializes the corpus."""
+    import pyarrow.compute as pc
+
+    from octoray.query import (
+        combined_groupby_count,
+        distinct_values,
+        semi_join_auto,
+    )
+
+    outs = []
+    for kind, p, arg in rules:
+        if kind == "datatype":
+            rid = f"datatype:{p}"
+
+            def f(t: pa.Table, _p=p, _dt=arg, _rid=rid) -> pa.Table:
+                t = t.filter(pc.and_(
+                    pc.equal(t.column("predicate"), pa.scalar(_p)),
+                    pc.not_equal(t.column("object_datatype"),
+                                 pa.scalar(_dt))))
+                return pa.table({
+                    "rule": pa.array([_rid] * t.num_rows, pa.string()),
+                    "subject": t.column("subject"),
+                    "detail": t.column("object_datatype"),
+                })
+
+            outs.append(distinct_values(
+                triples.map_batches(f, batch_format="pyarrow"),
+                ["rule", "subject", "detail"]))
+        elif kind == "max_card":
+            rid = f"max_card:{p}"
+
+            def sel(t: pa.Table, _p=p) -> pa.Table:
+                t = t.filter(pc.equal(t.column("predicate"),
+                                      pa.scalar(_p)))
+                return t.select(["subject"])
+
+            cnt = combined_groupby_count(
+                triples.map_batches(sel, batch_format="pyarrow"),
+                ["subject"], alias="n")
+
+            def over(t: pa.Table, _n=arg, _rid=rid) -> pa.Table:
+                t = t.filter(pc.greater(t.column("n"),
+                                        pa.scalar(_n)))
+                return pa.table({
+                    "rule": pa.array([_rid] * t.num_rows, pa.string()),
+                    "subject": t.column("subject"),
+                    "detail": t.column("n").cast(pa.string()),
+                })
+
+            outs.append(cnt.map_batches(over, batch_format="pyarrow"))
+        elif kind == "requires":
+            rid = f"requires:{p}->{arg}"
+
+            def subs(pred):
+                def g(t: pa.Table, _p=pred) -> pa.Table:
+                    t = t.filter(pc.equal(t.column("predicate"),
+                                          pa.scalar(_p)))
+                    return t.select(["subject"])
+
+                return distinct_values(
+                    triples.map_batches(g, batch_format="pyarrow"),
+                    ["subject"])
+
+            viol = semi_join_auto(subs(p), "subject", subs(arg),
+                                  key_col="subject", anti=True)
+
+            def shape(t: pa.Table, _rid=rid) -> pa.Table:
+                return pa.table({
+                    "rule": pa.array([_rid] * t.num_rows, pa.string()),
+                    "subject": t.column("subject"),
+                    "detail": pa.array([""] * t.num_rows, pa.string()),
+                })
+
+            outs.append(viol.map_batches(shape, batch_format="pyarrow"))
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
+def sql_validate_constraints(src: str, rules) -> str:
+    """DuckDB twin of :func:`validate_constraints` over a raw triple
+    dump (deduped in the CTE, matching the engine's canonical
+    input)."""
+    parts = []
+    for kind, p, arg in rules:
+        if kind == "datatype":
+            parts.append(f"""
+            SELECT DISTINCT 'datatype:{p}' AS rule, subject,
+                   object_datatype AS detail
+            FROM d WHERE predicate = '{p}'
+              AND object_datatype <> '{arg}'""")
+        elif kind == "max_card":
+            parts.append(f"""
+            SELECT 'max_card:{p}' AS rule, subject,
+                   CAST(n AS VARCHAR) AS detail
+            FROM (SELECT subject, count(*) AS n FROM d
+                  WHERE predicate = '{p}' GROUP BY subject)
+            WHERE n > {arg}""")
+        elif kind == "requires":
+            parts.append(f"""
+            SELECT 'requires:{p}->{arg}' AS rule, subject,
+                   '' AS detail
+            FROM (SELECT DISTINCT subject FROM d
+                  WHERE predicate = '{p}')
+            WHERE subject NOT IN (SELECT subject FROM d
+                                  WHERE predicate = '{arg}')""")
+    u = " UNION ALL ".join(parts)
+    return f"""
+        WITH d AS (SELECT DISTINCT subject, predicate, object,
+                          object_datatype FROM {src})
+        {u}
+    """

@@ -98,3 +98,36 @@ def test_geography_full_parity_with_reference():
            if r["predicate"] == "f:locatedIn"}
     assert got == want
     assert len(want) > 300  # the full dimension, not a sample
+
+
+def test_validate_constraints_hand_case(ray_session):
+    """Each rule kind fires exactly on its violators."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.rules import validate_constraints
+
+    rows = [
+        ("s1", "f:date", "2020-01-01", "xsd:date"),
+        ("s1", "f:subtype", "H1N1", ""),
+        ("s2", "f:date", "2020-05", "xsd:gYearMonth"),   # datatype viol
+        ("s2", "f:date", "2020-06", "xsd:gYearMonth"),   # + max_card 2
+        ("s3", "f:subtype", "H3N2", ""),                 # requires viol
+    ]
+    tri = rd.from_arrow(pa.table({
+        "subject": pa.array([r[0] for r in rows]),
+        "predicate": pa.array([r[1] for r in rows]),
+        "object": pa.array([r[2] for r in rows]),
+        "object_datatype": pa.array([r[3] for r in rows]),
+    }))
+    out = validate_constraints(tri, [
+        ("datatype", "f:date", "xsd:date"),
+        ("max_card", "f:date", 1),
+        ("requires", "f:subtype", "f:date"),
+    ]).to_pandas()
+    got = {(r.rule, r.subject, r.detail) for r in out.itertuples()}
+    assert got == {
+        ("datatype:f:date", "s2", "xsd:gYearMonth"),
+        ("max_card:f:date", "s2", "2"),
+        ("requires:f:subtype->f:date", "s3", ""),
+    }
