@@ -1482,6 +1482,20 @@ def _q_media_audio_features(sf_dir: str):
     return M.audio_features(media)
 
 
+def _q_media_audio_fp(sf_dir: str):
+    """Banded-energy audio fingerprint (the PCM exact-dedup tier,
+    multimodal.py::audio_fingerprint); the oracle re-derives every
+    hash from the dumped PCM artifact with the identical integer band
+    grid and threshold."""
+    from octoray import oracles as O
+    from octoray.stages import multimodal as M
+
+    media = M.media_dataset(_synth_n(sf_dir, 5_000))
+    if O.dump_enabled():
+        O.dump_dataset("media_afp_pcm", M.audio_pcm(media))
+    return M.audio_fingerprint(media, bands=8)
+
+
 def _q_media_frame_sample(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import multimodal as M
@@ -2293,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal columns (decode/resize/frames stubbed per docs) ---
         "media_image_features": _q_media_image_features,
         "media_audio_features": _q_media_audio_features,
+        "media_audio_fp": _q_media_audio_fp,
         "media_frame_sample": _q_media_frame_sample,
         "media_knn": _q_media_knn,
         "media_ahash": _q_media_ahash,
@@ -3677,4 +3692,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": __import__(
             "octoray.stages.multimodal", fromlist=["sql_image_dedup"]
         ).sql_image_dedup(Q.rpd("media_dedup_pixels"), grid=8),
+        "media_audio_fp": __import__(
+            "octoray.stages.multimodal", fromlist=["sql_audio_fingerprint"]
+        ).sql_audio_fingerprint(Q.rpd("media_afp_pcm"), bands=8),
     }

@@ -155,6 +155,7 @@ SUITE = [
     "oov_rate",
     "kg_adjacency",
     "kg_validate",
+    "media_audio_fp",
 ]
 
 

@@ -378,6 +378,70 @@ def sql_image_ahash(src: str, *, grid: int = 8) -> str:
     """
 
 
+def audio_fingerprint(media, *, bands: int = 8):
+    """Banded-energy audio fingerprint — the PCM analog of the aHash
+    exact-match image tier: bit b = 1 iff band b's summed |sample|
+    energy exceeds the track mean (integer cross-multiplied compare,
+    no float mean, so the DuckDB twin is exact).  Band boundaries are
+    the fixed integer grid (b*n//bands), robust to container re-muxes
+    that keep PCM bytes; Hamming-near pairs ride the SimHash
+    pigeonhole machinery, and keep-first dedup composes exactly like
+    image_dedup.  Hash travels as a ``bands``-char '0'/'1' string."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("kind"), pa.scalar("audio")))
+        ids, hashes = [], []
+        for mid, data in zip(
+            sel.column("media_id").to_pylist(),
+            sel.column("payload").to_pylist(),
+        ):
+            parsed = _parse_payload(data)
+            if parsed is None or parsed[0] != 1:
+                continue
+            x = np.abs(np.frombuffer(parsed[4], np.int16).astype(np.int64))
+            n = len(x)
+            cuts = (np.arange(bands + 1) * n) // bands
+            e = np.add.reduceat(x, cuts[:-1]) if n else np.zeros(bands,
+                                                                 np.int64)
+            # a cut may repeat when n < bands: reduceat then sums a
+            # wrapped range — zero those empty bands explicitly
+            e[cuts[:-1] == cuts[1:]] = 0
+            total = int(x.sum())
+            bits = (e * bands > total)
+            ids.append(mid)
+            hashes.append("".join("1" if b else "0" for b in bits))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "afp": pa.array(hashes, pa.string()),
+        })
+
+    return media.map_batches(f, batch_format="pyarrow",
+                             batch_size=MEDIA_BATCH_SIZE)
+
+
+def sql_audio_fingerprint(src: str, *, bands: int = 8) -> str:
+    """DuckDB twin of :func:`audio_fingerprint` over the dumped
+    ``media_pcm`` artifact (media_id, pcm): identical integer band
+    grid, abs-sums and cross-multiplied threshold."""
+    terms = []
+    for b in range(bands):
+        lo = f"(len(pcm) * {b}) // {bands} + 1"
+        hi = f"(len(pcm) * {b + 1}) // {bands}"
+        e = (f"coalesce(list_aggregate(list_transform("
+             f"pcm[{lo}:{hi}], x -> abs(x)), 'sum'), 0)")
+        terms.append(f"CASE WHEN {e} * {bands} > tot "
+                     f"THEN '1' ELSE '0' END")
+    concat = " || ".join(terms)
+    return f"""
+        WITH p AS (SELECT media_id, pcm,
+                          list_aggregate(list_transform(pcm,
+                              x -> abs(x)), 'sum') AS tot
+                   FROM {src})
+        SELECT media_id, {concat} AS afp FROM p
+    """
+
+
 def audio_pcm(media):
     """Audio -> (media_id, pcm list<int32>): the decoded PCM samples
     (oracle hand-off artifact for the feature-math twin)."""

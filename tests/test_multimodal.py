@@ -121,3 +121,24 @@ def test_image_dedup_groups_recrawls(ray_session):
            .to_pandas().sort_values("media_id").reset_index(drop=True))
     assert out["media_id"].tolist() == [1, 3]
     assert out["n_dups"].tolist() == [3, 1]
+
+
+def test_audio_fingerprint_hand_case(ray_session):
+    """Band bits follow the integer cross-multiplied threshold;
+    identical PCM under different ids collides; n < bands is safe."""
+    import ray.data as rd
+
+    loud = np.zeros(80, dtype=np.int16)
+    loud[:10] = 1000  # all energy in band 0
+    pa_ = M._pack(1, 0, 0, 80, loud)
+    tiny = M._pack(1, 0, 0, 3, np.array([5, -5, 5], dtype=np.int16))
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["audio"] * 3),
+        "payload": pa.array([pa_, pa_, tiny], pa.binary()),
+    })
+    out = (M.audio_fingerprint(rd.from_arrow(t), bands=8)
+           .to_pandas().sort_values("media_id"))
+    h = out["afp"].tolist()
+    assert h[0] == h[1] == "10000000"
+    assert len(h[2]) == 8 and set(h[2]) <= {"0", "1"}
