@@ -1940,6 +1940,15 @@ def _q_per_domain_cap(sf_dir: str):
     return per_domain_cap(_crawl_ds(sf_dir, "crawl_cap_raw"), n=5)
 
 
+def _q_crawl_schedule(sf_dir: str):
+    """Politeness fetch scheduling: per-domain url-ordered wave ranks
+    (stages/crawl.py::crawl_schedule) — drain waves in order and no
+    host is hit twice per wave."""
+    from octoray.stages.crawl import crawl_schedule
+
+    return crawl_schedule(_crawl_ds(sf_dir, "crawl_sched_raw"))
+
+
 def _q_domain_stats(sf_dir: str):
     """Per-domain fetch/url/char statistics (map-side partial
     aggregates + one distinct pass)."""
@@ -2162,6 +2171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": _q_crawl_delta,
         "domain_stats": _q_domain_stats,
         "per_domain_cap": _q_per_domain_cap,
+        "crawl_schedule": _q_crawl_schedule,
         "url_canon": _q_url_canon,
         "url_filter": _q_url_filter,
         # --- stateful classification stages (X1/X2 analogues) ---
@@ -3278,6 +3288,9 @@ def oracle_sql() -> dict[str, str]:
             FROM {Q.rpd('crawl_domain_raw')}
             GROUP BY 1
         """,
+        "crawl_schedule": __import__(
+            "octoray.stages.crawl", fromlist=["sql_crawl_schedule"]
+        ).sql_crawl_schedule(Q.rpd("crawl_sched_raw")),
         "per_domain_cap": f"""
             WITH d AS (SELECT DISTINCT
                          regexp_extract(url,

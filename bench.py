@@ -156,6 +156,7 @@ SUITE = [
     "kg_adjacency",
     "kg_validate",
     "media_audio_fp",
+    "crawl_schedule",
 ]
 
 

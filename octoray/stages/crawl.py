@@ -375,3 +375,58 @@ def per_domain_cap(crawl, *, n: int, url_col: str = "url"):
         local_cap, batch_format="pyarrow")
     return pre.sort(["domain"]).map_batches(
         local_cap, batch_format="pyarrow", batch_size=None)
+
+
+def crawl_schedule(crawl, *, url_col: str = "url"):
+    """Politeness scheduling for the fetch frontier: every distinct
+    url gets a WAVE number — its url-ordered rank within its domain —
+    so a fetcher draining waves in order never hits the same host
+    twice in one wave (the per-host spacing every polite crawler
+    enforces; wave count == the domain's url count, so hot hosts
+    stretch over many waves instead of bursting).
+
+    Plan: slim (domain, url) rows -> block-local distinct (map-side
+    combiner) -> ONE domain-keyed range sort -> block-local distinct +
+    vectorized cumcount (equal domains share a block — the pinned
+    invariant).  Returns (domain, url, wave), wave 1-based; the
+    global fetch order is the implied (wave, domain, url) sort."""
+    import numpy as np
+
+    def slim(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "domain": pc.fill_null(_domain_of(t.column(url_col)), ""),
+            "url": t.column(url_col),
+        })
+        import pandas as pd
+
+        df = tbl.to_pandas().drop_duplicates(["domain", "url"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            tbl.schema)
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("wave", pa.array([], pa.int64()))
+        df = t.to_pandas().drop_duplicates(["domain", "url"]).sort_values(
+            ["domain", "url"], kind="mergesort")
+        wave = df.groupby("domain", sort=False).cumcount().to_numpy() + 1
+        df["wave"] = wave.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pre = crawl.map_batches(slim, batch_format="pyarrow")
+    return pre.sort(["domain"]).map_batches(
+        rank_block, batch_format="pyarrow", batch_size=None)
+
+
+def sql_crawl_schedule(src: str) -> str:
+    """DuckDB twin of :func:`crawl_schedule` over the raw crawl dump."""
+    return f"""
+        WITH d AS (SELECT DISTINCT
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1) AS domain,
+                     url
+                   FROM {src})
+        SELECT domain, url,
+               CAST(row_number() OVER (PARTITION BY domain
+                                       ORDER BY url) AS BIGINT) AS wave
+        FROM d
+    """

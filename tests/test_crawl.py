@@ -464,3 +464,28 @@ def test_bigram_logprob_paths_and_bruteforce(ray_session):
     t1 = [math.log(3 / 8), math.log(2 / 3)]
     assert rows[1] == (2, r6(sum(t1) / 2))
     assert rows[2] == (1, r6(math.log(2 / 8)))
+
+
+def test_crawl_schedule_waves(ray_session):
+    """Waves are per-domain url-ordered ranks over distinct urls; no
+    domain repeats inside a wave."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.crawl import crawl_schedule
+
+    urls = ["http://a.com/2", "http://a.com/1", "http://b.com/x",
+            "http://a.com/1", "http://b.com/y", "http://c.com/only"]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls)}))
+    out = crawl_schedule(ds).to_pandas().sort_values(
+        ["domain", "url"]).reset_index(drop=True)
+    got = list(zip(out["domain"], out["url"], out["wave"]))
+    assert got == [
+        ("a.com", "http://a.com/1", 1),
+        ("a.com", "http://a.com/2", 2),
+        ("b.com", "http://b.com/x", 1),
+        ("b.com", "http://b.com/y", 2),
+        ("c.com", "http://c.com/only", 1),
+    ]
+    # politeness invariant: a (wave, domain) pair appears once
+    assert not out.duplicated(["wave", "domain"]).any()
