@@ -2218,6 +2218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_pmi_bigrams": lambda sf: __import__(
             "octoray.stages.textops", fromlist=["top_pmi_bigrams"]
         ).top_pmi_bigrams(_docs(sf), k=20, min_count=5),
+        "dsir_select": lambda sf: __import__(
+            "octoray.stages.textops", fromlist=["dsir_select"]
+        ).dsir_select(_docs(sf), target_source="src1", quota=500),
         "dsir_weights": lambda sf: __import__(
             "octoray.stages.textops", fromlist=["dsir_weights"]
         ).dsir_weights(_docs(sf), target_source="src1", n_buckets=1024),
@@ -2568,6 +2571,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": __import__(
             "octoray.stages.textops", fromlist=["sql_dsir_weights"]
         ).sql_dsir_weights(target_source="src1", n_buckets=1024),
+        "dsir_select": __import__(
+            "octoray.stages.textops", fromlist=["sql_dsir_select"]
+        ).sql_dsir_select(target_source="src1", quota=500,
+                          n_buckets=1024),
         "normalize_text": __import__(
             "octoray.stages.textops", fromlist=["SQL_NORMALIZE_TEXT"]
         ).SQL_NORMALIZE_TEXT,

@@ -157,6 +157,7 @@ SUITE = [
     "kg_validate",
     "media_audio_fp",
     "crawl_schedule",
+    "dsir_select",
 ]
 
 

@@ -1336,3 +1336,43 @@ def ntile_tiers(docs, n_tiles: int = 4, *, order_col: str = "n_chars",
         })
 
     return ranked.map_batches(tier, batch_format="pyarrow")
+
+
+def dsir_select(docs, *, target_source: str, quota: int,
+                n_buckets: int = 1024, id_col: str = "doc_id",
+                text_col: str = "text", source_col: str = "source"):
+    """DSIR data SELECTION end-to-end: importance weights
+    (:func:`dsir_weights`) -> the ``quota`` most target-like documents,
+    deterministically cut on (dsir_logw DESC, doc_id ASC) — the
+    top-quota variant of the paper's resampling step (integer
+    micro-unit scores make the boundary exact and parallelism-
+    invariant).  The cut is a per-block partial head before one
+    bounded final head: at most ``quota`` slim rows leave any block."""
+    weights = dsir_weights(docs, target_source=target_source,
+                           n_buckets=n_buckets, id_col=id_col,
+                           text_col=text_col, source_col=source_col)
+
+    def head_block(df):
+        if not len(df):
+            return df
+        return df.sort_values(["dsir_logw", id_col],
+                              ascending=[False, True],
+                              kind="mergesort").head(quota)
+
+    parts = weights.map_batches(head_block, batch_format="pandas")
+    final = parts.to_pandas()
+    final = head_block(final).reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def sql_dsir_select(*, target_source: str, quota: int,
+                    n_buckets: int = 1024) -> str:
+    """DuckDB twin of :func:`dsir_select`: the dsir_weights twin with
+    the identical deterministic top-quota cut."""
+    inner = sql_dsir_weights(target_source=target_source,
+                             n_buckets=n_buckets)
+    return f"""
+        SELECT * FROM ({inner})
+        ORDER BY dsir_logw DESC, doc_id
+        LIMIT {quota}
+    """
