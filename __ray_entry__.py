@@ -1367,6 +1367,51 @@ def _q_extract_text(sf_dir: str):
         ["url", "text"])
 
 
+def _linked_pages(sf_dir: str, dump_name: str):
+    """Pages (url, html) with the oracle hand-off dump for the
+    web-graph queries; each query dumps under its own name so the
+    DuckDB twin re-derives the FULL chain (regex link extraction
+    included) independently from the raw html."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.pipelines.kg import pages_dataset
+
+    pages = pages_dataset(_kg_pages(sf_dir), seed=42).select_columns(
+        ["url", "html"])
+    if O.dump_enabled():
+        pages = rd.read_parquet(O.dump_dataset(dump_name, pages))
+    return pages
+
+
+def _q_extract_links(sf_dir: str):
+    """Hyperlink extraction from raw html — the flat map under every
+    web-graph product (Common Crawl's webgraph derivation)."""
+    from octoray.stages.webgraph import links_dataset
+
+    return links_dataset(_linked_pages(sf_dir, "link_pages"))
+
+
+def _q_anchor_text(sf_dir: str):
+    """Anchor-text index per link target (in-link count, distinct
+    sources, sorted-distinct anchors) — one dst sort + block-local
+    group-concat; the oracle re-derives links AND the index from the
+    dumped html."""
+    from octoray.stages.webgraph import anchor_summary, links_dataset
+
+    return anchor_summary(links_dataset(_linked_pages(sf_dir, "anchor_pages")))
+
+
+def _q_web_linkrank(sf_dir: str):
+    """PageRank over the internal page-level link graph (hub-skewed
+    in-degree by construction).  Oracle: generated power-iteration CTE
+    chain over edges the SQL itself re-extracts from the dumped html."""
+    from octoray.stages.webgraph import link_rank, links_dataset
+
+    return link_rank(links_dataset(_linked_pages(sf_dir, "linkrank_pages")),
+                     damping=0.85, n_iters=5)
+
+
 def _q_deidentify(sf_dir: str):
     """Corpus-release redaction over the pages table: scrub contact
     PII (email/phone/IP) and the domain's sample identifiers (EPI ids,
@@ -2162,6 +2207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _q_kg_communities,
         "kg_adjacency": _q_kg_adjacency,
         "kg_validate": _q_kg_validate,
+        # --- web link-graph products from the raw html ---
+        "extract_links": _q_extract_links,
+        "anchor_text": _q_anchor_text,
+        "web_linkrank": _q_web_linkrank,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -2426,6 +2475,7 @@ def _url_filter_sql(src: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from octoray import oracles as Q
+    from octoray.stages import webgraph as _WG
 
     en, es, fr, de = (_stop_pattern(x) for x in ("en", "es", "fr", "de"))
     tok = r"len(regexp_extract_all(text, '\S+'))"
@@ -3656,6 +3706,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # entity order: &lt;/&gt; first, &amp; LAST — the inverse of
         # html.escape(quote=False); '&amp;lt;' round-trips correctly
+        "extract_links": _WG.sql_extract_links(Q.rpd("link_pages")),
+        "anchor_text": _WG.sql_anchor_summary(
+            _WG.sql_extract_links(Q.rpd("anchor_pages"))),
+        "web_linkrank": Q.sql_pagerank_edges(
+            _WG.sql_internal_edges(
+                _WG.sql_extract_links(Q.rpd("linkrank_pages"))),
+            damping=0.85, n_iters=5),
         "extract_text": ("""
             SELECT url, replace(replace(replace(
                      coalesce(regexp_extract(decode(html),

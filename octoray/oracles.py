@@ -929,10 +929,21 @@ def sql_pagerank(src: str, *, damping: float, n_iters: int) -> str:
     edge projection, and every PageRank iteration (simplified variant,
     no dangling redistribution) as a generated CTE chain; ranks
     rounded half-up to 6 decimals on both sides."""
+    return sql_pagerank_edges(
+        f"SELECT subject AS src, object AS dst FROM {src}"
+        f" WHERE object_datatype = 'uri'",
+        damping=damping, n_iters=n_iters)
+
+
+def sql_pagerank_edges(edges_src: str, *, damping: float,
+                       n_iters: int) -> str:
+    """Boundary: an edge list (any (src, dst) SQL).  Generated CTE
+    chain re-deriving every power iteration — the graph-agnostic twin
+    of graphalgo.pagerank_edges, shared by kg_pagerank and the web
+    link-graph rank."""
     d = repr(damping)
     parts = [
-        f"e AS (SELECT DISTINCT subject AS src, object AS dst FROM {src}"
-        f" WHERE object_datatype = 'uri')",
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_src}))",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
         "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)",

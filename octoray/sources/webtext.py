@@ -88,6 +88,52 @@ _MONTH_FULL = [
 # id width and prefix length are load-bearing.
 URL_PREFIX = "https://crawl.example.org/flu/"
 
+# external outlink hosts (the cross-domain tail every real crawl has)
+LINK_SITES = [
+    "news.example.net", "data.example.com", "vet.example.net",
+    "atlas.example.org", "journal.example.com", "labs.example.net",
+    "archive.example.org", "wiki.example.com",
+]
+# internal link-target universe.  FIXED (not the current page count) so
+# a page's html is identical no matter what corpus size it was
+# synthesized into (the batch-boundary/pages_batch==page_record pinned
+# invariants).  Targets are drawn with a hub-skewed mix — ~1/4 of
+# internal links land on 16 super-hub ids, ~5/16 on a 4096-id head —
+# so the link graph has
+# the power-law in-degree shape real web graphs have (the hot-key-skew
+# case the north rule names) while the uniform tail mostly dangles at
+# small synthesis scales, exactly like a partial crawl.
+LINK_UNIVERSE = 1 << 20
+
+
+def _sm(x: int) -> int:
+    """Scalar splitmix64 finalizer (python-int twin of _mix)."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return (x ^ (x >> 31)) & _MASK
+
+
+def page_links(page_id: int) -> List[Tuple[str, str]]:
+    """Deterministic (href, anchor) outlinks for one page — a pure
+    function of the page id, independent of seed/corpus size."""
+    lb = _sm(page_id ^ 0x11C8A5F0D3B2E679)
+    out: List[Tuple[str, str]] = []
+    for k in range(lb % 5):  # 0..4 links; ~20% of pages link nowhere
+        h = _sm(lb ^ (((k + 1) * 0xA24BAED4963EE407) & _MASK))
+        u = h >> 16
+        if h % 4 == 0:  # external outlink
+            site = LINK_SITES[u % len(LINK_SITES)]
+            dst = f"https://{site}/p/{u % 10000:04d}"
+        else:  # internal: super-hub / head / uniform tail
+            m = h % 16
+            t = u % 16 if m < 3 else (u % 4096 if m < 8 else u % LINK_UNIVERSE)
+            dst = f"{URL_PREFIX}{t:012d}"
+        w0 = (h >> 8) % (len(FILLER) - 3)
+        anchor = " ".join(FILLER[w0 : w0 + 2 + (h % 2)])
+        out.append((dst, anchor))
+    return out
+
 PAGES_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -170,9 +216,13 @@ def _build_page(page_id: int, r) -> Tuple[Dict[str, object], List[str]]:
 
     text = " ".join(sentences)
     body = _html.escape(text, quote=False)
+    # outlinks live in <nav>, OUTSIDE <article>: the byte-identical
+    # text-extraction invariant (north rule) is untouched by them
+    nav = "crawl archive " + "".join(
+        f'<a href="{d}">{a}</a>' for d, a in page_links(page_id))
     html_doc = (
         f'<html><head><meta charset="utf-8"><title>surveillance {page_id}</title></head>'
-        f"<body><nav>crawl archive</nav><article>{body}</article>"
+        f"<body><nav>{nav}</nav><article>{body}</article>"
         f"<footer>retrieved snapshot</footer></body></html>"
     ).encode("utf-8")
 

@@ -60,7 +60,16 @@ def pagerank(triples, *, damping: float = 0.85, n_iters: int = 5,
     loop (broadcast join + combine sum per round) is the scale path.
     Both paths compute the identical float64 recurrence — equality is
     pinned in pytest."""
-    edges = uri_edges(triples).materialize()
+    return pagerank_edges(uri_edges(triples), damping=damping,
+                          n_iters=n_iters, driver_limit=driver_limit)
+
+
+def pagerank_edges(edges, *, damping: float = 0.85, n_iters: int = 5,
+                   driver_limit: int = 5_000_000):
+    """PageRank over an arbitrary DISTINCT (src, dst) edge dataset —
+    the graph-agnostic core shared by the KG rank (pagerank) and the
+    web link-graph rank (stages/webgraph.link_rank)."""
+    edges = edges.materialize()
 
     if edges.count() <= driver_limit:
         return _pagerank_driver(edges, damping=damping, n_iters=n_iters)

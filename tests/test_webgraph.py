@@ -1,0 +1,110 @@
+"""Web link-graph products: extraction, anchor index, link rank."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from octoray.sources import webtext
+from octoray.stages.extract import extract_links_batch
+from octoray.stages import webgraph
+
+
+def _pages_table(n, seed=42):
+    return webtext.pages_batch(np.arange(n), seed=seed)
+
+
+def test_page_links_deterministic_and_in_html():
+    for pid in [0, 1, 7, 123, 9999]:
+        links = webtext.page_links(pid)
+        assert links == webtext.page_links(pid)
+        row, _ = webtext.page_record(pid)
+        html = row["html"].decode("utf-8")
+        # every planted link appears verbatim, in order, in <nav>
+        nav = html.split("<nav>")[1].split("</nav>")[0]
+        found = re.findall(r'<a href="([^"]*)">([^<]*)</a>', nav)
+        assert found == links
+        # and none leak into the extracted text (the byte invariant)
+        assert "<a href" not in row["text"]
+
+
+def test_extract_links_matches_naive_per_row():
+    t = _pages_table(200)
+    got = extract_links_batch(t).to_pandas()
+    exp_rows = []
+    for url, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        for d, a in re.findall(rb'<a href="([^"]*)">([^<]*)</a>', bytes(h)):
+            exp_rows.append((url, d.decode(), a.decode()))
+    exp = pd.DataFrame(exp_rows, columns=["src", "dst", "anchor"])
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_extract_links_batch_boundary_invariant():
+    t = _pages_table(64)
+    whole = extract_links_batch(t)
+    parts = pa.concat_tables([extract_links_batch(t.slice(0, 31)),
+                              extract_links_batch(t.slice(31))])
+    assert whole.equals(parts)
+    assert extract_links_batch(t.slice(0, 0)).num_rows == 0
+
+
+def test_links_equal_planted_ground_truth(ray_session):
+    import ray.data as rd
+
+    pages = webtext.pages_dataset(300)
+    got = webgraph.links_dataset(pages).to_pandas()
+    exp_rows = []
+    for pid in range(300):
+        url = f"{webtext.URL_PREFIX}{pid:012d}"
+        for d, a in webtext.page_links(pid):
+            exp_rows.append((url, d, a))
+    exp = pd.DataFrame(exp_rows, columns=["src", "dst", "anchor"])
+    key = ["src", "dst", "anchor"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True))
+
+
+def test_anchor_summary_vs_pandas(ray_session):
+    pages = webtext.pages_dataset(400)
+    links = webgraph.links_dataset(pages)
+    got = (webgraph.anchor_summary(links).to_pandas()
+           .sort_values("dst").reset_index(drop=True))
+    raw = links.to_pandas()
+    g = raw.groupby("dst", sort=True)
+    exp = pd.DataFrame({
+        "n_inlinks": g.size().astype(np.int64),
+        "n_src": g["src"].nunique().astype(np.int64),
+        "anchors": raw.drop_duplicates(["dst", "anchor"])
+                     .sort_values(["dst", "anchor"])
+                     .groupby("dst", sort=True)["anchor"].agg("+".join),
+    }).reset_index()
+    pd.testing.assert_frame_equal(
+        got[["dst", "n_inlinks", "n_src", "anchors"]],
+        exp[["dst", "n_inlinks", "n_src", "anchors"]])
+    # hub skew is actually present: some target has many in-links
+    assert got["n_inlinks"].max() >= 5
+
+
+def test_link_rank_matches_numpy_power_iteration(ray_session):
+    pages = webtext.pages_dataset(300)
+    links = webgraph.links_dataset(pages)
+    got = webgraph.link_rank(links, damping=0.85, n_iters=3).to_pandas()
+
+    edges = (webgraph.internal_edges(links).to_pandas()
+             .drop_duplicates().reset_index(drop=True))
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = edges.groupby("src").size()
+    rank = np.full(n, 1.0 / n)
+    for _ in range(3):
+        mass = np.zeros(n)
+        r_by_src = rank[[idx[s] for s in edges["src"]]]
+        np.add.at(mass, [idx[d] for d in edges["dst"]],
+                  r_by_src / deg[edges["src"]].to_numpy())
+        rank = (1 - 0.85) / n + 0.85 * mass
+    exp = pd.DataFrame({"node": nodes, "rank": np.floor(rank * 1e6 + 0.5) / 1e6})
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True), exp)
