@@ -1412,6 +1412,17 @@ def _q_web_linkrank(sf_dir: str):
                      damping=0.85, n_iters=5)
 
 
+def _q_web_harmonic(sf_dir: str):
+    """Sampled harmonic centrality over the internal link graph (the
+    cc-webgraph harmonic-rank release).  Oracle: recursive-CTE BFS +
+    identical md5 bottom-k source sample over edges the SQL itself
+    re-extracts from the dumped html."""
+    from octoray.stages.webgraph import harmonic_rank, links_dataset
+
+    return harmonic_rank(links_dataset(_linked_pages(sf_dir, "harmonic_pages")),
+                         n_sources=12, max_hops=4)
+
+
 def _q_deidentify(sf_dir: str):
     """Corpus-release redaction over the pages table: scrub contact
     PII (email/phone/IP) and the domain's sample identifiers (EPI ids,
@@ -2211,6 +2222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "anchor_text": _q_anchor_text,
         "web_linkrank": _q_web_linkrank,
+        "web_harmonic": _q_web_harmonic,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -2475,6 +2487,7 @@ def _url_filter_sql(src: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from octoray import oracles as Q
+    from octoray.stages import graphalgo as _GA
     from octoray.stages import webgraph as _WG
 
     en, es, fr, de = (_stop_pattern(x) for x in ("en", "es", "fr", "de"))
@@ -3713,6 +3726,10 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("linkrank_pages"))),
             damping=0.85, n_iters=5),
+        "web_harmonic": _GA.sql_harmonic(
+            _WG.sql_internal_edges(
+                _WG.sql_extract_links(Q.rpd("harmonic_pages"))),
+            n_sources=12, max_hops=4),
         "extract_text": ("""
             SELECT url, replace(replace(replace(
                      coalesce(regexp_extract(decode(html),

@@ -876,6 +876,174 @@ def hop_distances(triples, source: str, *, max_hops: int = 4,
     return visited
 
 
+def harmonic_centrality(edges, *, n_sources: int = 12, max_hops: int = 4,
+                        driver_limit: int = 5_000_000,
+                        broadcast_limit: int = 2_000_000):
+    """Sampled harmonic centrality over an UNDIRECTED view of a
+    (src, dst) edge list: for each node, the number of sampled
+    sources that reach it within ``max_hops`` and the harmonic sum
+    Σ 1/dist — the centrality Common Crawl publishes as its host
+    rank (cc-webgraph harmonic releases; Boldi & Vigna 2014 "Axioms
+    for centrality" is the sampling justification: harmonic sums are
+    plain means over source BFS trees, so a uniform source sample is
+    an unbiased estimator whose error shrinks with the sample).
+
+    Determinism (and oracle exactness): sources are the bottom-k
+    nodes by (md5_number_lower(node), node) — the KMV/approx_quantiles
+    sampling key — so DuckDB re-derives the IDENTICAL sample; BFS min
+    distances are exact; the harmonic sum rounds half-up to 6
+    decimals like pagerank.
+
+    Scale shape: the multi-source BFS keeps (source, node) labeled
+    frontiers — per round ONE hash join of the edge list against the
+    frontier (bounded by one hop's reach x n_sources, never the
+    graph) and one stats-gated anti-join against the visited set on
+    the composite key; the final per-node reduce is one node-range
+    sort over |visited| <= n_sources x |V| slim rows.  Below
+    ``driver_limit`` edges a collected numpy BFS computes the same
+    thing (pinned equal in pytest)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from octoray.query import distinct_values, semi_join_auto
+    from octoray.stages.sketch import _md5_lower64
+
+    def sym(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+        s = t.column("src").combine_chunks().cast(pa.string())
+        d = t.column("dst").combine_chunks().cast(pa.string())
+        return pa.table({"src": pa.concat_arrays([s, d]),
+                         "dst": pa.concat_arrays([d, s])})
+
+    und = distinct_values(edges.map_batches(sym, batch_format="pyarrow"),
+                          ["src", "dst"]).materialize()
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src")})  # sym emitted both dirs
+
+    nodes = distinct_values(und.map_batches(both, batch_format="pyarrow"),
+                            ["node"])
+
+    # deterministic bottom-k source sample: per-block partial bottom-k
+    # (slim k rows leave each block), global cut on the driver
+    def partial_bottom(t: pa.Table) -> pa.Table:
+        vals = t.column("node").to_pylist()
+        hv = _md5_lower64(vals)
+        order = np.lexsort((np.asarray(vals, object), hv))[:n_sources]
+        return pa.table({"node": pa.array([vals[i] for i in order],
+                                          pa.string()),
+                         "hv": pa.array(hv[order], pa.uint64())})
+
+    cand = nodes.map_batches(partial_bottom,
+                             batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (int(r["hv"]), r["node"]))
+    sources = [r["node"] for r in cand[:n_sources]]
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["hops"] > 0]
+        if not len(df):
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "n_reached": pd.Series([], dtype="int64"),
+                                 "harmonic": pd.Series([], dtype="float64")})
+        g = df.groupby("node", sort=False)
+        inv = (1.0 / df["hops"]).groupby(df["node"], sort=False).sum()
+        out = pd.DataFrame({
+            "n_reached": g.size().astype("int64"),
+            "harmonic": [round_half_up_scalar(v, 6) for v in inv],
+        }).reset_index()
+        return out[["node", "n_reached", "harmonic"]]
+
+    if und.count() <= driver_limit:
+        adj: dict = {}
+        for r in und.take_all():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        rows = []
+        for s in sources:
+            dist = {s: 0}
+            frontier = [s]
+            for d in range(1, max_hops + 1):
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                if not nxt:
+                    break
+                frontier = nxt
+            rows += [(s, n, h) for n, h in dist.items()]
+        vis = pd.DataFrame(rows, columns=["source", "node", "hops"])
+        return rd.from_pandas(finish(vis)) if len(vis) else rd.from_pandas(
+            finish(pd.DataFrame(columns=["source", "node", "hops"])))
+
+    # distributed multi-source frontier expansion
+    def skey(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("source").cast(pa.string()),
+            t.column("node").cast(pa.string()), "\x00")
+        return t.append_column("skey", k)
+
+    visited = rd.from_arrow(skey(pa.table({
+        "source": pa.array(sources, pa.string()),
+        "node": pa.array(sources, pa.string()),
+        "hops": pa.array([0] * len(sources), pa.int64())}))).materialize()
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        fr = frontier.map_batches(
+            lambda t: t.select(["source", "node"]).rename_columns(
+                ["source", "src"]), batch_format="pyarrow")
+        reached = distinct_values(
+            hash_join(und, fr, on="src").map_batches(
+                lambda t: t.select(["source", "dst"]).rename_columns(
+                    ["source", "node"]), batch_format="pyarrow"),
+            ["source", "node"])
+        fresh = semi_join_auto(
+            reached.map_batches(skey, batch_format="pyarrow"),
+            "skey", visited, key_col="skey", anti=True,
+            broadcast_limit=broadcast_limit)
+        frontier = fresh.map_batches(
+            lambda t, _d=d: t.append_column(
+                "hops", pa.array([_d] * t.num_rows, pa.int64())),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+
+    return visited.select_columns(["source", "node", "hops"]).sort(
+        ["node"]).map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
+def sql_harmonic(edges_src: str, *, n_sources: int = 12,
+                 max_hops: int = 4) -> str:
+    """DuckDB twin of harmonic_centrality over the same directed edge
+    rows: identical symmetrization, identical md5 bottom-k source
+    sample, recursive-CTE BFS min distances, identical rounding."""
+    return f"""
+        WITH RECURSIVE
+        base AS (SELECT src, dst FROM ({edges_src}) WHERE src <> dst),
+        e AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, dst FROM base UNION ALL
+               SELECT dst, src FROM base)),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        srcs AS (SELECT node AS s FROM nodes
+                 ORDER BY md5_number_lower(CAST(node AS VARCHAR)), node
+                 LIMIT {n_sources}),
+        walk(s, node, d) AS (
+          SELECT s, s, 0 FROM srcs
+          UNION
+          SELECT w.s, e.dst, w.d + 1
+          FROM walk w JOIN e ON e.src = w.node
+          WHERE w.d < {max_hops}),
+        md AS (SELECT s, node, min(d) AS d FROM walk GROUP BY 1, 2)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+               floor(sum(1.0 / d) * 1000000 + 0.5) / 1000000 AS harmonic
+        FROM md WHERE d > 0 GROUP BY node
+    """
+
+
 def _walks_driver(edges, *, n_walks: int, walk_len: int, seed: int):
     """Collected-edges driver fast path (small-graph gate): the
     IDENTICAL md5 neighbor picks over the dst-sorted adjacency as the

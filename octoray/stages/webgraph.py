@@ -98,6 +98,16 @@ def link_rank(links, *, damping: float = 0.85, n_iters: int = 5,
                           n_iters=n_iters, driver_limit=driver_limit)
 
 
+def harmonic_rank(links, *, n_sources: int = 12, max_hops: int = 4,
+                  driver_limit: int = 5_000_000):
+    """Sampled harmonic centrality over the internal link graph —
+    cc-webgraph's harmonic-rank release at page granularity."""
+    from octoray.stages.graphalgo import harmonic_centrality
+
+    return harmonic_centrality(internal_edges(links), n_sources=n_sources,
+                               max_hops=max_hops, driver_limit=driver_limit)
+
+
 def sql_anchor_summary(links_src: str) -> str:
     """DuckDB twin of anchor_summary over the same link rows."""
     return f"""

@@ -87,6 +87,55 @@ def test_anchor_summary_vs_pandas(ray_session):
     assert got["n_inlinks"].max() >= 5
 
 
+def test_harmonic_paths_equal_and_match_naive(ray_session):
+    from octoray.stages.graphalgo import harmonic_centrality
+
+    pages = webtext.pages_dataset(250)
+    links = webgraph.links_dataset(pages)
+    edges = webgraph.internal_edges(links).materialize()
+
+    a = (harmonic_centrality(edges, n_sources=6, max_hops=3)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (harmonic_centrality(edges, n_sources=6, max_hops=3,
+                             driver_limit=0)  # force distributed BFS
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    # naive recomputation: undirected BFS from the same md5 bottom-k
+    import hashlib
+    e = edges.to_pandas()
+    e = e[e["src"] != e["dst"]]
+    adj = {}
+    for s, d in zip(e["src"], e["dst"]):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    nodes = sorted(adj)
+    hv = {n: int.from_bytes(hashlib.md5(n.encode()).digest()[8:16], "little")
+          for n in nodes}
+    srcs = sorted(nodes, key=lambda n: (hv[n], n))[:6]
+    acc = {}
+    for s in srcs:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, 4):
+            nxt = [v for u in frontier for v in adj[u] if v not in dist]
+            for v in nxt:
+                dist.setdefault(v, d)
+            frontier = sorted(set(nxt))
+            if not frontier:
+                break
+        for n, d in dist.items():
+            if d > 0:
+                c, h = acc.get(n, (0, 0.0))
+                acc[n] = (c + 1, h + 1.0 / d)
+    exp = pd.DataFrame(
+        [(n, c, np.floor(h * 1e6 + 0.5) / 1e6)
+         for n, (c, h) in sorted(acc.items())],
+        columns=["node", "n_reached", "harmonic"])
+    exp["n_reached"] = exp["n_reached"].astype("int64")
+    pd.testing.assert_frame_equal(a, exp)
+
+
 def test_link_rank_matches_numpy_power_iteration(ray_session):
     pages = webtext.pages_dataset(300)
     links = webgraph.links_dataset(pages)
