@@ -806,6 +806,17 @@ def _q_sparql_stats(sf_dir: str):
     return run_file(triples, _rq_path("stats.rq"))
 
 
+def _q_sparql_concat_bag(sf_dir: str):
+    """Non-DISTINCT GROUP_CONCAT (SPARQL bag semantics — duplicate
+    solutions kept, value-sorted deterministic rendering) through the
+    text front end."""
+    from octoray.sparql import run_file
+    from octoray.stages.canon import dedup_triples
+
+    triples = dedup_triples(_kg_raw(sf_dir, "sparql_concat_bag_raw"))
+    return run_file(triples, _rq_path("concat-bag.rq"))
+
+
 def _q_sparql_years(sf_dir: str):
     """SUM / AVG numeric aggregates over a BIND(YEAR(?date)) column,
     grouped per host, through the text front end."""
@@ -2198,6 +2209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_describe": _q_sparql_describe,
         "sparql_context": _q_sparql_context,
         "sparql_stats": _q_sparql_stats,
+        "sparql_concat_bag": _q_sparql_concat_bag,
         "sparql_negated": _q_sparql_negated,
         "sparql_subquery": _q_sparql_subquery,
         "turtle_roundtrip": _q_turtle_roundtrip,
@@ -3051,6 +3063,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT n.subject AS s, x.object AS v
             FROM n JOIN d x ON x.subject = n.subject
             WHERE x.predicate NOT IN ('f:strain_name', 'f:has_segment')
+        """,
+        "sparql_concat_bag": f"""
+            WITH d AS (SELECT DISTINCT subject, predicate, object
+                       FROM {Q.rpd('sparql_concat_bag_raw')}),
+            b AS (
+              SELECT h.object AS host, s.object AS subtype
+              FROM d h JOIN d s ON s.subject = h.subject
+                AND s.predicate = 'f:subtype'
+              WHERE h.predicate = 'f:host'
+            )
+            SELECT host,
+                   string_agg(subtype, '+' ORDER BY subtype) AS subtypes,
+                   CAST(count(subtype) AS BIGINT) AS n
+            FROM b GROUP BY host
         """,
         "sparql_stats": f"""
             WITH d AS (SELECT DISTINCT subject, predicate, object

@@ -930,11 +930,12 @@ def aggregate_bindings(bindings, group_vars: Sequence[str],
         idx = gb.size().index  # group appearance order == sorted order
         out = {}
         for var, fn, alias in aggs:
-            if fn == "group_concat":
+            if fn in ("group_concat", "group_concat_all"):
                 sub = df[group_vars + [var]].dropna(subset=[var])
                 sub = sub.assign(**{var: _render(sub[var])})
-                sub = sub.drop_duplicates().sort_values(var,
-                                                        kind="mergesort")
+                if fn == "group_concat":  # DISTINCT form
+                    sub = sub.drop_duplicates()
+                sub = sub.sort_values(var, kind="mergesort")
                 s = sub.groupby(group_vars, sort=False)[var].agg(sep.join)
                 s = s.reindex(idx, fill_value="")
             elif fn == "min":

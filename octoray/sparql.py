@@ -518,17 +518,13 @@ class _Parser:
         self._expect_as()
         alias = self.expect("VAR").text[1:]
         self.expect("OP", ")")
-        if fn_raw == "GROUP_CONCAT" and not distinct:
-            # aggregate_bindings implements the reference's sorted
-            # DISTINCT '+' convention only; silently dropping
-            # duplicate bag solutions would be wrong, so refuse
-            # (the engine's raise-on-unsupported policy).
-            raise SparqlError(
-                "GROUP_CONCAT without DISTINCT is not supported "
-                "(the engine implements the reference's sorted-"
-                "DISTINCT convention only)")
         fn = {
-            "GROUP_CONCAT": "group_concat",
+            # SPARQL leaves GROUP_CONCAT order implementation-defined;
+            # this engine renders BOTH forms value-sorted so any
+            # parallelism reproduces them: DISTINCT dedups (the
+            # reference's '+' convention), the bag form keeps every
+            # duplicate solution.
+            "GROUP_CONCAT": "group_concat" if distinct else "group_concat_all",
             "MIN": "min",
             "MAX": "max",
             "COUNT": "count_distinct" if distinct else "count",

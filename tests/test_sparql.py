@@ -395,18 +395,36 @@ def test_star_and_optional_paths_parse(ray_session):
     assert q2.where.patterns == [("?x", "f:locatedIn?", "?a")]
 
 
-def test_group_concat_without_distinct_raises(ray_session):
-    """Non-DISTINCT GROUP_CONCAT would silently drop duplicate bag
-    solutions under the engine's sorted-DISTINCT convention, so it is
-    refused (raise-on-unsupported policy)."""
-    from octoray.sparql import SparqlError
+def test_group_concat_bag_keeps_duplicates(ray_session):
+    """Non-DISTINCT GROUP_CONCAT has SPARQL bag semantics: duplicate
+    solutions stay.  The engine renders both forms value-sorted (the
+    deterministic convention), so the bag form differs from DISTINCT
+    exactly by the kept duplicates."""
+    q = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT ?host (GROUP_CONCAT(?sub; separator="+") AS ?subs)
+        WHERE { ?sid f:host ?host . ?sid f:subtype ?sub . }
+        GROUP BY ?host
+    """)
+    out = _rows(execute(q, _ds(GRAPH + [
+        ("fid:s4", "f:host", "swine", ""),
+        ("fid:s4", "f:subtype", "H1N1", ""),
+    ]))).set_index("host")
+    # swine solutions: s1 H1N1, s4 H1N1 (s2 has no subtype) -> bag
+    assert out.loc["swine", "subs"] == "H1N1+H1N1"
+    assert out.loc["human", "subs"] == "H3N2"
 
-    with pytest.raises(SparqlError, match="GROUP_CONCAT"):
-        parse_sparql("""
-            PREFIX f: <https://flu-crew.org/term/>
-            SELECT ?s (GROUP_CONCAT(?o; separator="+") AS ?os)
-            WHERE { ?s f:host ?o . } GROUP BY ?s
-        """)
+    qd = parse_sparql("""
+        PREFIX f: <https://flu-crew.org/term/>
+        SELECT ?host (GROUP_CONCAT(DISTINCT ?sub; separator="+") AS ?subs)
+        WHERE { ?sid f:host ?host . ?sid f:subtype ?sub . }
+        GROUP BY ?host
+    """)
+    outd = _rows(execute(qd, _ds(GRAPH + [
+        ("fid:s4", "f:host", "swine", ""),
+        ("fid:s4", "f:subtype", "H1N1", ""),
+    ]))).set_index("host")
+    assert outd.loc["swine", "subs"] == "H1N1"
 
 
 def test_count_star_and_having(ray_session):
