@@ -1434,6 +1434,17 @@ def _q_web_harmonic(sf_dir: str):
                          n_sources=12, max_hops=4)
 
 
+def _q_web_hits(sf_dir: str):
+    """HITS hubs & authorities over the internal link graph
+    (Kleinberg's coupled power iteration, L2-normalized half-steps).
+    Oracle: generated CTE chain re-deriving every half-step over
+    edges the SQL itself re-extracts from the dumped html."""
+    from octoray.stages.webgraph import hits_rank, links_dataset
+
+    return hits_rank(links_dataset(_linked_pages(sf_dir, "hits_pages")),
+                     n_iters=5)
+
+
 def _q_deidentify(sf_dir: str):
     """Corpus-release redaction over the pages table: scrub contact
     PII (email/phone/IP) and the domain's sample identifiers (EPI ids,
@@ -2235,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": _q_anchor_text,
         "web_linkrank": _q_web_linkrank,
         "web_harmonic": _q_web_harmonic,
+        "web_hits": _q_web_hits,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -3756,6 +3768,10 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("harmonic_pages"))),
             n_sources=12, max_hops=4),
+        "web_hits": _GA.sql_hits_edges(
+            _WG.sql_internal_edges(
+                _WG.sql_extract_links(Q.rpd("hits_pages"))),
+            n_iters=5),
         "extract_text": ("""
             SELECT url, replace(replace(replace(
                      coalesce(regexp_extract(decode(html),

@@ -31,8 +31,8 @@ from octoray.sources.webtext import URL_PREFIX
 from octoray.stages.extract import extract_links_batch, sql_extract_links
 
 __all__ = ["links_dataset", "anchor_summary", "internal_edges",
-           "link_rank", "sql_extract_links", "sql_anchor_summary",
-           "sql_internal_edges"]
+           "link_rank", "hits_rank", "sql_extract_links",
+           "sql_anchor_summary", "sql_internal_edges"]
 
 
 def links_dataset(pages):
@@ -106,6 +106,17 @@ def harmonic_rank(links, *, n_sources: int = 12, max_hops: int = 4,
 
     return harmonic_centrality(internal_edges(links), n_sources=n_sources,
                                max_hops=max_hops, driver_limit=driver_limit)
+
+
+def hits_rank(links, *, n_iters: int = 5, driver_limit: int = 5_000_000):
+    """HITS hubs & authorities over the internal page-level link
+    graph — the mutually-recursive companion to link_rank/
+    harmonic_rank in the web-graph rank family (directory pages score
+    as hubs, the planted super-hub targets as authorities)."""
+    from octoray.stages.graphalgo import hits_edges
+
+    return hits_edges(internal_edges(links), n_iters=n_iters,
+                      driver_limit=driver_limit)
 
 
 def sql_anchor_summary(links_src: str) -> str:

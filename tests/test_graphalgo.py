@@ -396,3 +396,48 @@ def test_adjacency_export_sorted_and_distinct(ray_session):
     assert out["node"].tolist() == ["a", "b"]
     assert out["neighbors"].tolist() == ["b+c", "a"]
     assert out["out_degree"].tolist() == [2, 1]
+
+
+def test_hits_single_edge(ray_session):
+    from octoray.stages.graphalgo import hits_edges
+
+    e = rd.from_arrow(pa.table({"src": ["a"], "dst": ["b"]}))
+    out = hits_edges(e, n_iters=3).to_pandas().set_index("node")
+    assert abs(out.loc["a", "hub"] - 1.0) < 1e-9
+    assert abs(out.loc["a", "authority"] - 0.0) < 1e-9
+    assert abs(out.loc["b", "hub"] - 0.0) < 1e-9
+    assert abs(out.loc["b", "authority"] - 1.0) < 1e-9
+
+
+def test_hits_star(ray_session):
+    # a,b,d -> c: c is the sole authority; a=b=d equal hubs 1/sqrt(3)
+    from octoray.stages.graphalgo import hits_edges
+
+    e = rd.from_arrow(pa.table({"src": ["a", "b", "d"],
+                                "dst": ["c", "c", "c"]}))
+    out = hits_edges(e, n_iters=4).to_pandas().set_index("node")
+    assert abs(out.loc["c", "authority"] - 1.0) < 1e-9
+    for n in "abd":
+        assert abs(out.loc[n, "hub"] - 3 ** -0.5) < 1e-6
+        assert abs(out.loc[n, "authority"]) < 1e-9
+
+
+def test_hits_fast_and_distributed_identical(ray_session):
+    import numpy as np
+
+    from octoray.stages.graphalgo import hits_edges
+
+    rng = np.random.default_rng(7)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 40, (150, 2))
+             if a != b}
+    e = rd.from_arrow(pa.table({
+        "src": [f"n{a}" for a, _ in sorted(edges)],
+        "dst": [f"n{b}" for _, b in sorted(edges)]}))
+    fast = hits_edges(e, n_iters=4).to_pandas().set_index("node")
+    slow = hits_edges(e, n_iters=4, driver_limit=0).to_pandas(
+        ).set_index("node")
+    assert sorted(fast.index) == sorted(slow.index)
+    for k in fast.index:
+        assert abs(fast.loc[k, "hub"] - slow.loc[k, "hub"]) < 1e-9, k
+        assert abs(fast.loc[k, "authority"]
+                   - slow.loc[k, "authority"]) < 1e-9, k
