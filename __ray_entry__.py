@@ -1434,6 +1434,35 @@ def _q_web_harmonic(sf_dir: str):
                          n_sources=12, max_hops=4)
 
 
+def _q_web_frontier(sf_dir: str):
+    """Crawl-frontier expansion: discovered-but-uncrawled internal
+    urls with in-link weight (counts over all links, distinct
+    sources), crawled set anti-joined out — the next wave's seed
+    list.  Oracle: the same counts + NOT IN over links the SQL
+    re-extracts from the dumped html."""
+    from octoray.stages.webgraph import frontier_urls, links_dataset
+
+    pages = _linked_pages(sf_dir, "frontier_pages")
+    return frontier_urls(links_dataset(pages), pages)
+
+
+def _q_web_degree_dist(sf_dir: str):
+    """In/out-degree histogram of the internal link graph (the
+    power-law shape check of every webgraph release)."""
+    from octoray.stages.webgraph import degree_histogram, links_dataset
+
+    return degree_histogram(links_dataset(_linked_pages(sf_dir,
+                                                        "degdist_pages")))
+
+
+def _q_web_reciprocity(sf_dir: str):
+    """One-row link-reciprocity summary of the internal graph
+    (self-loops excluded): edge count, reciprocated count, ratio."""
+    from octoray.stages.webgraph import links_dataset, reciprocity
+
+    return reciprocity(links_dataset(_linked_pages(sf_dir, "recip_pages")))
+
+
 def _q_web_hits(sf_dir: str):
     """HITS hubs & authorities over the internal link graph
     (Kleinberg's coupled power iteration, L2-normalized half-steps).
@@ -2247,6 +2276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_linkrank": _q_web_linkrank,
         "web_harmonic": _q_web_harmonic,
         "web_hits": _q_web_hits,
+        "web_frontier": _q_web_frontier,
+        "web_degree_dist": _q_web_degree_dist,
+        "web_reciprocity": _q_web_reciprocity,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -3772,6 +3804,13 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("hits_pages"))),
             n_iters=5),
+        "web_frontier": _WG.sql_frontier_urls(
+            _WG.sql_extract_links(Q.rpd("frontier_pages")),
+            f"SELECT url FROM {Q.rpd('frontier_pages')}"),
+        "web_degree_dist": _WG.sql_degree_histogram(
+            _WG.sql_extract_links(Q.rpd("degdist_pages"))),
+        "web_reciprocity": _WG.sql_reciprocity(
+            _WG.sql_extract_links(Q.rpd("recip_pages"))),
         "extract_text": ("""
             SELECT url, replace(replace(replace(
                      coalesce(regexp_extract(decode(html),

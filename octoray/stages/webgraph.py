@@ -31,8 +31,10 @@ from octoray.sources.webtext import URL_PREFIX
 from octoray.stages.extract import extract_links_batch, sql_extract_links
 
 __all__ = ["links_dataset", "anchor_summary", "internal_edges",
-           "link_rank", "hits_rank", "sql_extract_links",
-           "sql_anchor_summary", "sql_internal_edges"]
+           "link_rank", "hits_rank", "frontier_urls", "degree_histogram",
+           "reciprocity", "sql_extract_links", "sql_anchor_summary",
+           "sql_internal_edges", "sql_frontier_urls",
+           "sql_degree_histogram", "sql_reciprocity"]
 
 
 def links_dataset(pages):
@@ -134,3 +136,147 @@ def sql_anchor_summary(links_src: str) -> str:
 def sql_internal_edges(links_src: str) -> str:
     return (f"SELECT DISTINCT src, dst FROM ({links_src}) "
             f"WHERE dst LIKE '{URL_PREFIX}%'")
+
+
+def frontier_urls(links, pages, *, broadcast_limit: int = 2_000_000):
+    """Discovered-but-uncrawled internal urls with their in-link
+    weight — the seed list for the next crawl wave (every crawler's
+    frontier-expansion product; the synthesis's LINK_UNIVERSE is
+    deliberately larger than any test crawl, so the frontier is
+    non-trivial at every scale, exactly like a partial crawl).
+
+    Scale shape: two slim combine-counts over the internal edge list
+    (n_inlinks over all links, n_src over the distinct pair set), one
+    node-sized hash join, then the stats-gated anti-join against the
+    crawled url set (broadcast below the limit, distributed J8 above
+    — a 100-TB crawl's url set is itself corpus-scale)."""
+    import pyarrow.compute as pc
+
+    from octoray.query import (distinct_values, hash_join,
+                               semi_join_auto, sorted_groupby_count)
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t.column("dst"), URL_PREFIX)
+        return t.select(["src", "dst"]).filter(keep)
+
+    internal = links.map_batches(f, batch_format="pyarrow")
+    n_in = sorted_groupby_count(internal.select_columns(["dst"]), ["dst"],
+                                alias="n_inlinks")
+    n_src = sorted_groupby_count(distinct_values(internal, ["src", "dst"]),
+                                 ["dst"], alias="n_src")
+    counts = hash_join(n_in, n_src, on="dst")
+    out = semi_join_auto(counts, "dst", pages.select_columns(["url"]),
+                         key_col="url", anti=True,
+                         broadcast_limit=broadcast_limit)
+    return out.map_batches(
+        lambda t: pa.table({"url": t.column("dst"),
+                            "n_inlinks": t.column("n_inlinks"),
+                            "n_src": t.column("n_src")}),
+        batch_format="pyarrow")
+
+
+def degree_histogram(links):
+    """(direction, degree, n_nodes) in/out-degree distribution of the
+    internal link graph — the first sanity product of every webgraph
+    release (the power-law shape check).  Two chained slim
+    combine-counts per direction; nothing wider than (degree) ever
+    shuffles."""
+    from octoray.query import sorted_groupby_count
+
+    e = internal_edges(links)
+
+    def hist(col: str, tag: str):
+        deg = sorted_groupby_count(e.select_columns([col]), [col],
+                                   alias="degree")
+        h = sorted_groupby_count(deg.select_columns(["degree"]), ["degree"],
+                                 alias="n_nodes")
+        return h.map_batches(
+            lambda t: pa.table({
+                "direction": pa.array([tag] * t.num_rows, pa.string()),
+                "degree": t.column("degree"),
+                "n_nodes": t.column("n_nodes")}),
+            batch_format="pyarrow")
+
+    return hist("src", "out").union(hist("dst", "in"))
+
+
+def reciprocity(links):
+    """One-row link-reciprocity summary of the internal graph
+    (self-loops excluded, the standard convention): n_edges, n_recip
+    (edges whose reverse also exists), reciprocity ratio rounded
+    half-up to 6 decimals.  The reciprocal set is a self-semi-join of
+    the slim edge list on the swapped composite key — stats-gated
+    broadcast below the limit, distributed hash join above."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from octoray.query import semi_join_auto
+    from octoray.util import round_half_up_scalar
+
+    def no_self(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+        # sort blocks arrive as large_string; the separator scalar must
+        # share the type or the kernel has no matching signature
+        s = t.column("src").cast(pa.string())
+        d = t.column("dst").cast(pa.string())
+        k = pc.binary_join_element_wise(s, d, "\x1f")
+        rk = pc.binary_join_element_wise(d, s, "\x1f")
+        return t.append_column("k", k).append_column("rk", rk)
+
+    e = internal_edges(links).map_batches(
+        no_self, batch_format="pyarrow").materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "n_edges": pa.array([0], pa.int64()),
+            "n_recip": pa.array([0], pa.int64()),
+            "reciprocity": pa.array([0.0], pa.float64())}))
+    n_recip = semi_join_auto(e.select_columns(["k"]), "k",
+                             e.select_columns(["rk"]), key_col="rk").count()
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_recip": pa.array([n_recip], pa.int64()),
+        "reciprocity": pa.array(
+            [round_half_up_scalar(n_recip / n_edges, 6)], pa.float64())}))
+
+
+def sql_frontier_urls(links_src: str, pages_src: str) -> str:
+    """DuckDB twin of frontier_urls (counts over ALL internal links,
+    distinct-src counts, crawled urls anti-joined out)."""
+    return f"""
+        SELECT dst AS url, count(*) AS n_inlinks,
+               count(DISTINCT src) AS n_src
+        FROM ({links_src})
+        WHERE dst LIKE '{URL_PREFIX}%'
+          AND dst NOT IN (SELECT url FROM ({pages_src}))
+        GROUP BY dst
+    """
+
+
+def sql_degree_histogram(links_src: str) -> str:
+    return f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({links_src})
+                   WHERE dst LIKE '{URL_PREFIX}%'),
+        od AS (SELECT src, count(*) AS degree FROM e GROUP BY 1),
+        id AS (SELECT dst, count(*) AS degree FROM e GROUP BY 1)
+        SELECT 'out' AS direction, degree, count(*) AS n_nodes
+        FROM od GROUP BY degree
+        UNION ALL
+        SELECT 'in' AS direction, degree, count(*) AS n_nodes
+        FROM id GROUP BY degree
+    """
+
+
+def sql_reciprocity(links_src: str) -> str:
+    return f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({links_src})
+                   WHERE dst LIKE '{URL_PREFIX}%' AND src <> dst),
+        r AS (SELECT count(*) AS c FROM e
+              JOIN e e2 ON e.src = e2.dst AND e.dst = e2.src),
+        n AS (SELECT count(*) AS c FROM e)
+        SELECT CAST(n.c AS BIGINT) AS n_edges,
+               CAST(r.c AS BIGINT) AS n_recip,
+               floor(r.c * 1.0 / n.c * 1000000 + 0.5) / 1000000
+                 AS reciprocity
+        FROM n, r
+    """

@@ -157,3 +157,56 @@ def test_link_rank_matches_numpy_power_iteration(ray_session):
     exp = pd.DataFrame({"node": nodes, "rank": np.floor(rank * 1e6 + 0.5) / 1e6})
     pd.testing.assert_frame_equal(
         got.sort_values("node").reset_index(drop=True), exp)
+
+
+def test_frontier_urls_brute(ray_session):
+    pages = webtext.pages_dataset(200)
+    links = webgraph.links_dataset(pages)
+    got = (webgraph.frontier_urls(links, pages).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+
+    ldf = links.to_pandas()
+    ldf = ldf[ldf["dst"].str.startswith(webtext.URL_PREFIX)]
+    crawled = set(pages.to_pandas()["url"])
+    g = ldf.groupby("dst")
+    exp = pd.DataFrame({
+        "n_inlinks": g.size().astype("int64"),
+        "n_src": g["src"].nunique().astype("int64"),
+    }).reset_index().rename(columns={"dst": "url"})
+    exp = exp[~exp["url"].isin(crawled)].sort_values(
+        "url").reset_index(drop=True)
+    assert len(exp) > 0  # LINK_UNIVERSE >> crawl: frontier non-trivial
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_degree_histogram_brute(ray_session):
+    pages = webtext.pages_dataset(200)
+    links = webgraph.links_dataset(pages)
+    got = (webgraph.degree_histogram(links).to_pandas()
+           .sort_values(["direction", "degree"]).reset_index(drop=True))
+
+    e = webgraph.internal_edges(links).to_pandas().drop_duplicates()
+    rows = []
+    for tag, col in [("in", "dst"), ("out", "src")]:
+        deg = e.groupby(col).size()
+        for d, n in deg.value_counts().sort_index().items():
+            rows.append((tag, d, n))
+    exp = pd.DataFrame(rows, columns=["direction", "degree", "n_nodes"])
+    exp["degree"] = exp["degree"].astype("int64")
+    exp["n_nodes"] = exp["n_nodes"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_reciprocity_hand_graph(ray_session):
+    import ray.data as rd
+
+    # a<->b reciprocated, a->c not, c->c self-loop dropped
+    pre = webtext.URL_PREFIX
+    links = rd.from_arrow(pa.table({
+        "src": [f"{pre}a", f"{pre}b", f"{pre}a", f"{pre}c"],
+        "dst": [f"{pre}b", f"{pre}a", f"{pre}c", f"{pre}c"],
+        "anchor": ["x", "y", "z", "w"]}))
+    out = webgraph.reciprocity(links).to_pandas()
+    assert int(out["n_edges"][0]) == 3
+    assert int(out["n_recip"][0]) == 2
+    assert abs(out["reciprocity"][0] - 0.666667) < 1e-9
