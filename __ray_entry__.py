@@ -1463,6 +1463,18 @@ def _q_web_reciprocity(sf_dir: str):
     return reciprocity(links_dataset(_linked_pages(sf_dir, "recip_pages")))
 
 
+def _q_web_bowtie(sf_dir: str):
+    """Bow-tie decomposition [Broder et al. 2000] of the internal
+    link graph: core/in/out/other per node relative to the
+    deterministic max-in-degree pivot; two frontier-broadcast BFS
+    fixpoints + two node-sized left joins (driver fast path below the
+    edge gate, pinned equal).  Oracle: same pivot rule + recursive-CTE
+    closures over links the SQL re-extracts from the dumped html."""
+    from octoray.stages.webgraph import bowtie, links_dataset
+
+    return bowtie(links_dataset(_linked_pages(sf_dir, "bowtie_pages")))
+
+
 def _q_web_hits(sf_dir: str):
     """HITS hubs & authorities over the internal link graph
     (Kleinberg's coupled power iteration, L2-normalized half-steps).
@@ -2279,6 +2291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_frontier": _q_web_frontier,
         "web_degree_dist": _q_web_degree_dist,
         "web_reciprocity": _q_web_reciprocity,
+        "web_bowtie": _q_web_bowtie,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -3811,6 +3824,8 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_extract_links(Q.rpd("degdist_pages"))),
         "web_reciprocity": _WG.sql_reciprocity(
             _WG.sql_extract_links(Q.rpd("recip_pages"))),
+        "web_bowtie": _WG.sql_bowtie(
+            _WG.sql_extract_links(Q.rpd("bowtie_pages"))),
         "extract_text": ("""
             SELECT url, replace(replace(replace(
                      coalesce(regexp_extract(decode(html),

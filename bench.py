@@ -167,6 +167,7 @@ SUITE = [
     "web_frontier",
     "web_degree_dist",
     "web_reciprocity",
+    "web_bowtie",
 ]
 
 

@@ -32,9 +32,10 @@ from octoray.stages.extract import extract_links_batch, sql_extract_links
 
 __all__ = ["links_dataset", "anchor_summary", "internal_edges",
            "link_rank", "hits_rank", "frontier_urls", "degree_histogram",
-           "reciprocity", "sql_extract_links", "sql_anchor_summary",
-           "sql_internal_edges", "sql_frontier_urls",
-           "sql_degree_histogram", "sql_reciprocity"]
+           "reciprocity", "bowtie", "sql_extract_links",
+           "sql_anchor_summary", "sql_internal_edges",
+           "sql_frontier_urls", "sql_degree_histogram",
+           "sql_reciprocity", "sql_bowtie"]
 
 
 def links_dataset(pages):
@@ -279,4 +280,220 @@ def sql_reciprocity(links_src: str) -> str:
                floor(r.c * 1.0 / n.c * 1000000 + 0.5) / 1000000
                  AS reciprocity
         FROM n, r
+    """
+
+
+def _reach_driver(rows, pivot: str, key: str, other: str):
+    """Dict-adjacency BFS to fixpoint (driver fast path)."""
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r[key], []).append(r[other])
+    seen = {pivot}
+    frontier = [pivot]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    return seen
+
+
+def _reach_distributed(edges, pivot: str, key: str, other: str, *,
+                       broadcast_limit: int, max_rounds: int):
+    """Frontier-expansion BFS to fixpoint over a materialized edge
+    Dataset (hop_distances' loop, directed and uncapped): each round
+    broadcasts the CURRENT frontier (one hop's reach, never the
+    visited set), expands with one streaming semi-join over the edge
+    list, subtracts visited with the stats-gated anti-join.  Rounds =
+    graph diameter (web graphs: ~tens), bounded by ``max_rounds``."""
+    import ray.data as rd
+
+    from octoray.query import distinct_values, semi_join_auto
+
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array([pivot], pa.string())})).materialize()
+    frontier = visited
+    for _ in range(max_rounds):
+        reached = distinct_values(
+            semi_join_auto(edges, key, frontier, key_col="node",
+                           broadcast_limit=broadcast_limit)
+            .map_batches(lambda t, _o=other: t.select([_o])
+                         .rename_columns(["node"]),
+                         batch_format="pyarrow"),
+            ["node"])
+        frontier = semi_join_auto(reached, "node", visited, key_col="node",
+                                  anti=True,
+                                  broadcast_limit=broadcast_limit
+                                  ).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+    return visited
+
+
+def bowtie(links, *, driver_limit: int = 5_000_000,
+           broadcast_limit: int = 2_000_000, max_rounds: int = 64):
+    """Bow-tie decomposition of the internal link graph [Broder et
+    al. 2000, "Graph structure in the web"]: every node labeled
+    core / in / out / other relative to the component of a
+    deterministic pivot (the max-in-degree node, ties to the
+    lexicographically smallest url — the same rule the SQL twin
+    runs).  core = reaches the pivot AND is reachable from it;
+    in = reaches it only; out = reachable only; other = neither
+    (tendrils + disconnected).
+
+    Scale shape: pivot via per-block partial top-1 over the slim
+    in-degree table (driver sees one row per block); two
+    frontier-broadcast BFS fixpoints (forward / backward — per-round
+    exchange bounded by one hop's adjacency); classification is two
+    node-sized left joins.  Below ``driver_limit`` edges the whole
+    thing folds into one collected BFS pass, pinned equal in pytest."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from octoray.query import hash_join, sorted_groupby_count
+
+    e = internal_edges(links).materialize()
+    if e.count() == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "part": pa.array([], pa.string())}))
+
+    from octoray.query import semi_join_auto
+
+    # pivot candidates need >=1 outlink, else the forward closure is
+    # {pivot} and the decomposition degenerates (the synthesis's top
+    # in-degree hub happens to be a no-outlink page)
+    ind = semi_join_auto(
+        sorted_groupby_count(e.select_columns(["dst"]), ["dst"], alias="c"),
+        "dst", e.select_columns(["src"]), key_col="src",
+        broadcast_limit=broadcast_limit)
+
+    def block_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dst": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        mx = pc.max(t.column("c")).as_py()
+        sub = t.filter(pc.equal(t.column("c"), mx))
+        return pa.table({"dst": pa.array(
+            [pc.min(sub.column("dst")).as_py()], pa.string()),
+            "c": pa.array([mx], pa.int64())})
+
+    cands = ind.map_batches(block_top, batch_format="pyarrow").take_all()
+    if not cands:
+        # no node has both an in- and an out-link: no pivot, so both
+        # closures are empty and everything is 'other' (the SQL twin's
+        # empty-piv behavior)
+        def all_other(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "part": pa.array(["other"] * t.num_rows,
+                                              pa.string())})
+
+        from octoray.query import distinct_values as _dv
+
+        def _both(t: pa.Table) -> pa.Table:
+            return pa.table({"node": pa.concat_arrays(
+                [t.column("src").combine_chunks().cast(pa.string()),
+                 t.column("dst").combine_chunks().cast(pa.string())])})
+
+        return _dv(e.map_batches(_both, batch_format="pyarrow"),
+                   ["node"]).map_batches(all_other, batch_format="pyarrow")
+    pivot = sorted(cands, key=lambda r: (-r["c"], r["dst"]))[0]["dst"]
+
+    def classify(nodes_iter, fset, bset):
+        nodes = []
+        parts = []
+        for n in nodes_iter:
+            f, b = n in fset, n in bset
+            nodes.append(n)
+            parts.append("core" if f and b else
+                         "in" if b else "out" if f else "other")
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "part": pa.array(parts, pa.string())}))
+
+    if e.count() <= driver_limit:
+        rows = e.take_all()
+        fset = _reach_driver(rows, pivot, "src", "dst")
+        bset = _reach_driver(rows, pivot, "dst", "src")
+        allnodes = sorted({r["src"] for r in rows}
+                          | {r["dst"] for r in rows})
+        return classify(allnodes, fset, bset)
+
+    from octoray.query import distinct_values
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("src").combine_chunks().cast(pa.string()),
+             t.column("dst").combine_chunks().cast(pa.string())])})
+
+    nodes = distinct_values(e.map_batches(both, batch_format="pyarrow"),
+                            ["node"])
+    fwd = _reach_distributed(e, pivot, "src", "dst",
+                             broadcast_limit=broadcast_limit,
+                             max_rounds=max_rounds)
+    bwd = _reach_distributed(e, pivot, "dst", "src",
+                             broadcast_limit=broadcast_limit,
+                             max_rounds=max_rounds)
+
+    def mark(ds, col):
+        return ds.map_batches(
+            lambda t, _c=col: t.append_column(
+                _c, pa.array([True] * t.num_rows, pa.bool_())),
+            batch_format="pyarrow")
+
+    j = hash_join(hash_join(nodes, mark(fwd, "fh"), on="node",
+                            how="left_outer"),
+                  mark(bwd, "bh"), on="node", how="left_outer")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        f = df["fh"].fillna(False).astype(bool)
+        b = df["bh"].fillna(False).astype(bool)
+        part = np.where(f & b, "core",
+                        np.where(b, "in", np.where(f, "out", "other")))
+        return pd.DataFrame({"node": df["node"], "part": part})
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+def sql_bowtie(links_src: str) -> str:
+    """DuckDB twin of bowtie: same pivot rule, recursive-CTE forward/
+    backward closures, same labels.
+
+    The two closures live in SEPARATE nested WITH RECURSIVE scopes:
+    DuckDB 1.0 mis-evaluates two recursive CTEs declared in one
+    top-level scope alongside non-recursive siblings (observed: the
+    forward closure silently became the pivot's in-edge list and the
+    final join fanned out 3546 nodes -> 5934 rows)."""
+    return f"""
+        WITH
+        e AS (SELECT DISTINCT src, dst FROM ({links_src})
+              WHERE dst LIKE '{URL_PREFIX}%'),
+        piv AS (SELECT dst AS node FROM
+                  (SELECT dst, count(*) AS c FROM e GROUP BY 1)
+                WHERE dst IN (SELECT src FROM e)
+                ORDER BY c DESC, dst LIMIT 1),
+        fr AS (WITH RECURSIVE f(node) AS
+                 (SELECT node FROM piv
+                  UNION
+                  SELECT e.dst FROM f JOIN e ON e.src = f.node)
+               SELECT node FROM f),
+        br AS (WITH RECURSIVE b(node) AS
+                 (SELECT node FROM piv
+                  UNION
+                  SELECT e.src FROM b JOIN e ON e.dst = b.node)
+               SELECT node FROM b),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+        SELECT n.node,
+               CASE WHEN fm.node IS NOT NULL AND bm.node IS NOT NULL
+                      THEN 'core'
+                    WHEN bm.node IS NOT NULL THEN 'in'
+                    WHEN fm.node IS NOT NULL THEN 'out'
+                    ELSE 'other' END AS part
+        FROM nodes n
+        LEFT JOIN fr fm ON n.node = fm.node
+        LEFT JOIN br bm ON n.node = bm.node
     """

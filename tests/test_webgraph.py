@@ -210,3 +210,36 @@ def test_reciprocity_hand_graph(ray_session):
     assert int(out["n_edges"][0]) == 3
     assert int(out["n_recip"][0]) == 2
     assert abs(out["reciprocity"][0] - 0.666667) < 1e-9
+
+
+def _bowtie_links(edges):
+    import ray.data as rd
+
+    pre = webtext.URL_PREFIX
+    return rd.from_arrow(pa.table({
+        "src": [f"{pre}{s}" for s, _ in edges],
+        "dst": [f"{pre}{d}" for _, d in edges],
+        "anchor": ["x"] * len(edges)}))
+
+
+def test_bowtie_hand_graph(ray_session):
+    # core: a<->b (b is max-indeg pivot... indeg: b=2,a=1,c=1,d=1)
+    # i->a (IN), b->o (OUT), t->o (OTHER: reaches OUT, not core)
+    links = _bowtie_links([("a", "b"), ("b", "a"), ("i", "a"),
+                           ("i", "b"), ("b", "o"), ("t", "o")])
+    out = webgraph.bowtie(links).to_pandas().set_index("node")
+    pre = webtext.URL_PREFIX
+    exp = {"a": "core", "b": "core", "i": "in", "o": "out", "t": "other"}
+    for n, part in exp.items():
+        assert out.loc[f"{pre}{n}", "part"] == part, n
+
+
+def test_bowtie_fast_and_distributed_identical(ray_session):
+    pages = webtext.pages_dataset(300)
+    links = webgraph.links_dataset(pages)
+    fast = (webgraph.bowtie(links).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    slow = (webgraph.bowtie(links, driver_limit=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    assert set(fast["part"]) >= {"core", "other"}
+    pd.testing.assert_frame_equal(fast, slow)
