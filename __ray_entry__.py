@@ -1958,6 +1958,16 @@ def _crawl_ds(sf_dir: str, dump_name: str):
     return crawl_dataset(n, n_snapshots=_CRAWL_SNAPS)
 
 
+def _q_boilerplate_lines(sf_dir: str):
+    """Per-domain boilerplate lines (lines on >= 3 distinct urls of
+    one domain) over the multi-snapshot crawl — site-template
+    detection at host granularity."""
+    from octoray.stages.crawl import boilerplate_lines
+
+    return boilerplate_lines(_crawl_ds(sf_dir, "crawl_boiler_raw"),
+                             min_urls=3)
+
+
 def _q_latest_per_url(sf_dir: str):
     """CDX-style re-crawl collapse: newest fetch per url (two-phase
     arg-max, one slim-row shuffle)."""
@@ -2300,6 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_per_url": _q_latest_per_url,
         "crawl_delta": _q_crawl_delta,
         "domain_stats": _q_domain_stats,
+        "boilerplate_lines": _q_boilerplate_lines,
         "per_domain_cap": _q_per_domain_cap,
         "crawl_schedule": _q_crawl_schedule,
         "url_canon": _q_url_canon,
@@ -3444,6 +3455,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_schedule": __import__(
             "octoray.stages.crawl", fromlist=["sql_crawl_schedule"]
         ).sql_crawl_schedule(Q.rpd("crawl_sched_raw")),
+        "boilerplate_lines": __import__(
+            "octoray.stages.crawl", fromlist=["sql_boilerplate_lines"]
+        ).sql_boilerplate_lines(Q.rpd("crawl_boiler_raw"), min_urls=3),
         "per_domain_cap": f"""
             WITH d AS (SELECT DISTINCT
                          regexp_extract(url,

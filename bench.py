@@ -168,6 +168,7 @@ SUITE = [
     "web_degree_dist",
     "web_reciprocity",
     "web_bowtie",
+    "boilerplate_lines",
 ]
 
 

@@ -430,3 +430,66 @@ def sql_crawl_schedule(src: str) -> str:
                                        ORDER BY url) AS BIGINT) AS wave
         FROM d
     """
+
+
+def boilerplate_lines(crawl, *, min_urls: int = 3, sep: str = ". ",
+                      url_col: str = "url", text_col: str = "text"):
+    """Per-domain boilerplate detection: lines appearing on at least
+    ``min_urls`` DISTINCT urls of the same domain — the site-template
+    text (nav, footers, cookie banners) quality pipelines strip before
+    training, detected at the host level the way production cleaners
+    do it (a line frequent on ONE site is boilerplate even when it is
+    globally rare; C4's global line dedup in stages/linededup.py is
+    the corpus-wide complement).  Output: (domain, line, n_urls).
+
+    Scale shape: explode to slim (domain, url, line) rows with a
+    per-row within-page dedup at emission, ONE distinct exchange over
+    (domain, line, url) to collapse re-fetches across snapshots, then
+    a partial-combine count per (domain, line) — the corpus text
+    itself never shuffles, only distinct line strings."""
+    import pyarrow.compute as _pc
+
+    from octoray.query import distinct_values, sorted_groupby_count
+
+    def explode(t: pa.Table) -> pa.Table:
+        doms = _domain_of(t.column(url_col)).to_pylist()
+        urls = t.column(url_col).to_pylist()
+        out_d: list = []
+        out_u: list = []
+        out_l: list = []
+        for dom, url, text in zip(doms, urls,
+                                  t.column(text_col).to_pylist()):
+            for line in set(text.split(sep)):
+                out_d.append(dom)
+                out_u.append(url)
+                out_l.append(line)
+        return pa.table({"domain": pa.array(out_d, pa.string()),
+                         "url": pa.array(out_u, pa.string()),
+                         "line": pa.array(out_l, pa.string())})
+
+    slim = distinct_values(
+        crawl.map_batches(explode, batch_format="pyarrow"),
+        ["domain", "line", "url"])
+    counts = sorted_groupby_count(slim.select_columns(["domain", "line"]),
+                                  ["domain", "line"], alias="n_urls")
+    return counts.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t.column("n_urls"),
+                                             pa.scalar(int(min_urls)))),
+        batch_format="pyarrow")
+
+
+def sql_boilerplate_lines(src: str, *, min_urls: int = 3,
+                          sep: str = ". ") -> str:
+    """DuckDB twin of boilerplate_lines over the same crawl rows."""
+    s = sep.replace("'", "''")
+    return f"""
+        WITH x AS (SELECT regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1) AS domain,
+                     url,
+                     unnest(string_split(text, '{s}')) AS line
+                   FROM {src}),
+        l AS (SELECT DISTINCT domain, url, line FROM x)
+        SELECT domain, line, count(DISTINCT url) AS n_urls
+        FROM l GROUP BY domain, line
+        HAVING count(DISTINCT url) >= {int(min_urls)}
+    """

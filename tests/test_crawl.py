@@ -489,3 +489,30 @@ def test_crawl_schedule_waves(ray_session):
     ]
     # politeness invariant: a (wave, domain) pair appears once
     assert not out.duplicated(["wave", "domain"]).any()
+
+
+def test_boilerplate_lines_brute(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    import pyarrow as pa
+
+    from octoray.stages.crawl import boilerplate_lines
+
+    rows = [
+        ("https://a.org/1", "nav bar. unique one. footer"),
+        ("https://a.org/2", "nav bar. unique two. footer"),
+        ("https://a.org/3", "nav bar. unique three"),
+        # re-fetch of /1 (same content): must not inflate url counts
+        ("https://a.org/1", "nav bar. unique one. footer"),
+        ("https://b.org/1", "nav bar. other site"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "url": [r[0] for r in rows],
+        "text": [r[1] for r in rows]}))
+    out = (boilerplate_lines(ds, min_urls=2).to_pandas()
+           .sort_values(["domain", "line"]).reset_index(drop=True))
+    exp = pd.DataFrame({
+        "domain": ["a.org", "a.org"],
+        "line": ["footer", "nav bar"],
+        "n_urls": pd.Series([2, 3], dtype="int64")})
+    pd.testing.assert_frame_equal(out, exp)
