@@ -1152,6 +1152,16 @@ def _q_prep_ivr(sf_dir: str):
     return _prep_canon("prep_ivr_raw", raw)
 
 
+def _q_kg_void(sf_dir: str):
+    """W3C VoID property-partition profile of the built KG:
+    per-predicate triple / distinct-subject / distinct-object counts
+    (two slim distinct exchanges + partial-combine counts)."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.profile import void_stats
+
+    return void_stats(dedup_triples(_kg_raw(sf_dir, "kg_void_raw")))
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Entity importance over the built KG: 5 PageRank iterations on
     the uri->uri edge graph (one broadcast join + one combine-sum per
@@ -1976,6 +1986,40 @@ def _q_latest_per_url(sf_dir: str):
     return latest_per_url(_crawl_ds(sf_dir, "crawl_latest_raw"))
 
 
+def _q_kg_delta(sf_dir: str):
+    """Incremental KG maintenance: the triple-level diff between the
+    graphs built from the FIRST and LAST crawl snapshots (content
+    changes + appearing/vanishing urls become added/removed triples).
+    Each direction is one stats-gated anti-join on the composite
+    triple key; oracle = EXCEPT both ways over the two raw dumps."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.pipelines.kg import build_triples
+    from octoray.sources.crawl import crawl_dataset
+    from octoray.stages.canon import dedup_triples, triple_delta
+
+    n = _crawl_pages(sf_dir)
+    crawl = crawl_dataset(n, n_snapshots=_CRAWL_SNAPS)
+
+    def snap(s: int):
+        def f(t):
+            keep = pc.equal(t.column("snapshot"), pa.scalar(s))
+            return t.filter(keep).select(["url", "text"])
+
+        return crawl.map_batches(f, batch_format="pyarrow")
+
+    old_raw = build_triples(snap(0), extract=False, n_rows_hint=n)
+    new_raw = build_triples(snap(_CRAWL_SNAPS - 1), extract=False,
+                            n_rows_hint=n)
+    if O.dump_enabled():
+        old_raw = rd.read_parquet(O.dump_dataset("kg_delta_old", old_raw))
+        new_raw = rd.read_parquet(O.dump_dataset("kg_delta_new", new_raw))
+    return triple_delta(dedup_triples(old_raw), dedup_triples(new_raw))
+
+
 def _q_crawl_delta(sf_dir: str):
     """Snapshot diff: urls added/removed/changed between the first and
     last crawl snapshot (one shared url sort + block-local pivot)."""
@@ -2282,6 +2326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_link": _q_entity_link,
         "entity_incremental": _q_entity_incremental,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_void": _q_kg_void,
+        "kg_delta": _q_kg_delta,
         "kg_kcore": _q_kg_kcore,
         "kg_hops": _q_kg_hops,
         "kg_walks": _q_kg_walks,
@@ -3788,6 +3834,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (predicate = 'f:subtype'
                        AND subject IN (SELECT subject FROM swine))
         """,
+        "kg_void": __import__(
+            "octoray.stages.profile", fromlist=["sql_void_stats"]
+        ).sql_void_stats(Q.rpd("kg_void_raw")),
+        "kg_delta": __import__(
+            "octoray.stages.canon", fromlist=["sql_triple_delta"]
+        ).sql_triple_delta(Q.rpd("kg_delta_old"), Q.rpd("kg_delta_new")),
         "kg_pagerank": Q.sql_pagerank(Q.rpd("kg_pagerank_raw"),
                                       damping=0.85, n_iters=5),
         "kg_kcore": Q.sql_kcore(Q.rpd("kg_kcore_raw"), k=2, n_iters=16),

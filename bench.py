@@ -169,6 +169,8 @@ SUITE = [
     "web_reciprocity",
     "web_bowtie",
     "boilerplate_lines",
+    "kg_void",
+    "kg_delta",
 ]
 
 

@@ -189,3 +189,61 @@ def subject_degree(ds, *, combined: bool = True):
     else:
         out = ds.groupby("subject").aggregate(Count(alias_name="degree"))
     return out
+
+
+def triple_delta(old, new, *, broadcast_limit: int = 2_000_000):
+    """Graph diff between two DEDUPED triple Datasets: (op, subject,
+    predicate, object, object_datatype) with op = 'removed' (in old
+    only) or 'added' (in new only) — the incremental-maintenance
+    product of re-running KG construction over a fresh crawl snapshot
+    (the north star's re-crawl story: ship the delta, not the graph).
+
+    Scale shape: each direction is ONE stats-gated anti-join
+    (query.semi_join_auto — broadcast below the limit, distributed J8
+    hash join above) on the '\\x1f'-joined 4-column composite key;
+    the two directions union without a barrier."""
+    import pyarrow.compute as pc
+
+    from octoray.query import semi_join_auto
+
+    COLS = ["subject", "predicate", "object", "object_datatype"]
+
+    def keyed(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in COLS:
+            parts.append(t.column(c).cast(pa.string()))
+            if c != COLS[-1]:
+                parts.append("\x1f")
+        return t.append_column(
+            "k", pc.binary_join_element_wise(*parts))
+
+    ko = old.map_batches(keyed, batch_format="pyarrow")
+    kn = new.map_batches(keyed, batch_format="pyarrow")
+
+    def tag(ds, op: str):
+        return ds.map_batches(
+            lambda t, _op=op: pa.table(
+                {"op": pa.array([_op] * t.num_rows, pa.string()),
+                 **{c: t.column(c) for c in COLS}}),
+            batch_format="pyarrow")
+
+    removed = semi_join_auto(ko, "k", kn.select_columns(["k"]),
+                             anti=True, broadcast_limit=broadcast_limit)
+    added = semi_join_auto(kn, "k", ko.select_columns(["k"]),
+                           anti=True, broadcast_limit=broadcast_limit)
+    return tag(removed, "removed").union(tag(added, "added"))
+
+
+def sql_triple_delta(old_src: str, new_src: str) -> str:
+    """DuckDB twin of triple_delta; boundaries: the two raw emitted
+    triple dumps (dedup re-derived here)."""
+    d4 = "SELECT DISTINCT subject, predicate, object, object_datatype"
+    return f"""
+        WITH o AS ({d4} FROM {old_src}),
+        n AS ({d4} FROM {new_src})
+        SELECT 'removed' AS op, * FROM (SELECT * FROM o EXCEPT
+                                        SELECT * FROM n)
+        UNION ALL
+        SELECT 'added' AS op, * FROM (SELECT * FROM n EXCEPT
+                                      SELECT * FROM o)
+    """

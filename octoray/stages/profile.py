@@ -171,3 +171,47 @@ def sql_profile_columns(table: str, columns: Sequence[str], *,
            WHERE rn = least(nd, {k}))
         """)
     return " UNION ALL ".join(parts)
+
+
+def void_stats(triples):
+    """W3C VoID-style property-partition statistics over the deduped
+    triple store: (predicate, n_triples, n_subjects, n_objects) — the
+    void:triples / void:distinctSubjects / void:distinctObjects
+    descriptors every published RDF dataset ships, and the first
+    profile anyone pulls of a freshly-built KG (reference analogue:
+    octofludb exposes no dataset profile; this is profile_columns'
+    idea applied to the graph itself).
+
+    Scale shape: the triple count per predicate is a map-side partial
+    combine (predicate vocabulary is tiny); the two distinct counts
+    each ride ONE distinct exchange over slim 2-column pairs followed
+    by a partial-combine count; the three predicate-keyed tables meet
+    in two stats-gated hash joins.  Nothing wider than (predicate,
+    value) ever shuffles."""
+    from octoray.query import (distinct_values, hash_join,
+                               sorted_groupby_count)
+
+    nt = sorted_groupby_count(triples.select_columns(["predicate"]),
+                              ["predicate"], alias="n_triples")
+    ns = sorted_groupby_count(
+        distinct_values(triples.select_columns(["predicate", "subject"]),
+                        ["predicate", "subject"]),
+        ["predicate"], alias="n_subjects")
+    no = sorted_groupby_count(
+        distinct_values(triples.select_columns(["predicate", "object"]),
+                        ["predicate", "object"]),
+        ["predicate"], alias="n_objects")
+    return hash_join(hash_join(nt, ns, on="predicate"), no, on="predicate")
+
+
+def sql_void_stats(src: str) -> str:
+    """DuckDB twin of void_stats; boundary: raw emitted triples (the
+    dedup is re-derived here, like every KG oracle)."""
+    return f"""
+        WITH d AS (SELECT DISTINCT subject, predicate, object,
+                          object_datatype FROM {src})
+        SELECT predicate, count(*) AS n_triples,
+               count(DISTINCT subject) AS n_subjects,
+               count(DISTINCT object) AS n_objects
+        FROM d GROUP BY predicate
+    """

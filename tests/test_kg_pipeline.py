@@ -199,3 +199,27 @@ def test_crashed_partial_write_recovery(ray_session, tmp_path):
     got = graph_sig()
     assert got == want, f"graph diverged after crash-resume: {got} != {want}"
     assert not os.path.exists(os.path.join(sdir, "zz-stale-partial.parquet"))
+
+
+def test_triple_delta_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.canon import triple_delta
+
+    def trip(rows):
+        return rd.from_arrow(pa.table({
+            "subject": [r[0] for r in rows],
+            "predicate": [r[1] for r in rows],
+            "object": [r[2] for r in rows],
+            "object_datatype": [r[3] for r in rows]}))
+
+    old = trip([("s1", "p", "a", "plain"), ("s2", "p", "b", "plain")])
+    new = trip([("s1", "p", "a", "plain"), ("s3", "p", "c", "plain"),
+                # same s,p,o as old s2 but different datatype: BOTH ops
+                ("s2", "p", "b", "uri")])
+    out = triple_delta(old, new).to_pandas()
+    got = {(r["op"], r["subject"], r["object_datatype"])
+           for _, r in out.iterrows()}
+    assert got == {("removed", "s2", "plain"), ("added", "s3", "plain"),
+                   ("added", "s2", "uri")}
