@@ -2280,6 +2280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_fingerprints_full(sf_dir):
         return _docs(sf_dir).map_batches(T.fingerprints, batch_format="pyarrow")
 
+    def winnow_fps(sf_dir):
+        return T.winnow_fingerprints(
+            _docs(sf_dir).select_columns(["doc_id", "text"]), k=8, w=4)
+
     return {
         # --- KG construction (flagship; non-SQL -> rows-only checks) ---
         "kg_build": _q_kg_build,
@@ -2485,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": length_quantiles,
         "lang_id": lang_id,
         "fingerprints": fingerprints,
+        "winnow_fingerprints": winnow_fps,
         "train_val_split": lambda sf: __import__(
             "octoray.stages.textops", fromlist=["train_val_split"]
         ).train_val_split(_docs(sf), val_frac=0.1),
@@ -3556,6 +3561,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": f"""
             SELECT doc_id, md5({_NORM}) AS md5 FROM documents
         """,
+        "winnow_fingerprints": __import__(
+            "octoray.stages.textops", fromlist=["sql_winnow_fingerprints"]
+        ).sql_winnow_fingerprints(k=8, w=4),
         "repetition_stats": r"""
             WITH base AS (
               SELECT doc_id,

@@ -171,6 +171,7 @@ SUITE = [
     "boilerplate_lines",
     "kg_void",
     "kg_delta",
+    "winnow_fingerprints",
 ]
 
 

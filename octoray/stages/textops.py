@@ -1376,3 +1376,86 @@ def sql_dsir_select(*, target_source: str, quota: int,
         ORDER BY dsir_logw DESC, doc_id
         LIMIT {quota}
     """
+
+
+def winnow_fingerprints(docs, *, k: int = 8, w: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing document fingerprints [Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS plagiarism-detection algorithm]: hash every
+    k-char gram of the whitespace-collapsed lowercased text, slide a
+    window of ``w`` consecutive hashes, select each window's minimum
+    (ties to the RIGHTMOST position, the paper's robust-winnowing
+    rule), and emit the DISTINCT (doc_id, fp) set.  Guarantee: any
+    substring match of length >= w + k - 1 between two documents
+    shares at least one fingerprint — the local complement to the
+    whole-doc rolling hash in ``fingerprints``.
+
+    Scale shape: stateless map_batches; the md5 loop is bounded by the
+    DISTINCT grams per block (np.unique first — natural text grams
+    are Zipfian), the window minima are one sliding_window_view +
+    reversed argmin per doc (no Python inner loop over windows).
+    Docs with fewer than k + w - 1 normalized chars have no full
+    window and yield no fingerprints (mirrored in the SQL twin).
+
+    The hash is DuckDB's md5_number_lower (uint64 on BOTH sides —
+    the twin's UBIGINT), so engine and oracle select identical
+    minima."""
+    from octoray.stages.sketch import _md5_lower64
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids_out: List = []
+        fps_out: List[np.ndarray] = []
+        ids = t.column(id_col).to_pylist()
+        for i, text in zip(ids, _norm_ws(t.column(text_col)).to_pylist()):
+            n = len(text)
+            n_grams = n - k + 1
+            if n_grams < w:
+                continue
+            grams = [text[j:j + k] for j in range(n_grams)]
+            uniq, inv = np.unique(np.asarray(grams, dtype=object),
+                                  return_inverse=True)
+            hs = _md5_lower64(list(uniq))[inv]
+            sw = np.lib.stride_tricks.sliding_window_view(hs, w)
+            am = sw[:, ::-1].argmin(axis=1)
+            pos = np.arange(n_grams - w + 1) + (w - 1 - am)
+            fp = np.unique(hs[np.unique(pos)])
+            ids_out.extend([i] * len(fp))
+            fps_out.append(fp)
+        fps = (np.concatenate(fps_out) if fps_out
+               else np.array([], dtype=np.uint64))
+        return pa.table({
+            id_col: pa.array(ids_out,
+                             t.schema.field(id_col).type),
+            "fp": pa.array(fps, pa.uint64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+def sql_winnow_fingerprints(*, k: int = 8, w: int = 4,
+                            table: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB twin of winnow_fingerprints over the same table: same
+    normalization, same md5_number_lower gram hash, same
+    rightmost-min-per-window selection (row_number ORDER BY h, i
+    DESC)."""
+    norm = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+        WITH d AS (SELECT {id_col}, {norm} AS t FROM {table}),
+        g0 AS (SELECT {id_col}, t,
+                      length(t) - {k} + 1 AS ng FROM d
+               WHERE length(t) >= {k + w - 1}),
+        g AS (SELECT {id_col}, ng,
+                     unnest(range(1, ng + 1)) AS i, t FROM g0),
+        h AS (SELECT {id_col}, ng, i,
+                     md5_number_lower(substr(t, CAST(i AS INT), {k})) AS h
+              FROM g),
+        wn AS (SELECT {id_col}, i - off AS s, i, h
+               FROM h CROSS JOIN range({w}) r(off)
+               WHERE i - off >= 1 AND i - off <= ng - {w} + 1),
+        sel AS (SELECT {id_col}, s, h,
+                       row_number() OVER (PARTITION BY {id_col}, s
+                                          ORDER BY h, i DESC) AS rn
+                FROM wn)
+        SELECT DISTINCT {id_col}, h AS fp FROM sel WHERE rn = 1
+    """

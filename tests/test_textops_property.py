@@ -75,3 +75,50 @@ def test_oov_rate_bruteforce(ray_session):
     got = {int(r.doc_id): (int(r.n_tokens), int(r.n_oov), float(r.oov_rate))
            for r in out.itertuples()}
     assert got == want
+
+
+def test_winnow_brute_and_guarantee(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.textops import winnow_fingerprints
+
+    k, w = 4, 3
+    rng = np.random.default_rng(11)
+    alpha = "abcd "
+    shared = "zqxwvy common block yzk"  # len 23 >= w+k-1
+    docs = []
+    for i in range(8):
+        s = "".join(rng.choice(list(alpha), size=40))
+        t = "".join(rng.choice(list(alpha), size=40))
+        docs.append((f"d{i}", s + (shared if i % 2 == 0 else "") + t))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [d[0] for d in docs],
+        "text": [d[1] for d in docs]}))
+    out = winnow_fingerprints(ds, k=k, w=w).to_pandas()
+
+    def brute(text):
+        import re as _re
+
+        t = _re.sub(r"\s+", " ", text).lower()
+        n_grams = len(t) - k + 1
+        if n_grams < w:
+            return set()
+        hs = [int.from_bytes(
+            hashlib.md5(t[j:j + k].encode()).digest()[8:16], "little")
+            for j in range(n_grams)]
+        sel = set()
+        for s in range(n_grams - w + 1):
+            win = hs[s:s + w]
+            m = min(win)
+            sel.add(s + max(j for j, v in enumerate(win) if v == m))
+        return {hs[p] for p in sel}
+
+    got = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    for did, text in docs:
+        assert got.get(did, set()) == brute(text), did
+    # winnowing guarantee: docs sharing the block share >= 1 fingerprint
+    assert got["d0"] & got["d2"] & got["d4"] & got["d6"]
