@@ -1473,6 +1473,28 @@ def _q_web_reciprocity(sf_dir: str):
     return reciprocity(links_dataset(_linked_pages(sf_dir, "recip_pages")))
 
 
+def _q_web_components(sf_dir: str):
+    """Weakly-connected components of the internal link graph (the
+    cc-webgraph connectivity release): (node, component) with
+    component = min url in the component.  Reuses the dedup family's
+    stats-gated machinery — driver union-find below the edge gate,
+    distributed min-label propagation with pointer jumping above."""
+    from octoray.stages.dedup import dup_components
+    from octoray.stages.webgraph import internal_edges, links_dataset
+
+    import pyarrow as pa
+
+    links = links_dataset(_linked_pages(sf_dir, "wcc_pages"))
+    pairs = internal_edges(links).map_batches(
+        lambda t: pa.table({"id_a": t.column("src"),
+                            "id_b": t.column("dst")}),
+        batch_format="pyarrow")
+    return dup_components(pairs).map_batches(
+        lambda t: pa.table({"node": t.column("id"),
+                            "component": t.column("component")}),
+        batch_format="pyarrow")
+
+
 def _q_web_bowtie(sf_dir: str):
     """Bow-tie decomposition [Broder et al. 2000] of the internal
     link graph: core/in/out/other per node relative to the
@@ -2352,6 +2374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_degree_dist": _q_web_degree_dist,
         "web_reciprocity": _q_web_reciprocity,
         "web_bowtie": _q_web_bowtie,
+        "web_components": _q_web_components,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -3900,6 +3923,11 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_extract_links(Q.rpd("recip_pages"))),
         "web_bowtie": _WG.sql_bowtie(
             _WG.sql_extract_links(Q.rpd("bowtie_pages"))),
+        "web_components": "SELECT id AS node, component FROM (" +
+        Q.sql_dup_components(
+            "(SELECT src AS id_a, dst AS id_b FROM (" +
+            _WG.sql_internal_edges(
+                _WG.sql_extract_links(Q.rpd("wcc_pages"))) + "))") + ")",
         "extract_text": ("""
             SELECT url, replace(replace(replace(
                      coalesce(regexp_extract(decode(html),

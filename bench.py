@@ -172,6 +172,7 @@ SUITE = [
     "kg_void",
     "kg_delta",
     "winnow_fingerprints",
+    "web_components",
 ]
 
 
