@@ -1473,6 +1473,15 @@ def _q_web_reciprocity(sf_dir: str):
     return reciprocity(links_dataset(_linked_pages(sf_dir, "recip_pages")))
 
 
+def _q_host_graph(sf_dir: str):
+    """Host-level link graph (src_host, dst_host, n_links) over ALL
+    links incl. the external tail — cc-webgraph's headline
+    granularity."""
+    from octoray.stages.webgraph import host_graph, links_dataset
+
+    return host_graph(links_dataset(_linked_pages(sf_dir, "hostg_pages")))
+
+
 def _q_web_components(sf_dir: str):
     """Weakly-connected components of the internal link graph (the
     cc-webgraph connectivity release): (node, component) with
@@ -2000,6 +2009,17 @@ def _q_boilerplate_lines(sf_dir: str):
                              min_urls=3)
 
 
+def _q_strip_boilerplate(sf_dir: str):
+    """Template-aware cleaning: per-domain boilerplate lines detected
+    then anti-joined out of every fetch's text, reassembled in line
+    order (ONE corpus sort).  The pipeline between extraction and
+    quality scoring."""
+    from octoray.stages.crawl import strip_boilerplate
+
+    return strip_boilerplate(_crawl_ds(sf_dir, "crawl_strip_raw"),
+                             min_urls=3)
+
+
 def _q_latest_per_url(sf_dir: str):
     """CDX-style re-crawl collapse: newest fetch per url (two-phase
     arg-max, one slim-row shuffle)."""
@@ -2375,6 +2395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_reciprocity": _q_web_reciprocity,
         "web_bowtie": _q_web_bowtie,
         "web_components": _q_web_components,
+        "host_graph": _q_host_graph,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -2384,6 +2405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": _q_crawl_delta,
         "domain_stats": _q_domain_stats,
         "boilerplate_lines": _q_boilerplate_lines,
+        "strip_boilerplate": _q_strip_boilerplate,
         "per_domain_cap": _q_per_domain_cap,
         "crawl_schedule": _q_crawl_schedule,
         "url_canon": _q_url_canon,
@@ -3532,6 +3554,9 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": __import__(
             "octoray.stages.crawl", fromlist=["sql_boilerplate_lines"]
         ).sql_boilerplate_lines(Q.rpd("crawl_boiler_raw"), min_urls=3),
+        "strip_boilerplate": __import__(
+            "octoray.stages.crawl", fromlist=["sql_strip_boilerplate"]
+        ).sql_strip_boilerplate(Q.rpd("crawl_strip_raw"), min_urls=3),
         "per_domain_cap": f"""
             WITH d AS (SELECT DISTINCT
                          regexp_extract(url,
@@ -3923,6 +3948,8 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_extract_links(Q.rpd("recip_pages"))),
         "web_bowtie": _WG.sql_bowtie(
             _WG.sql_extract_links(Q.rpd("bowtie_pages"))),
+        "host_graph": _WG.sql_host_graph(
+            _WG.sql_extract_links(Q.rpd("hostg_pages"))),
         "web_components": "SELECT id AS node, component FROM (" +
         Q.sql_dup_components(
             "(SELECT src AS id_a, dst AS id_b FROM (" +

@@ -173,6 +173,8 @@ SUITE = [
     "kg_delta",
     "winnow_fingerprints",
     "web_components",
+    "host_graph",
+    "strip_boilerplate",
 ]
 
 

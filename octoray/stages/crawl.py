@@ -493,3 +493,109 @@ def sql_boilerplate_lines(src: str, *, min_urls: int = 3,
         FROM l GROUP BY domain, line
         HAVING count(DISTINCT url) >= {int(min_urls)}
     """
+
+
+def strip_boilerplate(crawl, *, min_urls: int = 3, sep: str = ". ",
+                      url_col: str = "url", snap_col: str = "snapshot",
+                      text_col: str = "text",
+                      broadcast_limit: int = 2_000_000):
+    """Template-aware text cleaning: detect each domain's boilerplate
+    lines (boilerplate_lines, >= ``min_urls`` distinct urls) and
+    rebuild every fetch's text WITHOUT them — the cleaning step a
+    production corpus pipeline runs between extraction and quality
+    scoring.  Output: (url, snapshot, text_clean, n_lines, n_kept);
+    fetches whose every line is template text vanish (same contract
+    as line_dedup's all-duplicate docs).
+
+    Scale shape: the boilerplate set rides the stats-gated anti-join
+    (per-domain template vocabularies are small — bounded by the
+    site's layout, not its page count — so it broadcasts at any real
+    scale; the distributed join is the fallback); the corpus text
+    shuffles ONCE, for the (url, snapshot) reassembly sort."""
+    import pyarrow.compute as _pc
+
+    from octoray.query import semi_join_auto
+
+    boiler = boilerplate_lines(crawl, min_urls=min_urls, sep=sep,
+                               url_col=url_col, text_col=text_col)
+
+    def bkey(t: pa.Table) -> pa.Table:
+        return pa.table({"bk": _pc.binary_join_element_wise(
+            t.column("domain").cast(pa.string()),
+            t.column("line").cast(pa.string()), "\x1f")})
+
+    bkeys = boiler.map_batches(bkey, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        doms = _domain_of(t.column(url_col)).to_pylist()
+        out: dict = {"url": [], "snapshot": [], "line_no": [],
+                     "n_lines": [], "line": [], "bk": []}
+        for dom, url, snap, text in zip(
+                doms, t.column(url_col).to_pylist(),
+                t.column(snap_col).to_pylist(),
+                t.column(text_col).to_pylist()):
+            parts = text.split(sep)
+            for j, line in enumerate(parts, start=1):
+                out["url"].append(url)
+                out["snapshot"].append(snap)
+                out["line_no"].append(j)
+                out["n_lines"].append(len(parts))
+                out["line"].append(line)
+                out["bk"].append(f"{dom}\x1f{line}")
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "snapshot": pa.array(out["snapshot"], pa.int64()),
+            "line_no": pa.array(out["line_no"], pa.int64()),
+            "n_lines": pa.array(out["n_lines"], pa.int64()),
+            "line": pa.array(out["line"], pa.string()),
+            "bk": pa.array(out["bk"], pa.string()),
+        })
+
+    exploded = crawl.map_batches(explode, batch_format="pyarrow")
+    kept = semi_join_auto(exploded, "bk", bkeys, key_col="bk", anti=True,
+                          broadcast_limit=broadcast_limit)
+
+    def rebuild_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({"url": [], "snapshot": [],
+                                 "text_clean": [], "n_lines": [],
+                                 "n_kept": []})
+        df = df.sort_values(["url", "snapshot", "line_no"],
+                            kind="mergesort")
+        g = df.groupby(["url", "snapshot"], sort=False)
+        return pd.DataFrame({
+            "text_clean": g["line"].agg(sep.join),
+            "n_lines": g["n_lines"].first(),
+            "n_kept": g.size(),
+        }).reset_index()
+
+    return kept.sort(["url", "snapshot"]).map_batches(
+        rebuild_block, batch_format="pandas", batch_size=None)
+
+
+def sql_strip_boilerplate(src: str, *, min_urls: int = 3,
+                          sep: str = ". ") -> str:
+    """DuckDB twin of strip_boilerplate (boilerplate re-derived from
+    the same rows, anti-joined out, text reassembled in line order)."""
+    s = sep.replace("'", "''")
+    dom = "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)"
+    return f"""
+        WITH sp AS (SELECT {dom} AS domain, url, snapshot,
+                           string_split(text, '{s}') AS parts FROM {src}),
+        x AS (SELECT domain, url, snapshot,
+                     unnest(range(1, len(parts) + 1)) AS line_no,
+                     parts, len(parts) AS n_lines FROM sp),
+        l AS (SELECT domain, url, snapshot, line_no,
+                     parts[line_no] AS line, n_lines FROM x),
+        bd AS (SELECT DISTINCT domain, url, line FROM l),
+        bl AS (SELECT domain, line FROM bd GROUP BY domain, line
+               HAVING count(DISTINCT url) >= {int(min_urls)}),
+        k AS (SELECT l.* FROM l LEFT JOIN bl
+              ON l.domain = bl.domain AND l.line = bl.line
+              WHERE bl.line IS NULL)
+        SELECT url, snapshot,
+               string_agg(line, '{s}' ORDER BY line_no) AS text_clean,
+               any_value(n_lines) AS n_lines,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM k GROUP BY url, snapshot
+    """

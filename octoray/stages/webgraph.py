@@ -35,7 +35,8 @@ __all__ = ["links_dataset", "anchor_summary", "internal_edges",
            "reciprocity", "bowtie", "sql_extract_links",
            "sql_anchor_summary", "sql_internal_edges",
            "sql_frontier_urls", "sql_degree_histogram",
-           "sql_reciprocity", "sql_bowtie"]
+           "sql_reciprocity", "sql_bowtie", "host_graph",
+           "sql_host_graph"]
 
 
 def links_dataset(pages):
@@ -496,4 +497,43 @@ def sql_bowtie(links_src: str) -> str:
         FROM nodes n
         LEFT JOIN fr fm ON n.node = fm.node
         LEFT JOIN br bm ON n.node = bm.node
+    """
+
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
+
+
+def host_graph(links):
+    """Host-level collapse of the hyperlink graph: (src_host,
+    dst_host, n_links) over ALL links, internal and external — the
+    granularity cc-webgraph actually releases first (page graphs are
+    derived; host/domain graphs are the headline product).  One
+    C-level regex extraction per batch + a partial-combine count;
+    the host-pair key space is tiny, so nothing heavy shuffles."""
+    import pyarrow.compute as pc
+
+    from octoray.query import sorted_groupby_count
+
+    def hosts(t: pa.Table) -> pa.Table:
+        def h(col):
+            return pc.struct_field(
+                pc.extract_regex(t.column(col).cast(pa.string()),
+                                 _HOST_RE.replace("([^/]+)",
+                                                  "(?P<host>[^/]+)")),
+                "host")
+
+        return pa.table({"src_host": h("src"), "dst_host": h("dst")})
+
+    pairs = links.map_batches(hosts, batch_format="pyarrow")
+    return sorted_groupby_count(pairs, ["src_host", "dst_host"],
+                                alias="n_links")
+
+
+def sql_host_graph(links_src: str) -> str:
+    return f"""
+        SELECT regexp_extract(src, '{_HOST_RE}', 1) AS src_host,
+               regexp_extract(dst, '{_HOST_RE}', 1) AS dst_host,
+               count(*) AS n_links
+        FROM ({links_src})
+        GROUP BY 1, 2
     """

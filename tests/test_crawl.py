@@ -516,3 +516,34 @@ def test_boilerplate_lines_brute(ray_session):
         "line": ["footer", "nav bar"],
         "n_urls": pd.Series([2, 3], dtype="int64")})
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_strip_boilerplate_hand(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.crawl import strip_boilerplate
+
+    rows = [
+        ("https://a.org/1", 0, "nav. one. footer"),
+        ("https://a.org/2", 0, "nav. two. footer"),
+        ("https://a.org/3", 0, "nav. three"),
+        ("https://b.org/1", 0, "nav. beta"),   # 'nav' not boiler on b.org
+        ("https://a.org/4", 1, "nav"),          # all-boiler fetch vanishes
+    ]
+    ds = rd.from_arrow(pa.table({
+        "url": [r[0] for r in rows],
+        "snapshot": pa.array([r[1] for r in rows], pa.int64()),
+        "text": [r[2] for r in rows]}))
+    out = (strip_boilerplate(ds, min_urls=3).to_pandas()
+           .sort_values(["url", "snapshot"]).reset_index(drop=True))
+    exp = pd.DataFrame({
+        "url": ["https://a.org/1", "https://a.org/2", "https://a.org/3",
+                "https://b.org/1"],
+        "snapshot": pd.Series([0, 0, 0, 0], dtype="int64"),
+        "text_clean": ["one. footer", "two. footer", "three",
+                       "nav. beta"],
+        "n_lines": pd.Series([3, 3, 2, 2], dtype="int64"),
+        "n_kept": pd.Series([2, 2, 1, 2], dtype="int64")})
+    pd.testing.assert_frame_equal(out, exp)
