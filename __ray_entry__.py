@@ -1473,6 +1473,28 @@ def _q_web_reciprocity(sf_dir: str):
     return reciprocity(links_dataset(_linked_pages(sf_dir, "recip_pages")))
 
 
+def _q_anchor_names(sf_dir: str):
+    """Canonical name per link target: top anchor text by in-link
+    count (ties lexicographic) — the entity-naming argmax over the
+    anchor index."""
+    from octoray.stages.webgraph import anchor_names, links_dataset
+
+    return anchor_names(links_dataset(_linked_pages(sf_dir,
+                                                    "aname_pages")), k=1)
+
+
+def _q_web_diameter(sf_dir: str):
+    """Sampled shortest-distance distribution (hops, n_pairs) of the
+    undirected internal graph — the effective-diameter profile, over
+    harmonic's deterministic md5 source sample."""
+    from octoray.stages.graphalgo import distance_histogram
+    from octoray.stages.webgraph import internal_edges, links_dataset
+
+    links = links_dataset(_linked_pages(sf_dir, "diam_pages"))
+    return distance_histogram(internal_edges(links), n_sources=12,
+                              max_hops=4)
+
+
 def _q_host_graph(sf_dir: str):
     """Host-level link graph (src_host, dst_host, n_links) over ALL
     links incl. the external tail — cc-webgraph's headline
@@ -2396,6 +2418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_bowtie": _q_web_bowtie,
         "web_components": _q_web_components,
         "host_graph": _q_host_graph,
+        "anchor_names": _q_anchor_names,
+        "web_diameter": _q_web_diameter,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -3950,6 +3974,12 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_extract_links(Q.rpd("bowtie_pages"))),
         "host_graph": _WG.sql_host_graph(
             _WG.sql_extract_links(Q.rpd("hostg_pages"))),
+        "anchor_names": _WG.sql_anchor_names(
+            _WG.sql_extract_links(Q.rpd("aname_pages")), k=1),
+        "web_diameter": _GA.sql_distance_histogram(
+            _WG.sql_internal_edges(
+                _WG.sql_extract_links(Q.rpd("diam_pages"))),
+            n_sources=12, max_hops=4),
         "web_components": "SELECT id AS node, component FROM (" +
         Q.sql_dup_components(
             "(SELECT src AS id_a, dst AS id_b FROM (" +

@@ -175,6 +175,8 @@ SUITE = [
     "web_components",
     "host_graph",
     "strip_boilerplate",
+    "anchor_names",
+    "web_diameter",
 ]
 
 

@@ -878,7 +878,8 @@ def hop_distances(triples, source: str, *, max_hops: int = 4,
 
 def harmonic_centrality(edges, *, n_sources: int = 12, max_hops: int = 4,
                         driver_limit: int = 5_000_000,
-                        broadcast_limit: int = 2_000_000):
+                        broadcast_limit: int = 2_000_000,
+                        _return_visited: bool = False):
     """Sampled harmonic centrality over an UNDIRECTED view of a
     (src, dst) edge list: for each node, the number of sampled
     sources that reach it within ``max_hops`` and the harmonic sum
@@ -975,6 +976,11 @@ def harmonic_centrality(edges, *, n_sources: int = 12, max_hops: int = 4,
                 frontier = nxt
             rows += [(s, n, h) for n, h in dist.items()]
         vis = pd.DataFrame(rows, columns=["source", "node", "hops"])
+        if _return_visited:
+            return rd.from_arrow(pa.table({
+                "source": pa.array(vis["source"], pa.string()),
+                "node": pa.array(vis["node"], pa.string()),
+                "hops": pa.array(vis["hops"], pa.int64())}))
         return rd.from_pandas(finish(vis)) if len(vis) else rd.from_pandas(
             finish(pd.DataFrame(columns=["source", "node", "hops"])))
 
@@ -1011,6 +1017,8 @@ def harmonic_centrality(edges, *, n_sources: int = 12, max_hops: int = 4,
             break
         visited = visited.union(frontier).materialize()
 
+    if _return_visited:
+        return visited.select_columns(["source", "node", "hops"])
     return visited.select_columns(["source", "node", "hops"]).sort(
         ["node"]).map_batches(finish, batch_format="pandas",
                               batch_size=None)
@@ -1552,3 +1560,58 @@ def sql_hits_edges(edges_src: str, *, n_iters: int = 5) -> str:
             f" floor(h.s * 1000000 + 0.5) / 1000000 AS hub,"
             f" floor(a.s * 1000000 + 0.5) / 1000000 AS authority"
             f" FROM h{n} h JOIN a{n} a ON h.node = a.node")
+
+
+def distance_histogram(edges, *, n_sources: int = 12, max_hops: int = 4,
+                       driver_limit: int = 5_000_000,
+                       broadcast_limit: int = 2_000_000):
+    """Sampled shortest-distance distribution over the UNDIRECTED
+    view of an edge list: (hops, n_pairs) for the BFS trees of the
+    same deterministic md5 bottom-k source sample harmonic_centrality
+    uses — the effective-diameter / small-world profile every
+    webgraph release reports (HyperANF's product, here exact over a
+    source sample instead of approximate over all pairs).
+
+    One slim combine-count over harmonic's (source, node, hops)
+    visited table; everything upstream (sampling, BFS fixpoints,
+    stats gates) is shared code."""
+    from octoray.query import sorted_groupby_count
+
+    vis = harmonic_centrality(edges, n_sources=n_sources,
+                              max_hops=max_hops,
+                              driver_limit=driver_limit,
+                              broadcast_limit=broadcast_limit,
+                              _return_visited=True)
+    import pyarrow.compute as pc
+
+    pos = vis.map_batches(
+        lambda t: t.select(["hops"]).filter(
+            pc.greater(t.column("hops"), pa.scalar(0))),
+        batch_format="pyarrow")
+    return sorted_groupby_count(pos, ["hops"], alias="n_pairs")
+
+
+def sql_distance_histogram(edges_src: str, *, n_sources: int = 12,
+                           max_hops: int = 4) -> str:
+    """DuckDB twin of distance_histogram (sql_harmonic's CTE chain,
+    grouped by distance instead of node)."""
+    return f"""
+        WITH RECURSIVE
+        base AS (SELECT src, dst FROM ({edges_src}) WHERE src <> dst),
+        e AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, dst FROM base UNION ALL
+               SELECT dst, src FROM base)),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        srcs AS (SELECT node AS s FROM nodes
+                 ORDER BY md5_number_lower(CAST(node AS VARCHAR)), node
+                 LIMIT {n_sources}),
+        walk(s, node, d) AS (
+          SELECT s, s, 0 FROM srcs
+          UNION
+          SELECT w.s, e.dst, w.d + 1
+          FROM walk w JOIN e ON e.src = w.node
+          WHERE w.d < {max_hops}),
+        md AS (SELECT s, node, min(d) AS d FROM walk GROUP BY 1, 2)
+        SELECT d AS hops, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM md WHERE d > 0 GROUP BY d
+    """

@@ -36,7 +36,7 @@ __all__ = ["links_dataset", "anchor_summary", "internal_edges",
            "sql_anchor_summary", "sql_internal_edges",
            "sql_frontier_urls", "sql_degree_histogram",
            "sql_reciprocity", "sql_bowtie", "host_graph",
-           "sql_host_graph"]
+           "sql_host_graph", "anchor_names", "sql_anchor_names"]
 
 
 def links_dataset(pages):
@@ -536,4 +536,32 @@ def sql_host_graph(links_src: str) -> str:
                count(*) AS n_links
         FROM ({links_src})
         GROUP BY 1, 2
+    """
+
+
+def anchor_names(links, *, k: int = 1):
+    """Canonical name per link target: the top-k anchor texts by
+    in-link frequency (ties to the lexicographically smallest anchor)
+    — the entity-naming signal search and KG pipelines mine from
+    anchor text (the argmax view of anchor_summary's full index).
+    Output: (dst, anchor, n_links).
+
+    Scale shape: map-side (dst, anchor) partial counts, one slim
+    combine, then grouped_top_k's partial-head + one group sort."""
+    from octoray.query import grouped_top_k, sorted_groupby_count
+
+    counts = sorted_groupby_count(links.select_columns(["dst", "anchor"]),
+                                  ["dst", "anchor"], alias="n_links")
+    return grouped_top_k(counts, ["dst"], "n_links", k,
+                         tie_cols=["anchor"], descending=True)
+
+
+def sql_anchor_names(links_src: str, *, k: int = 1) -> str:
+    return f"""
+        WITH c AS (SELECT dst, anchor, count(*) AS n_links
+                   FROM ({links_src}) GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER
+                (PARTITION BY dst ORDER BY n_links DESC, anchor) AS rn
+              FROM c)
+        SELECT dst, anchor, n_links FROM r WHERE rn <= {int(k)}
     """
