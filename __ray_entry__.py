@@ -1152,6 +1152,18 @@ def _q_prep_ivr(sf_dir: str):
     return _prep_canon("prep_ivr_raw", raw)
 
 
+def _q_kg_negatives(sf_dir: str):
+    """Deterministic word2vec-style negative sampling over the KG's
+    node set (the trainer hand-off beside kg_walks/kg_skipgrams):
+    global node index via the distributed prefix sum, md5 pick rule,
+    one integer-keyed hash join."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import link_negatives, uri_edges
+
+    return link_negatives(
+        uri_edges(dedup_triples(_kg_raw(sf_dir, "kg_neg_raw"))), k=2)
+
+
 def _q_kg_void(sf_dir: str):
     """W3C VoID property-partition profile of the built KG:
     per-predicate triple / distinct-subject / distinct-object counts
@@ -2396,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_void": _q_kg_void,
         "kg_delta": _q_kg_delta,
+        "kg_negatives": _q_kg_negatives,
         "kg_kcore": _q_kg_kcore,
         "kg_hops": _q_kg_hops,
         "kg_walks": _q_kg_walks,
@@ -3920,6 +3933,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_delta": __import__(
             "octoray.stages.canon", fromlist=["sql_triple_delta"]
         ).sql_triple_delta(Q.rpd("kg_delta_old"), Q.rpd("kg_delta_new")),
+        "kg_negatives": _GA.sql_link_negatives(
+            "SELECT subject AS src, object AS dst FROM (SELECT DISTINCT"
+            " subject, predicate, object, object_datatype FROM "
+            + Q.rpd("kg_neg_raw") + ") WHERE object_datatype = 'uri'",
+            k=2),
         "kg_pagerank": Q.sql_pagerank(Q.rpd("kg_pagerank_raw"),
                                       damping=0.85, n_iters=5),
         "kg_kcore": Q.sql_kcore(Q.rpd("kg_kcore_raw"), k=2, n_iters=16),

@@ -177,6 +177,7 @@ SUITE = [
     "strip_boilerplate",
     "anchor_names",
     "web_diameter",
+    "kg_negatives",
 ]
 
 

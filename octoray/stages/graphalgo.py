@@ -1615,3 +1615,84 @@ def sql_distance_histogram(edges_src: str, *, n_sources: int = 12,
         SELECT d AS hops, CAST(count(*) AS BIGINT) AS n_pairs
         FROM md WHERE d > 0 GROUP BY d
     """
+
+
+def link_negatives(edges, *, k: int = 2):
+    """Deterministic negative sampling over an edge list's node set —
+    the third leg of the graph-embedding trainer hand-off (walks →
+    skip-gram pairs → negatives): for each node, ``k`` pseudo-uniform
+    picks neg_j = nodes[md5(node \\x1f j) mod N] in the word2vec
+    convention (positives NOT excluded, self-picks kept — the sampler
+    stays unbiased and exactly re-derivable on both engines).
+    Output: (node, j, neg).
+
+    Scale shape: ONE node sort through the distributed exclusive
+    prefix sum gives every node its global index (driver reduce
+    bounded by block count); a map-side expansion emits k slim
+    (node, j, pick) rows; ONE stats-gated hash join on the integer
+    index resolves picks to node names.  Nothing wider than the node
+    table ever moves."""
+    import numpy as np
+
+    from octoray.query import distinct_values, hash_join, sorted_prefix_sum
+    from octoray.stages.sketch import _md5_lower64
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("src").combine_chunks().cast(pa.string()),
+             t.column("dst").combine_chunks().cast(pa.string())])})
+
+    nodes = distinct_values(edges.map_batches(both, batch_format="pyarrow"),
+                            ["node"])
+    ones = nodes.map_batches(
+        lambda t: t.append_column("_one", pa.array([1] * t.num_rows,
+                                                   pa.int64())),
+        batch_format="pyarrow")
+    idx = sorted_prefix_sum(ones, "_one", order_col="node",
+                            alias="i").materialize()
+    n = idx.count()
+    if n == 0:
+        return idx.select_columns(["node"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        names = t.column("node").to_pylist()
+        out_node = []
+        out_j = []
+        keys = []
+        for name in names:
+            for j in range(1, k + 1):
+                out_node.append(name)
+                out_j.append(j)
+                keys.append(f"{name}\x1f{j}")
+        picks = (_md5_lower64(keys) % np.uint64(n)).astype(np.int64)
+        return pa.table({"node": pa.array(out_node, pa.string()),
+                         "j": pa.array(out_j, pa.int64()),
+                         "pick": pa.array(picks, pa.int64())})
+
+    picks = idx.map_batches(expand, batch_format="pyarrow")
+    lookup = idx.map_batches(
+        lambda t: pa.table({"pick": t.column("i"),
+                            "neg": t.column("node")}),
+        batch_format="pyarrow")
+    out = hash_join(picks, lookup, on="pick")
+    return out.map_batches(
+        lambda t: t.select(["node", "j", "neg"]), batch_format="pyarrow")
+
+
+def sql_link_negatives(edges_src: str, *, k: int = 2) -> str:
+    """DuckDB twin of link_negatives (row_number index, identical
+    md5 pick rule)."""
+    return f"""
+        WITH e AS (SELECT src, dst FROM ({edges_src})),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        idx AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS i
+                FROM nodes),
+        nn AS (SELECT count(*) AS c FROM idx),
+        p AS (SELECT idx.node, r.j,
+                     CAST(md5_number_lower(idx.node || chr(31) ||
+                          CAST(r.j AS VARCHAR)) % nn.c AS BIGINT) AS pick
+              FROM idx CROSS JOIN range(1, {int(k)} + 1) r(j)
+              CROSS JOIN nn)
+        SELECT p.node, p.j, l.node AS neg
+        FROM p JOIN idx l ON p.pick = l.i
+    """
