@@ -1152,6 +1152,40 @@ def _q_prep_ivr(sf_dir: str):
     return _prep_canon("prep_ivr_raw", raw)
 
 
+def _q_kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient (Watts-Strogatz) over the
+    RULES-EXPANDED KG graph PLUS the closed geo hierarchy edges (the
+    base emission is near-bipartite and triangle-free; strain ->
+    state, strain -> country and state -> country close real
+    triangles): degree-oriented wedge iterator, each surviving wedge
+    credits all three corners, left join on degree."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.graphalgo import clustering_coefficients
+    from octoray.stages.rules import (closure_edges, expand_locations,
+                                      expand_subproperties,
+                                      geography_facts)
+
+    import pyarrow.compute as pc
+
+    expanded = expand_locations(expand_subproperties(
+        _kg_raw(sf_dir, "kg_clust_raw")))
+    geo = geography_facts()
+    sel = geo.filter(pc.equal(geo.column("predicate"),
+                              pa.scalar("f:locatedIn")))
+    closed = sorted(closure_edges(
+        list(zip(sel.column("subject").to_pylist(),
+                 sel.column("object").to_pylist()))))
+    hier = rd.from_arrow(pa.table({
+        "subject": pa.array([a for a, _ in closed], pa.string()),
+        "predicate": pa.array(["f:locatedIn"] * len(closed), pa.string()),
+        "object": pa.array([b for _, b in closed], pa.string()),
+        "object_datatype": pa.array(["uri"] * len(closed), pa.string()),
+    }))
+    return clustering_coefficients(expanded.union(hier))
+
+
 def _q_kg_negatives(sf_dir: str):
     """Deterministic word2vec-style negative sampling over the KG's
     node set (the trainer hand-off beside kg_walks/kg_skipgrams):
@@ -2409,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_void": _q_kg_void,
         "kg_delta": _q_kg_delta,
         "kg_negatives": _q_kg_negatives,
+        "kg_clustering": _q_kg_clustering,
         "kg_kcore": _q_kg_kcore,
         "kg_hops": _q_kg_hops,
         "kg_walks": _q_kg_walks,
@@ -3933,6 +3968,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_delta": __import__(
             "octoray.stages.canon", fromlist=["sql_triple_delta"]
         ).sql_triple_delta(Q.rpd("kg_delta_old"), Q.rpd("kg_delta_new")),
+        "kg_clustering": _GA.sql_clustering(
+            "(SELECT * FROM (" + Q.sql_rules_expanded(Q.rpd("kg_clust_raw"))
+            + ") UNION ALL SELECT loc AS subject,"
+            " 'f:locatedIn' AS predicate, ancestor AS object,"
+            " 'uri' AS object_datatype FROM (VALUES "
+            + Q._geo_closure_values() + ") t(loc, ancestor))"),
         "kg_negatives": _GA.sql_link_negatives(
             "SELECT subject AS src, object AS dst FROM (SELECT DISTINCT"
             " subject, predicate, object, object_datatype FROM "

@@ -178,6 +178,7 @@ SUITE = [
     "anchor_names",
     "web_diameter",
     "kg_negatives",
+    "kg_clustering",
 ]
 
 

@@ -1696,3 +1696,182 @@ def sql_link_negatives(edges_src: str, *, k: int = 2) -> str:
         SELECT p.node, p.j, l.node AS neg
         FROM p JOIN idx l ON p.pick = l.i
     """
+
+
+def clustering_coefficients(triples, *, broadcast_limit: int = 2_000_000):
+    """Per-node local clustering coefficient over the undirected
+    uri--uri graph: (node, deg, n_triangles, coeff) with coeff =
+    2T(v) / (deg(v) (deg(v)-1)), 0 below degree 2 — the node-level
+    refinement of triangle_count (how cliquish each entity's
+    neighborhood is; the Watts-Strogatz small-world statistic).
+
+    Same degree-oriented node-iterator as triangle_count (each
+    triangle discovered exactly once at its lowest-(degree, id)
+    corner, wedge fan-out bounded O(sqrt(m)) at hubs), except each
+    surviving wedge (c, a, b) credits ALL THREE corners: explode to
+    3 slim node rows, partial-combine count, one left join against
+    the degree table.  Closing-edge membership is the same
+    stats-gated broadcast-set / merge-join switch."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from octoray.query import (combined_groupby_count, distinct_values,
+                               hash_join, merge_join)
+    from octoray.util import round_half_up_scalar
+
+    edges = uri_edges(triples)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t.column("src"), t.column("dst"))
+        b = pc.max_element_wise(t.column("src"), t.column("dst"))
+        tbl = pa.table({"a": a, "b": b})
+        return tbl.filter(pc.not_equal(tbl.column("a"), tbl.column("b")))
+
+    und = distinct_values(
+        edges.map_batches(undirect, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+
+    def stack(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("a").combine_chunks().cast(pa.string()),
+             t.column("b").combine_chunks().cast(pa.string())])})
+
+    deg = combined_groupby_count(
+        und.map_batches(stack, batch_format="pyarrow"), ["node"],
+        alias="deg").materialize()
+
+    e1 = hash_join(und, deg.map_batches(
+        lambda t: t.rename_columns(["a", "da"]), batch_format="pyarrow"),
+        on="a")
+    e2 = hash_join(e1, deg.map_batches(
+        lambda t: t.rename_columns(["b", "db"]), batch_format="pyarrow"),
+        on="b")
+
+    def orient(t: pa.Table) -> pa.Table:
+        da, db = t.column("da"), t.column("db")
+        a, b = t.column("a"), t.column("b")
+        lower = pc.or_(pc.less(da, db),
+                       pc.and_(pc.equal(da, db), pc.less(a, b)))
+        return pa.table({
+            "src": pc.if_else(lower, a, b),
+            "dst": pc.if_else(lower, b, a),
+        })
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_block(df):
+        if not len(df):
+            return pd.DataFrame({"c": pd.Series([], dtype=object),
+                                 "a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        srcs, counts = np.unique(df["src"].to_numpy(), return_counts=True)
+        a, b = _within_group_pairs(counts, df["dst"].to_numpy())
+        # _within_group_pairs emits pairs ordered by SIZE CLASS (one
+        # pass per distinct group size), NOT by group position — the
+        # center column must follow the same order or wedges credit
+        # the wrong node (caught by the kg_clustering oracle: brute
+        # 13 triangles vs 16 misattributed)
+        ctr = []
+        for m in np.unique(counts):
+            if m < 2:
+                continue
+            ctr.append(np.repeat(srcs[counts == m],
+                                 int(m) * (int(m) - 1) // 2))
+        centers = (np.concatenate(ctr) if ctr
+                   else np.array([], dtype=object))
+        return pd.DataFrame({"c": centers, "a": a, "b": b})
+
+    wedges = oriented.sort(["src"]).map_batches(
+        wedges_block, batch_format="pandas", batch_size=None)
+
+    if und.count() <= broadcast_limit:
+        import ray
+
+        eset = set()
+        for blk in und.iter_batches(batch_format="pyarrow"):
+            eset.update(zip(blk.column("a").to_pylist(),
+                            blk.column("b").to_pylist()))
+        ref = ray.put(frozenset(eset))
+
+        def survivors(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            es = _ray.get(ref)
+            keep = [(x, y) in es
+                    for x, y in zip(t.column("a").to_pylist(),
+                                    t.column("b").to_pylist())]
+            return t.filter(pa.array(keep, pa.bool_()))
+
+        closed = wedges.map_batches(survivors, batch_format="pyarrow")
+    else:
+        marked = und.map_batches(
+            lambda t: t.append_column(
+                "_e", pa.array([1] * t.num_rows, pa.int8())),
+            batch_format="pyarrow")
+        joined = merge_join(wedges, marked, ["a", "b"], how="left_outer")
+        closed = joined.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("_e")))
+            .select(["c", "a", "b"]),
+            batch_format="pyarrow")
+
+    def corners(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column(c).combine_chunks().cast(pa.string())
+             for c in ("c", "a", "b")])})
+
+    tri = combined_groupby_count(
+        closed.map_batches(corners, batch_format="pyarrow"), ["node"],
+        alias="n_triangles").materialize()
+
+    if tri.count() == 0:
+        # triangle-free graph: the left join's empty right side would
+        # reach the pandas merge with an untyped column — short-circuit
+        out = deg.map_batches(
+            lambda t: t.append_column(
+                "n_triangles", pa.array([0] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        out = hash_join(deg, tri, on="node", how="left_outer")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["n_triangles"].fillna(0).astype("int64")
+        d = df["deg"].astype("int64")
+        denom = (d * (d - 1)).where(d >= 2, 1)
+        coeff = (2.0 * t / denom).where(d >= 2, 0.0)
+        return pd.DataFrame({
+            "node": df["node"], "deg": d, "n_triangles": t,
+            "coeff": [round_half_up_scalar(v, 6) for v in coeff]})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def sql_clustering(src: str) -> str:
+    """DuckDB twin of clustering_coefficients; boundary: raw emitted
+    triples (dedup + undirected canonicalization re-derived).  The
+    canonical a<b pair set enumerates each triangle exactly once as
+    (x<y<z)."""
+    return f"""
+        WITH d AS (SELECT DISTINCT subject, object FROM {src}
+                   WHERE object_datatype = 'uri'),
+        und AS (SELECT DISTINCT least(subject, object) AS a,
+                       greatest(subject, object) AS b FROM d
+                WHERE subject <> object),
+        tr AS (SELECT u1.a AS x, u1.b AS y, u2.b AS z
+               FROM und u1
+               JOIN und u2 ON u2.a = u1.b
+               JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b),
+        tn AS (SELECT x AS node FROM tr UNION ALL
+               SELECT y FROM tr UNION ALL SELECT z FROM tr),
+        tc AS (SELECT node, count(*) AS n_triangles FROM tn GROUP BY 1),
+        dg AS (SELECT node, count(*) AS deg FROM
+                 (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+               GROUP BY 1)
+        SELECT dg.node, dg.deg,
+               coalesce(tc.n_triangles, 0) AS n_triangles,
+               floor((CASE WHEN dg.deg < 2 THEN 0.0
+                      ELSE 2.0 * coalesce(tc.n_triangles, 0)
+                           / (dg.deg * (dg.deg - 1.0)) END)
+                     * 1000000 + 0.5) / 1000000 AS coeff
+        FROM dg LEFT JOIN tc ON dg.node = tc.node
+    """

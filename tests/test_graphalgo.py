@@ -441,3 +441,37 @@ def test_hits_fast_and_distributed_identical(ray_session):
         assert abs(fast.loc[k, "hub"] - slow.loc[k, "hub"]) < 1e-9, k
         assert abs(fast.loc[k, "authority"]
                    - slow.loc[k, "authority"]) < 1e-9, k
+
+
+def test_clustering_coefficients_brute(ray_session):
+    import numpy as np
+
+    from octoray.stages.graphalgo import clustering_coefficients
+
+    rng = np.random.default_rng(5)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 25, (120, 2))
+             if a != b}
+    tr = _triples([(f"n{a}", f"n{b}") for a, b in sorted(edges)],
+                  extra_literal=False)
+    got = (clustering_coefficients(tr).to_pandas()
+           .set_index("node").sort_index())
+
+    und = {(min(f"n{a}", f"n{b}"), max(f"n{a}", f"n{b}"))
+           for a, b in edges}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert sorted(got.index) == sorted(adj)
+    any_triangle = False
+    for n, nb in adj.items():
+        nbl = sorted(nb)
+        t = sum(1 for i in range(len(nbl)) for j in range(i + 1, len(nbl))
+                if (min(nbl[i], nbl[j]), max(nbl[i], nbl[j])) in und)
+        d = len(nbl)
+        assert got.loc[n, "deg"] == d, n
+        assert got.loc[n, "n_triangles"] == t, n
+        c = 0.0 if d < 2 else 2.0 * t / (d * (d - 1))
+        assert abs(got.loc[n, "coeff"] - np.floor(c * 1e6 + 0.5) / 1e6) < 1e-9
+        any_triangle = any_triangle or t > 0
+    assert any_triangle
