@@ -1541,6 +1541,20 @@ def _q_web_diameter(sf_dir: str):
                               max_hops=4)
 
 
+def _q_web_trustrank(sf_dir: str):
+    """TrustRank over the internal link graph: teleportation
+    restricted to a deterministic md5 bottom-k seed set (the
+    link-spam / quality-propagation rank).  Oracle: generated
+    MATERIALIZED-CTE chain with the identical seed rule over links
+    the SQL re-extracts from the dumped html."""
+    from octoray.stages.graphalgo import trustrank_edges
+    from octoray.stages.webgraph import internal_edges, links_dataset
+
+    links = links_dataset(_linked_pages(sf_dir, "trust_pages"))
+    return trustrank_edges(internal_edges(links), damping=0.85,
+                           n_iters=5, n_seeds=8)
+
+
 def _q_host_graph(sf_dir: str):
     """Host-level link graph (src_host, dst_host, n_links) over ALL
     links incl. the external tail — cc-webgraph's headline
@@ -2468,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "anchor_names": _q_anchor_names,
         "web_diameter": _q_web_diameter,
+        "web_trustrank": _q_web_trustrank,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -4039,6 +4054,10 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("diam_pages"))),
             n_sources=12, max_hops=4),
+        "web_trustrank": _GA.sql_trustrank_edges(
+            _WG.sql_internal_edges(
+                _WG.sql_extract_links(Q.rpd("trust_pages"))),
+            damping=0.85, n_iters=5, n_seeds=8),
         "web_components": "SELECT id AS node, component FROM (" +
         Q.sql_dup_components(
             "(SELECT src AS id_a, dst AS id_b FROM (" +

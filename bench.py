@@ -179,6 +179,7 @@ SUITE = [
     "web_diameter",
     "kg_negatives",
     "kg_clustering",
+    "web_trustrank",
 ]
 
 

@@ -1875,3 +1875,163 @@ def sql_clustering(src: str) -> str:
                      * 1000000 + 0.5) / 1000000 AS coeff
         FROM dg LEFT JOIN tc ON dg.node = tc.node
     """
+
+
+def trustrank_edges(edges, *, damping: float = 0.85, n_iters: int = 5,
+                    n_seeds: int = 8, driver_limit: int = 5_000_000):
+    """TrustRank [Gyöngyi, Garcia-Molina & Pedersen 2004] — PageRank
+    with teleportation restricted to a trusted seed set, the classic
+    link-spam / quality-propagation rank: pages reachable from seeds
+    in few hops keep mass, spam farms far from any seed starve.
+
+    Determinism: seeds are the bottom-``n_seeds`` nodes by
+    (md5_number_lower(node), node) — the engine's standard sampling
+    key, so the SQL twin re-derives the IDENTICAL set.  Recurrence
+    (simplified like pagerank_edges: dangling mass not redistributed):
+      r0(v)   = 1/|S| if v in S else 0
+      r'(v)   = (1-d)/|S| [v in S] + d * Σ r(u)/outdeg(u) over in-edges
+    Final half-up rounding to 6 decimals.
+
+    Scale shape: identical to pagerank_edges — node-sized rank table,
+    one stats-gated hash join + one combine sum per round; collected
+    numpy fast path below ``driver_limit`` edges (pinned equal)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from octoray.query import distinct_values, hash_join
+    from octoray.stages.sketch import _md5_lower64
+    from octoray.util import round_half_up_scalar
+
+    edges = edges.materialize()
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("src").combine_chunks().cast(pa.string()),
+             t.column("dst").combine_chunks().cast(pa.string())])})
+
+    nodes = distinct_values(edges.map_batches(both, batch_format="pyarrow"),
+                            ["node"]).materialize()
+    if nodes.count() == 0:
+        return nodes
+
+    def partial_bottom(t: pa.Table) -> pa.Table:
+        vals = t.column("node").to_pylist()
+        hv = _md5_lower64(vals)
+        order = np.lexsort((np.asarray(vals, object), hv))[:n_seeds]
+        return pa.table({"node": pa.array([vals[i] for i in order],
+                                          pa.string()),
+                         "hv": pa.array(hv[order], pa.uint64())})
+
+    cand = nodes.map_batches(partial_bottom,
+                             batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (int(r["hv"]), r["node"]))
+    seeds = [r["node"] for r in cand[:n_seeds]]
+    s = len(seeds)
+
+    if edges.count() <= driver_limit:
+        rows = edges.take_all()
+        names = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+        idx = {v: i for i, v in enumerate(names)}
+        n = len(names)
+        si = np.fromiter((idx[r["src"]] for r in rows), np.int64, len(rows))
+        di = np.fromiter((idx[r["dst"]] for r in rows), np.int64, len(rows))
+        deg = np.bincount(si, minlength=n).astype(np.float64)
+        tele = np.zeros(n, np.float64)
+        for v in seeds:
+            tele[idx[v]] = 1.0 / s
+        rank = tele.copy()
+        for _ in range(n_iters):
+            contrib = np.where(deg[si] > 0, rank[si] / deg[si], 0.0)
+            mass = np.bincount(di, weights=contrib, minlength=n)
+            rank = (1.0 - damping) * tele + damping * mass
+        return rd.from_arrow(pa.table({
+            "node": pa.array(names, pa.string()),
+            "rank": pa.array([round_half_up_scalar(v, 6) for v in rank],
+                             pa.float64())}))
+
+    from octoray.query import sorted_groupby_count, sorted_groupby_sum
+
+    seed_set = set(seeds)
+    base = (1.0 - damping) / s
+
+    def init(t: pa.Table) -> pa.Table:
+        vals = [1.0 / s if v in seed_set else 0.0
+                for v in t.column("node").to_pylist()]
+        return pa.table({"node": t.column("node"),
+                         "rank": pa.array(vals, pa.float64())})
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    deg = sorted_groupby_count(edges.select_columns(["src"]), ["src"],
+                               alias="deg")
+    edeg = hash_join(edges, deg, on="src").materialize()
+
+    for _ in range(n_iters):
+        r = ranks.map_batches(
+            lambda t: t.rename_columns(["src", "rank"]),
+            batch_format="pyarrow")
+        contrib = hash_join(edeg, r, on="src").map_batches(
+            lambda df: pd.DataFrame({"node": df["dst"],
+                                     "c": df["rank"] / df["deg"]}),
+            batch_format="pandas")
+        summed = sorted_groupby_sum(contrib, ["node"], "c", alias="m")
+        joined = hash_join(nodes, summed, on="node", how="left_outer")
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            mass = df["m"].fillna(0.0)
+            b = df["node"].isin(seed_set) * base
+            return pd.DataFrame({"node": df["node"],
+                                 "rank": b + damping * mass})
+
+        ranks = joined.map_batches(update,
+                                   batch_format="pandas").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "rank": pa.array([round_half_up_scalar(v, 6)
+                              for v in t.column("rank").to_pylist()],
+                             pa.float64())})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_trustrank_edges(edges_src: str, *, damping: float = 0.85,
+                        n_iters: int = 5, n_seeds: int = 8) -> str:
+    """DuckDB twin of trustrank_edges — generated CTE chain, same
+    md5 bottom-k seed rule, MATERIALIZED like the HITS twin."""
+    d = repr(damping)
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_src}))",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"seeds AS MATERIALIZED (SELECT node FROM nodes"
+        f" ORDER BY md5_number_lower(CAST(node AS VARCHAR)), node"
+        f" LIMIT {n_seeds})",
+        "ns AS MATERIALIZED (SELECT count(*) AS s FROM seeds)",
+        "deg AS MATERIALIZED"
+        " (SELECT src, count(*) AS deg FROM e GROUP BY 1)",
+        "r0 AS MATERIALIZED (SELECT nodes.node,"
+        " CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.s ELSE 0.0 END"
+        " AS rank FROM nodes CROSS JOIN ns"
+        " LEFT JOIN seeds ON nodes.node = seeds.node)",
+    ]
+    for t in range(1, n_iters + 1):
+        p = t - 1
+        parts += [
+            f"c{t} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" sum(r.rank / deg.deg) AS m"
+            f" FROM e JOIN r{p} r ON e.src = r.node"
+            f" JOIN deg ON e.src = deg.src GROUP BY 1)",
+            f"r{t} AS MATERIALIZED (SELECT nodes.node,"
+            f" (CASE WHEN seeds.node IS NOT NULL"
+            f" THEN (1.0 - {d}) / ns.s ELSE 0.0 END)"
+            f" + {d} * coalesce(c.m, 0.0) AS rank"
+            f" FROM nodes CROSS JOIN ns"
+            f" LEFT JOIN seeds ON nodes.node = seeds.node"
+            f" LEFT JOIN c{t} c ON nodes.node = c.node)",
+        ]
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT node, floor(rank * 1000000 + 0.5) / 1000000 AS rank"
+            f" FROM r{n_iters}")

@@ -475,3 +475,28 @@ def test_clustering_coefficients_brute(ray_session):
         assert abs(got.loc[n, "coeff"] - np.floor(c * 1e6 + 0.5) / 1e6) < 1e-9
         any_triangle = any_triangle or t > 0
     assert any_triangle
+
+
+def test_trustrank_fast_and_distributed_identical(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.graphalgo import trustrank_edges
+
+    rng = np.random.default_rng(13)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 30, (120, 2))
+             if a != b}
+    e = rd.from_arrow(pa.table({
+        "src": [f"n{a}" for a, _ in sorted(edges)],
+        "dst": [f"n{b}" for _, b in sorted(edges)]}))
+    fast = trustrank_edges(e, n_iters=4, n_seeds=5).to_pandas(
+        ).set_index("node")["rank"]
+    slow = trustrank_edges(e, n_iters=4, n_seeds=5, driver_limit=0
+                           ).to_pandas().set_index("node")["rank"]
+    assert sorted(fast.index) == sorted(slow.index)
+    for k in fast.index:
+        assert abs(fast[k] - slow[k]) < 1e-9, k
+    # mass is concentrated near seeds: at least one zero-rank node
+    # (unreachable from any seed) and one strictly positive
+    assert (fast == 0.0).any() and (fast > 0.0).any()
