@@ -2102,6 +2102,15 @@ def _q_strip_boilerplate(sf_dir: str):
                              min_urls=3)
 
 
+def _q_recrawl_priority(sf_dir: str):
+    """Change-frequency re-crawl scheduling signal per url (successive
+    fetches whose content changed): one slim projection + one url
+    sort + block-local lag compare."""
+    from octoray.stages.crawl import recrawl_priority
+
+    return recrawl_priority(_crawl_ds(sf_dir, "crawl_recrawl_raw"))
+
+
 def _q_latest_per_url(sf_dir: str):
     """CDX-style re-crawl collapse: newest fetch per url (two-phase
     arg-max, one slim-row shuffle)."""
@@ -2493,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "boilerplate_lines": _q_boilerplate_lines,
         "strip_boilerplate": _q_strip_boilerplate,
+        "recrawl_priority": _q_recrawl_priority,
         "per_domain_cap": _q_per_domain_cap,
         "crawl_schedule": _q_crawl_schedule,
         "url_canon": _q_url_canon,
@@ -3644,6 +3654,9 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": __import__(
             "octoray.stages.crawl", fromlist=["sql_strip_boilerplate"]
         ).sql_strip_boilerplate(Q.rpd("crawl_strip_raw"), min_urls=3),
+        "recrawl_priority": __import__(
+            "octoray.stages.crawl", fromlist=["sql_recrawl_priority"]
+        ).sql_recrawl_priority(Q.rpd("crawl_recrawl_raw")),
         "per_domain_cap": f"""
             WITH d AS (SELECT DISTINCT
                          regexp_extract(url,

@@ -180,6 +180,7 @@ SUITE = [
     "kg_negatives",
     "kg_clustering",
     "web_trustrank",
+    "recrawl_priority",
 ]
 
 

@@ -599,3 +599,71 @@ def sql_strip_boilerplate(src: str, *, min_urls: int = 3,
                CAST(count(*) AS BIGINT) AS n_kept
         FROM k GROUP BY url, snapshot
     """
+
+
+def recrawl_priority(crawl, *, url_col: str = "url",
+                     snap_col: str = "snapshot", text_col: str = "text"):
+    """Change-frequency re-crawl scheduling [Cho & Garcia-Molina 2003,
+    "Estimating frequency of change"]: per url, how many of its
+    successive fetches changed content — the signal a crawler uses to
+    decide revisit intervals (fast-changing news pages hourly, static
+    docs yearly).  Output: (url, n_fetches, n_changes, change_rate)
+    with change_rate = n_changes / (n_fetches - 1) rounded half-up to
+    6 decimals (0 for single-fetch urls).
+
+    Scale shape: one slim (url, snapshot, md5) projection, ONE url
+    range sort (a url has <= n_snapshots rows), block-local vectorized
+    lag compare — the text payload never shuffles."""
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column(url_col),
+            "snapshot": pc.cast(t.column(snap_col), pa.int64()),
+            "md5": _md5_col(t.column(text_col)),
+        })
+
+    def decide(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "n_fetches": pd.Series([], dtype="int64"),
+                "n_changes": pd.Series([], dtype="int64"),
+                "change_rate": pd.Series([], dtype="float64")})
+        df = df.sort_values(["url", "snapshot"], kind="mergesort")
+        same_url = df["url"].eq(df["url"].shift())
+        changed = same_url & df["md5"].ne(df["md5"].shift())
+        g = df.groupby("url", sort=False)
+        out = pd.DataFrame({
+            "n_fetches": g.size().astype("int64"),
+            "n_changes": changed.groupby(df["url"], sort=False)
+            .sum().astype("int64"),
+        }).reset_index()
+        denom = (out["n_fetches"] - 1).clip(lower=1)
+        rate = (out["n_changes"] / denom).where(out["n_fetches"] > 1, 0.0)
+        out["change_rate"] = np.floor(rate * 1e6 + 0.5) / 1e6
+        return out
+
+    slim = crawl.map_batches(project, batch_format="pyarrow")
+    return slim.sort(["url"]).map_batches(decide, batch_format="pandas",
+                                          batch_size=None)
+
+
+def sql_recrawl_priority(src: str) -> str:
+    """DuckDB twin of recrawl_priority over the same crawl rows."""
+    return f"""
+        WITH s AS (SELECT url, CAST(snapshot AS BIGINT) AS snapshot,
+                          md5(text) AS m FROM {src}),
+        l AS (SELECT url, m,
+                     lag(m) OVER (PARTITION BY url ORDER BY snapshot)
+                       AS pm FROM s),
+        a AS (SELECT url, count(*) AS n_fetches,
+                     CAST(sum(CASE WHEN pm IS NOT NULL AND m <> pm
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+              FROM l GROUP BY url)
+        SELECT url, n_fetches, n_changes,
+               CASE WHEN n_fetches > 1 THEN
+                 floor(n_changes * 1.0 / (n_fetches - 1) * 1000000 + 0.5)
+                   / 1000000
+               ELSE 0.0 END AS change_rate
+        FROM a
+    """

@@ -547,3 +547,30 @@ def test_strip_boilerplate_hand(ray_session):
         "n_lines": pd.Series([3, 3, 2, 2], dtype="int64"),
         "n_kept": pd.Series([2, 2, 1, 2], dtype="int64")})
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_recrawl_priority_hand(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.crawl import recrawl_priority
+
+    rows = [
+        ("u1", 0, "a"), ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "b"),
+        ("u2", 0, "x"), ("u2", 2, "y"),
+        ("u3", 1, "z"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "url": [r[0] for r in rows],
+        "snapshot": pa.array([r[1] for r in rows], pa.int64()),
+        "text": [r[2] for r in rows]}))
+    out = (recrawl_priority(ds).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "n_fetches": pd.Series([4, 2, 1], dtype="int64"),
+        "n_changes": pd.Series([1, 1, 0], dtype="int64"),
+        "change_rate": [1 / 3 * 1e6 // 1 / 1e6 + 1e-6, 1.0, 0.0]})
+    exp.loc[0, "change_rate"] = 0.333333
+    pd.testing.assert_frame_equal(out, exp)
