@@ -1541,6 +1541,16 @@ def _q_web_diameter(sf_dir: str):
                               max_hops=4)
 
 
+def _q_web_cocitation(sf_dir: str):
+    """Top-k co-cited page pairs ('related pages' signal): hub-capped
+    wedge expansion per citing page, map-side pair counts, one slim
+    combine, deterministic sort+limit cut."""
+    from octoray.stages.webgraph import cocitation, links_dataset
+
+    return cocitation(links_dataset(_linked_pages(sf_dir, "cocit_pages")),
+                      k=100, max_out=64)
+
+
 def _q_web_trustrank(sf_dir: str):
     """TrustRank over the internal link graph: teleportation
     restricted to a deterministic md5 bottom-k seed set (the
@@ -2492,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_names": _q_anchor_names,
         "web_diameter": _q_web_diameter,
         "web_trustrank": _q_web_trustrank,
+        "web_cocitation": _q_web_cocitation,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -4067,6 +4078,9 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("diam_pages"))),
             n_sources=12, max_hops=4),
+        "web_cocitation": _WG.sql_cocitation(
+            _WG.sql_extract_links(Q.rpd("cocit_pages")), k=100,
+            max_out=64),
         "web_trustrank": _GA.sql_trustrank_edges(
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("trust_pages"))),

@@ -181,6 +181,7 @@ SUITE = [
     "kg_clustering",
     "web_trustrank",
     "recrawl_priority",
+    "web_cocitation",
 ]
 
 

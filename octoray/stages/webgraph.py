@@ -36,7 +36,8 @@ __all__ = ["links_dataset", "anchor_summary", "internal_edges",
            "sql_anchor_summary", "sql_internal_edges",
            "sql_frontier_urls", "sql_degree_histogram",
            "sql_reciprocity", "sql_bowtie", "host_graph",
-           "sql_host_graph", "anchor_names", "sql_anchor_names"]
+           "sql_host_graph", "anchor_names", "sql_anchor_names",
+           "cocitation", "sql_cocitation"]
 
 
 def links_dataset(pages):
@@ -564,4 +565,69 @@ def sql_anchor_names(links_src: str, *, k: int = 1) -> str:
                 (PARTITION BY dst ORDER BY n_links DESC, anchor) AS rn
               FROM c)
         SELECT dst, anchor, n_links FROM r WHERE rn <= {int(k)}
+    """
+
+
+def cocitation(links, *, k: int = 100, max_out: int = 64):
+    """Top-k co-cited page pairs: pages that share a citing page
+    (SALSA/'related pages' signal — two urls frequently linked from
+    the same documents are topically related).  Output
+    (url_a, url_b, n_cociting) with a < b canonical and the k cut
+    deterministic (count desc, then url pair asc).
+
+    Scale shape: within-group pair expansion per citing page via the
+    shared wedge kernel, hub-capped at ``max_out`` outlinks (cap
+    mirrored in the SQL twin so equality stays exact — the
+    neighborhood_similarity convention); map-side partial pair counts
+    before ONE slim combine; the final cut is a sort+limit over the
+    counts table."""
+    import pyarrow.compute as pc
+
+    from octoray.query import sorted_groupby_count
+    from octoray.stages.graphalgo import _within_group_pairs
+
+    e = internal_edges(links)
+
+    def pairs_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        srcs, counts = np.unique(df["src"].to_numpy(), return_counts=True)
+        keep = counts <= max_out
+        if not keep.all():
+            ok = set(srcs[keep])
+            df = df[df["src"].isin(ok)]
+            srcs, counts = np.unique(df["src"].to_numpy(),
+                                     return_counts=True)
+        a, b = _within_group_pairs(counts, df["dst"].to_numpy())
+        return pd.DataFrame({"a": a, "b": b})
+
+    pairs = e.sort(["src"]).map_batches(pairs_block,
+                                        batch_format="pandas",
+                                        batch_size=None)
+    counts = sorted_groupby_count(pairs, ["a", "b"], alias="n_cociting")
+    cut = counts.sort(["n_cociting", "a", "b"],
+                      descending=[True, False, False]).limit(k)
+    return cut.map_batches(
+        lambda t: pa.table({"url_a": t.column("a"),
+                            "url_b": t.column("b"),
+                            "n_cociting": t.column("n_cociting")}),
+        batch_format="pyarrow")
+
+
+def sql_cocitation(links_src: str, *, k: int = 100,
+                   max_out: int = 64) -> str:
+    return f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({links_src})
+                   WHERE dst LIKE '{URL_PREFIX}%'),
+        ok AS (SELECT src FROM e GROUP BY src
+               HAVING count(*) <= {int(max_out)}),
+        p AS (SELECT e1.dst AS a, e2.dst AS b
+              FROM e e1 JOIN e e2
+                ON e1.src = e2.src AND e1.dst < e2.dst
+              WHERE e1.src IN (SELECT src FROM ok)),
+        c AS (SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2)
+        SELECT a AS url_a, b AS url_b, n AS n_cociting FROM c
+        ORDER BY n DESC, a, b LIMIT {int(k)}
     """
