@@ -1541,6 +1541,26 @@ def _q_web_diameter(sf_dir: str):
                               max_hops=4)
 
 
+def _q_web_katz(sf_dir: str):
+    """Truncated Katz centrality (attenuated path counts) over the
+    internal link graph — the rank family's path-count member."""
+    from octoray.stages.graphalgo import katz_edges
+    from octoray.stages.webgraph import internal_edges, links_dataset
+
+    links = links_dataset(_linked_pages(sf_dir, "katz_pages"))
+    return katz_edges(internal_edges(links), beta=0.05, n_iters=4)
+
+
+def _q_web_assortativity(sf_dir: str):
+    """One-row degree-assortativity summary (Newman r over edge-end
+    degrees) of the undirected internal graph."""
+    from octoray.stages.graphalgo import assortativity
+    from octoray.stages.webgraph import internal_edges, links_dataset
+
+    links = links_dataset(_linked_pages(sf_dir, "assort_pages"))
+    return assortativity(internal_edges(links))
+
+
 def _q_web_cocitation(sf_dir: str):
     """Top-k co-cited page pairs ('related pages' signal): hub-capped
     wedge expansion per citing page, map-side pair counts, one slim
@@ -2503,6 +2523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_diameter": _q_web_diameter,
         "web_trustrank": _q_web_trustrank,
         "web_cocitation": _q_web_cocitation,
+        "web_katz": _q_web_katz,
+        "web_assortativity": _q_web_assortativity,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
         "deidentify_pages": _q_deidentify,
@@ -4078,6 +4100,13 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("diam_pages"))),
             n_sources=12, max_hops=4),
+        "web_katz": _GA.sql_katz_edges(
+            _WG.sql_internal_edges(
+                _WG.sql_extract_links(Q.rpd("katz_pages"))),
+            beta=0.05, n_iters=4),
+        "web_assortativity": _GA.sql_assortativity(
+            _WG.sql_internal_edges(
+                _WG.sql_extract_links(Q.rpd("assort_pages")))),
         "web_cocitation": _WG.sql_cocitation(
             _WG.sql_extract_links(Q.rpd("cocit_pages")), k=100,
             max_out=64),

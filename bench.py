@@ -182,6 +182,8 @@ SUITE = [
     "web_trustrank",
     "recrawl_priority",
     "web_cocitation",
+    "web_katz",
+    "web_assortativity",
 ]
 
 

@@ -2035,3 +2035,236 @@ def sql_trustrank_edges(edges_src: str, *, damping: float = 0.85,
     return ("WITH " + ", ".join(parts) +
             f" SELECT node, floor(rank * 1000000 + 0.5) / 1000000 AS rank"
             f" FROM r{n_iters}")
+
+
+def katz_edges(edges, *, beta: float = 0.05, n_iters: int = 4,
+               driver_limit: int = 5_000_000):
+    """Katz centrality (truncated): katz(v) = Σ_{l=1..L} β^l ·
+    (# walks of length l ending at v) — the attenuated path-count
+    centrality completing the rank family (degree < katz < pagerank
+    in how much global structure each sees).  Fixed L iterations of
+    m' = β · Aᵀ m starting from the all-ones vector, accumulated;
+    final half-up rounding to 6 decimals.
+
+    Scale shape: identical to pagerank_edges (node-sized message
+    table, one stats-gated hash join + combine sum per round; numpy
+    fast path below the edge gate, pinned equal)."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from octoray.query import (distinct_values, hash_join,
+                               sorted_groupby_sum)
+    from octoray.util import round_half_up_scalar
+
+    edges = edges.materialize()
+
+    if edges.count() <= driver_limit:
+        rows = edges.take_all()
+        if not rows:
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.string()),
+                "katz": pa.array([], pa.float64())}))
+        names = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+        idx = {v: i for i, v in enumerate(names)}
+        n = len(names)
+        si = np.fromiter((idx[r["src"]] for r in rows), np.int64, len(rows))
+        di = np.fromiter((idx[r["dst"]] for r in rows), np.int64, len(rows))
+        m = np.ones(n, np.float64)
+        katz = np.zeros(n, np.float64)
+        for _ in range(n_iters):
+            m = beta * np.bincount(di, weights=m[si], minlength=n)
+            katz += m
+        return rd.from_arrow(pa.table({
+            "node": pa.array(names, pa.string()),
+            "katz": pa.array([round_half_up_scalar(v, 6) for v in katz],
+                             pa.float64())}))
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("src").combine_chunks().cast(pa.string()),
+             t.column("dst").combine_chunks().cast(pa.string())])})
+
+    nodes = distinct_values(edges.map_batches(both, batch_format="pyarrow"),
+                            ["node"]).materialize()
+
+    msg = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "m": pa.array([1.0] * t.num_rows,
+                                          pa.float64())}),
+        batch_format="pyarrow").materialize()
+    acc = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "katz": pa.array([0.0] * t.num_rows,
+                                             pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(n_iters):
+        r = msg.map_batches(lambda t: t.rename_columns(["src", "m"]),
+                            batch_format="pyarrow")
+        moved = hash_join(edges, r, on="src").map_batches(
+            lambda t, _b=beta: pa.table({
+                "node": t.column("dst"),
+                "m": pa.array([v * _b for v in
+                               t.column("m").to_pylist()], pa.float64())}),
+            batch_format="pyarrow")
+        summed = sorted_groupby_sum(moved, ["node"], "m", alias="mm")
+        msg = hash_join(nodes, summed, on="node",
+                        how="left_outer").map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "m": df["mm"].fillna(0.0)}),
+            batch_format="pandas").materialize()
+        a = acc.map_batches(lambda t: t.rename_columns(["node", "katz"]),
+                            batch_format="pyarrow")
+        acc = hash_join(a, msg, on="node").map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "katz": df["katz"] + df["m"]}),
+            batch_format="pandas").materialize()
+
+    return acc.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "katz": pa.array([round_half_up_scalar(v, 6)
+                              for v in t.column("katz").to_pylist()],
+                             pa.float64())}),
+        batch_format="pyarrow")
+
+
+def sql_katz_edges(edges_src: str, *, beta: float = 0.05,
+                   n_iters: int = 4) -> str:
+    """DuckDB twin of katz_edges (MATERIALIZED generated chain — the
+    accumulator references each level twice)."""
+    b = repr(beta)
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_src}))",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "m0 AS MATERIALIZED (SELECT node, 1.0 AS m FROM nodes)",
+        "k0 AS MATERIALIZED (SELECT node, 0.0 AS katz FROM nodes)",
+    ]
+    for t in range(1, n_iters + 1):
+        p = t - 1
+        parts += [
+            f"mr{t} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" {b} * sum(m.m) AS mm"
+            f" FROM e JOIN m{p} m ON e.src = m.node GROUP BY 1)",
+            f"m{t} AS MATERIALIZED (SELECT nodes.node,"
+            f" coalesce(mr.mm, 0.0) AS m FROM nodes"
+            f" LEFT JOIN mr{t} mr ON nodes.node = mr.node)",
+            f"k{t} AS MATERIALIZED (SELECT k.node, k.katz + m.m AS katz"
+            f" FROM k{p} k JOIN m{t} m ON k.node = m.node)",
+        ]
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT node, floor(katz * 1000000 + 0.5) / 1000000 AS katz"
+            f" FROM k{n_iters}")
+
+
+def assortativity(edges):
+    """One-row degree-assortativity summary [Newman 2002]: the
+    Pearson correlation between the (undirected) degrees at the two
+    ends of every undirected edge — positive = hubs link to hubs
+    (social nets), negative = hubs link to leaves (the web's
+    signature shape).  Output (n_edges, assortativity) rounded
+    half-up to 6 decimals, using the explicit sum formula (both ends
+    of every edge enter the x/y samples symmetrically), NULL-safe 0
+    for degenerate graphs.
+
+    Scale shape: degree table (slim combine count), two stats-gated
+    hash joins to attach end degrees, map-side partial moment sums
+    (Σx Σx² Σxy per block), driver combine of block partials — the
+    edge list never shuffles for the statistic itself."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from octoray.query import distinct_values, hash_join
+    from octoray.query import combined_groupby_count
+    from octoray.util import round_half_up_scalar
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t.column("src"), t.column("dst"))
+        b = pc.max_element_wise(t.column("src"), t.column("dst"))
+        tbl = pa.table({"a": a, "b": b})
+        return tbl.filter(pc.not_equal(tbl.column("a"), tbl.column("b")))
+
+    und = distinct_values(
+        edges.map_batches(undirect, batch_format="pyarrow"),
+        ["a", "b"]).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "n_edges": pa.array([0], pa.int64()),
+            "assortativity": pa.array([0.0], pa.float64())}))
+
+    def stack(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("a").combine_chunks().cast(pa.string()),
+             t.column("b").combine_chunks().cast(pa.string())])})
+
+    deg = combined_groupby_count(
+        und.map_batches(stack, batch_format="pyarrow"), ["node"],
+        alias="deg")
+    e1 = hash_join(und, deg.map_batches(
+        lambda t: t.rename_columns(["a", "da"]), batch_format="pyarrow"),
+        on="a")
+    e2 = hash_join(e1, deg.map_batches(
+        lambda t: t.rename_columns(["b", "db"]), batch_format="pyarrow"),
+        on="b")
+
+    def moments(t: pa.Table) -> pa.Table:
+        da = np.asarray(t.column("da").to_pylist(), np.float64)
+        db = np.asarray(t.column("db").to_pylist(), np.float64)
+        # both orientations of each undirected edge enter the sample
+        x = np.concatenate([da, db])
+        y = np.concatenate([db, da])
+        return pa.table({
+            "n": pa.array([float(len(x))], pa.float64()),
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "sxx": pa.array([float((x * x).sum())], pa.float64()),
+            "sxy": pa.array([float((x * y).sum())], pa.float64()),
+        })
+
+    parts = e2.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    sx = sum(p["sx"] for p in parts)
+    sxx = sum(p["sxx"] for p in parts)
+    sxy = sum(p["sxy"] for p in parts)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = 0.0 if den == 0 else num / den
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "assortativity": pa.array([round_half_up_scalar(r, 6)],
+                                  pa.float64())}))
+
+
+def sql_assortativity(edges_src: str) -> str:
+    """DuckDB twin of assortativity — same symmetric sample and
+    explicit sum formula (x and y marginals coincide, so Σy = Σx and
+    Σy² = Σx²)."""
+    return f"""
+        WITH base AS (SELECT src, dst FROM ({edges_src})
+                      WHERE src <> dst),
+        und AS (SELECT DISTINCT least(src, dst) AS a,
+                       greatest(src, dst) AS b FROM base),
+        deg AS (SELECT node, count(*) AS deg FROM
+                  (SELECT a AS node FROM und UNION ALL
+                   SELECT b FROM und) GROUP BY 1),
+        j AS (SELECT d1.deg AS da, d2.deg AS db FROM und
+              JOIN deg d1 ON und.a = d1.node
+              JOIN deg d2 ON und.b = d2.node),
+        s AS (SELECT CAST(2 * count(*) AS DOUBLE) AS n,
+                     CAST(sum(da + db) AS DOUBLE) AS sx,
+                     CAST(sum(da * da + db * db) AS DOUBLE) AS sxx,
+                     CAST(sum(2 * da * db) AS DOUBLE) AS sxy
+              FROM j),
+        ne AS (SELECT count(*) AS c FROM und)
+        SELECT CAST(ne.c AS BIGINT) AS n_edges,
+               CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE floor((n * sxy - sx * sx)
+                               / (n * sxx - sx * sx)
+                               * 1000000 + 0.5) / 1000000 END
+                 AS assortativity
+        FROM s, ne
+    """

@@ -500,3 +500,41 @@ def test_trustrank_fast_and_distributed_identical(ray_session):
     # mass is concentrated near seeds: at least one zero-rank node
     # (unreachable from any seed) and one strictly positive
     assert (fast == 0.0).any() and (fast > 0.0).any()
+
+
+def test_katz_fast_and_distributed_identical(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.graphalgo import katz_edges
+
+    rng = np.random.default_rng(17)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 30, (100, 2))
+             if a != b}
+    e = rd.from_arrow(pa.table({
+        "src": [f"n{a}" for a, _ in sorted(edges)],
+        "dst": [f"n{b}" for _, b in sorted(edges)]}))
+    fast = katz_edges(e, beta=0.1, n_iters=3).to_pandas(
+        ).set_index("node")["katz"]
+    slow = katz_edges(e, beta=0.1, n_iters=3, driver_limit=0
+                      ).to_pandas().set_index("node")["katz"]
+    assert sorted(fast.index) == sorted(slow.index)
+    for k in fast.index:
+        assert abs(fast[k] - slow[k]) < 1e-9, k
+    # one hop: a node with in-degree d gets at least beta*d
+    assert (fast > 0).any()
+
+
+def test_assortativity_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.graphalgo import assortativity
+
+    # star K1,3: every edge joins deg 3 with deg 1 -> r = -1
+    e = rd.from_arrow(pa.table({
+        "src": ["c", "c", "c"], "dst": ["x", "y", "z"]}))
+    out = assortativity(e).to_pandas()
+    assert int(out["n_edges"][0]) == 3
+    assert abs(out["assortativity"][0] + 1.0) < 1e-9
