@@ -1152,6 +1152,17 @@ def _q_prep_ivr(sf_dir: str):
     return _prep_canon("prep_ivr_raw", raw)
 
 
+def _q_kg_transe(sf_dir: str):
+    """TransE/DistMult trainer export: uri->uri triples integer-
+    encoded against deterministic dense entity/relation vocabularies
+    (prefix-sum entity index, collected predicate-sized relation
+    map)."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.graphalgo import transe_export
+
+    return transe_export(dedup_triples(_kg_raw(sf_dir, "kg_transe_raw")))
+
+
 def _q_kg_clustering(sf_dir: str):
     """Per-node local clustering coefficient (Watts-Strogatz) over the
     RULES-EXPANDED KG graph PLUS the closed geo hierarchy edges (the
@@ -2497,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_delta": _q_kg_delta,
         "kg_negatives": _q_kg_negatives,
         "kg_clustering": _q_kg_clustering,
+        "kg_transe": _q_kg_transe,
         "kg_kcore": _q_kg_kcore,
         "kg_hops": _q_kg_hops,
         "kg_walks": _q_kg_walks,
@@ -4029,6 +4041,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_delta": __import__(
             "octoray.stages.canon", fromlist=["sql_triple_delta"]
         ).sql_triple_delta(Q.rpd("kg_delta_old"), Q.rpd("kg_delta_new")),
+        "kg_transe": _GA.sql_transe_export(Q.rpd("kg_transe_raw")),
         "kg_clustering": _GA.sql_clustering(
             "(SELECT * FROM (" + Q.sql_rules_expanded(Q.rpd("kg_clust_raw"))
             + ") UNION ALL SELECT loc AS subject,"

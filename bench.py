@@ -184,6 +184,7 @@ SUITE = [
     "web_cocitation",
     "web_katz",
     "web_assortativity",
+    "kg_transe",
 ]
 
 

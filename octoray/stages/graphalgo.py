@@ -2268,3 +2268,98 @@ def sql_assortativity(edges_src: str) -> str:
                  AS assortativity
         FROM s, ne
     """
+
+
+def transe_export(triples):
+    """KG-embedding trainer export (TransE/DistMult input shape):
+    every uri->uri triple integer-encoded as (h_id, r_id, t_id)
+    against deterministic dense vocabularies — entities indexed 0..N-1
+    in lexicographic order, relations likewise (the row_number
+    convention, so any engine re-derives identical ids).  Output
+    columns: (h_id, r_id, t_id, head, rel, tail) — ids for the
+    trainer, names kept so shards stay self-describing.
+
+    Scale shape: entity vocabulary via ONE node sort through the
+    distributed exclusive prefix sum (driver reduce bounded by block
+    count); the relation vocabulary is predicate-sized (collected —
+    it IS the schema); triples take two stats-gated hash joins to
+    attach entity ids and a broadcast map for relation ids."""
+    import pyarrow.compute as pc
+
+    from octoray.query import (distinct_values, hash_join,
+                               sorted_prefix_sum)
+
+    def uri_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("object_datatype"),
+                              pa.scalar("uri")))
+        return pa.table({"head": t.column("subject"),
+                         "rel": t.column("predicate"),
+                         "tail": t.column("object")})
+
+    rows = triples.map_batches(uri_rows,
+                               batch_format="pyarrow").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("head").combine_chunks().cast(pa.string()),
+             t.column("tail").combine_chunks().cast(pa.string())])})
+
+    nodes = distinct_values(rows.map_batches(ends, batch_format="pyarrow"),
+                            ["node"])
+    ones = nodes.map_batches(
+        lambda t: t.append_column("_one", pa.array([1] * t.num_rows,
+                                                   pa.int64())),
+        batch_format="pyarrow")
+    ent = sorted_prefix_sum(ones, "_one", order_col="node",
+                            alias="eid").materialize()
+
+    rels = sorted(set(
+        r["rel"] for r in distinct_values(
+            rows.select_columns(["rel"]), ["rel"]).take_all()))
+    rmap = {r: i for i, r in enumerate(rels)}
+
+    j1 = hash_join(rows, ent.map_batches(
+        lambda t: pa.table({"head": t.column("node"),
+                            "h_id": t.column("eid")}),
+        batch_format="pyarrow"), on="head")
+    j2 = hash_join(j1, ent.map_batches(
+        lambda t: pa.table({"tail": t.column("node"),
+                            "t_id": t.column("eid")}),
+        batch_format="pyarrow"), on="tail")
+
+    def finish(t: pa.Table) -> pa.Table:
+        r_ids = [rmap[r] for r in t.column("rel").to_pylist()]
+        return pa.table({
+            "h_id": t.column("h_id").cast(pa.int64()),
+            "r_id": pa.array(r_ids, pa.int64()),
+            "t_id": t.column("t_id").cast(pa.int64()),
+            "head": t.column("head").cast(pa.string()),
+            "rel": t.column("rel").cast(pa.string()),
+            "tail": t.column("tail").cast(pa.string()),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_transe_export(src: str) -> str:
+    """DuckDB twin of transe_export; boundary: raw emitted triples
+    (dedup is NOT applied — the export keeps the deduped stream it is
+    given; the query layer passes dedup_triples output, so the twin
+    dedups the raw dump first)."""
+    return f"""
+        WITH d AS (SELECT DISTINCT subject, predicate, object,
+                          object_datatype FROM {src}),
+        r AS (SELECT subject AS head, predicate AS rel,
+                     object AS tail FROM d
+              WHERE object_datatype = 'uri'),
+        n AS (SELECT head AS node FROM r UNION SELECT tail FROM r),
+        ei AS (SELECT node, row_number() OVER (ORDER BY node) - 1
+                 AS eid FROM n),
+        ri AS (SELECT rel, row_number() OVER (ORDER BY rel) - 1
+                 AS rid FROM (SELECT DISTINCT rel FROM r))
+        SELECT e1.eid AS h_id, ri.rid AS r_id, e2.eid AS t_id,
+               r.head, r.rel, r.tail
+        FROM r JOIN ei e1 ON r.head = e1.node
+        JOIN ei e2 ON r.tail = e2.node
+        JOIN ri ON r.rel = ri.rel
+    """
