@@ -243,3 +243,30 @@ def test_bowtie_fast_and_distributed_identical(ray_session):
             .sort_values("node").reset_index(drop=True))
     assert set(fast["part"]) >= {"core", "other"}
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_webgraph_ops_invariant_under_repartition(ray_session):
+    """The web-graph products are pure functions of the link SET:
+    re-blocking the pages input must not change any result (the
+    partition-invariance claim every scale-shape docstring makes)."""
+    import pandas as pd
+
+    pages = webtext.pages_dataset(250)
+    shuffled = pages.repartition(7)
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns),
+                              kind="mergesort").reset_index(drop=True)
+
+    for op in (lambda p: webgraph.link_rank(webgraph.links_dataset(p)),
+               lambda p: webgraph.hits_rank(webgraph.links_dataset(p)),
+               lambda p: webgraph.degree_histogram(
+                   webgraph.links_dataset(p)),
+               lambda p: webgraph.anchor_summary(
+                   webgraph.links_dataset(p)),
+               lambda p: webgraph.bowtie(webgraph.links_dataset(p)),
+               lambda p: webgraph.cocitation(webgraph.links_dataset(p),
+                                             k=50)):
+        a, b = canon(op(pages)), canon(op(shuffled))
+        pd.testing.assert_frame_equal(a, b)
