@@ -1152,6 +1152,27 @@ def _q_prep_ivr(sf_dir: str):
     return _prep_canon("prep_ivr_raw", raw)
 
 
+def _q_kg_comention(sf_dir: str):
+    """Entity co-mention graph (relation-candidate discovery): one
+    distinct exchange over (page, subject) lineage pairs, hub-capped
+    per-page wedge expansion, slim pair-count combine."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.pipelines.kg import build_triples, pages_dataset
+    from octoray.stages.graphalgo import comention_graph
+
+    n = _kg_pages(sf_dir)
+    raw = build_triples(pages_dataset(n, seed=42), keep_src=True,
+                        n_rows_hint=n)
+    if O.dump_enabled():
+        raw = rd.read_parquet(O.dump_dataset("kg_comention_raw", raw))
+    # min_pages=1: the synthesis gives every page a unique entity set,
+    # so pair weights are degenerate at test scale — the verified
+    # machinery is the distinct exchange + wedge expansion + combine
+    return comention_graph(raw, min_pages=1)
+
+
 def _q_kg_transe(sf_dir: str):
     """TransE/DistMult trainer export: uri->uri triples integer-
     encoded against deterministic dense entity/relation vocabularies
@@ -2509,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,
         "kg_clustering": _q_kg_clustering,
         "kg_transe": _q_kg_transe,
+        "kg_comention": _q_kg_comention,
         "kg_kcore": _q_kg_kcore,
         "kg_hops": _q_kg_hops,
         "kg_walks": _q_kg_walks,
@@ -4042,6 +4064,8 @@ def oracle_sql() -> dict[str, str]:
             "octoray.stages.canon", fromlist=["sql_triple_delta"]
         ).sql_triple_delta(Q.rpd("kg_delta_old"), Q.rpd("kg_delta_new")),
         "kg_transe": _GA.sql_transe_export(Q.rpd("kg_transe_raw")),
+        "kg_comention": _GA.sql_comention_graph(
+            Q.rpd("kg_comention_raw"), min_pages=1),
         "kg_clustering": _GA.sql_clustering(
             "(SELECT * FROM (" + Q.sql_rules_expanded(Q.rpd("kg_clust_raw"))
             + ") UNION ALL SELECT loc AS subject,"

@@ -185,6 +185,7 @@ SUITE = [
     "web_katz",
     "web_assortativity",
     "kg_transe",
+    "kg_comention",
 ]
 
 

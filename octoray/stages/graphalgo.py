@@ -2363,3 +2363,75 @@ def sql_transe_export(src: str) -> str:
         JOIN ei e2 ON r.tail = e2.node
         JOIN ri ON r.rel = ri.rel
     """
+
+
+def comention_graph(triples_with_src, *, min_pages: int = 2,
+                    max_mentions: int = 64):
+    """Entity co-mention graph — the relation-candidate discovery
+    step of KG construction: entities whose triples share a source
+    page are candidate relation pairs, weighted by how many distinct
+    pages co-mention them.  Input: triples WITH the ``src`` lineage
+    column (pipelines/kg.build_triples(keep_src=True)); output:
+    (entity_a, entity_b, n_pages) canonical a < b, kept when
+    co-mentioned on >= ``min_pages`` distinct pages.
+
+    Scale shape: ONE distinct exchange over slim (src, subject)
+    pairs, per-page wedge expansion through the shared kernel
+    (hub-capped at ``max_mentions`` entities per page, mirrored in
+    the twin), map-side pair counts, one slim combine, vectorized
+    threshold."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from octoray.query import distinct_values, sorted_groupby_count
+
+    pairs_src = distinct_values(
+        triples_with_src.map_batches(
+            lambda t: pa.table({"src": t.column("src"),
+                                "subject": t.column("subject")}),
+            batch_format="pyarrow"),
+        ["src", "subject"])
+
+    def pairs_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        df = df.sort_values(["src", "subject"], kind="mergesort")
+        srcs, counts = np.unique(df["src"].to_numpy(), return_counts=True)
+        keep = counts <= max_mentions
+        if not keep.all():
+            ok = set(srcs[keep])
+            df = df[df["src"].isin(ok)]
+            srcs, counts = np.unique(df["src"].to_numpy(),
+                                     return_counts=True)
+        a, b = _within_group_pairs(counts, df["subject"].to_numpy())
+        return pd.DataFrame({"a": a, "b": b})
+
+    pairs = pairs_src.sort(["src"]).map_batches(
+        pairs_block, batch_format="pandas", batch_size=None)
+    counts = sorted_groupby_count(pairs, ["a", "b"], alias="n_pages")
+    return counts.map_batches(
+        lambda t: pa.table({
+            "entity_a": t.column("a"), "entity_b": t.column("b"),
+            "n_pages": t.column("n_pages")}).filter(
+            pc.greater_equal(t.column("n_pages"),
+                             pa.scalar(int(min_pages)))),
+        batch_format="pyarrow")
+
+
+def sql_comention_graph(src: str, *, min_pages: int = 2,
+                        max_mentions: int = 64) -> str:
+    """DuckDB twin of comention_graph; boundary: the raw keep-src
+    triple dump."""
+    return f"""
+        WITH m AS (SELECT DISTINCT src, subject FROM {src}),
+        ok AS (SELECT src FROM m GROUP BY src
+               HAVING count(*) <= {int(max_mentions)}),
+        p AS (SELECT m1.subject AS a, m2.subject AS b
+              FROM m m1 JOIN m m2
+                ON m1.src = m2.src AND m1.subject < m2.subject
+              WHERE m1.src IN (SELECT src FROM ok)),
+        c AS (SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2)
+        SELECT a AS entity_a, b AS entity_b, n AS n_pages FROM c
+        WHERE n >= {int(min_pages)}
+    """

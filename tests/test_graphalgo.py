@@ -538,3 +538,27 @@ def test_assortativity_hand(ray_session):
     out = assortativity(e).to_pandas()
     assert int(out["n_edges"][0]) == 3
     assert abs(out["assortativity"][0] + 1.0) < 1e-9
+
+
+def test_comention_graph_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.stages.graphalgo import comention_graph
+
+    rows = [  # (src page, subject); p1 and p2 both mention x and y
+        ("p1", "x"), ("p1", "y"), ("p1", "z"),
+        ("p2", "x"), ("p2", "y"),
+        ("p2", "x"),  # duplicate mention on one page: no double count
+        ("p3", "w"),
+    ]
+    tr = rd.from_arrow(pa.table({
+        "subject": [r[1] for r in rows],
+        "predicate": ["f:p"] * len(rows),
+        "object": ["o"] * len(rows),
+        "object_datatype": ["plain"] * len(rows),
+        "src": [r[0] for r in rows]}))
+    out = (comention_graph(tr, min_pages=2).to_pandas()
+           .sort_values(["entity_a", "entity_b"]).reset_index(drop=True))
+    assert len(out) == 1
+    assert tuple(out.iloc[0]) == ("x", "y", 2)
