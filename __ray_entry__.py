@@ -1648,6 +1648,73 @@ def _q_web_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_web_component_sizes(sf_dir: str):
+    """WCC size distribution (component_size, n_components) — the
+    giant-component check beside web_components; two chained slim
+    combine-counts over the (node, component) labels."""
+    import pyarrow as pa
+
+    from octoray.query import sorted_groupby_count
+    from octoray.stages.dedup import dup_components
+    from octoray.stages.webgraph import internal_edges, links_dataset
+
+    links = links_dataset(_linked_pages(sf_dir, "wccsize_pages"))
+    pairs = internal_edges(links).map_batches(
+        lambda t: pa.table({"id_a": t.column("src"),
+                            "id_b": t.column("dst")}),
+        batch_format="pyarrow")
+    comp = dup_components(pairs)
+    sizes = sorted_groupby_count(comp.select_columns(["component"]),
+                                 ["component"], alias="component_size")
+    return sorted_groupby_count(
+        sizes.select_columns(["component_size"]), ["component_size"],
+        alias="n_components")
+
+
+def _q_kg_provenance(sf_dir: str):
+    """Per-entity provenance summary (subject, n_pages, first_page):
+    where each KG entity came from — distinct-page count plus the
+    lexicographically first citing page, from the keep-src lineage
+    (one distinct exchange + block-local min/count after a subject
+    sort)."""
+    import ray.data as rd
+
+    from octoray import oracles as O
+    from octoray.pipelines.kg import build_triples, pages_dataset
+    from octoray.query import distinct_values
+
+    n = _kg_pages(sf_dir)
+    raw = build_triples(pages_dataset(n, seed=42), keep_src=True,
+                        n_rows_hint=n)
+    if O.dump_enabled():
+        raw = rd.read_parquet(O.dump_dataset("kg_prov_raw", raw))
+    import pandas as pd
+    import pyarrow as pa
+
+    pairs = distinct_values(
+        raw.map_batches(
+            lambda t: pa.table({"subject": t.column("subject"),
+                                "src": t.column("src")}),
+            batch_format="pyarrow"),
+        ["subject", "src"])
+
+    def summarize(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({"subject": pd.Series([], dtype=object),
+                                 "n_pages": pd.Series([], dtype="int64"),
+                                 "first_page": pd.Series([],
+                                                         dtype=object)})
+        df = df.sort_values(["subject", "src"], kind="mergesort")
+        g = df.groupby("subject", sort=False)
+        return pd.DataFrame({
+            "n_pages": g.size().astype("int64"),
+            "first_page": g["src"].first(),
+        }).reset_index()
+
+    return pairs.sort(["subject"]).map_batches(
+        summarize, batch_format="pandas", batch_size=None)
+
+
 def _q_web_bowtie(sf_dir: str):
     """Bow-tie decomposition [Broder et al. 2000] of the internal
     link graph: core/in/out/other per node relative to the
@@ -2552,6 +2619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_reciprocity": _q_web_reciprocity,
         "web_bowtie": _q_web_bowtie,
         "web_components": _q_web_components,
+        "web_component_sizes": _q_web_component_sizes,
+        "kg_provenance": _q_kg_provenance,
         "host_graph": _q_host_graph,
         "anchor_names": _q_anchor_names,
         "web_diameter": _q_web_diameter,
@@ -4151,6 +4220,19 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("trust_pages"))),
             damping=0.85, n_iters=5, n_seeds=8),
+        "web_component_sizes": """
+            SELECT component_size, count(*) AS n_components FROM (
+              SELECT component, count(*) AS component_size FROM (""" +
+        Q.sql_dup_components(
+            "(SELECT src AS id_a, dst AS id_b FROM (" +
+            _WG.sql_internal_edges(
+                _WG.sql_extract_links(Q.rpd("wccsize_pages"))) + "))") +
+        """) GROUP BY component) GROUP BY component_size""",
+        "kg_provenance": f"""
+            SELECT subject, count(DISTINCT src) AS n_pages,
+                   min(src) AS first_page
+            FROM {Q.rpd('kg_prov_raw')} GROUP BY subject
+        """,
         "web_components": "SELECT id AS node, component FROM (" +
         Q.sql_dup_components(
             "(SELECT src AS id_a, dst AS id_b FROM (" +

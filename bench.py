@@ -186,6 +186,8 @@ SUITE = [
     "web_assortativity",
     "kg_transe",
     "kg_comention",
+    "web_component_sizes",
+    "kg_provenance",
 ]
 
 
