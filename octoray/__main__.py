@@ -597,6 +597,71 @@ def cmd_sparql(args) -> int:
     return 0
 
 
+
+def cmd_webgraph(args) -> int:
+    """Web link-graph products over a pages parquet dir (url, html)
+    or the deterministic synthetic crawl (--pages N): the
+    cc-webgraph-style release family (ranks, anchor index, structure
+    stats, frontier)."""
+    from octoray.stages import webgraph as W
+
+    if args.pages:
+        from octoray.sources.webtext import pages_dataset
+
+        pages = pages_dataset(args.pages).select_columns(["url", "html"])
+    elif args.input:
+        import ray.data as rd
+
+        pages = rd.read_parquet(args.input)
+    else:
+        raise SystemExit("webgraph: provide either --input DIR or --pages N")
+    links = W.links_dataset(pages)
+    kind = args.kind
+    if kind == "links":
+        out = links
+    elif kind == "anchors":
+        out = W.anchor_summary(links)
+    elif kind == "names":
+        out = W.anchor_names(links, k=args.k or 1)
+    elif kind == "rank":
+        out = W.link_rank(links)
+    elif kind == "harmonic":
+        out = W.harmonic_rank(links)
+    elif kind == "hits":
+        out = W.hits_rank(links)
+    elif kind == "trustrank":
+        from octoray.stages.graphalgo import trustrank_edges
+
+        out = trustrank_edges(W.internal_edges(links))
+    elif kind == "katz":
+        from octoray.stages.graphalgo import katz_edges
+
+        out = katz_edges(W.internal_edges(links))
+    elif kind == "frontier":
+        out = W.frontier_urls(links, pages)
+    elif kind == "degrees":
+        out = W.degree_histogram(links)
+    elif kind == "reciprocity":
+        out = W.reciprocity(links)
+    elif kind == "assortativity":
+        from octoray.stages.graphalgo import assortativity
+
+        out = assortativity(W.internal_edges(links))
+    elif kind == "bowtie":
+        out = W.bowtie(links)
+    elif kind == "cocitation":
+        out = W.cocitation(links, k=args.k or 100)
+    elif kind == "diameter":
+        from octoray.stages.graphalgo import distance_histogram
+
+        out = distance_histogram(W.internal_edges(links))
+    else:  # hostgraph
+        out = W.host_graph(links)
+    out.write_parquet(args.out)
+    print(f"webgraph {kind}: wrote {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="octoray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -654,6 +719,17 @@ def main(argv=None) -> int:
     cw.add_argument("--from", dest="snap_from", type=int, default=0)
     cw.add_argument("--to", dest="snap_to", type=int, default=3)
     cw.add_argument("--out", required=True); cw.set_defaults(fn=cmd_crawl)
+
+    wg = sub.add_parser("webgraph"); wg.add_argument("kind",
+        choices=["links", "anchors", "names", "rank", "harmonic", "hits",
+                 "trustrank", "katz", "frontier", "degrees", "reciprocity",
+                 "assortativity", "bowtie", "cocitation", "diameter",
+                 "hostgraph"])
+    wg.add_argument("--input", help="pages parquet dir (url, html)")
+    wg.add_argument("--pages", type=int, default=0,
+                    help="synthesize this many pages instead of --input")
+    wg.add_argument("-k", type=int, default=0)
+    wg.add_argument("--out", required=True); wg.set_defaults(fn=cmd_webgraph)
 
     ig = sub.add_parser("ingest"); ig.add_argument("input",
         help="pages parquet dir (url, text)")

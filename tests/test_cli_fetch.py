@@ -179,3 +179,14 @@ def test_cli_construct_update_aliases(ray_session, tmp_path):
     after = rd.read_parquet(kg).to_pandas()
     assert (after["predicate"] == "f:host").sum() == 0
     assert len(after) == len(before) - n_host
+
+
+def test_cli_webgraph_rank(tmp_path, ray_session):
+    from octoray.__main__ import main
+
+    out = str(tmp_path / "wg_rank")
+    assert main(["webgraph", "rank", "--pages", "200", "--out", out]) == 0
+    import pyarrow.dataset as pds
+
+    t = pds.dataset(out).to_table()
+    assert t.num_rows > 0 and set(t.column_names) == {"node", "rank"}
