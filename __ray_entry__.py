@@ -2744,6 +2744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_scores,
         "quality_classifier": quality_classifier,
         "unigram_logprob": lambda sf: T.unigram_logprob(_docs(sf)),
+        "quality_calibration": lambda sf: T.quality_calibration(
+            _docs(sf), n_tiles=10),
         "bigram_logprob": lambda sf: T.bigram_logprob(_docs(sf)),
         "repetition_stats": repetition_stats,
         "decontaminate": decontaminate,
@@ -2811,6 +2813,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB twins; identical column names and float recipes)
 # ----------------------------------------------------------------------
 _NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+_UNIGRAM_LP_SQL = r"""
+            WITH tokens AS (SELECT doc_id,
+                                   unnest(regexp_extract_all(text, '\S+')) AS t
+                            FROM documents),
+            cnt AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tokens GROUP BY t),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   floor(avg(ln(c / tot.n)) * 1000000 + 0.5) / 1000000 AS mean_logprob
+            FROM tokens JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id
+        """
 
 
 def _stop_pattern(lang: str) -> str:
@@ -3630,15 +3643,18 @@ def oracle_sql() -> dict[str, str]:
                       AND st.st IS NOT NULL
                       AND regexp_matches(st.st, '^H[13]') ) )
         """,
-        "unigram_logprob": rf"""
-            WITH tokens AS (SELECT doc_id,
-                                   unnest(regexp_extract_all(text, '\S+')) AS t
-                            FROM documents),
-            cnt AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tokens GROUP BY t),
-            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                   {_rnd('avg(ln(c / tot.n))', 6)} AS mean_logprob
-            FROM tokens JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id
+        "unigram_logprob": _UNIGRAM_LP_SQL,
+        "quality_calibration": f"""
+            WITH lp AS ({_UNIGRAM_LP_SQL}),
+            t AS (SELECT doc_id,
+                         ntile(10) OVER (ORDER BY n_tokens, doc_id)
+                           AS tier FROM lp)
+            SELECT t.tier, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(floor(lp.mean_logprob * 1000000 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS sum_logprob_micro,
+                   min(lp.n_tokens) AS min_tokens,
+                   max(lp.n_tokens) AS max_tokens
+            FROM t JOIN lp USING (doc_id) GROUP BY t.tier
         """,
         "bigram_logprob": rf"""
             WITH tok AS (SELECT doc_id, word, wi FROM (

@@ -188,6 +188,7 @@ SUITE = [
     "kg_comention",
     "web_component_sizes",
     "kg_provenance",
+    "quality_calibration",
 ]
 
 

@@ -1459,3 +1459,68 @@ def sql_winnow_fingerprints(*, k: int = 8, w: int = 4,
                 FROM wn)
         SELECT DISTINCT {id_col}, h AS fp FROM sel WHERE rn = 1
     """
+
+
+def quality_calibration(docs, *, n_tiles: int = 10,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Quality-calibration report: the corpus's unigram-LM score
+    distribution ACROSS length deciles — the diagnostic a curation
+    pipeline reads before setting perplexity thresholds (short docs
+    score systematically differently; a single global cutoff
+    over-prunes one tail).  Output per tier (1-based, ntile over
+    (n_tokens, doc_id)): (tier, n_docs, sum_logprob_micro,
+    min_tokens, max_tokens).
+
+    The logprob aggregate is the SUM of 6-decimal micro-INTEGER units
+    (floor(lp * 1e6 + 0.5), negative-safe floor on both engines) —
+    exact int64 cross-engine, the dsir_weights convention; consumers
+    divide by n_docs for the mean.  Composition: unigram_logprob
+    (two passes) -> ntile_tiers (one sort through the prefix sum) ->
+    one tier-keyed hash join -> map-side partials + one tiny tier
+    sort."""
+    import pandas as pd
+
+    from octoray.query import hash_join
+
+    lp = unigram_logprob(docs, id_col=id_col, text_col=text_col
+                         ).materialize()
+    tiers = ntile_tiers(lp, n_tiles, order_col="n_tokens",
+                        id_col=id_col)
+    j = hash_join(
+        tiers.map_batches(
+            lambda t: t.select([id_col, "tier"]),
+            batch_format="pyarrow"),
+        lp, on=id_col)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({
+                "tier": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "sum_logprob_micro": pd.Series([], dtype="int64"),
+                "min_tokens": pd.Series([], dtype="int64"),
+                "max_tokens": pd.Series([], dtype="int64")})
+        micro = np.floor(df["mean_logprob"] * 1e6 + 0.5).astype("int64")
+        g = df.assign(_m=micro).groupby("tier", sort=False)
+        return pd.DataFrame({
+            "n_docs": g.size().astype("int64"),
+            "sum_logprob_micro": g["_m"].sum().astype("int64"),
+            "min_tokens": g["n_tokens"].min().astype("int64"),
+            "max_tokens": g["n_tokens"].max().astype("int64"),
+        }).reset_index()
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df
+        g = df.groupby("tier", sort=False)
+        return pd.DataFrame({
+            "n_docs": g["n_docs"].sum().astype("int64"),
+            "sum_logprob_micro": g["sum_logprob_micro"].sum(
+            ).astype("int64"),
+            "min_tokens": g["min_tokens"].min().astype("int64"),
+            "max_tokens": g["max_tokens"].max().astype("int64"),
+        }).reset_index()
+
+    partials = j.map_batches(partial, batch_format="pandas")
+    return partials.sort(["tier"]).map_batches(
+        final, batch_format="pandas", batch_size=None)
