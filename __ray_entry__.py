@@ -1573,6 +1573,16 @@ def _q_web_diameter(sf_dir: str):
                               max_hops=4)
 
 
+def _q_web_salsa(sf_dir: str):
+    """SALSA authority scores (Lempel-Moran): closed-form stationary
+    distribution — co-citation components + in-degree normalization,
+    no power iteration."""
+    from octoray.stages.webgraph import links_dataset, salsa_authorities
+
+    return salsa_authorities(
+        links_dataset(_linked_pages(sf_dir, "salsa_pages")), max_out=64)
+
+
 def _q_web_katz(sf_dir: str):
     """Truncated Katz centrality (attenuated path counts) over the
     internal link graph — the rank family's path-count member."""
@@ -2627,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_trustrank": _q_web_trustrank,
         "web_cocitation": _q_web_cocitation,
         "web_katz": _q_web_katz,
+        "web_salsa": _q_web_salsa,
         "web_assortativity": _q_web_assortativity,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
@@ -4222,6 +4233,8 @@ def oracle_sql() -> dict[str, str]:
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("diam_pages"))),
             n_sources=12, max_hops=4),
+        "web_salsa": _WG.sql_salsa(
+            _WG.sql_extract_links(Q.rpd("salsa_pages")), max_out=64),
         "web_katz": _GA.sql_katz_edges(
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("katz_pages"))),

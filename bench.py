@@ -189,6 +189,7 @@ SUITE = [
     "web_component_sizes",
     "kg_provenance",
     "quality_calibration",
+    "web_salsa",
 ]
 
 

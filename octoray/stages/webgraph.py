@@ -37,7 +37,8 @@ __all__ = ["links_dataset", "anchor_summary", "internal_edges",
            "sql_frontier_urls", "sql_degree_histogram",
            "sql_reciprocity", "sql_bowtie", "host_graph",
            "sql_host_graph", "anchor_names", "sql_anchor_names",
-           "cocitation", "sql_cocitation"]
+           "cocitation", "sql_cocitation", "salsa_authorities",
+           "sql_salsa"]
 
 
 def links_dataset(pages):
@@ -630,4 +631,126 @@ def sql_cocitation(links_src: str, *, k: int = 100,
         c AS (SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2)
         SELECT a AS url_a, b AS url_b, n AS n_cociting FROM c
         ORDER BY n DESC, a, b LIMIT {int(k)}
+    """
+
+
+def salsa_authorities(links, *, max_out: int = 64,
+                      broadcast_limit: int = 2_000_000):
+    """SALSA authority scores [Lempel & Moran 2000] — the stochastic
+    sibling of HITS whose stationary distribution has a CLOSED FORM
+    (no power iteration): within each connected component C of the
+    co-citation (authority-side) graph,
+      salsa(p) = (|C| / |V_a|) * (d_in(p) / Σ_{q in C} d_in(q)),
+    where V_a = all link targets.  Output (node, salsa) rounded
+    half-up to 6 decimals; both engines evaluate the identical
+    (csize/va)*(din/cdin) operand order so IEEE rounding agrees.
+
+    Scale shape: in-degree = one slim combine count; co-citation
+    pairs via the hub-capped wedge expansion (cap mirrored in the
+    twin); components via the stats-gated dedup connectivity
+    (driver union-find / distributed min-label propagation);
+    singleton authorities (never co-cited) are their own component
+    via a left join; two slim component-keyed aggregates finish."""
+    import pyarrow.compute as pc
+
+    from octoray.query import (distinct_values, hash_join,
+                               sorted_groupby_count, sorted_groupby_sum)
+    from octoray.stages.dedup import dup_components
+    from octoray.stages.graphalgo import _within_group_pairs
+
+    e = internal_edges(links).materialize()
+    din = sorted_groupby_count(e.select_columns(["dst"]), ["dst"],
+                               alias="din").materialize()
+    va = din.count()
+    if va == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "salsa": pa.array([], pa.float64())}))
+
+    def pairs_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        srcs, counts = np.unique(df["src"].to_numpy(), return_counts=True)
+        keep = counts <= max_out
+        if not keep.all():
+            ok = set(srcs[keep])
+            df = df[df["src"].isin(ok)]
+            srcs, counts = np.unique(df["src"].to_numpy(),
+                                     return_counts=True)
+        a, b = _within_group_pairs(counts, df["dst"].to_numpy())
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = distinct_values(
+        e.sort(["src"]).map_batches(pairs_block, batch_format="pandas",
+                                    batch_size=None),
+        ["id_a", "id_b"])
+    comp = dup_components(pairs)
+
+    cf = hash_join(din, comp.map_batches(
+        lambda t: pa.table({"dst": t.column("id"),
+                            "component": t.column("component")}),
+        batch_format="pyarrow"), on="dst", how="left_outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        compc = pc.coalesce(t.column("component").cast(pa.string()),
+                            t.column("dst").cast(pa.string()))
+        return pa.table({"node": t.column("dst"), "component": compc,
+                         "din": t.column("din")})
+
+    cf = cf.map_batches(fill, batch_format="pyarrow").materialize()
+    csize = sorted_groupby_count(cf.select_columns(["component"]),
+                                 ["component"], alias="csize")
+    cdin = sorted_groupby_sum(cf.select_columns(["component", "din"]),
+                              ["component"], "din", alias="cdin")
+    cstats = hash_join(csize, cdin, on="component")
+    j = hash_join(cf, cstats, on="component")
+
+    def score(df: "pd.DataFrame") -> "pd.DataFrame":
+        from octoray.util import round_half_up_scalar
+
+        v = ((df["csize"] * 1.0 / va) * (df["din"] * 1.0 / df["cdin"]))
+        return pd.DataFrame({
+            "node": df["node"],
+            "salsa": [round_half_up_scalar(x, 6) for x in v]})
+
+    return j.map_batches(score, batch_format="pandas")
+
+
+def sql_salsa(links_src: str, *, max_out: int = 64) -> str:
+    """DuckDB twin of salsa_authorities (recursive-closure
+    components, identical operand order)."""
+    return f"""
+        WITH RECURSIVE
+        e AS (SELECT DISTINCT src, dst FROM ({links_src})
+              WHERE dst LIKE '{URL_PREFIX}%'),
+        ok AS (SELECT src FROM e GROUP BY src
+               HAVING count(*) <= {int(max_out)}),
+        pr AS (SELECT DISTINCT e1.dst AS id_a, e2.dst AS id_b
+               FROM e e1 JOIN e e2
+                 ON e1.src = e2.src AND e1.dst < e2.dst
+               WHERE e1.src IN (SELECT src FROM ok)),
+        se AS (SELECT id_a AS s, id_b AS d FROM pr
+               UNION SELECT id_b, id_a FROM pr),
+        walk(id, comp) AS (
+          SELECT s, s FROM se
+          UNION
+          SELECT se.d, walk.comp FROM walk JOIN se ON walk.id = se.s
+          WHERE walk.comp < se.d),
+        comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+        auth AS (SELECT dst AS node, count(*) AS din FROM e GROUP BY 1),
+        cf AS (SELECT auth.node,
+                      coalesce(c.component, auth.node) AS component,
+                      auth.din
+               FROM auth LEFT JOIN comp c ON auth.node = c.id),
+        cs AS (SELECT component, count(*) AS csize, sum(din) AS cdin
+               FROM cf GROUP BY 1),
+        va AS (SELECT count(*) AS c FROM auth)
+        SELECT cf.node,
+               floor((cs.csize * 1.0 / va.c) * (cf.din * 1.0 / cs.cdin)
+                     * 1000000 + 0.5) / 1000000 AS salsa
+        FROM cf JOIN cs USING (component) CROSS JOIN va
     """

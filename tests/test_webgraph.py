@@ -270,3 +270,22 @@ def test_webgraph_ops_invariant_under_repartition(ray_session):
                                              k=50)):
         a, b = canon(op(pages)), canon(op(shuffled))
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_salsa_hand_graph(ray_session):
+    import ray.data as rd
+
+    # s1 -> {a, b}; s2 -> {a, b}; s3 -> {c}
+    # authority graph: component {a, b} (co-cited), singleton {c}
+    # din: a=2, b=2, c=1; V_a = 3
+    # salsa(a) = (2/3)*(2/4) = 1/3; salsa(b) = 1/3
+    # salsa(c) = (1/3)*(1/1) = 1/3
+    pre = webtext.URL_PREFIX
+    links = rd.from_arrow(pa.table({
+        "src": [f"{pre}s1", f"{pre}s1", f"{pre}s2", f"{pre}s2",
+                f"{pre}s3"],
+        "dst": [f"{pre}a", f"{pre}b", f"{pre}a", f"{pre}b", f"{pre}c"],
+        "anchor": ["x"] * 5}))
+    out = webgraph.salsa_authorities(links).to_pandas().set_index("node")
+    for n in ("a", "b", "c"):
+        assert abs(out.loc[f"{pre}{n}", "salsa"] - 0.333333) < 1e-9, n
