@@ -2433,6 +2433,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def repetition_stats(sf_dir):
         return _docs(sf_dir).map_batches(T.repetition_stats, batch_format="pyarrow")
 
+    def lang_quality_crosstab(sf_dir):
+        """(pred_lang, tier, n_docs) curation dashboard: language-ID
+        crossed with the global length-quartile tier — one regex scan,
+        one prefix-sum tier pass, a doc-keyed join, slim combine."""
+        import pyarrow as pa
+
+        from octoray.query import hash_join, sorted_groupby_count
+        from octoray.stages.textops import ntile_tiers
+
+        docs = _docs(sf_dir)
+        lang = docs.map_batches(
+            T.lang_id_batch, batch_format="pyarrow").map_batches(
+            lambda t: t.select(["doc_id", "pred_lang"]),
+            batch_format="pyarrow")
+        tiers = ntile_tiers(docs, 4, order_col="n_chars").map_batches(
+            lambda t: t.select(["doc_id", "tier"]),
+            batch_format="pyarrow")
+        j = hash_join(lang, tiers, on="doc_id")
+        return sorted_groupby_count(
+            j.map_batches(lambda t: t.select(["pred_lang", "tier"]),
+                          batch_format="pyarrow"),
+            ["pred_lang", "tier"], alias="n_docs")
+
     def top_ngrams(sf_dir):
         from octoray.stages.vocab import top_ngrams as V
 
@@ -2779,6 +2802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_click_counts": range_click_counts,
         "length_quantiles": length_quantiles,
         "lang_id": lang_id,
+        "lang_quality_crosstab": lang_quality_crosstab,
         "fingerprints": fingerprints,
         "winnow_fingerprints": winnow_fps,
         "train_val_split": lambda sf: __import__(
@@ -2926,6 +2950,26 @@ def oracle_sql() -> dict[str, str]:
     en, es, fr, de = (_stop_pattern(x) for x in ("en", "es", "fr", "de"))
     tok = r"len(regexp_extract_all(text, '\S+'))"
     knn_ids = ", ".join(str(i) for i in _KNN_IDS)
+
+    lang_sql = f"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{en}')) AS n_en,
+                     len(regexp_extract_all(text, '{es}')) AS n_es,
+                     len(regexp_extract_all(text, '{fr}')) AS n_fr,
+                     len(regexp_extract_all(text, '{de}')) AS n_de,
+                     greatest({tok}, 1) AS n_tok
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN n_en > 0 AND n_en >= n_es AND n_en >= n_fr AND n_en >= n_de THEN 'en'
+                        WHEN n_es > 0 AND n_es >= n_fr AND n_es >= n_de THEN 'es'
+                        WHEN n_fr > 0 AND n_fr >= n_de THEN 'fr'
+                        WHEN n_de > 0 THEN 'de'
+                        ELSE 'unknown' END AS pred_lang,
+                   CAST(greatest(greatest(n_en, n_es), greatest(n_fr, n_de)) AS DOUBLE)
+                       / CAST(n_tok AS DOUBLE) AS lang_score
+            FROM c
+        """
 
     sessionize_sql = f"""
         WITH g AS (
@@ -3850,24 +3894,14 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(CAST({tok} AS DOUBLE), 1.0) AS stop_per_token
             FROM documents
         """,
-        "lang_id": f"""
-            WITH c AS (
-              SELECT doc_id,
-                     len(regexp_extract_all(text, '{en}')) AS n_en,
-                     len(regexp_extract_all(text, '{es}')) AS n_es,
-                     len(regexp_extract_all(text, '{fr}')) AS n_fr,
-                     len(regexp_extract_all(text, '{de}')) AS n_de,
-                     greatest({tok}, 1) AS n_tok
-              FROM documents)
-            SELECT doc_id,
-                   CASE WHEN n_en > 0 AND n_en >= n_es AND n_en >= n_fr AND n_en >= n_de THEN 'en'
-                        WHEN n_es > 0 AND n_es >= n_fr AND n_es >= n_de THEN 'es'
-                        WHEN n_fr > 0 AND n_fr >= n_de THEN 'fr'
-                        WHEN n_de > 0 THEN 'de'
-                        ELSE 'unknown' END AS pred_lang,
-                   CAST(greatest(greatest(n_en, n_es), greatest(n_fr, n_de)) AS DOUBLE)
-                       / CAST(n_tok AS DOUBLE) AS lang_score
-            FROM c
+        "lang_id": lang_sql,
+        "lang_quality_crosstab": f"""
+            WITH l AS ({lang_sql}),
+            t AS (SELECT doc_id,
+                         CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
+                              AS BIGINT) AS tier FROM documents)
+            SELECT l.pred_lang, t.tier, count(*) AS n_docs
+            FROM l JOIN t USING (doc_id) GROUP BY 1, 2
         """,
         "fingerprints": f"""
             SELECT doc_id, md5({_NORM}) AS md5 FROM documents

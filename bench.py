@@ -190,6 +190,7 @@ SUITE = [
     "kg_provenance",
     "quality_calibration",
     "web_salsa",
+    "lang_quality_crosstab",
 ]
 
 
