@@ -1583,6 +1583,16 @@ def _q_web_salsa(sf_dir: str):
         links_dataset(_linked_pages(sf_dir, "salsa_pages")), max_out=64)
 
 
+def _q_web_salsa_hubs(sf_dir: str):
+    """SALSA hub scores: bibliographic-coupling components (pages
+    sharing a target, in-capped wedge expansion) + out-degree
+    normalization — the closed-form hub half."""
+    from octoray.stages.webgraph import links_dataset, salsa_hubs
+
+    return salsa_hubs(
+        links_dataset(_linked_pages(sf_dir, "salsahub_pages")), max_in=64)
+
+
 def _q_web_katz(sf_dir: str):
     """Truncated Katz centrality (attenuated path counts) over the
     internal link graph — the rank family's path-count member."""
@@ -2661,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_cocitation": _q_web_cocitation,
         "web_katz": _q_web_katz,
         "web_salsa": _q_web_salsa,
+        "web_salsa_hubs": _q_web_salsa_hubs,
         "web_assortativity": _q_web_assortativity,
         # --- corpus-release ops over the pages table ---
         "extract_text": _q_extract_text,
@@ -4269,6 +4280,8 @@ def oracle_sql() -> dict[str, str]:
             n_sources=12, max_hops=4),
         "web_salsa": _WG.sql_salsa(
             _WG.sql_extract_links(Q.rpd("salsa_pages")), max_out=64),
+        "web_salsa_hubs": _WG.sql_salsa_hubs(
+            _WG.sql_extract_links(Q.rpd("salsahub_pages")), max_in=64),
         "web_katz": _GA.sql_katz_edges(
             _WG.sql_internal_edges(
                 _WG.sql_extract_links(Q.rpd("katz_pages"))),

@@ -191,6 +191,7 @@ SUITE = [
     "quality_calibration",
     "web_salsa",
     "lang_quality_crosstab",
+    "web_salsa_hubs",
 ]
 
 

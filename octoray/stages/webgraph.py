@@ -38,7 +38,7 @@ __all__ = ["links_dataset", "anchor_summary", "internal_edges",
            "sql_reciprocity", "sql_bowtie", "host_graph",
            "sql_host_graph", "anchor_names", "sql_anchor_names",
            "cocitation", "sql_cocitation", "salsa_authorities",
-           "sql_salsa"]
+           "sql_salsa", "salsa_hubs", "sql_salsa_hubs"]
 
 
 def links_dataset(pages):
@@ -753,4 +753,118 @@ def sql_salsa(links_src: str, *, max_out: int = 64) -> str:
                floor((cs.csize * 1.0 / va.c) * (cf.din * 1.0 / cs.cdin)
                      * 1000000 + 0.5) / 1000000 AS salsa
         FROM cf JOIN cs USING (component) CROSS JOIN va
+    """
+
+
+def salsa_hubs(links, *, max_in: int = 64,
+               broadcast_limit: int = 2_000_000):
+    """SALSA hub scores — the symmetric half of salsa_authorities:
+    within each connected component C of the bibliographic-coupling
+    graph (pages sharing a link TARGET),
+      hub(p) = (|C| / |V_h|) * (d_out(p) / Σ_{q in C} d_out(q)),
+    V_h = all pages with an outlink.  Coupling pairs come from the
+    hub-capped wedge expansion over IN-neighbor lists (cap
+    ``max_in`` mirrored in the twin: super-hub targets would
+    otherwise fan out quadratically — the exact skew case the north
+    rule names)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from octoray.query import (distinct_values, hash_join,
+                               sorted_groupby_count, sorted_groupby_sum)
+    from octoray.stages.dedup import dup_components
+    from octoray.stages.graphalgo import _within_group_pairs
+
+    e = internal_edges(links).materialize()
+    dout = sorted_groupby_count(e.select_columns(["src"]), ["src"],
+                                alias="dout").materialize()
+    vh = dout.count()
+    if vh == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64())}))
+
+    def pairs_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        df = df.sort_values(["dst", "src"], kind="mergesort")
+        dsts, counts = np.unique(df["dst"].to_numpy(), return_counts=True)
+        keep = counts <= max_in
+        if not keep.all():
+            ok = set(dsts[keep])
+            df = df[df["dst"].isin(ok)]
+            dsts, counts = np.unique(df["dst"].to_numpy(),
+                                     return_counts=True)
+        a, b = _within_group_pairs(counts, df["src"].to_numpy())
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = distinct_values(
+        e.sort(["dst"]).map_batches(pairs_block, batch_format="pandas",
+                                    batch_size=None),
+        ["id_a", "id_b"])
+    comp = dup_components(pairs)
+
+    cf = hash_join(dout, comp.map_batches(
+        lambda t: pa.table({"src": t.column("id"),
+                            "component": t.column("component")}),
+        batch_format="pyarrow"), on="src", how="left_outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        compc = pc.coalesce(t.column("component").cast(pa.string()),
+                            t.column("src").cast(pa.string()))
+        return pa.table({"node": t.column("src"), "component": compc,
+                         "dout": t.column("dout")})
+
+    cf = cf.map_batches(fill, batch_format="pyarrow").materialize()
+    csize = sorted_groupby_count(cf.select_columns(["component"]),
+                                 ["component"], alias="csize")
+    cdout = sorted_groupby_sum(cf.select_columns(["component", "dout"]),
+                               ["component"], "dout", alias="cdout")
+    j = hash_join(cf, hash_join(csize, cdout, on="component"),
+                  on="component")
+
+    def score(df: "pd.DataFrame") -> "pd.DataFrame":
+        from octoray.util import round_half_up_scalar
+
+        v = ((df["csize"] * 1.0 / vh) * (df["dout"] * 1.0 / df["cdout"]))
+        return pd.DataFrame({
+            "node": df["node"],
+            "hub": [round_half_up_scalar(x, 6) for x in v]})
+
+    return j.map_batches(score, batch_format="pandas")
+
+
+def sql_salsa_hubs(links_src: str, *, max_in: int = 64) -> str:
+    return f"""
+        WITH RECURSIVE
+        e AS (SELECT DISTINCT src, dst FROM ({links_src})
+              WHERE dst LIKE '{URL_PREFIX}%'),
+        ok AS (SELECT dst FROM e GROUP BY dst
+               HAVING count(*) <= {int(max_in)}),
+        pr AS (SELECT DISTINCT e1.src AS id_a, e2.src AS id_b
+               FROM e e1 JOIN e e2
+                 ON e1.dst = e2.dst AND e1.src < e2.src
+               WHERE e1.dst IN (SELECT dst FROM ok)),
+        se AS (SELECT id_a AS s, id_b AS d FROM pr
+               UNION SELECT id_b, id_a FROM pr),
+        walk(id, comp) AS (
+          SELECT s, s FROM se
+          UNION
+          SELECT se.d, walk.comp FROM walk JOIN se ON walk.id = se.s
+          WHERE walk.comp < se.d),
+        comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+        hub AS (SELECT src AS node, count(*) AS dout FROM e GROUP BY 1),
+        cf AS (SELECT hub.node,
+                      coalesce(c.component, hub.node) AS component,
+                      hub.dout
+               FROM hub LEFT JOIN comp c ON hub.node = c.id),
+        cs AS (SELECT component, count(*) AS csize, sum(dout) AS cdout
+               FROM cf GROUP BY 1),
+        vh AS (SELECT count(*) AS c FROM hub)
+        SELECT cf.node,
+               floor((cs.csize * 1.0 / vh.c) * (cf.dout * 1.0 / cs.cdout)
+                     * 1000000 + 0.5) / 1000000 AS hub
+        FROM cf JOIN cs USING (component) CROSS JOIN vh
     """
