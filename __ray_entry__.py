@@ -2829,6 +2829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_release": corpus_release,
         "exact_dups": lambda sf: D.exact_dups(_docs(sf)),
         "jaccard_pairs": lambda sf: D.jaccard_pairs(_docs(sf), k=_JACCARD_K),
+        "containment_pairs": lambda sf: D.containment_pairs(
+            _docs(sf), k=_JACCARD_K, threshold=0.5),
         "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
         "dup_components": _q_dup_components,
         "near_dup_kept": _q_near_dup_kept,
@@ -2961,6 +2963,36 @@ def oracle_sql() -> dict[str, str]:
     en, es, fr, de = (_stop_pattern(x) for x in ("en", "es", "fr", "de"))
     tok = r"len(regexp_extract_all(text, '\S+'))"
     knn_ids = ", ".join(str(i) for i in _KNN_IDS)
+
+    jaccard_sql = f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), t -> t <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                       WHEN len(toks) < {_JACCARD_K} THEN [array_to_string(toks, ' ')]
+                       ELSE [array_to_string(toks[i:i+{_JACCARD_K - 1}], ' ')
+                             for i in range(1, len(toks) - {_JACCARD_K - 2})]
+                  END) AS shingle
+                FROM norm)),
+            cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            -- identical stop-shingle cap to jaccard_pairs(max_df):
+            -- high-df shingles are excluded from PAIR GENERATION only;
+            -- the per-doc denominators above stay exact
+            live AS (SELECT shingle FROM sh GROUP BY 1
+                     HAVING count(*) <= {_JACCARD_MAXDF}),
+            shk AS (SELECT sh.* FROM sh JOIN live USING (shingle)),
+            pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                   FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT id_a, id_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+                   {_rnd("CAST(n_common AS DOUBLE) / (CAST(ca.n_sh AS DOUBLE) + CAST(cb.n_sh AS DOUBLE) - CAST(n_common AS DOUBLE))", 6)} AS jaccard
+            FROM pr JOIN cnt ca ON pr.id_a = ca.doc_id
+                    JOIN cnt cb ON pr.id_b = cb.doc_id
+        """
 
     lang_sql = f"""
             WITH c AS (
@@ -4124,7 +4156,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5, doc_id FROM f
             QUALIFY row_number() OVER (PARTITION BY md5 ORDER BY doc_id) = 1
         """,
-        "jaccard_pairs": f"""
+        "jaccard_pairs": jaccard_sql,
+        "containment_pairs": f"""
+            SELECT id_a, id_b, n_common, n_a, n_b,
+                   containment_a, containment_b
+            FROM (SELECT *,
+                    {_rnd("CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE)", 6)}
+                      AS containment_a,
+                    {_rnd("CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE)", 6)}
+                      AS containment_b
+                  FROM ({jaccard_sql}))
+            WHERE containment_a >= 0.5 OR containment_b >= 0.5
+        """,  "jaccard_pairs": f"""
             WITH norm AS (
               SELECT doc_id,
                      list_filter(string_split({_NORM}, ' '), t -> t <> '') AS toks

@@ -192,6 +192,7 @@ SUITE = [
     "web_salsa",
     "lang_quality_crosstab",
     "web_salsa_hubs",
+    "containment_pairs",
 ]
 
 

@@ -955,3 +955,45 @@ def near_dup_kept(docs, pairs, *, id_col: str = "doc_id",
     return semi_join_auto(
         docs.select_columns([id_col]), id_col, drops, key_col="id",
         anti=True, broadcast_limit=broadcast_limit)
+
+
+def containment_pairs(docs, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 5,
+                      threshold: float = 0.5,
+                      max_df: Optional[int] = 1000):
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    [Broder 1997's second resemblance measure]: containment(A in B) =
+    |S(A) ∩ S(B)| / |S(A)| — catches doc-inside-doc duplication
+    (quotes, mirrors with boilerplate, page supersets) that symmetric
+    Jaccard under-scores when lengths differ.  Output: (id_a, id_b,
+    n_common, n_a, n_b, containment_a, containment_b) for pairs where
+    EITHER direction's rounded containment >= ``threshold``
+    (containment_a = how much of A is inside B).
+
+    Pure post-map over jaccard_pairs' pair table — the inverted
+    index, stop-shingle cap and map-side combiners are shared; both
+    ratios round half-up to 6 decimals BEFORE thresholding so engine
+    and twin cut identically."""
+    import numpy as np
+
+    pairs = jaccard_pairs(docs, id_col=id_col, text_col=text_col, k=k,
+                          threshold=0.0, max_df=max_df)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "n_common": pd.Series([], dtype="int64"),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+                "containment_a": pd.Series([], dtype="float64"),
+                "containment_b": pd.Series([], dtype="float64")})
+        ca = np.floor(df["n_common"] / df["n_a"] * 1e6 + 0.5) / 1e6
+        cb = np.floor(df["n_common"] / df["n_b"] * 1e6 + 0.5) / 1e6
+        keep = (ca >= threshold) | (cb >= threshold)
+        out = df.loc[keep, ["id_a", "id_b", "n_common", "n_a", "n_b"]]
+        out = out.assign(containment_a=ca[keep], containment_b=cb[keep])
+        return out
+
+    return pairs.map_batches(f, batch_format="pandas")
