@@ -2251,6 +2251,43 @@ def _q_strip_boilerplate(sf_dir: str):
                              min_urls=3)
 
 
+def _q_kg_ranges(sf_dir: str):
+    """Per-(predicate, datatype) range profile: counts + lexical
+    min/max — the mis-typed-emission audit one level below kg_void."""
+    from octoray.stages.canon import dedup_triples
+    from octoray.stages.profile import predicate_ranges
+
+    return predicate_ranges(dedup_triples(_kg_raw(sf_dir,
+                                                  "kg_ranges_raw")))
+
+
+def _q_crawl_coverage(sf_dir: str):
+    """Per-(domain, snapshot) distinct-url coverage matrix — the
+    crawl-ops dashboard showing which sites each wave actually
+    reached; one distinct exchange + slim combine count."""
+    import pyarrow as pa
+
+    from octoray.query import distinct_values, sorted_groupby_count
+    from octoray.stages.crawl import _domain_of
+
+    crawl = _crawl_ds(sf_dir, "crawl_cov_raw")
+
+    def slim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "domain": _domain_of(t.column("url")),
+            "snapshot": pc.cast(t.column("snapshot"), pa.int64()),
+            "url": t.column("url")})
+
+    pairs = distinct_values(
+        crawl.map_batches(slim, batch_format="pyarrow"),
+        ["domain", "snapshot", "url"])
+    return sorted_groupby_count(
+        pairs.select_columns(["domain", "snapshot"]),
+        ["domain", "snapshot"], alias="n_urls")
+
+
 def _q_recrawl_priority(sf_dir: str):
     """Change-frequency re-crawl scheduling signal per url (successive
     fetches whose content changed): one slim projection + one url
@@ -2684,6 +2721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": _q_boilerplate_lines,
         "strip_boilerplate": _q_strip_boilerplate,
         "recrawl_priority": _q_recrawl_priority,
+        "kg_ranges": _q_kg_ranges,
+        "crawl_coverage": _q_crawl_coverage,
         "per_domain_cap": _q_per_domain_cap,
         "crawl_schedule": _q_crawl_schedule,
         "url_canon": _q_url_canon,
@@ -3907,6 +3946,16 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_priority": __import__(
             "octoray.stages.crawl", fromlist=["sql_recrawl_priority"]
         ).sql_recrawl_priority(Q.rpd("crawl_recrawl_raw")),
+        "kg_ranges": __import__(
+            "octoray.stages.profile", fromlist=["sql_predicate_ranges"]
+        ).sql_predicate_ranges(Q.rpd("kg_ranges_raw")),
+        "crawl_coverage": f"""
+            SELECT regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1) AS domain,
+                   CAST(snapshot AS BIGINT) AS snapshot,
+                   count(DISTINCT url) AS n_urls
+            FROM {Q.rpd('crawl_cov_raw')} GROUP BY 1, 2
+        """,
         "per_domain_cap": f"""
             WITH d AS (SELECT DISTINCT
                          regexp_extract(url,

@@ -193,6 +193,8 @@ SUITE = [
     "lang_quality_crosstab",
     "web_salsa_hubs",
     "containment_pairs",
+    "kg_ranges",
+    "crawl_coverage",
 ]
 
 

@@ -215,3 +215,55 @@ def sql_void_stats(src: str) -> str:
                count(DISTINCT object) AS n_objects
         FROM d GROUP BY predicate
     """
+
+
+def predicate_ranges(triples):
+    """VoID-style range profile one level deeper than void_stats:
+    per (predicate, object_datatype) the triple count and the
+    lexical min/max object — the datatype/range audit that catches
+    mis-typed emissions (a date under xsd:integer, a URI under a
+    literal predicate) before they poison downstream queries.
+
+    One map-side partial (count/min/max per block per key) + ONE tiny
+    key sort + block-local final combine; object values never shuffle
+    beyond the per-block winners."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "predicate": t.column("predicate").to_pylist(),
+            "object_datatype": t.column("object_datatype").to_pylist(),
+            "object": t.column("object").to_pylist()})
+        g = df.groupby(["predicate", "object_datatype"], sort=False)
+        out = pd.DataFrame({
+            "n": g.size().astype("int64"),
+            "min_lex": g["object"].min(),
+            "max_lex": g["object"].max(),
+        }).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df
+        g = df.groupby(["predicate", "object_datatype"], sort=False)
+        return pd.DataFrame({
+            "n": g["n"].sum().astype("int64"),
+            "min_lex": g["min_lex"].min(),
+            "max_lex": g["max_lex"].max(),
+        }).reset_index()
+
+    partials = triples.map_batches(partial, batch_format="pyarrow")
+    return partials.sort(["predicate", "object_datatype"]).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def sql_predicate_ranges(src: str) -> str:
+    """DuckDB twin; boundary: raw emitted triples (dedup re-derived
+    like every KG oracle)."""
+    return f"""
+        WITH d AS (SELECT DISTINCT subject, predicate, object,
+                          object_datatype FROM {src})
+        SELECT predicate, object_datatype, count(*) AS n,
+               min(object) AS min_lex, max(object) AS max_lex
+        FROM d GROUP BY 1, 2
+    """
