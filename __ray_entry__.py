@@ -2870,6 +2870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": lambda sf: D.jaccard_pairs(_docs(sf), k=_JACCARD_K),
         "containment_pairs": lambda sf: D.containment_pairs(
             _docs(sf), k=_JACCARD_K, threshold=0.5),
+        "centroid_drift": lambda sf: S.centroid_drift(_embeddings(sf)),
         "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
         "dup_components": _q_dup_components,
         "near_dup_kept": _q_near_dup_kept,
@@ -4245,6 +4246,9 @@ def oracle_sql() -> dict[str, str]:
             FROM pr JOIN cnt ca ON pr.id_a = ca.doc_id
                     JOIN cnt cb ON pr.id_b = cb.doc_id
         """,
+        "centroid_drift": __import__(
+            "octoray.stages.similarity", fromlist=["sql_centroid_drift"]
+        ).sql_centroid_drift("embeddings"),
         "knn_brute": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id IN ({knn_ids})),

@@ -195,6 +195,7 @@ SUITE = [
     "containment_pairs",
     "kg_ranges",
     "crawl_coverage",
+    "centroid_drift",
 ]
 
 

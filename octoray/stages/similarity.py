@@ -961,3 +961,103 @@ def pq_adc_search(embeddings, query_id: int, *, m: int = 4, k: int = 8,
     pruned = emb.map_batches(score, batch_format="pyarrow")
     return pruned.sort(["score", id_col],
                        descending=[True, False]).limit(k_out)
+
+
+def centroid_drift(embs, *, group_col: str = "label",
+                   vec_col: str = "embedding"):
+    """Pairwise cosine similarity between per-group embedding
+    centroids — the domain-drift / source-similarity matrix a mixture
+    designer reads before setting sampling weights (two sources with
+    near-identical centroids are redundant; an outlier source is a
+    distribution shift).  Output: (label_a, label_b, cosine) for
+    a < b, rounded half-up to 6 decimals.
+
+    Scale shape: per-block partial (group, dim, sum, n) rows — the
+    exchange carries groups x dims slim rows, never vectors; one
+    combine-sum; centroids (groups x dims, tiny by construction)
+    collect to the driver for the pairwise cosine."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from octoray.util import round_half_up_scalar
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t.column(group_col).to_pylist())
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(labels) == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        out_g: list = []
+        out_d: list = []
+        out_s: list = []
+        out_n: list = []
+        for g in np.unique(labels):
+            m = labels == g
+            s = vecs[m].sum(axis=0)
+            out_g.extend([int(g)] * len(s))
+            out_d.extend(range(len(s)))
+            out_s.extend(s.tolist())
+            out_n.extend([int(m.sum())] * len(s))
+        return pa.table({"g": pa.array(out_g, pa.int64()),
+                         "dim": pa.array(out_d, pa.int64()),
+                         "s": pa.array(out_s, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    rows = embs.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in rows:
+        key = (r["g"], r["dim"])
+        s, n = acc.get(key, (0.0, 0))
+        # n arrives repeated per dim; count only on dim 0
+        acc[key] = (s + r["s"], n + (r["n"] if r["dim"] == 0 else 0))
+    counts: dict = {}
+    sums: dict = {}
+    for (g, d), (s, n) in acc.items():
+        sums.setdefault(g, {})[d] = s
+        if d == 0:
+            counts[g] = counts.get(g, 0) + n
+    labels = sorted(sums)
+    cents = {g: np.array([sums[g][d] for d in sorted(sums[g])])
+             / counts[g] for g in labels}
+    la: list = []
+    lb: list = []
+    cos: list = []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            va, vb = cents[a], cents[b]
+            denom = (np.sqrt((va * va).sum()) * np.sqrt((vb * vb).sum()))
+            c = 0.0 if denom == 0 else float((va * vb).sum()) / denom
+            la.append(a)
+            lb.append(b)
+            cos.append(round_half_up_scalar(c, 6))
+    return rd.from_arrow(pa.table({
+        "label_a": pa.array(la, pa.int64()),
+        "label_b": pa.array(lb, pa.int64()),
+        "cosine": pa.array(cos, pa.float64())}))
+
+
+def sql_centroid_drift(src: str = "embeddings", *,
+                       group_col: str = "label") -> str:
+    """DuckDB twin of centroid_drift (same mean, same cosine operand
+    order dot / (norm_a * norm_b))."""
+    return f"""
+        WITH x AS (SELECT CAST({group_col} AS BIGINT) AS g,
+                          unnest(range(1, len(embedding) + 1)) AS i,
+                          embedding
+                   FROM {src}),
+        v AS (SELECT g, i, CAST(embedding[i] AS DOUBLE) AS val FROM x),
+        m AS (SELECT g, i, sum(val) / count(*) AS mu FROM v GROUP BY 1, 2),
+        nr AS (SELECT g, sqrt(sum(mu * mu)) AS nrm FROM m GROUP BY 1),
+        p AS (SELECT a.g AS la, b.g AS lb, sum(a.mu * b.mu) AS dot
+              FROM m a JOIN m b ON a.i = b.i AND a.g < b.g
+              GROUP BY 1, 2)
+        SELECT p.la AS label_a, p.lb AS label_b,
+               CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                    ELSE floor(p.dot / (na.nrm * nb.nrm)
+                               * 1000000 + 0.5) / 1000000 END AS cosine
+        FROM p JOIN nr na ON p.la = na.g JOIN nr nb ON p.lb = nb.g
+    """
