@@ -2871,6 +2871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": lambda sf: D.containment_pairs(
             _docs(sf), k=_JACCARD_K, threshold=0.5),
         "centroid_drift": lambda sf: S.centroid_drift(_embeddings(sf)),
+        "centroid_exemplars": lambda sf: S.centroid_exemplars(
+            _embeddings(sf), k=3),
         "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
         "dup_components": _q_dup_components,
         "near_dup_kept": _q_near_dup_kept,
@@ -4249,6 +4251,10 @@ def oracle_sql() -> dict[str, str]:
         "centroid_drift": __import__(
             "octoray.stages.similarity", fromlist=["sql_centroid_drift"]
         ).sql_centroid_drift("embeddings"),
+        "centroid_exemplars": __import__(
+            "octoray.stages.similarity",
+            fromlist=["sql_centroid_exemplars"]
+        ).sql_centroid_exemplars("embeddings", k=3),
         "knn_brute": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id IN ({knn_ids})),

@@ -196,6 +196,7 @@ SUITE = [
     "kg_ranges",
     "crawl_coverage",
     "centroid_drift",
+    "centroid_exemplars",
 ]
 
 

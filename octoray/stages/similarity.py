@@ -1061,3 +1061,133 @@ def sql_centroid_drift(src: str = "embeddings", *,
                                * 1000000 + 0.5) / 1000000 END AS cosine
         FROM p JOIN nr na ON p.la = na.g JOIN nr nb ON p.lb = nb.g
     """
+
+
+def _label_centroids(embs, *, group_col: str = "label",
+                     vec_col: str = "embedding"):
+    """(labels, centroid matrix) via the centroid_drift partial
+    reduce — shared by drift/cohesion/exemplars."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t.column(group_col).to_pylist())
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(labels) == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        out_g: list = []
+        out_d: list = []
+        out_s: list = []
+        out_n: list = []
+        for g in np.unique(labels):
+            m = labels == g
+            s = vecs[m].sum(axis=0)
+            out_g.extend([int(g)] * len(s))
+            out_d.extend(range(len(s)))
+            out_s.extend(s.tolist())
+            out_n.extend([int(m.sum())] * len(s))
+        return pa.table({"g": pa.array(out_g, pa.int64()),
+                         "dim": pa.array(out_d, pa.int64()),
+                         "s": pa.array(out_s, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    rows = embs.map_batches(partial, batch_format="pyarrow").take_all()
+    sums: dict = {}
+    counts: dict = {}
+    for r in rows:
+        sums.setdefault(r["g"], {})
+        sums[r["g"]][r["dim"]] = sums[r["g"]].get(r["dim"], 0.0) + r["s"]
+        if r["dim"] == 0:
+            counts[r["g"]] = counts.get(r["g"], 0) + r["n"]
+    labels = sorted(sums)
+    cents = {g: np.array([sums[g][d] for d in sorted(sums[g])])
+             / counts[g] for g in labels}
+    return labels, cents, counts
+
+
+def centroid_exemplars(embs, *, k: int = 3, group_col: str = "label",
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """Per-label exemplar selection: the k members closest (cosine)
+    to their label's centroid, ties to the smallest id — prototype
+    picking for labeling audits / few-shot seeds.  Output: (label,
+    vec_id, cosine) with the k-cut deterministic.
+
+    Scale shape: centroids broadcast once (labels x dims, tiny); one
+    vectorized scoring pass per block; grouped_top_k's map-side
+    partial head + one group sort finish.  Scores round half-up to 6
+    decimals BEFORE the cut so engine and twin rank identically."""
+    import numpy as np
+
+    import ray
+
+    from octoray.query import grouped_top_k
+    from octoray.util import round_half_up
+
+    labels, cents, _ = _label_centroids(embs, group_col=group_col,
+                                        vec_col=vec_col)
+    cmat = {g: cents[g] / (np.sqrt((cents[g] ** 2).sum()) or 1.0)
+            for g in labels}
+    ref = ray.put(cmat)
+
+    def score(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        gs = np.asarray(t.column(group_col).to_pylist())
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = np.asarray(t.column(id_col).to_pylist())
+        if len(gs) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        nrm = np.sqrt((vecs * vecs).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        cos = np.empty(len(gs), np.float64)
+        for g in np.unique(gs):
+            m = gs == g
+            cos[m] = (vecs[m] @ cm[int(g)]) / nrm[m]
+        return pa.table({
+            "label": pa.array(gs.astype(np.int64), pa.int64()),
+            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "cosine": round_half_up(pa.array(cos, pa.float64()), 6)})
+
+    scored = embs.map_batches(score, batch_format="pyarrow")
+    return grouped_top_k(scored, ["label"], "cosine", k,
+                         tie_cols=["vec_id"], descending=True)
+
+
+def sql_centroid_exemplars(src: str = "embeddings", *, k: int = 3,
+                           group_col: str = "label") -> str:
+    """DuckDB twin (same mean/normalization/cosine operand order,
+    same rounded-then-ranked cut)."""
+    return f"""
+        WITH x AS (SELECT vec_id, CAST({group_col} AS BIGINT) AS g,
+                          unnest(range(1, len(embedding) + 1)) AS i,
+                          embedding
+                   FROM {src}),
+        v AS (SELECT vec_id, g, i,
+                     CAST(embedding[i] AS DOUBLE) AS val FROM x),
+        m AS (SELECT g, i, sum(val) / count(*) AS mu FROM v GROUP BY 1, 2),
+        nr AS (SELECT g, CASE WHEN sqrt(sum(mu * mu)) = 0 THEN 1.0
+                              ELSE sqrt(sum(mu * mu)) END AS nrm
+               FROM m GROUP BY 1),
+        cn AS (SELECT m.g, m.i, m.mu / nr.nrm AS cu
+               FROM m JOIN nr ON m.g = nr.g),
+        vn AS (SELECT vec_id, g,
+                      CASE WHEN sqrt(sum(val * val)) = 0 THEN 1.0
+                           ELSE sqrt(sum(val * val)) END AS vnrm
+               FROM v GROUP BY 1, 2),
+        dotp AS (SELECT v.vec_id, v.g, sum(v.val * cn.cu) AS dot
+                 FROM v JOIN cn ON v.g = cn.g AND v.i = cn.i
+                 GROUP BY 1, 2),
+        sc AS (SELECT d.vec_id, d.g,
+                      floor(d.dot / vn.vnrm * 1000000 + 0.5) / 1000000
+                        AS cosine
+               FROM dotp d JOIN vn ON d.vec_id = vn.vec_id
+                                  AND d.g = vn.g),
+        r AS (SELECT *, row_number() OVER
+                (PARTITION BY g ORDER BY cosine DESC, vec_id) AS rn
+              FROM sc)
+        SELECT g AS label, vec_id, cosine FROM r WHERE rn <= {int(k)}
+    """
