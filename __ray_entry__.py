@@ -2873,6 +2873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_drift": lambda sf: S.centroid_drift(_embeddings(sf)),
         "centroid_exemplars": lambda sf: S.centroid_exemplars(
             _embeddings(sf), k=3),
+        "label_noise": lambda sf: S.label_noise_candidates(
+            _embeddings(sf)),
         "dedup_docs_kept": lambda sf: D.drop_exact_dups(_docs(sf)),
         "dup_components": _q_dup_components,
         "near_dup_kept": _q_near_dup_kept,
@@ -4255,6 +4257,9 @@ def oracle_sql() -> dict[str, str]:
             "octoray.stages.similarity",
             fromlist=["sql_centroid_exemplars"]
         ).sql_centroid_exemplars("embeddings", k=3),
+        "label_noise": __import__(
+            "octoray.stages.similarity", fromlist=["sql_label_noise"]
+        ).sql_label_noise("embeddings"),
         "knn_brute": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id IN ({knn_ids})),

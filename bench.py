@@ -197,6 +197,7 @@ SUITE = [
     "crawl_coverage",
     "centroid_drift",
     "centroid_exemplars",
+    "label_noise",
 ]
 
 

@@ -1191,3 +1191,101 @@ def sql_centroid_exemplars(src: str = "embeddings", *, k: int = 3,
               FROM sc)
         SELECT g AS label, vec_id, cosine FROM r WHERE rn <= {int(k)}
     """
+
+
+def label_noise_candidates(embs, *, group_col: str = "label",
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id"):
+    """Confident-learning-style mislabel candidates: vectors whose
+    nearest label CENTROID (cosine, rounded; ties to the smallest
+    label) is not their own label — the audit list a labeling pass
+    reviews first.  Output: (vec_id, label, best_label, own_cos,
+    best_cos), only flagged rows.
+
+    Same broadcast-centroid scoring as centroid_exemplars, one
+    vectorized matrix product per block against ALL centroids
+    (labels x dims, tiny); entirely map-side — no shuffle at all."""
+    import numpy as np
+
+    import ray
+
+    from octoray.util import round_half_up
+
+    labels, cents, _ = _label_centroids(embs, group_col=group_col,
+                                        vec_col=vec_col)
+    cm = np.stack([cents[g] / (np.sqrt((cents[g] ** 2).sum()) or 1.0)
+                   for g in labels])
+    lab_arr = np.asarray(labels, np.int64)
+    ref = ray.put((cm, lab_arr))
+
+    def score(t: pa.Table) -> pa.Table:
+        mat, labs = ray.get(ref)
+        gs = np.asarray(t.column(group_col).to_pylist(), np.int64)
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = np.asarray(t.column(id_col).to_pylist(), np.int64)
+        if len(gs) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+                "best_label": pa.array([], pa.int64()),
+                "own_cos": pa.array([], pa.float64()),
+                "best_cos": pa.array([], pa.float64())})
+        nrm = np.sqrt((vecs * vecs).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        cos = (vecs @ mat.T) / nrm[:, None]
+        cosr = np.floor(cos * 1e6 + 0.5) / 1e6
+        # argmax with ties to the SMALLEST label: labels are sorted
+        # ascending in mat rows and np.argmax returns the first max
+        best_i = cosr.argmax(axis=1)
+        best_label = labs[best_i]
+        own_i = np.searchsorted(labs, gs)
+        own_cos = cosr[np.arange(len(gs)), own_i]
+        best_cos = cosr[np.arange(len(gs)), best_i]
+        flag = best_label != gs
+        return pa.table({
+            "vec_id": pa.array(ids[flag], pa.int64()),
+            "label": pa.array(gs[flag], pa.int64()),
+            "best_label": pa.array(best_label[flag], pa.int64()),
+            "own_cos": pa.array(own_cos[flag], pa.float64()),
+            "best_cos": pa.array(best_cos[flag], pa.float64())})
+
+    return embs.map_batches(score, batch_format="pyarrow")
+
+
+def sql_label_noise(src: str = "embeddings", *,
+                    group_col: str = "label") -> str:
+    """DuckDB twin of label_noise_candidates (rounded scores, argmax
+    ties to the smallest label via row_number)."""
+    return f"""
+        WITH x AS (SELECT vec_id, CAST({group_col} AS BIGINT) AS g,
+                          unnest(range(1, len(embedding) + 1)) AS i,
+                          embedding
+                   FROM {src}),
+        v AS (SELECT vec_id, g, i,
+                     CAST(embedding[i] AS DOUBLE) AS val FROM x),
+        m AS (SELECT g, i, sum(val) / count(*) AS mu FROM v GROUP BY 1, 2),
+        nr AS (SELECT g, CASE WHEN sqrt(sum(mu * mu)) = 0 THEN 1.0
+                              ELSE sqrt(sum(mu * mu)) END AS nrm
+               FROM m GROUP BY 1),
+        cn AS (SELECT m.g, m.i, m.mu / nr.nrm AS cu
+               FROM m JOIN nr ON m.g = nr.g),
+        vn AS (SELECT vec_id, CASE WHEN sqrt(sum(val * val)) = 0 THEN 1.0
+                                   ELSE sqrt(sum(val * val)) END AS vnrm
+               FROM v GROUP BY 1),
+        sc AS (SELECT v.vec_id, cn.g AS cand,
+                      floor(sum(v.val * cn.cu) / any_value(vn.vnrm)
+                            * 1000000 + 0.5) / 1000000 AS cos
+               FROM v JOIN cn ON v.i = cn.i
+                    JOIN vn ON v.vec_id = vn.vec_id
+               GROUP BY 1, 2),
+        own AS (SELECT DISTINCT vec_id, g FROM x),
+        best AS (SELECT vec_id, cand, cos, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cos DESC, cand) AS rn
+                 FROM sc)
+        SELECT o.vec_id, o.g AS label, b.cand AS best_label,
+               so.cos AS own_cos, b.cos AS best_cos
+        FROM own o
+        JOIN best b ON o.vec_id = b.vec_id AND b.rn = 1
+        JOIN sc so ON o.vec_id = so.vec_id AND so.cand = o.g
+        WHERE b.cand <> o.g
+    """
