@@ -2261,6 +2261,24 @@ def _q_kg_ranges(sf_dir: str):
                                                   "kg_ranges_raw")))
 
 
+def _q_kg_functionality(sf_dir: str):
+    """Ontology induction: per-predicate functionality (fraction of
+    subjects with exactly one object) — key-like vs set-valued
+    predicate discovery."""
+    from octoray.stages.profile import predicate_functionality
+
+    return predicate_functionality(_kg_raw(sf_dir, "kg_func_raw"))
+
+
+def _q_kg_symmetry(sf_dir: str):
+    """Ontology induction #2: per-predicate symmetry over uri edges
+    (owl:SymmetricProperty candidates) — swapped-key self semi-join,
+    one exchange for all predicates."""
+    from octoray.stages.profile import predicate_symmetry
+
+    return predicate_symmetry(_kg_raw(sf_dir, "kg_sym_raw"))
+
+
 def _q_crawl_coverage(sf_dir: str):
     """Per-(domain, snapshot) distinct-url coverage matrix — the
     crawl-ops dashboard showing which sites each wave actually
@@ -2722,6 +2740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "recrawl_priority": _q_recrawl_priority,
         "kg_ranges": _q_kg_ranges,
+        "kg_functionality": _q_kg_functionality,
+        "kg_symmetry": _q_kg_symmetry,
         "crawl_coverage": _q_crawl_coverage,
         "per_domain_cap": _q_per_domain_cap,
         "crawl_schedule": _q_crawl_schedule,
@@ -3954,6 +3974,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_ranges": __import__(
             "octoray.stages.profile", fromlist=["sql_predicate_ranges"]
         ).sql_predicate_ranges(Q.rpd("kg_ranges_raw")),
+        "kg_functionality": __import__(
+            "octoray.stages.profile",
+            fromlist=["sql_predicate_functionality"]
+        ).sql_predicate_functionality(Q.rpd("kg_func_raw")),
+        "kg_symmetry": __import__(
+            "octoray.stages.profile", fromlist=["sql_predicate_symmetry"]
+        ).sql_predicate_symmetry(Q.rpd("kg_sym_raw")),
         "crawl_coverage": f"""
             SELECT regexp_extract(url,
                      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1) AS domain,

@@ -198,6 +198,8 @@ SUITE = [
     "centroid_drift",
     "centroid_exemplars",
     "label_noise",
+    "kg_functionality",
+    "kg_symmetry",
 ]
 
 

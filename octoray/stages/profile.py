@@ -267,3 +267,155 @@ def sql_predicate_ranges(src: str) -> str:
                min(object) AS min_lex, max(object) AS max_lex
         FROM d GROUP BY 1, 2
     """
+
+
+def predicate_functionality(triples):
+    """Ontology-induction signal: per predicate, how functional is it
+    — does each subject carry at most one object?  (predicate,
+    n_subjects, n_multi, functionality = 1 - n_multi/n_subjects,
+    rounded half-up to 6) — the schema-discovery stat that separates
+    key-like predicates (strain_name, date) from set-valued ones
+    (has_segment, locatedIn).
+
+    Two chained slim combine-counts (per (predicate, subject) object
+    count, then per predicate), vectorized threshold — the object
+    values themselves never shuffle."""
+    import pandas as pd
+
+    from octoray.query import distinct_values, sorted_groupby_count
+
+    po = distinct_values(
+        triples.map_batches(
+            lambda t: pa.table({"predicate": t.column("predicate"),
+                                "subject": t.column("subject"),
+                                "object": t.column("object")}),
+            batch_format="pyarrow"),
+        ["predicate", "subject", "object"])
+    per_subj = sorted_groupby_count(
+        po.select_columns(["predicate", "subject"]),
+        ["predicate", "subject"], alias="n_obj")
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({
+                "predicate": pd.Series([], dtype=object),
+                "n_subjects": pd.Series([], dtype="int64"),
+                "n_multi": pd.Series([], dtype="int64")})
+        g = df.groupby("predicate", sort=False)
+        return pd.DataFrame({
+            "n_subjects": g.size().astype("int64"),
+            "n_multi": g["n_obj"].apply(
+                lambda s: int((s > 1).sum())).astype("int64"),
+        }).reset_index()
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df.assign(functionality=pd.Series([], dtype="float64"))
+        g = df.groupby("predicate", sort=False)
+        out = pd.DataFrame({
+            "n_subjects": g["n_subjects"].sum().astype("int64"),
+            "n_multi": g["n_multi"].sum().astype("int64"),
+        }).reset_index()
+        out["functionality"] = np.floor(
+            (1.0 - out["n_multi"] / out["n_subjects"]) * 1e6 + 0.5) / 1e6
+        return out
+
+    partials = per_subj.map_batches(partial, batch_format="pandas")
+    return partials.sort(["predicate"]).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def sql_predicate_functionality(src: str) -> str:
+    return f"""
+        WITH d AS (SELECT DISTINCT predicate, subject, object FROM {src}),
+        ps AS (SELECT predicate, subject, count(*) AS n_obj
+               FROM d GROUP BY 1, 2),
+        a AS (SELECT predicate, count(*) AS n_subjects,
+                     CAST(sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_multi
+              FROM ps GROUP BY 1)
+        SELECT predicate, n_subjects, n_multi,
+               floor((1.0 - n_multi * 1.0 / n_subjects) * 1000000 + 0.5)
+                 / 1000000 AS functionality
+        FROM a
+    """
+
+
+def predicate_symmetry(triples):
+    """Ontology-induction signal #2: per uri-valued predicate, how
+    often the REVERSE triple also exists — (predicate, n_edges,
+    n_symmetric, symmetry) flags owl:SymmetricProperty candidates
+    (sameAs-like relations) vs strictly directed ones (locatedIn).
+
+    One distinct slim pass + a swapped-composite-key self semi-join
+    per the reciprocity pattern, keyed so one exchange covers ALL
+    predicates at once."""
+    import pyarrow.compute as pc
+
+    import pandas as pd
+
+    from octoray.query import distinct_values, semi_join_auto
+
+    def uri_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("object_datatype"),
+                              pa.scalar("uri")))
+        p = t.column("predicate").cast(pa.string())
+        s = t.column("subject").cast(pa.string())
+        o = t.column("object").cast(pa.string())
+        k = pc.binary_join_element_wise(p, s, o, "\x1f")
+        rk = pc.binary_join_element_wise(p, o, s, "\x1f")
+        return pa.table({"predicate": p, "k": k, "rk": rk})
+
+    rows = distinct_values(
+        triples.map_batches(uri_rows, batch_format="pyarrow"),
+        ["predicate", "k", "rk"]).materialize()
+    sym = semi_join_auto(rows, "k", rows.select_columns(["rk"]),
+                         key_col="rk")
+
+    from octoray.query import sorted_groupby_count
+
+    ne = sorted_groupby_count(rows.select_columns(["predicate"]),
+                              ["predicate"], alias="n_edges")
+    ns = sorted_groupby_count(sym.select_columns(["predicate"]),
+                              ["predicate"],
+                              alias="n_symmetric").materialize()
+
+    from octoray.query import hash_join
+
+    if ns.count() == 0:
+        # fully asymmetric graph: an empty right side reaches the
+        # pandas merge without typed columns — short-circuit
+        j = ne.map_batches(
+            lambda t: t.append_column(
+                "n_symmetric", pa.array([0] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        j = hash_join(ne, ns, on="predicate", how="left_outer")
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        nsym = df["n_symmetric"].fillna(0).astype("int64")
+        return pd.DataFrame({
+            "predicate": df["predicate"],
+            "n_edges": df["n_edges"].astype("int64"),
+            "n_symmetric": nsym,
+            "symmetry": np.floor(nsym / df["n_edges"] * 1e6 + 0.5) / 1e6})
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+def sql_predicate_symmetry(src: str) -> str:
+    return f"""
+        WITH d AS (SELECT DISTINCT predicate, subject, object FROM {src}
+                   WHERE object_datatype = 'uri'),
+        s AS (SELECT d.predicate,
+                     CASE WHEN r.subject IS NOT NULL THEN 1 ELSE 0 END
+                       AS is_sym
+              FROM d LEFT JOIN d r
+                ON d.predicate = r.predicate
+               AND d.subject = r.object AND d.object = r.subject)
+        SELECT predicate, count(*) AS n_edges,
+               CAST(sum(is_sym) AS BIGINT) AS n_symmetric,
+               floor(sum(is_sym) * 1.0 / count(*) * 1000000 + 0.5)
+                 / 1000000 AS symmetry
+        FROM s GROUP BY predicate
+    """
