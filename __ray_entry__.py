@@ -2845,6 +2845,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": lambda sf: __import__(
             "octoray.stages.vocab", fromlist=["oov_rate"]
         ).oov_rate(_docs(sf), vocab_size=1000),
+        "zipf_fit": lambda sf: __import__(
+            "octoray.stages.vocab", fromlist=["zipf_fit"]
+        ).zipf_fit(_docs(sf), top_n=1000),
         "quality_scores": quality_scores,
         "quality_classifier": quality_classifier,
         "unigram_logprob": lambda sf: T.unigram_logprob(_docs(sf)),
@@ -3374,6 +3377,9 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": __import__(
             "octoray.stages.vocab", fromlist=["sql_oov_rate"]
         ).sql_oov_rate(vocab_size=1000),
+        "zipf_fit": __import__(
+            "octoray.stages.vocab", fromlist=["sql_zipf_fit"]
+        ).sql_zipf_fit(top_n=1000),
         "token_counts": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+')) AS n_tokens,

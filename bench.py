@@ -200,6 +200,7 @@ SUITE = [
     "label_noise",
     "kg_functionality",
     "kg_symmetry",
+    "zipf_fit",
 ]
 
 

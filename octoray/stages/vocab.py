@@ -259,3 +259,61 @@ def sql_oov_rate(*, vocab_size: int = 1000) -> str:
                CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
         FROM per
     """
+
+
+def zipf_fit(docs, *, top_n: int = 1000, text_col: str = "text"):
+    """One-row Zipf-law fit of the corpus unigram distribution: OLS
+    slope of ln(count) against ln(rank) over the top-``top_n`` tokens
+    (natural text sits near -1; a corpus drifting far off is
+    boilerplate-heavy or synthetic — the quickest corpus-health
+    number there is).  Output: (n_top, zipf_slope) with the slope in
+    the explicit sum formula (n·Σxy - Σx·Σy) / (n·Σxx - Σx²), the
+    same operand order as the SQL twin, rounded half-up to 6.
+
+    Pass 1 is top_ngrams' exact global count (map-side combiners,
+    deterministic count-desc/token-asc boundary); the regression runs
+    on the driver over ``top_n`` rows."""
+    import numpy as np
+
+    import ray.data as rd
+
+    rows = top_ngrams(docs, n=1, k=top_n, text_col=text_col).take_all()
+    rows.sort(key=lambda r: (-r["count"], r["gram"]))
+    n = len(rows)
+    if n < 2:
+        return rd.from_arrow(pa.table({
+            "n_top": pa.array([n], pa.int64()),
+            "zipf_slope": pa.array([0.0], pa.float64())}))
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(np.array([r["count"] for r in rows], np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    import math
+
+    return rd.from_arrow(pa.table({
+        "n_top": pa.array([n], pa.int64()),
+        "zipf_slope": pa.array(
+            [math.floor(slope * 1e6 + 0.5) / 1e6], pa.float64())}))
+
+
+def sql_zipf_fit(*, top_n: int = 1000) -> str:
+    """DuckDB twin of zipf_fit (same top-N boundary, same explicit
+    sum formula and operand order)."""
+    return rf"""
+        WITH tokens AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                          AS t FROM documents),
+        cnt AS (SELECT t, count(*) AS c FROM tokens GROUP BY t),
+        top AS (SELECT c, row_number() OVER (ORDER BY c DESC, t)
+                  AS rnk FROM cnt
+                ORDER BY c DESC, t LIMIT {int(top_n)}),
+        v AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y FROM top),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * x) AS sxx,
+                     sum(x * y) AS sxy FROM v)
+        SELECT CAST(n AS BIGINT) AS n_top,
+               floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     * 1000000 + 0.5) / 1000000 AS zipf_slope
+        FROM s
+    """
