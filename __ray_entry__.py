@@ -2893,6 +2893,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": lambda sf: D.jaccard_pairs(_docs(sf), k=_JACCARD_K),
         "containment_pairs": lambda sf: D.containment_pairs(
             _docs(sf), k=_JACCARD_K, threshold=0.5),
+        # duplication-multiplicity profile: histogram of exact-dup
+        # cluster sizes (how duplicated is the corpus) — one slim
+        # combine-count over the exact_dups cluster table
+        "dup_multiplicity": lambda sf: __import__(
+            "octoray.query", fromlist=["sorted_groupby_count"]
+        ).sorted_groupby_count(
+            D.exact_dups(_docs(sf)).select_columns(["n_docs"])
+            .map_batches(lambda t: t.rename_columns(["n_copies"]),
+                         batch_format="pyarrow"),
+            ["n_copies"], alias="n_clusters"),
         "centroid_drift": lambda sf: S.centroid_drift(_embeddings(sf)),
         "centroid_exemplars": lambda sf: S.centroid_exemplars(
             _embeddings(sf), k=3),
@@ -4237,6 +4247,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dups": f"""
             SELECT md5({_NORM}) AS md5, min(doc_id) AS rep_id, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "dup_multiplicity": f"""
+            SELECT n_copies, count(*) AS n_clusters FROM (
+              SELECT count(*) AS n_copies FROM documents
+              GROUP BY md5({_NORM})) GROUP BY n_copies
         """,
         "dedup_docs_kept": f"""
             WITH f AS (SELECT doc_id, md5({_NORM}) AS md5 FROM documents)

@@ -201,6 +201,7 @@ SUITE = [
     "kg_functionality",
     "kg_symmetry",
     "zipf_fit",
+    "dup_multiplicity",
 ]
 
 
