@@ -120,6 +120,24 @@ def _q_kg_build(sf_dir: str):
     return canonicalize(_kg_raw(sf_dir, "kg_build_raw"))
 
 
+def _q_kg_build_cold(sf_dir: str):
+    """UNCACHED flagship build (VERDICT r4 #3): page synth -> extract ->
+    mention scan/emit -> dedup shuffle -> canonical sort with NO
+    memoized emission, so emitter regressions are visible in the bench
+    suite, not only in ``bench.py --headline``.  Same oracle boundary
+    as kg_build (raw pre-canonical dump; emission covered by the P/R
+    gate)."""
+    from octoray import oracles as O
+    from octoray.pipelines.kg import build_triples, pages_dataset
+    from octoray.stages.canon import canonicalize
+
+    n = _kg_pages(sf_dir)
+    raw = build_triples(pages_dataset(n, seed=42), n_rows_hint=n)
+    if O.dump_enabled():
+        raw = O.read_triples(O.dump_dataset("kg_build_cold_raw", raw))
+    return canonicalize(raw)
+
+
 def _q_kg_subject_degree(sf_dir: str):
     from octoray.stages.canon import dedup_triples, subject_degree
 
@@ -2647,6 +2665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG construction (flagship; non-SQL -> rows-only checks) ---
         "kg_build": _q_kg_build,
+        "kg_build_cold": _q_kg_build_cold,
         "kg_subject_degree": _q_kg_subject_degree,
         "kg_strain_pivot": _q_kg_strain_dates,
         "kg_rules_expanded": _q_kg_rules,
@@ -4331,6 +4350,7 @@ def oracle_sql() -> dict[str, str]:
         # ported unit vectors + the P/R gate), matching kg_build.
         # ------------------------------------------------------------
         "kg_build": Q.sql_kg_build(Q.rpd("kg_build_raw")),
+        "kg_build_cold": Q.sql_kg_build(Q.rpd("kg_build_cold_raw")),
         "kg_subject_degree": Q.sql_subject_degree(Q.rpd("kg_degree_raw")),
         "kg_strain_pivot": Q.sql_pivot(Q.rpd("kg_pivot_raw"), _PIVOT_SPEC),
         "kg_rules_expanded": Q.sql_rules_expanded(Q.rpd("kg_rules_raw")),

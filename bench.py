@@ -31,6 +31,7 @@ os.environ.setdefault("OCTORAY_NO_ORACLE_DUMP", "1")
 # shuffle-free)
 SUITE = [
     "kg_build",
+    "kg_build_cold",  # uncached emit+dedup+sort (VERDICT r4 #3)
     "kg_rules_expanded",
     "kg_construct",
     "kg_path",

@@ -36,6 +36,8 @@ import pyarrow.compute as pc
 
 from octoray.model import DT_URI
 
+from octoray import plan
+
 Pattern = Tuple[str, str, str]
 
 _SLOTS = ("subject", "predicate", "object")
@@ -279,7 +281,7 @@ def apply_filters(bindings, filters: Sequence[tuple]):
 def minus_bindings(bindings, triples, where: Sequence[Pattern], *,
                    filters: Sequence[tuple] = (), mode: str = "minus",
                    num_partitions: int = 8,
-                   broadcast_limit: int = 2_000_000):
+                   broadcast_limit: int = plan.BROADCAST_ROWS):
     """SPARQL negation over a bindings Dataset — MINUS
     (reference fetch-unclassified-swine.rq:9) and FILTER NOT EXISTS
     (get-h3-swine.rq:11, subtypes.rq:18, the latter with an inner
@@ -312,7 +314,7 @@ def minus_bindings(bindings, triples, where: Sequence[Pattern], *,
 
 def anti_bindings(bindings, inner, *, mode: str = "minus",
                   num_partitions: int = 8,
-                  broadcast_limit: int = 2_000_000):
+                  broadcast_limit: int = plan.BROADCAST_ROWS):
     """The negation half of :func:`minus_bindings` over an ALREADY
     evaluated inner binding set — lets callers that computed the inner
     solutions themselves (the SPARQL front end evaluates every group
@@ -479,7 +481,7 @@ def _order_patterns(patterns: Sequence[Pattern]) -> List[Pattern]:
 
 #: fold joins broadcast the incoming pattern's binding table below this
 #: many rows (the engine-wide map-side-join convention)
-_FOLD_BROADCAST_LIMIT = 2_000_000
+_FOLD_BROADCAST_LIMIT = plan.BROADCAST_ROWS  # single source: octoray.plan
 
 
 def _as_string_table(t: pa.Table) -> pa.Table:
@@ -515,7 +517,7 @@ def _collect_string_table(ds, names) -> pa.Table:
 # whose per-fold wall time was ~100% Ray fixed overhead (53 dataset
 # executions for one 3-branch UNION query); beyond the gate the
 # distributed fold below takes over unchanged.
-_LOCAL_FOLD_LIMIT = 200_000
+_LOCAL_FOLD_LIMIT = plan.LOCAL_FOLD_ROWS  # single source: octoray.plan
 
 
 def _fold_join_any(bindings, bcols: set, tbl, tvars: List[str], *,
@@ -966,11 +968,9 @@ def aggregate_bindings(bindings, group_vars: Sequence[str],
                 res[alias] = res[alias].where(pd.notna(res[alias]), None)
         return res[group_vars + [a for _, _, a in aggs]]
 
-    ds2 = slim.sort(group_vars)
-    if os.environ.get("OCTORAY_CHECK_BLOCKS"):
-        from octoray.query import assert_block_colocation
+    from octoray.plan import colocated_sort
 
-        assert_block_colocation(ds2, group_vars)
+    ds2 = colocated_sort(slim, group_vars)
     return ds2.map_batches(agg_block, batch_format="pandas",
                            batch_size=None)
 

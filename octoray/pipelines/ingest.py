@@ -74,6 +74,10 @@ from typing import Dict, List, Optional
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from octoray.plan import colocated_sort
+
+from octoray import plan
+
 MANIFEST = "_MANIFEST.json"
 _TRIPLE5 = ["subject", "predicate", "object", "object_datatype", "src"]
 
@@ -181,7 +185,7 @@ def ledger_state(store_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
 
     pre = ds.map_batches(keep_latest, batch_format="pyarrow")
-    return pre.sort(["url"]).map_batches(
+    return colocated_sort(pre, ["url"]).map_batches(
         keep_latest, batch_format="pyarrow", batch_size=None)
 
 
@@ -315,7 +319,7 @@ def _retract_srcs(store_dir: str, urls: List[str], *,
 
 def ingest_snapshot(pages_ds, store_dir: str, *,
                     emitter_concurrency=None,
-                    broadcast_limit: int = 2_000_000,
+                    broadcast_limit: int = plan.BROADCAST_ROWS,
                     n_rows_hint: Optional[int] = None) -> Dict:
     """One snapshot's (url, text) pages into the store.  Returns
     counts; a no-change snapshot is a no-op (nothing written)."""

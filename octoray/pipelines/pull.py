@@ -32,6 +32,8 @@ from octoray.query import semi_join_auto, values_of
 from octoray.stages.canon import canonicalize
 from octoray.state import manifest as mf
 
+from octoray import plan
+
 
 def _subjects_with(triples, predicate: str):
     """Subjects bearing ``predicate`` (projection only — NOT distinct:
@@ -261,7 +263,7 @@ def _run_steps_fused(out_dir: str, names: List[str]) -> Dict[str, int]:
         ["predicate", "subject"],
     ).materialize()
     have_sets: Dict[str, frozenset] = None
-    if hv.count() <= 2_000_000:
+    if hv.count() <= plan.BROADCAST_ROWS:
         by_pred: Dict[str, set] = {p: set() for p in derive_preds}
         for b in hv.iter_batches(batch_format="pyarrow"):
             for p, s in zip(b.column("predicate").to_pylist(),

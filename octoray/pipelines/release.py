@@ -29,6 +29,8 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from octoray.plan import colocated_sort
+
 
 def corpus_release(docs, *, min_tokens: int = 10, min_alpha: float = 0.5,
                    val_frac: float = 0.1, sep: str = ". ",
@@ -82,7 +84,8 @@ def corpus_release(docs, *, min_tokens: int = 10, min_alpha: float = 0.5,
                 == df[id_col])
         return df[keep]
 
-    joined = q.map_batches(fp, batch_format="pyarrow").sort(["md5"]).map_batches(
+    joined = colocated_sort(
+        q.map_batches(fp, batch_format="pyarrow"), ["md5"]).map_batches(
         keep_first, batch_format="pandas", batch_size=None)
 
     def with_split(t: pa.Table) -> pa.Table:

@@ -28,6 +28,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from octoray import plan
+from octoray.plan import colocated_sort
+
 
 def values_of(triples, predicate: str, *, subject_col: str = "subject", value_col: str = "value"):
     """`?s <predicate> ?o` -> Dataset[(subject, value)] (vectorized)."""
@@ -76,7 +79,7 @@ def pivot_subjects(triples, spec: Dict[str, str], *, key: str = "subject"):
 
 def hash_join(left, right, on: str, right_on: Optional[str] = None, *,
               how: str = "inner", num_partitions: int = 16,
-              broadcast_limit: int = 2_000_000):
+              broadcast_limit: int = plan.BROADCAST_ROWS):
     """Relational join, stats-gated (the map-side-join switch used
     throughout this engine): when the RIGHT side fits comfortably it
     is broadcast once via ``ray.put`` and every left batch does a
@@ -187,8 +190,8 @@ def merge_join(left, right, on: Sequence[str], *, how: str = "inner"):
         return pa.table({c: pa.array(out[c], type=types[c], from_pandas=True)
                          for c in all_cols})
 
-    return both.sort(on).map_batches(block_merge, batch_format="pandas",
-                                     batch_size=None)
+    return colocated_sort(both, on).map_batches(
+        block_merge, batch_format="pandas", batch_size=None)
 
 
 def broadcast_keys(keys) -> "ray.ObjectRef":  # noqa: F821
@@ -243,7 +246,8 @@ def sorted_groupby_count(ds, keys: Sequence[str], *, alias: str = "count"):
         g = t.group_by(keys, use_threads=False).aggregate([([], "count_all")])
         return g.rename_columns(keys + [alias])
 
-    return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
+    return colocated_sort(ds, keys).map_batches(
+        f, batch_format="pyarrow", batch_size=None)
 
 
 def sorted_groupby_sum(ds, keys: Sequence[str], value_col: str, *,
@@ -261,7 +265,8 @@ def sorted_groupby_sum(ds, keys: Sequence[str], value_col: str, *,
         g = t.group_by(keys, use_threads=False).aggregate([(value_col, "sum")])
         return g.rename_columns(keys + [alias])
 
-    return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
+    return colocated_sort(ds, keys).map_batches(
+        f, batch_format="pyarrow", batch_size=None)
 
 
 def distinct_values(ds, cols: Sequence[str]):
@@ -278,7 +283,8 @@ def distinct_values(ds, cols: Sequence[str]):
         return t.select(cols).group_by(cols, use_threads=False).aggregate([])
 
     pre = ds.map_batches(local, batch_format="pyarrow")
-    return pre.sort(cols).map_batches(local, batch_format="pyarrow", batch_size=None)
+    return colocated_sort(pre, cols).map_batches(
+        local, batch_format="pyarrow", batch_size=None)
 
 
 def sorted_groupby_min(ds, keys: Sequence[str], value_col: str, *,
@@ -293,7 +299,8 @@ def sorted_groupby_min(ds, keys: Sequence[str], value_col: str, *,
         g = t.group_by(keys, use_threads=False).aggregate([(value_col, "min")])
         return g.rename_columns(keys + [alias])
 
-    return ds.sort(keys).map_batches(f, batch_format="pyarrow", batch_size=None)
+    return colocated_sort(ds, keys).map_batches(
+        f, batch_format="pyarrow", batch_size=None)
 
 
 def combined_groupby_count(ds, keys: Sequence[str], *, alias: str = "count"):
@@ -388,7 +395,7 @@ def block_map_groups(ds, keys: Sequence[str], fn):
 def sorted_map_groups(ds, keys: Sequence[str], fn):
     """``groupby(keys).map_groups(fn)`` replacement: one global sort,
     then ``block_map_groups``."""
-    return block_map_groups(ds.sort(list(keys)), keys, fn)
+    return block_map_groups(colocated_sort(ds, keys), keys, fn)
 
 
 def grouped_top_k(ds, group_cols: Sequence[str], order_col: str, k: int, *,
@@ -433,7 +440,7 @@ def grouped_top_k(ds, group_cols: Sequence[str], order_col: str, k: int, *,
         df = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
         return df.groupby(gcols, sort=False, group_keys=False).head(k)
 
-    return pre.sort(gcols).map_batches(
+    return colocated_sort(pre, gcols).map_batches(
         finish, batch_format="pandas", batch_size=None)
 
 
@@ -508,7 +515,7 @@ def salted_groupby_sum(ds, key: str, value_col: str, *, n_salts: int = 16,
 
 
 def semi_join_auto(left, col: str, keys_ds, *, key_col: Optional[str] = None,
-                   anti: bool = False, broadcast_limit: int = 2_000_000,
+                   anti: bool = False, broadcast_limit: int = plan.BROADCAST_ROWS,
                    num_partitions: int = 16):
     """Stats-gated semi/anti-join against a key Dataset: the key set is
     computed DISTRIBUTED (distinct aggregate — never an
@@ -596,7 +603,7 @@ def subjects_matching_all(triples, clauses: Sequence[tuple]):
         ok = df.groupby("subject", sort=False)["clause"].nunique() == n_clauses
         return pd.DataFrame({"subject": ok.index[ok].to_numpy()})
 
-    return hit_ds.sort(["subject"]).map_batches(
+    return colocated_sort(hit_ds, ["subject"]).map_batches(
         lambda df: all_clauses(df) if len(df) else df.iloc[0:0][["subject"]],
         batch_format="pandas", batch_size=None,
     )
@@ -690,7 +697,7 @@ def asof_join(left, right, *, by: str, on: str, right_suffix: str = "_r"):
                                suffixes=("", "_dup"))
         return merged[out_cols]
 
-    return both.sort([by]).map_batches(block_asof, batch_format="pandas",
+    return colocated_sort(both, [by]).map_batches(block_asof, batch_format="pandas",
                                        batch_size=None)
 
 
@@ -750,7 +757,7 @@ def range_join_count(left, right, *, by: str, on: str, window,
         out[alias] = (hi.set_axis(lf.index) - lo).astype("int64")
         return out
 
-    return both.sort([by]).map_batches(block, batch_format="pandas",
+    return colocated_sort(both, [by]).map_batches(block, batch_format="pandas",
                                        batch_size=None)
 
 

@@ -43,6 +43,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from octoray import plan
+
 US = "\x1f"
 EOW = "</w>"
 
@@ -113,7 +115,7 @@ def _pair_counts(words) -> "object":
 
 
 def train_bpe(docs, *, n_merges: int = 12, text_col: str = "text",
-              driver_limit: int = 500_000):
+              driver_limit: int = plan.BPE_DRIVER_ROWS):
     """Learn ``n_merges`` BPE merges over the corpus.
 
     Returns (words_ds, merges): ``words_ds`` is the symbolized word

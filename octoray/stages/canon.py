@@ -31,6 +31,8 @@ from typing import List, Optional
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from octoray import plan
+
 TRIPLE_COLS = ["subject", "predicate", "object", "object_datatype"]
 
 
@@ -154,7 +156,12 @@ def dedup_triples(ds, *, local_only: bool = False, extra_cols=()):
         return ds
     cols = list(extra) + TRIPLE_COLS
     ds = ds.map_batches(lambda b: _with_canon_key(b, cols), batch_format="pyarrow")
-    ds = ds.sort(_CANON_KEY)
+    # colocated_sort = sort + on-by-default verification that no key
+    # straddles a block boundary (octoray.plan; VERDICT r4 #1) — the
+    # adjacency dedup below is globally exact only under that invariant
+    from octoray.plan import colocated_sort
+
+    ds = colocated_sort(ds, _CANON_KEY)
     return ds.map_batches(_key_dedup_sorted, batch_format="pyarrow", batch_size=None)
 
 
@@ -191,7 +198,7 @@ def subject_degree(ds, *, combined: bool = True):
     return out
 
 
-def triple_delta(old, new, *, broadcast_limit: int = 2_000_000):
+def triple_delta(old, new, *, broadcast_limit: int = plan.BROADCAST_ROWS):
     """Graph diff between two DEDUPED triple Datasets: (op, subject,
     predicate, object, object_datatype) with op = 'removed' (in old
     only) or 'added' (in new only) — the incremental-maintenance

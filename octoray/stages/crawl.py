@@ -37,6 +37,10 @@ import pyarrow.compute as pc
 
 from octoray.query import combined_groupby_count, distinct_values, merge_join
 
+from octoray.plan import colocated_sort
+
+from octoray import plan
+
 # Scheme match is case-insensitive (RFC 3986 schemes are; raw crawls
 # carry 'HTTP://...') so un-canonicalized inputs don't silently fall
 # through domain/path rules with a null domain.
@@ -94,7 +98,7 @@ def latest_per_url(crawl, *, url_col: str = "url", ts_col: str = "warc_ts",
         return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
 
     partial = crawl.map_batches(project, batch_format="pyarrow")
-    return partial.sort(["url"]).map_batches(
+    return colocated_sort(partial, ["url"]).map_batches(
         _block_latest, batch_format="pyarrow", batch_size=None
     )
 
@@ -160,7 +164,7 @@ def crawl_delta(crawl, snap_a: int, snap_b: int, *, url_col: str = "url",
         )
 
     rows = crawl.map_batches(project, batch_format="pyarrow")
-    return rows.sort(["url"]).map_batches(
+    return colocated_sort(rows, ["url"]).map_batches(
         decide, batch_format="pyarrow", batch_size=None
     )
 
@@ -199,7 +203,7 @@ def domain_stats(crawl, *, url_col: str = "url", text_col: str = "text"):
         return g.rename_columns(["domain", "n_fetches", "total_chars"])
 
     # both metrics ride ONE tiny domain sort (partial rows only)
-    metrics = per_block.sort(["domain"]).map_batches(
+    metrics = colocated_sort(per_block, ["domain"]).map_batches(
         final_sums, batch_format="pyarrow", batch_size=None
     )
 
@@ -373,7 +377,7 @@ def per_domain_cap(crawl, *, n: int, url_col: str = "url"):
 
     pre = crawl.map_batches(slim, batch_format="pyarrow").map_batches(
         local_cap, batch_format="pyarrow")
-    return pre.sort(["domain"]).map_batches(
+    return colocated_sort(pre, ["domain"]).map_batches(
         local_cap, batch_format="pyarrow", batch_size=None)
 
 
@@ -413,7 +417,7 @@ def crawl_schedule(crawl, *, url_col: str = "url"):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     pre = crawl.map_batches(slim, batch_format="pyarrow")
-    return pre.sort(["domain"]).map_batches(
+    return colocated_sort(pre, ["domain"]).map_batches(
         rank_block, batch_format="pyarrow", batch_size=None)
 
 
@@ -498,7 +502,7 @@ def sql_boilerplate_lines(src: str, *, min_urls: int = 3,
 def strip_boilerplate(crawl, *, min_urls: int = 3, sep: str = ". ",
                       url_col: str = "url", snap_col: str = "snapshot",
                       text_col: str = "text",
-                      broadcast_limit: int = 2_000_000):
+                      broadcast_limit: int = plan.BROADCAST_ROWS):
     """Template-aware text cleaning: detect each domain's boilerplate
     lines (boilerplate_lines, >= ``min_urls`` distinct urls) and
     rebuild every fetch's text WITHOUT them — the cleaning step a
@@ -569,7 +573,7 @@ def strip_boilerplate(crawl, *, min_urls: int = 3, sep: str = ". ",
             "n_kept": g.size(),
         }).reset_index()
 
-    return kept.sort(["url", "snapshot"]).map_batches(
+    return colocated_sort(kept, ["url", "snapshot"]).map_batches(
         rebuild_block, batch_format="pandas", batch_size=None)
 
 
@@ -644,7 +648,7 @@ def recrawl_priority(crawl, *, url_col: str = "url",
         return out
 
     slim = crawl.map_batches(project, batch_format="pyarrow")
-    return slim.sort(["url"]).map_batches(decide, batch_format="pandas",
+    return colocated_sort(slim, ["url"]).map_batches(decide, batch_format="pandas",
                                           batch_size=None)
 
 

@@ -40,6 +40,10 @@ import pyarrow.compute as pc
 
 from octoray.stages.textops import _norm_ws
 
+from octoray.plan import colocated_sort
+
+from octoray import plan
+
 _MASK = (1 << 64) - 1
 
 
@@ -237,7 +241,7 @@ def _keep_multi_member_groups(ds, keys: List[str], *, max_n: Optional[int] = Non
             m &= sizes <= max_n
         return df[m]
 
-    return ds.sort(keys).map_batches(flt, batch_format="pandas", batch_size=None)
+    return colocated_sort(ds, keys).map_batches(flt, batch_format="pandas", batch_size=None)
 
 
 # ----------------------------------------------------------------------
@@ -360,7 +364,7 @@ def jaccard_pairs(
     # stats-based side selection (the classic map-side-join switch):
     # the counts table has one row per doc — broadcast it via ray.put
     # when it fits comfortably, else fall back to two hash joins
-    broadcast_limit = 2_000_000
+    broadcast_limit = plan.BROADCAST_ROWS
     use_broadcast = counts.count() <= broadcast_limit
 
     def _score_cols(t: pa.Table, n_a: pa.Array, n_b: pa.Array) -> pa.Table:
@@ -497,13 +501,13 @@ def _distinct_pairs(pairs):
     def dd(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"]) if len(df) else df
 
-    return pairs.sort(["id_a", "id_b"]).map_batches(
+    return colocated_sort(pairs, ["id_a", "id_b"]).map_batches(
         dd, batch_format="pandas", batch_size=None
     )
 
 
 def attach_pair_payloads(pairs, payload_ds, *, id_col: str, payload_col: str,
-                         broadcast_limit: int = 200_000, num_partitions: int = 8):
+                         broadcast_limit: int = plan.PAYLOAD_BROADCAST_ROWS, num_partitions: int = 8):
     """Give each (id_a, id_b) row its two fixed-width binary payloads
     (signature / packed vector) for verification — the shuffle-thrifty
     half of the LSH family: candidates travel as bare id pairs and the
@@ -802,12 +806,12 @@ def drop_exact_dups(docs, *, id_col: str = "doc_id", text_col: str = "text"):
         keep = df.groupby("md5", sort=False)[id_col].transform("min") == df[id_col]
         return df[keep]
 
-    return fps.sort(["md5"]).map_batches(keep_first, batch_format="pandas", batch_size=None)
+    return colocated_sort(fps, ["md5"]).map_batches(keep_first, batch_format="pandas", batch_size=None)
 
 
 def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
                    max_iters: int = 25, num_partitions: int = 8,
-                   driver_limit: int = 5_000_000):
+                   driver_limit: int = plan.WEB_DRIVER_EDGES):
     """Near-dup pairs -> connected components.
 
     Stats-gated two-path design (the map-side-join switch applied to
@@ -884,8 +888,9 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
     _lab_schema = pa.schema([("id", id_type), ("component", id_type)])
 
     labels = drop_empty_blocks(
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .sort(["id"]).map_batches(min_per_id, batch_format="pandas", batch_size=None)
+        colocated_sort(
+            edges.map_batches(init_labels, batch_format="pyarrow"), ["id"])
+        .map_batches(min_per_id, batch_format="pandas", batch_size=None)
         .materialize(), _lab_schema
     )
 
@@ -902,8 +907,8 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
             .select_columns(["dst", "component"]).rename_columns({"dst": "id"})
         )
         new_labels = drop_empty_blocks(
-            labels.union(prop)
-            .sort(["id"]).map_batches(min_per_id, batch_format="pandas", batch_size=None)
+            colocated_sort(labels.union(prop), ["id"])
+            .map_batches(min_per_id, batch_format="pandas", batch_size=None)
             .materialize(), _lab_schema
         )
         # pointer jumping (label <- label-of-label): one extra hash
@@ -933,7 +938,7 @@ def dup_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
 
 
 def near_dup_kept(docs, pairs, *, id_col: str = "doc_id",
-                  broadcast_limit: int = 2_000_000):
+                  broadcast_limit: int = plan.BROADCAST_ROWS):
     """End-to-end near-dup retention decision: pairs -> connected
     components -> keep each component's min-id representative plus all
     untouched docs.  The drop set (non-representative members) is

@@ -43,6 +43,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from octoray.plan import colocated_sort
+
+from octoray import plan
+
 # Above this many distinct norms sharing one block key, the block is
 # degenerate (a near-constant vocabulary) and is skipped for pair
 # generation — the same escape hatch as jaccard_pairs(max_df).  At the
@@ -208,7 +212,7 @@ def fuzzy_pairs_from_reps(reps, *, max_block: int = DEFAULT_MAX_BLOCK):
     # ONE block-key sort co-locates equal keys per block
     # (assert_block_colocation invariant), then pair generation is a
     # vectorized per-block self-merge
-    cand = blocks.sort("_block").map_batches(
+    cand = colocated_sort(blocks, "_block").map_batches(
         lambda df: _pair_block(df, max_block=max_block),
         batch_format="pandas", batch_size=None,
     )
@@ -219,7 +223,7 @@ def fuzzy_pairs_from_reps(reps, *, max_block: int = DEFAULT_MAX_BLOCK):
 def resolve_entities(mentions, *, id_col: str = "mention_id",
                      name_col: str = "name",
                      max_block: int = DEFAULT_MAX_BLOCK,
-                     broadcast_limit: int = 2_000_000):
+                     broadcast_limit: int = plan.BROADCAST_ROWS):
     """Full mention -> canonical-entity mapping.
 
     Returns (id_col, name_col, canonical_id) for EVERY input mention,
@@ -392,7 +396,7 @@ def link_mentions(mentions, lexicon, *, id_col: str = "mention_id",
         batch_format="pandas", concurrency=concurrency)
 
 
-def canonicalize_graph(triples, pairs, *, broadcast_limit: int = 2_000_000):
+def canonicalize_graph(triples, pairs, *, broadcast_limit: int = plan.BROADCAST_ROWS):
     """owl:sameAs reasoning: rewrite every subject (and URI-typed
     object) through the equivalence closure of ``pairs`` ((id_a, id_b)
     over URIs) and return the DISTINCT canonical graph (model.py:149

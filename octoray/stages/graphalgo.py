@@ -28,6 +28,10 @@ import pyarrow as pa
 from octoray.query import hash_join, sorted_groupby_count, sorted_groupby_sum
 from octoray.util import round_half_up_scalar
 
+from octoray.plan import colocated_sort
+
+from octoray import plan
+
 DT_URI = "uri"
 
 
@@ -49,7 +53,7 @@ def uri_edges(triples):
 
 
 def pagerank(triples, *, damping: float = 0.85, n_iters: int = 5,
-             driver_limit: int = 5_000_000):
+             driver_limit: int = plan.KCORE_DRIVER_EDGES):
     """(node, rank) over the uri->uri edge graph of ``triples``.
 
     Stats-gated two-path design (the dup_components pattern applied to
@@ -65,7 +69,7 @@ def pagerank(triples, *, damping: float = 0.85, n_iters: int = 5,
 
 
 def pagerank_edges(edges, *, damping: float = 0.85, n_iters: int = 5,
-                   driver_limit: int = 5_000_000):
+                   driver_limit: int = plan.KCORE_DRIVER_EDGES):
     """PageRank over an arbitrary DISTINCT (src, dst) edge dataset —
     the graph-agnostic core shared by the KG rank (pagerank) and the
     web link-graph rank (stages/webgraph.link_rank)."""
@@ -244,12 +248,12 @@ def triangle_count(triples):
         a, b = _within_group_pairs(counts, df["dst"].to_numpy())
         return pd.DataFrame({"a": a, "b": b})
 
-    wedges = oriented.sort(["src"]).map_batches(
+    wedges = colocated_sort(oriented, ["src"]).map_batches(
         wedges_block, batch_format="pandas", batch_size=None)
 
     # closing-edge membership: broadcast the edge set when it fits
     n_edges = und.count()
-    if n_edges <= 2_000_000:
+    if n_edges <= plan.BROADCAST_ROWS:
         import ray
 
         eset = set()
@@ -355,8 +359,8 @@ def _jaccard_driver(und, *, k: int, max_center_degree: int):
 
 def neighborhood_similarity(triples, *, k: int = 100,
                             max_center_degree: int = 512,
-                            broadcast_edge_limit: int = 2_000_000,
-                            driver_limit: int = 500_000):
+                            broadcast_edge_limit: int = plan.BROADCAST_ROWS,
+                            driver_limit: int = plan.GRAPH_DRIVER_EDGES):
     """Link prediction over the KG's undirected uri--uri graph: the
     top-k NON-adjacent node pairs by neighborhood Jaccard similarity
     |N(u) ∩ N(v)| / |N(u) ∪ N(v)| (common-neighbors machinery — the
@@ -455,7 +459,7 @@ def neighborhood_similarity(triples, *, k: int = 100,
         a, b = _within_group_pairs(counts, df["nbr"].to_numpy())
         return pd.DataFrame({"a": a, "b": b})
 
-    wedges = nb.sort(["node"]).map_batches(
+    wedges = colocated_sort(nb, ["node"]).map_batches(
         wedges_block, batch_format="pandas", batch_size=None)
 
     common = combined_groupby_count(wedges, ["a", "b"], alias="common")
@@ -557,7 +561,7 @@ def adjacency_export(triples):
         out["out_degree"] = g.size().to_numpy().astype(np.int64)
         return out
 
-    return edges.sort(["src"]).map_batches(
+    return colocated_sort(edges, ["src"]).map_batches(
         concat_block, batch_format="pandas", batch_size=None)
 
 
@@ -706,7 +710,7 @@ def sql_neighborhood_similarity(src: str, *, k: int = 100,
 
 
 def kcore(triples, *, k: int = 2, n_iters: int = 32,
-          driver_limit: int = 5_000_000, broadcast_limit: int = 2_000_000):
+          driver_limit: int = plan.KCORE_DRIVER_EDGES, broadcast_limit: int = plan.BROADCAST_ROWS):
     """Nodes of the k-core of the KG's UNDIRECTED uri--uri graph: the
     maximal subgraph where every node keeps degree >= k.  Output: one
     ``node`` column, the classic peel fixpoint.
@@ -790,8 +794,8 @@ def kcore(triples, *, k: int = 2, n_iters: int = 32,
 
 
 def hop_distances(triples, source: str, *, max_hops: int = 4,
-                  driver_limit: int = 5_000_000,
-                  broadcast_limit: int = 2_000_000):
+                  driver_limit: int = plan.KCORE_DRIVER_EDGES,
+                  broadcast_limit: int = plan.BROADCAST_ROWS):
     """BFS hop distances from ``source`` over the KG's UNDIRECTED
     uri--uri graph, capped at ``max_hops``.  Output: (node, hops) with
     hops = the minimum undirected distance — the neighborhood-radius
@@ -877,8 +881,8 @@ def hop_distances(triples, source: str, *, max_hops: int = 4,
 
 
 def harmonic_centrality(edges, *, n_sources: int = 12, max_hops: int = 4,
-                        driver_limit: int = 5_000_000,
-                        broadcast_limit: int = 2_000_000,
+                        driver_limit: int = plan.KCORE_DRIVER_EDGES,
+                        broadcast_limit: int = plan.BROADCAST_ROWS,
                         _return_visited: bool = False):
     """Sampled harmonic centrality over an UNDIRECTED view of a
     (src, dst) edge list: for each node, the number of sampled
@@ -1105,8 +1109,8 @@ def _walks_driver(edges, *, n_walks: int, walk_len: int, seed: int):
 
 
 def random_walks(triples, *, n_walks: int = 2, walk_len: int = 3,
-                 seed: int = 1, broadcast_limit: int = 2_000_000,
-                 driver_limit: int = 500_000):
+                 seed: int = 1, broadcast_limit: int = plan.BROADCAST_ROWS,
+                 driver_limit: int = plan.GRAPH_DRIVER_EDGES):
     """DeepWalk-style random-walk corpus over the KG's DIRECTED
     uri->uri graph [Perozzi et al. 2014] — the export that feeds
     skip-gram graph embeddings.  Every node with out-edges starts
@@ -1153,7 +1157,7 @@ def random_walks(triples, *, n_walks: int = 2, walk_len: int = 3,
 
     import pandas as pd
 
-    adj = edges.sort(["src"]).map_batches(
+    adj = colocated_sort(edges, ["src"]).map_batches(
         rank_block, batch_format="pandas", batch_size=None).materialize()
 
     def keyed(t: pa.Table) -> pa.Table:
@@ -1282,7 +1286,7 @@ def walk_skipgrams(walks, *, window: int = 2):
         g = allp.groupby(["center", "context"], sort=False).size()
         return g.reset_index(name="_n")
 
-    pre = walks.sort(["start", "walk"]).map_batches(
+    pre = colocated_sort(walks, ["start", "walk"]).map_batches(
         pairs_block, batch_format="pandas", batch_size=None)
     return sorted_groupby_sum(pre, ["center", "context"], "_n", alias="n")
 
@@ -1375,7 +1379,7 @@ def _kcore_driver(edges, *, k: int, n_iters: int):
     return rd.from_arrow(pa.table({"node": pa.array(keep, pa.string())}))
 
 
-def hits_edges(edges, *, n_iters: int = 5, driver_limit: int = 5_000_000):
+def hits_edges(edges, *, n_iters: int = 5, driver_limit: int = plan.KCORE_DRIVER_EDGES):
     """HITS hubs & authorities [Kleinberg 1999, "Authoritative
     sources in a hyperlinked environment"] over a DISTINCT (src, dst)
     edge dataset — the classic complement to PageRank in web-graph
@@ -1563,8 +1567,8 @@ def sql_hits_edges(edges_src: str, *, n_iters: int = 5) -> str:
 
 
 def distance_histogram(edges, *, n_sources: int = 12, max_hops: int = 4,
-                       driver_limit: int = 5_000_000,
-                       broadcast_limit: int = 2_000_000):
+                       driver_limit: int = plan.KCORE_DRIVER_EDGES,
+                       broadcast_limit: int = plan.BROADCAST_ROWS):
     """Sampled shortest-distance distribution over the UNDIRECTED
     view of an edge list: (hops, n_pairs) for the BFS trees of the
     same deterministic md5 bottom-k source sample harmonic_centrality
@@ -1698,7 +1702,7 @@ def sql_link_negatives(edges_src: str, *, k: int = 2) -> str:
     """
 
 
-def clustering_coefficients(triples, *, broadcast_limit: int = 2_000_000):
+def clustering_coefficients(triples, *, broadcast_limit: int = plan.BROADCAST_ROWS):
     """Per-node local clustering coefficient over the undirected
     uri--uri graph: (node, deg, n_triangles, coeff) with coeff =
     2T(v) / (deg(v) (deg(v)-1)), 0 below degree 2 — the node-level
@@ -1782,7 +1786,7 @@ def clustering_coefficients(triples, *, broadcast_limit: int = 2_000_000):
                    else np.array([], dtype=object))
         return pd.DataFrame({"c": centers, "a": a, "b": b})
 
-    wedges = oriented.sort(["src"]).map_batches(
+    wedges = colocated_sort(oriented, ["src"]).map_batches(
         wedges_block, batch_format="pandas", batch_size=None)
 
     if und.count() <= broadcast_limit:
@@ -1878,7 +1882,7 @@ def sql_clustering(src: str) -> str:
 
 
 def trustrank_edges(edges, *, damping: float = 0.85, n_iters: int = 5,
-                    n_seeds: int = 8, driver_limit: int = 5_000_000):
+                    n_seeds: int = 8, driver_limit: int = plan.KCORE_DRIVER_EDGES):
     """TrustRank [Gyöngyi, Garcia-Molina & Pedersen 2004] — PageRank
     with teleportation restricted to a trusted seed set, the classic
     link-spam / quality-propagation rank: pages reachable from seeds
@@ -2038,7 +2042,7 @@ def sql_trustrank_edges(edges_src: str, *, damping: float = 0.85,
 
 
 def katz_edges(edges, *, beta: float = 0.05, n_iters: int = 4,
-               driver_limit: int = 5_000_000):
+               driver_limit: int = plan.KCORE_DRIVER_EDGES):
     """Katz centrality (truncated): katz(v) = Σ_{l=1..L} β^l ·
     (# walks of length l ending at v) — the attenuated path-count
     centrality completing the rank family (degree < katz < pagerank
@@ -2407,7 +2411,7 @@ def comention_graph(triples_with_src, *, min_pages: int = 2,
         a, b = _within_group_pairs(counts, df["subject"].to_numpy())
         return pd.DataFrame({"a": a, "b": b})
 
-    pairs = pairs_src.sort(["src"]).map_batches(
+    pairs = colocated_sort(pairs_src, ["src"]).map_batches(
         pairs_block, batch_format="pandas", batch_size=None)
     counts = sorted_groupby_count(pairs, ["a", "b"], alias="n_pages")
     return counts.map_batches(

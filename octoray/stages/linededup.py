@@ -25,7 +25,8 @@ import os
 import pandas as pd
 import pyarrow as pa
 
-from octoray.query import assert_block_colocation
+
+from octoray.plan import colocated_sort
 
 
 def explode_lines(batch: pa.Table, *, id_col: str, text_col: str,
@@ -68,7 +69,7 @@ def line_dedup(docs, *, id_col: str = "url", text_col: str = "text",
         df = df.sort_values(["line", id_col, "line_no"], kind="mergesort")
         return df.drop_duplicates(subset=["line"], keep="first")
 
-    kept = exploded.sort(["line"]).map_batches(
+    kept = colocated_sort(exploded, ["line"]).map_batches(
         first_per_line, batch_format="pandas", batch_size=None)
 
     def rebuild_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -90,8 +91,6 @@ def line_dedup(docs, *, id_col: str = "url", text_col: str = "text",
     # rebuild_block() establishes line_no order inside the block
 
 
-    by_doc = kept.sort([id_col])
-    if os.environ.get("OCTORAY_CHECK_BLOCKS"):
-        assert_block_colocation(by_doc, [id_col])
+    by_doc = colocated_sort(kept, [id_col])
     return by_doc.map_batches(rebuild_block, batch_format="pandas",
                               batch_size=None)

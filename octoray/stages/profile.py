@@ -32,6 +32,8 @@ import pyarrow as pa
 from octoray.stages.sketch import _TWO64, _md5_lower64
 from octoray.util import round_half_up_scalar
 
+from octoray.plan import colocated_sort
+
 
 def _lexical(arr: pa.ChunkedArray | pa.Array) -> pd.Series:
     """Non-null Arrow values as DuckDB-CAST-compatible strings.
@@ -120,7 +122,7 @@ def profile_columns(ds, columns: Sequence[str], *, k: int = 256):
             ests.append(round_half_up_scalar(est, 6))
         return pd.DataFrame({"column": cols, "approx_distinct": ests})
 
-    kmv = kmv_ds.sort(["column"]).map_batches(
+    kmv = colocated_sort(kmv_ds, ["column"]).map_batches(
         kmv_finish, batch_format="pandas", batch_size=None)
 
     # both sides are <= len(columns) rows — a driver combine is exact
@@ -253,7 +255,7 @@ def predicate_ranges(triples):
         }).reset_index()
 
     partials = triples.map_batches(partial, batch_format="pyarrow")
-    return partials.sort(["predicate", "object_datatype"]).map_batches(
+    return colocated_sort(partials, ["predicate", "object_datatype"]).map_batches(
         final, batch_format="pandas", batch_size=None)
 
 
@@ -321,7 +323,7 @@ def predicate_functionality(triples):
         return out
 
     partials = per_subj.map_batches(partial, batch_format="pandas")
-    return partials.sort(["predicate"]).map_batches(
+    return colocated_sort(partials, ["predicate"]).map_batches(
         final, batch_format="pandas", batch_size=None)
 
 

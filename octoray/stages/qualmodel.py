@@ -51,6 +51,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from octoray import plan
+
 FEATURES: Tuple[str, ...] = (
     "alpha_ratio", "digit_ratio", "upper_ratio", "punct_per_token",
     "stop_per_token", "tok_per_char",
@@ -146,7 +148,7 @@ def train_quality_classifier(docs, *, n_iters: int = 30, lr: float = 5.0,
                              threshold: float = 0.5,
                              id_col: str = "doc_id",
                              text_col: str = "text",
-                             driver_limit: int = 2_000_000):
+                             driver_limit: int = plan.QUALMODEL_DRIVER_ROWS):
     """Train the classifier with full-batch gradient descent over
     standardized features and score every document.
 

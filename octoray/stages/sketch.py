@@ -34,6 +34,8 @@ import pyarrow as pa
 
 from octoray.util import round_half_up_scalar
 
+from octoray.plan import colocated_sort
+
 _TWO64 = float(2**64)
 
 
@@ -98,7 +100,7 @@ def approx_distinct(ds, group_col, value_col: str, *, k: int = 64):
         out["approx_distinct"] = ests
         return pd.DataFrame(out)
 
-    return pre.sort(gcols).map_batches(
+    return colocated_sort(pre, gcols).map_batches(
         finish, batch_format="pandas", batch_size=None)
 
 
@@ -160,7 +162,7 @@ def approx_quantiles(ds, group_col, id_col: str, value_col: str, *,
             out[qc] = [r[j] for r in rows]
         return pd.DataFrame(out)
 
-    return pre.sort(gcols).map_batches(
+    return colocated_sort(pre, gcols).map_batches(
         finish, batch_format="pandas", batch_size=None)
 
 

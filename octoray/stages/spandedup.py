@@ -47,6 +47,10 @@ import pyarrow.compute as pc
 from octoray.query import block_map_groups
 from octoray.stages.dedup import _window_hashes
 
+from octoray.plan import colocated_sort
+
+from octoray import plan
+
 
 def _gram_rows(t: pa.Table, *, k: int, id_col: str, text_col: str) -> pa.Table:
     doc_idx, pos, g1, g2 = _window_hashes(
@@ -115,7 +119,7 @@ def _trim_table(t: pa.Table, texts: List[str], posses: List[Optional[str]],
 
 def trim_duplicate_spans(docs, *, k: int = 10, id_col: str = "doc_id",
                          text_col: str = "text",
-                         broadcast_limit: int = 2_000_000):
+                         broadcast_limit: int = plan.BROADCAST_ROWS):
     """(doc_id, n_tokens, n_removed, text_trimmed) with every
     non-first duplicate k-token span removed.  Docs shorter than k
     tokens pass through untouched."""
@@ -125,7 +129,7 @@ def trim_duplicate_spans(docs, *, k: int = 10, id_col: str = "doc_id",
         lambda t: _gram_rows(t, k=k, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
     )
-    markers = grams.sort(["gram"]).map_batches(
+    markers = colocated_sort(grams, ["gram"]).map_batches(
         _mark_non_first, batch_format="pyarrow", batch_size=None
     )
 
@@ -139,7 +143,7 @@ def trim_duplicate_spans(docs, *, k: int = 10, id_col: str = "doc_id",
 
     # range sort on doc_id ONLY (same boundary rule as the gram sort);
     # positions are ordered inside concat_pos
-    per_doc = block_map_groups(markers.sort(["doc_id"]),
+    per_doc = block_map_groups(colocated_sort(markers, ["doc_id"]),
                                ["doc_id"], concat_pos).materialize()
 
     if per_doc.count() <= broadcast_limit:

@@ -18,6 +18,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from octoray.plan import colocated_sort
+
+from octoray import plan
+
 _TOKEN_RE = r"\S+"
 _WORD_RE = r"[A-Za-z]+"
 # BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
@@ -465,7 +469,7 @@ def pack_sequences(docs, *, window_tokens: int = 512,
 
 
 def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
-                    broadcast_limit: int = 2_000_000):
+                    broadcast_limit: int = plan.BROADCAST_ROWS):
     """Per-document mean unigram log-probability — the KenLM-style
     perplexity quality filter of CCNet/Gopher pipelines, with the
     language model replaced by the corpus's own unigram distribution
@@ -582,12 +586,12 @@ def unigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
             "mean_logprob": round_half_up(mean, 6),
         })
 
-    return per_block.sort([id_col]).map_batches(
+    return colocated_sort(per_block, [id_col]).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
 
 
 def bigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
-                   broadcast_limit: int = 2_000_000):
+                   broadcast_limit: int = plan.BROADCAST_ROWS):
     """Per-document mean BIGRAM log-probability — the KenLM-style
     perplexity quality filter one order up from
     :func:`unigram_logprob`: position 0 scores against the corpus
@@ -773,9 +777,9 @@ def bigram_logprob(docs, *, id_col: str = "doc_id", text_col: str = "text",
             "mean_logprob": round_half_up(mean, 6),
         })
 
-    return terms.map_batches(part_sum, batch_format="pyarrow") \
-        .sort([id_col]).map_batches(finish, batch_format="pyarrow",
-                                    batch_size=None)
+    return colocated_sort(
+        terms.map_batches(part_sum, batch_format="pyarrow"), [id_col]) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def weighted_sample(docs, k: int, *, weight_col: str = "n_chars",
@@ -941,7 +945,8 @@ def ngram_novelty(docs, *, k: int = 8, id_col: str = "doc_id",
                 .astype(np.int64), pa.int64()),
         })
 
-    partials = g.sort(["h1", "h2"]).map_batches(mark, batch_format="pyarrow")
+    partials = colocated_sort(g, ["h1", "h2"]).map_batches(
+        mark, batch_format="pyarrow", batch_size=None)
     sums = partials.groupby(id_col).aggregate(
         Sum("n_grams", alias_name="n_grams"),
         Sum("n_novel", alias_name="n_novel"))
@@ -1522,5 +1527,5 @@ def quality_calibration(docs, *, n_tiles: int = 10,
         }).reset_index()
 
     partials = j.map_batches(partial, batch_format="pandas")
-    return partials.sort(["tier"]).map_batches(
+    return colocated_sort(partials, ["tier"]).map_batches(
         final, batch_format="pandas", batch_size=None)

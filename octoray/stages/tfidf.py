@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 from octoray.query import hash_join, sorted_groupby_count
 from octoray.util import round_half_up_scalar
 
+from octoray.plan import colocated_sort
+
 
 def doc_term_freqs(batch: pa.Table, *, id_col: str,
                    text_col: str) -> pa.Table:
@@ -81,7 +83,7 @@ def tfidf_keywords(docs, *, k: int = 3, id_col: str = "doc_id",
             "tfidf": [round_half_up_scalar(v, 6) for v in df["_s"]],
         })
 
-    return scored.sort([id_col]).map_batches(
+    return colocated_sort(scored, [id_col]).map_batches(
         topk_block, batch_format="pandas", batch_size=None)
 
 

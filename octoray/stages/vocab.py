@@ -23,6 +23,8 @@ import pyarrow as pa
 
 from octoray.query import sorted_groupby_sum
 
+from octoray.plan import colocated_sort
+
 
 def ngram_partial_counts(batch: pa.Table, *, n: int,
                          text_col: str = "text") -> pa.Table:
@@ -93,7 +95,7 @@ def inverted_index(docs, *, id_col: str = "doc_id",
         }).reset_index()
         return out[out["df"] >= min_df]
 
-    return pairs.sort(["token"]).map_batches(
+    return colocated_sort(pairs, ["token"]).map_batches(
         concat_block, batch_format="pandas", batch_size=None)
 
 

@@ -30,6 +30,10 @@ import pyarrow as pa
 from octoray.sources.webtext import URL_PREFIX
 from octoray.stages.extract import extract_links_batch, sql_extract_links
 
+from octoray.plan import colocated_sort
+
+from octoray import plan
+
 __all__ = ["links_dataset", "anchor_summary", "internal_edges",
            "link_rank", "hits_rank", "frontier_urls", "degree_histogram",
            "reciprocity", "bowtie", "sql_extract_links",
@@ -73,7 +77,7 @@ def anchor_summary(links):
         out["anchors"] = ded.groupby("dst", sort=False)["anchor"].agg("+".join)
         return out.reset_index()
 
-    return links.sort(["dst"]).map_batches(
+    return colocated_sort(links, ["dst"]).map_batches(
         concat_block, batch_format="pandas", batch_size=None)
 
 
@@ -93,7 +97,7 @@ def internal_edges(links):
 
 
 def link_rank(links, *, damping: float = 0.85, n_iters: int = 5,
-              driver_limit: int = 5_000_000):
+              driver_limit: int = plan.WEB_DRIVER_EDGES):
     """PageRank over the internal page-level link graph (the
     cc-webgraph rank release, page granularity).  Hub-skewed
     in-degree (the synthesis plants 64 super-hub targets) exercises
@@ -105,7 +109,7 @@ def link_rank(links, *, damping: float = 0.85, n_iters: int = 5,
 
 
 def harmonic_rank(links, *, n_sources: int = 12, max_hops: int = 4,
-                  driver_limit: int = 5_000_000):
+                  driver_limit: int = plan.WEB_DRIVER_EDGES):
     """Sampled harmonic centrality over the internal link graph —
     cc-webgraph's harmonic-rank release at page granularity."""
     from octoray.stages.graphalgo import harmonic_centrality
@@ -114,7 +118,7 @@ def harmonic_rank(links, *, n_sources: int = 12, max_hops: int = 4,
                                max_hops=max_hops, driver_limit=driver_limit)
 
 
-def hits_rank(links, *, n_iters: int = 5, driver_limit: int = 5_000_000):
+def hits_rank(links, *, n_iters: int = 5, driver_limit: int = plan.WEB_DRIVER_EDGES):
     """HITS hubs & authorities over the internal page-level link
     graph — the mutually-recursive companion to link_rank/
     harmonic_rank in the web-graph rank family (directory pages score
@@ -142,7 +146,7 @@ def sql_internal_edges(links_src: str) -> str:
             f"WHERE dst LIKE '{URL_PREFIX}%'")
 
 
-def frontier_urls(links, pages, *, broadcast_limit: int = 2_000_000):
+def frontier_urls(links, pages, *, broadcast_limit: int = plan.BROADCAST_ROWS):
     """Discovered-but-uncrawled internal urls with their in-link
     weight — the seed list for the next crawl wave (every crawler's
     frontier-expansion product; the synthesis's LINK_UNIVERSE is
@@ -337,8 +341,8 @@ def _reach_distributed(edges, pivot: str, key: str, other: str, *,
     return visited
 
 
-def bowtie(links, *, driver_limit: int = 5_000_000,
-           broadcast_limit: int = 2_000_000, max_rounds: int = 64):
+def bowtie(links, *, driver_limit: int = plan.WEB_DRIVER_EDGES,
+           broadcast_limit: int = plan.BROADCAST_ROWS, max_rounds: int = 64):
     """Bow-tie decomposition of the internal link graph [Broder et
     al. 2000, "Graph structure in the web"]: every node labeled
     core / in / out / other relative to the component of a
@@ -604,7 +608,7 @@ def cocitation(links, *, k: int = 100, max_out: int = 64):
         a, b = _within_group_pairs(counts, df["dst"].to_numpy())
         return pd.DataFrame({"a": a, "b": b})
 
-    pairs = e.sort(["src"]).map_batches(pairs_block,
+    pairs = colocated_sort(e, ["src"]).map_batches(pairs_block,
                                         batch_format="pandas",
                                         batch_size=None)
     counts = sorted_groupby_count(pairs, ["a", "b"], alias="n_cociting")
@@ -635,7 +639,7 @@ def sql_cocitation(links_src: str, *, k: int = 100,
 
 
 def salsa_authorities(links, *, max_out: int = 64,
-                      broadcast_limit: int = 2_000_000):
+                      broadcast_limit: int = plan.BROADCAST_ROWS):
     """SALSA authority scores [Lempel & Moran 2000] — the stochastic
     sibling of HITS whose stationary distribution has a CLOSED FORM
     (no power iteration): within each connected component C of the
@@ -685,7 +689,7 @@ def salsa_authorities(links, *, max_out: int = 64,
         return pd.DataFrame({"id_a": a, "id_b": b})
 
     pairs = distinct_values(
-        e.sort(["src"]).map_batches(pairs_block, batch_format="pandas",
+        colocated_sort(e, ["src"]).map_batches(pairs_block, batch_format="pandas",
                                     batch_size=None),
         ["id_a", "id_b"])
     comp = dup_components(pairs)
@@ -757,7 +761,7 @@ def sql_salsa(links_src: str, *, max_out: int = 64) -> str:
 
 
 def salsa_hubs(links, *, max_in: int = 64,
-               broadcast_limit: int = 2_000_000):
+               broadcast_limit: int = plan.BROADCAST_ROWS):
     """SALSA hub scores — the symmetric half of salsa_authorities:
     within each connected component C of the bibliographic-coupling
     graph (pages sharing a link TARGET),
@@ -801,7 +805,7 @@ def salsa_hubs(links, *, max_in: int = 64,
         return pd.DataFrame({"id_a": a, "id_b": b})
 
     pairs = distinct_values(
-        e.sort(["dst"]).map_batches(pairs_block, batch_format="pandas",
+        colocated_sort(e, ["dst"]).map_batches(pairs_block, batch_format="pandas",
                                     batch_size=None),
         ["id_a", "id_b"])
     comp = dup_components(pairs)

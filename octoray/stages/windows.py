@@ -27,6 +27,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from octoray.plan import colocated_sort
+
+from octoray import plan
+
 
 def _floor_multiple(us: pa.Array, span_us: int) -> pa.Array:
     """Largest multiple of ``span_us`` <= ``us`` (int64 microseconds).
@@ -252,7 +256,7 @@ def sliding_window(events, *, hop_minutes: int = 60, n_hops: int = 3,
 def funnel_depths(events, steps, *, user_col: str = "user_id",
                   type_col: str = "event_type", ts_col: str = "ts",
                   within_minutes: float | None = None,
-                  broadcast_limit: int = 2_000_000,
+                  broadcast_limit: int = plan.BROADCAST_ROWS,
                   strategy: str = "per_user"):
     """Dispatch: the default ``per_user`` plan computes the whole
     funnel in ONE user-keyed shuffle (each user's slim event rows
@@ -420,7 +424,7 @@ def _funnel_joins(events, steps, *, user_col: str, type_col: str,
         g = df.groupby(user_col, sort=False)["depth"].max().reset_index()
         return g
 
-    return allm.sort([user_col]).map_batches(
+    return colocated_sort(allm, [user_col]).map_batches(
         maxdepth, batch_format="pandas", batch_size=None)
 
 

@@ -165,3 +165,91 @@ def test_latest_per_url_exact_under_tiny_blocks(ray_session, tiny_blocks):
             for u in range(120)}
     got = dict(zip(out["url"], out["content_md5"]))
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# Round-5 structural enforcement (VERDICT r4 #1): colocated_sort runs
+# the O(blocks) bounds verification ON BY DEFAULT, and the verifier is
+# proven to actually catch a split/interleaved sort partition by
+# simulating one directly (multi-block datasets built WITHOUT a sort).
+# ---------------------------------------------------------------------
+
+
+def _blocks(*tables):
+    """One Ray block per input table, in order (bypasses sort)."""
+    return rd.from_arrow(list(tables))
+
+
+def test_verify_raises_on_forced_partition_split(ray_session):
+    """Simulate a future Ray splitting a sort partition mid-key: the
+    key 'b' ends block 0 and starts block 1."""
+    from octoray.plan import BlockColocationError, verify_block_colocation
+
+    ds = _blocks(pa.table({"k": ["a", "a", "b"]}),
+                 pa.table({"k": ["b", "c"]}))
+    with pytest.raises(BlockColocationError):
+        verify_block_colocation(ds, ["k"])
+
+
+def test_verify_raises_on_interleaved_blocks(ray_session):
+    """A sort that emitted overlapping (not merely touching) ranges
+    must also fail: block 0 covers a..c, block 1 starts at b."""
+    from octoray.plan import BlockColocationError, verify_block_colocation
+
+    ds = _blocks(pa.table({"k": ["a", "c"]}),
+                 pa.table({"k": ["b", "d"]}))
+    with pytest.raises(BlockColocationError):
+        verify_block_colocation(ds, ["k"])
+
+
+def test_verify_raises_on_null_key_straddle(ray_session):
+    from octoray.plan import BlockColocationError, verify_block_colocation
+
+    ds = _blocks(pa.table({"k": pa.array(["a", None], pa.string())}),
+                 pa.table({"k": pa.array([None, "b"], pa.string())}))
+    with pytest.raises(BlockColocationError):
+        verify_block_colocation(ds, ["k"], ordered=False)
+
+
+def test_verify_accepts_disjoint_blocks(ray_session):
+    from octoray.plan import verify_block_colocation
+
+    ds = _blocks(pa.table({"k": ["a", "b"], "v": [1, 2]}),
+                 pa.table({"k": ["c", "d"], "v": [3, 4]}),
+                 pa.table({"k": [], "v": []}).cast(
+                     pa.schema([("k", pa.string()), ("v", pa.int64())])))
+    # empty blocks are skipped; 2 non-empty blocks inspected
+    assert verify_block_colocation(ds, ["k"]) == 2
+
+
+def test_verify_multikey_straddle(ray_session):
+    from octoray.plan import BlockColocationError, verify_block_colocation
+
+    ds = _blocks(pa.table({"a": ["x", "x"], "b": [1, 2]}),
+                 pa.table({"a": ["x", "y"], "b": [2, 1]}))
+    with pytest.raises(BlockColocationError):
+        verify_block_colocation(ds, ["a", "b"])
+
+
+def test_colocated_sort_on_by_default(ray_session, tiny_blocks, monkeypatch):
+    """The production chokepoint: check enabled with no env var set,
+    sorted output correct and verified."""
+    monkeypatch.delenv("OCTORAY_CHECK_BLOCKS", raising=False)
+    from octoray.plan import block_check_enabled, colocated_sort
+
+    assert block_check_enabled()
+    ds = rd.from_arrow(_skewed_table()).repartition(16)
+    out = colocated_sort(ds, ["k"])
+    vals = [r["k"] for r in out.take_all()]
+    assert vals == sorted(vals)
+
+
+def test_block_check_env_optout(monkeypatch):
+    from octoray import plan
+
+    monkeypatch.setenv("OCTORAY_CHECK_BLOCKS", "0")
+    assert not plan.block_check_enabled()
+    monkeypatch.setenv("OCTORAY_CHECK_BLOCKS", "off")
+    assert not plan.block_check_enabled()
+    monkeypatch.setenv("OCTORAY_CHECK_BLOCKS", "1")
+    assert plan.block_check_enabled()
