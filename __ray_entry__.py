@@ -2149,6 +2149,68 @@ def _q_knn_ivf_increment(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_knn_ivf_retrain(sf_dir: str):
+    """Monitored-append IVF lifecycle (VERDICT r4 #2): build the index
+    on half the corpus, append the other half against the frozen
+    centroids, run the drift monitor (stages/similarity.py::ivf_drift
+    — increment mean-assign-cosine vs the persisted training
+    baseline), then retrain-and-rewrite
+    (similarity.py::retrain_ivf_index — fresh centroids over the
+    post-append corpus streamed out of the cluster partitions into a
+    NEW directory; the old index serves throughout).  Top-k over the
+    retrained index; the oracle re-derives the answer from the
+    retrained on-disk assignments + probe sets."""
+    import glob
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from octoray import oracles as O
+    from octoray.stages import similarity as S
+
+    emb = _embeddings(sf_dir)
+
+    def _parity(p):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == p))
+        return f
+
+    first = emb.map_batches(_parity(0), batch_format="pyarrow")
+    second = emb.map_batches(_parity(1), batch_format="pyarrow")
+    d = tempfile.mkdtemp(prefix="octoray_ivf_rt0_")
+    d2 = tempfile.mkdtemp(prefix="octoray_ivf_rt1_")
+    try:
+        S.write_ivf_index(first, d, n_centroids=_IVF_CENTROIDS)
+        S.append_ivf_index(second, d)
+        S.ivf_drift(d, second)  # the monitor step of the lifecycle
+        C = S.retrain_ivf_index(d, d2, n_centroids=_IVF_CENTROIDS)
+        qids, Q = S.load_queries(emb, _KNN_IDS)
+        if O.dump_enabled():
+            parts = []
+            for cdir in sorted(glob.glob(os.path.join(d2, "cluster=*"))):
+                c = int(cdir.rsplit("=", 1)[1])
+                for f in sorted(glob.glob(os.path.join(cdir, "*.parquet"))):
+                    t = pq.read_table(f, columns=["vec_id"])
+                    parts.append(t.append_column(
+                        "cluster", pa.array([c] * t.num_rows, pa.int64())))
+            O.dump_table("ivf_assign_rt", pa.concat_tables(parts))
+            probes = S.ivf_probe_sets(Q, C, nprobe=min(_IVF_NPROBE, len(C)))
+            O.dump_table("ivf_probes_rt", pa.table({
+                "query_id": pa.array(np.repeat(qids, probes.shape[1]),
+                                     pa.int64()),
+                "cluster": pa.array(probes.reshape(-1), pa.int64()),
+            }))
+        return S.ivf_index_knn(d2, Q, qids, k=_KNN_K,
+                               nprobe=_IVF_NPROBE).materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
 def _q_knn_lsh(sf_dir: str):
     from octoray import oracles as O
     from octoray.stages import similarity as S
@@ -2720,6 +2782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": _q_kg_walks,
         "kg_skipgrams": _q_kg_skipgrams,
         "knn_ivf_increment": _q_knn_ivf_increment,
+        "knn_ivf_retrain": _q_knn_ivf_retrain,
         "kg_triangles": _q_kg_triangles,
         "kg_jaccard_links": _q_kg_jaccard_links,
         "kg_communities": _q_kg_communities,
@@ -4531,6 +4594,8 @@ def oracle_sql() -> dict[str, str]:
             Q.rpd("ivf_assign"), Q.rp("ivf_probes"), _KNN_IDS, k=_KNN_K),
         "knn_ivf_indexed": Q.sql_knn_ivf(
             Q.rp("ivf_assign_idx"), Q.rp("ivf_probes_idx"), _KNN_IDS, k=_KNN_K),
+        "knn_ivf_retrain": Q.sql_knn_ivf(
+            Q.rp("ivf_assign_rt"), Q.rp("ivf_probes_rt"), _KNN_IDS, k=_KNN_K),
         "knn_ivf_increment": Q.sql_knn_ivf(
             Q.rp("ivf_assign_inc"), Q.rp("ivf_probes_inc"), _KNN_IDS, k=_KNN_K),
         "cosine_dup_pairs": Q.sql_cosine_dup(

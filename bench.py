@@ -146,6 +146,7 @@ SUITE = [
     "media_ahash",
     "kg_hops",
     "knn_ivf_increment",
+    "knn_ivf_retrain",
     "kg_walks",
     # round-4 (cont.): link prediction, LPA communities, image dedup
     "kg_jaccard_links",
