@@ -793,6 +793,32 @@ def _q_turtle_roundtrip(sf_dir: str):
     return read_turtle(path)
 
 
+def _q_turtle_foreign(sf_dir: str):
+    """Foreign-Turtle ingestion (VERDICT r4 #7): a foreign-authored
+    document — triple-quoted literals with raw newlines, single-quoted
+    strings, language tags, labelled blank nodes, foreign prefix names
+    — parsed by sources/turtle.py and canonicalized.  The oracle is
+    the fixture generator's OWN expectation table (f-string templates,
+    zero parser involvement), so the compare certifies the widened
+    grammar against an independent derivation."""
+    import os
+
+    from octoray import oracles as O
+    from octoray.sources.synth import synth_foreign_turtle
+    from octoray.sources.turtle import read_turtle
+    from octoray.stages.canon import canonicalize
+
+    n = _synth_n(sf_dir, per_sf=30_000, floor=40)
+    text, expected = synth_foreign_turtle(n)
+    os.makedirs(O.ORACLE_DIR, exist_ok=True)
+    path = os.path.join(O.ORACLE_DIR, "foreign.ttl")
+    with open(path, "w") as f:
+        f.write(text)
+    if O.dump_enabled():
+        O.dump_table("ttl_foreign_expected", expected)
+    return canonicalize(read_turtle(path))
+
+
 def _q_ntriples_roundtrip(sf_dir: str):
     """Strict N-Triples export (full-IRI interop surface beside the
     prefix-form Turtle sink): the SERIALIZED LINES are the checked
@@ -2764,6 +2790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparql_negated": _q_sparql_negated,
         "sparql_subquery": _q_sparql_subquery,
         "turtle_roundtrip": _q_turtle_roundtrip,
+        "turtle_foreign": _q_turtle_foreign,
         "ntriples_roundtrip": _q_ntriples_roundtrip,
         "sparql_segment": _q_sparql_segment,
         "sparql_years": _q_sparql_years,
@@ -3706,6 +3733,7 @@ def oracle_sql() -> dict[str, str]:
         "ntriples_roundtrip": __import__(
             "octoray.sinks", fromlist=["sql_ntriples_lines"]
         ).sql_ntriples_lines(Q.rpd("nt_triples")),
+        "turtle_foreign": Q.sql_kg_build(Q.rp("ttl_foreign_expected")),
         "turtle_roundtrip": f"""
             SELECT subject, predicate, object, object_datatype
             FROM {Q.rpd('ttl_triples')}

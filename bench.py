@@ -118,6 +118,7 @@ SUITE = [
     "sparql_negated",
     "sparql_subquery",
     "turtle_roundtrip",
+    "turtle_foreign",
     "sparql_segment",
     "approx_distinct",
     "sliding_window",

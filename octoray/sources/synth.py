@@ -400,3 +400,53 @@ def strain_lexicon_dataset(n: int, seed: int = 42):
         ds.map_batches(batch, batch_format="numpy", batch_size=4096),
         ["entity_id", "name"],
     )
+
+
+def synth_foreign_turtle(n: int, seed: int = 42) -> Tuple[str, pa.Table]:
+    """Foreign-authored Turtle fixture + its expected triple table —
+    the contract vector for the widened grammar (VERDICT r4 #7).
+
+    'Foreign' traits this engine's own sink never produces: foreign
+    prefix names for the canonical bases, triple-quoted literals with
+    RAW newlines / inner '.'-terminated lines / embedded quotes,
+    single-quoted strings, language tags, labelled blank nodes as
+    subject AND object, bare numerics.  The expectation table is built
+    from the same f-string templates that render the document — no
+    parser involvement — so the oracle compare certifies the parser
+    against an independent derivation."""
+    doc = [
+        "# foreign-authored export",
+        "@prefix flu: <https://flu-crew.org/term/> .",
+        "@prefix ex: <https://flu-crew.org/id/> .",
+        "",
+    ]
+    subs: List[str] = []
+    preds: List[str] = []
+    objs: List[str] = []
+    dts: List[str] = []
+
+    def emit(s: str, p: str, o: str, dt: str) -> None:
+        subs.append(s)
+        preds.append(p)
+        objs.append(o)
+        dts.append(dt)
+
+    for i in range(n):
+        note = f'para one.\nline "two" of {i}.\nfin {i}'
+        doc.append(f'ex:doc{i} flu:note """{note}""" ;')
+        emit(f"fid:doc{i}", "f:note", note, "")
+        doc.append(f"    flu:alt 'hola {i}'@es ;")
+        emit(f"fid:doc{i}", "f:alt", f"hola {i}", "")
+        doc.append(f"    flu:count {i} ;")
+        emit(f"fid:doc{i}", "f:count", str(i), "xsd:integer")
+        doc.append(f"    flu:linked _:b{i} .")
+        emit(f"fid:doc{i}", "f:linked", f"_:b{i}", "uri")
+        doc.append(f'_:b{i} flu:host "swine" .')
+        emit(f"_:b{i}", "f:host", "swine", "")
+    expected = pa.table({
+        "subject": pa.array(subs, pa.string()),
+        "predicate": pa.array(preds, pa.string()),
+        "object": pa.array(objs, pa.string()),
+        "object_datatype": pa.array(dts, pa.string()),
+    })
+    return "\n".join(doc) + "\n", expected

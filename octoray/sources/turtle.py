@@ -14,12 +14,17 @@ Grammar subset — covers this engine's own sink output
 
   @prefix / PREFIX declarations; statements with ``;``
   predicate-object lists and ``,`` object lists; prefixed names;
-  ``<IRI>`` terms; the ``a`` keyword; quoted literals with the
-  N-Triples short escapes (\\" \\\\ \\n \\t \\r \\uXXXX \\UXXXXXXXX)
-  and optional ``^^datatype`` or ``@lang`` (language tags are DROPPED
-  — the store is lexical, mirroring the emitter); ``#`` comments.
+  ``<IRI>`` terms; the ``a`` keyword; quoted literals — single- or
+  double-quoted, short or TRIPLE-quoted (raw newlines preserved) —
+  with the N-Triples short escapes (\\" \\\\ \\n \\t \\r \\uXXXX
+  \\UXXXXXXXX) and optional ``^^datatype`` or ``@lang`` (language
+  tags are DROPPED — the store is lexical, mirroring the emitter);
+  labelled blank nodes ``_:name`` as subject or object (labels kept
+  verbatim — deterministic and roundtrippable; labels are file-scoped
+  in the spec, so cross-file label reuse merges, as with any skolem
+  scheme); ``#`` comments.
 
-Blank nodes, collections and triple-quoted literals raise — the
+Anonymous blank nodes ``[...]`` and collections ``(...)`` raise — the
 emitters this engine pairs with never produce them (documented
 capability boundary, like the xlsx codec gate).
 """
@@ -37,8 +42,10 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<WS>\s+)
     | (?P<COMMENT>\#[^\n]*)
-    | (?P<TRIPLEQ>\"{3})
-    | (?P<STRING>"(?:[^"\\\n]|\\.)*")
+    | (?P<LONGSTRING>\"{3}(?:[^"\\]|\\.|"{1,2}(?!"))*\"{3}
+                    |'{3}(?:[^'\\]|\\.|'{1,2}(?!'))*'{3})
+    | (?P<STRING>"(?:[^"\\\n]|\\.)*"
+                |'(?:[^'\\\n]|\\.)*')
     | (?P<IRI><[^<>\s]*>)
     | (?P<DCARET>\^\^)
     | (?P<AT>@[A-Za-z][A-Za-z0-9-]*)
@@ -110,14 +117,9 @@ class _Lexer:
             kind = m.lastgroup
             if kind == "WS" or kind == "COMMENT":
                 continue
-            if kind == "TRIPLEQ":
+            if kind == "PUNCT" and m.group() in "()[]":
                 raise TurtleError(
-                    "triple-quoted literals not supported (offset "
-                    f"{m.start()}; the paired emitters never produce them)")
-            if kind == "BNODE" or (kind == "PUNCT"
-                                   and m.group() in "()[]"):
-                raise TurtleError(
-                    f"blank nodes / collections not supported "
+                    f"anonymous blank nodes / collections not supported "
                     f"(offset {m.start()}: {m.group()!r})")
             append((kind, m.group(), m.start()))
         if pos != len(text):
@@ -167,8 +169,29 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
         raise TurtleError(f"expected IRI term at offset {pos}, "
                           f"got {txt!r}")
 
+    def subject_term() -> str:
+        # labelled blank node allowed as subject; label kept verbatim
+        if lx.peek()[0] == "BNODE":
+            return lx.next()[1]
+        return iri_term()
+
     def object_term() -> Tuple[str, str]:
         kind, txt, pos = lx.peek()
+        if kind == "BNODE":
+            # a graph edge to a labelled blank node — URI-typed like
+            # any other node-valued object (the store is lexical)
+            lx.next()
+            return txt, DT_URI
+        if kind == "LONGSTRING":
+            lx.next()
+            val = _unescape(txt[3:-3])  # raw newlines preserved
+            k2, t2, _ = lx.peek()
+            if k2 == "DCARET":
+                lx.next()
+                return val, iri_term()
+            if k2 == "AT":
+                lx.next()  # language tag dropped — the store is lexical
+            return val, DT_PLAIN
         if kind == "NUM":
             # rdflib writes xsd numerics in bare form; keep the lexical
             # value, recover the datatype from the shape
@@ -210,7 +233,7 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
             continue
         if kind == "AT" and txt.lower() == "@base":
             raise TurtleError("@base not supported (use absolute IRIs)")
-        subj = iri_term()
+        subj = subject_term()
         while True:
             pred = iri_term()
             while True:
@@ -244,18 +267,31 @@ def rows_table(rows: List[Tuple[str, str, str, str]]) -> pa.Table:
 _CHUNK_BYTES = 4 * 1024 * 1024
 
 
+# quote-aware scanner for the splitter: strings (short AND triple-
+# quoted) and comments are consumed atomically, so a `\n` match is
+# always a TOP-LEVEL newline — never one inside a """...""" literal
+_SAFE_NL_RE = re.compile(
+    r'"""(?:[^"\\]|\\.|"{1,2}(?!"))*"""'
+    r"|'''(?:[^'\\]|\\.|'{1,2}(?!'))*'''"
+    r'|"(?:[^"\\\n]|\\.)*"'
+    r"|'(?:[^'\\\n]|\\.)*'"
+    r"|#[^\n]*"
+    r"|\n")
+
+
 def _split_statements(text: str, target: int) -> List[str]:
     """Split a Turtle document into independently-parseable pieces of
     roughly ``target`` bytes, each carrying the directive header.
 
-    A piece boundary is only placed after a line ending in '.':
-    legal Turtle cannot contain a RAW newline inside a single-quoted
-    literal (it must be escaped — the paired sink does), and this
-    parser refuses triple-quoted literals outright, so every newline
-    in an accepted document sits between terms; a line whose stripped
-    tail is '.' therefore ends a statement (or a directive).  All
-    @prefix/@base directives are hoisted into every piece's header —
-    the reference emitters declare them up front."""
+    A piece boundary is only placed at a TOP-LEVEL newline whose line
+    ends (stripped) with '.' — the statement/directive terminator.
+    Top-level-ness is decided by ``_SAFE_NL_RE``, which consumes
+    string literals (including triple-quoted ones with raw newlines)
+    and comments atomically, so a '.'-ending line INSIDE a long
+    literal can never become a boundary (the quote-aware widening of
+    VERDICT r4 #7).  All @prefix/@base directives are hoisted into
+    every piece's header — the reference emitters declare them up
+    front."""
     header_lines = []
     lines = text.splitlines(keepends=True)
     body_start = 0
@@ -269,17 +305,20 @@ def _split_statements(text: str, target: int) -> List[str]:
         else:
             break
     header = "".join(header_lines)
+    body = "".join(lines[body_start:])
     pieces: List[str] = []
-    buf: List[str] = []
-    size = 0
-    for ln in lines[body_start:]:
-        buf.append(ln)
-        size += len(ln)
-        if size >= target and ln.rstrip().endswith("."):
-            pieces.append(header + "".join(buf))
-            buf, size = [], 0
-    if buf:
-        pieces.append(header + "".join(buf))
+    piece_start = 0
+    line_start = 0
+    for m in _SAFE_NL_RE.finditer(body):
+        if m.group() != "\n":
+            continue  # literal/comment consumed atomically
+        line = body[line_start:m.start()]
+        line_start = m.end()
+        if (m.end() - piece_start) >= target and line.rstrip().endswith("."):
+            pieces.append(header + body[piece_start:m.end()])
+            piece_start = m.end()
+    if piece_start < len(body):
+        pieces.append(header + body[piece_start:])
     return pieces or [header]
 
 

@@ -72,13 +72,77 @@ def test_parse_sparql_style_prefix():
 
 
 @pytest.mark.parametrize("bad", [
-    '_:b1 <http://p> "v" .',
-    '<http://s> <http://p> """long""" .',
+    '<http://s> <http://p> [ <http://q> "v" ] .',
+    '<http://s> <http://p> ("a" "b") .',
     "@base <http://ex/> .",
 ])
 def test_parse_rejects_out_of_subset(bad):
     with pytest.raises(TurtleError):
         parse_turtle_text(bad)
+
+
+def test_parse_long_literals_and_blank_nodes():
+    """Round-5 grammar widening (VERDICT r4 #7): triple-quoted
+    literals with RAW newlines / quotes / '.'-ending inner lines, and
+    labelled blank nodes as subject or object."""
+    doc = "\n".join([
+        "@prefix f: <https://flu-crew.org/term/> .",
+        '<https://flu-crew.org/id/x> f:note """first line.',
+        'second "quoted" line.',
+        'third line""" .',
+        '_:b1 f:host "swine" ;',
+        "     f:linked _:b2 .",
+        "<https://flu-crew.org/id/z> f:alt 'single' .",
+    ])
+    rows = parse_turtle_text(doc)
+    assert rows == [
+        ("fid:x", "f:note",
+         'first line.\nsecond "quoted" line.\nthird line', ""),
+        ("_:b1", "f:host", "swine", ""),
+        ("_:b1", "f:linked", "_:b2", "uri"),
+        ("fid:z", "f:alt", "single", ""),
+    ]
+
+
+def test_parse_single_triple_quoted_with_inner_quotes():
+    doc = ("@prefix f: <https://flu-crew.org/term/> .\n"
+           "<https://flu-crew.org/id/y> f:alt " +
+           "'''tick " + '"dq"' + " inner''' .\n")
+    rows = parse_turtle_text(doc)
+    assert rows == [("fid:y", "f:alt", 'tick "dq" inner', "")]
+
+
+def test_parse_long_literal_escapes_and_datatype():
+    rows = parse_turtle_text(
+        "@prefix f: <https://flu-crew.org/term/> .\n"
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+        '<https://flu-crew.org/id/x> f:note """a\\tb"""^^xsd:string ;\n'
+        '    f:tagged """hola\nmundo"""@es .\n')
+    assert rows == [
+        ("fid:x", "f:note", "a\tb", "xsd:string"),
+        ("fid:x", "f:tagged", "hola\nmundo", ""),
+    ]
+
+
+def test_splitter_is_quote_aware():
+    """A '.'-ending line INSIDE a long literal must never become a
+    piece boundary; every split of the fixture reparses to the same
+    rows as the unsplit document."""
+    from octoray.sources.turtle import _split_statements
+
+    doc_lines = ["@prefix f: <https://flu-crew.org/term/> ."]
+    for i in range(40):
+        doc_lines.append(
+            f'<https://flu-crew.org/id/s{i}> f:note """line one.\n'
+            f"inner line ends with a dot.\n"
+            f'closing {i}""" ;\n    f:host "swine" .')
+    doc = "\n".join(doc_lines) + "\n"
+    want = parse_turtle_text(doc)
+    assert len(want) == 80
+    for target in (64, 256, 1024, 10**9):
+        pieces = _split_statements(doc, target)
+        got = [r for p in pieces for r in parse_turtle_text(p)]
+        assert got == want, f"target={target} pieces={len(pieces)}"
 
 
 def test_sink_source_roundtrip(ray_session, tmp_path):
