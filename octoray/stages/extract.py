@@ -20,18 +20,30 @@ import numpy as np
 import pyarrow as pa
 
 _ARTICLE_RE = re.compile(rb"<article>(.*?)</article>", re.DOTALL)
-_LINK_RE = re.compile(rb'<a href="([^"]*)">([^<]*)</a>')
+# NUL excluded from both capture classes: extract_links_batch scans a
+# NUL-joined blob of all payloads, and raw crawl bytes CAN contain
+# NULs — with a plain [^"]* a link opened at the tail of one document
+# could swallow the separator and close in the NEXT document,
+# attributing a cross-document phantom link (adversarial-input
+# hardening, VERDICT r4 #4).  Real markup never puts NUL inside an
+# href/anchor, so the narrowing is behavior-free on clean pages.
+_LINK_RE = re.compile(rb'<a href="([^"\x00]*)">([^<\x00]*)</a>')
 
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
     """Add ``text`` extracted from ``html``.  If the batch already has a
     ``text`` column (the crawl's own extraction), ours replaces it —
-    the invariant test asserts byte equality between the two."""
+    the invariant test asserts byte equality between the two.
+
+    Adversarial-input posture: null payloads extract to "", and byte
+    sequences that are not valid UTF-8 decode with U+FFFD replacement
+    (deterministic, task never dies) — the byte-identity invariant
+    applies to well-formed pages, which are untouched."""
     htmls = batch.column("html").to_pylist()
     out = []
     for h in htmls:
-        m = _ARTICLE_RE.search(h)
-        body = m.group(1).decode("utf-8") if m else ""
+        m = _ARTICLE_RE.search(h) if h is not None else None
+        body = m.group(1).decode("utf-8", errors="replace") if m else ""
         out.append(_html.unescape(body))
     arr = pa.array(out, pa.string())
     names = batch.schema.names
@@ -54,7 +66,8 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
     Runs stateless in ``map_batches`` over zero-copy Arrow batches;
     pages without links contribute no rows (flat_map semantics)."""
     urls = batch.column("url").to_pylist()
-    htmls = [bytes(h) for h in batch.column("html").to_pylist()]
+    htmls = [bytes(h) if h is not None else b""
+             for h in batch.column("html").to_pylist()]
     if not htmls:
         return pa.table({"src": pa.array([], pa.string()),
                          "dst": pa.array([], pa.string()),
@@ -64,8 +77,8 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
     pos, dst, anchor = [], [], []
     for m in _LINK_RE.finditer(blob):
         pos.append(m.start())
-        dst.append(m.group(1).decode("utf-8"))
-        anchor.append(m.group(2).decode("utf-8"))
+        dst.append(m.group(1).decode("utf-8", errors="replace"))
+        anchor.append(m.group(2).decode("utf-8", errors="replace"))
     rows = (np.searchsorted(starts, np.asarray(pos, np.int64), side="right") - 1
             if pos else np.array([], np.int64))
     return pa.table({

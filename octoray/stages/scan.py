@@ -189,6 +189,8 @@ class MentionEmitter:
         dt: List[str] = []
         src: List[str] = []
         for url, text in zip(urls, texts):
+            if not text:  # null/empty page — nothing to scan
+                continue
             triples = self.emit_page(url, text)
             for t in triples:
                 s.append(t[0])
