@@ -1,0 +1,144 @@
+"""The fetch actor against a LIVE (local, synthetic) flaky HTTP server
+(VERDICT r4 #8): the retry / backoff / truncation paths of
+sources/fetch.py graduate from "shape documented" to executed.
+Reference envelope: entrez.py:126-143 (10x / 15 s batch retry),
+:35-76 (esearch truncation warning + politeness sleep).
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+import urllib.parse
+
+import pytest
+
+from octoray.sources.fetch import (EntrezFetcher, FetchError,
+                                   fetch_records, search_dates)
+from octoray.pipelines.genbank import synth_gb_records_for_ids
+
+
+class _SynthEntrez(http.server.BaseHTTPRequestHandler):
+    """Entrez-shaped server over the deterministic record synthesizer.
+    ``server.fail_next`` makes the next N efetch calls return HTTP 500
+    (the flaky path); ``server.search_count``/``search_retmax`` shape
+    the esearch truncation case."""
+
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+    def _send(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        srv = self.server
+        path, _, qs = self.path.partition("?")
+        params = dict(urllib.parse.parse_qsl(qs))
+        srv.requests.append(path)
+        if path.endswith("/efetch.fcgi"):
+            if srv.fail_next > 0:
+                srv.fail_next -= 1
+                self._send(500, {"error": "server overloaded"})
+                return
+            ids = params["id"].split(",")
+            self._send(200, {"records": synth_gb_records_for_ids(ids)})
+            return
+        if path.endswith("/esearch.fcgi"):
+            retmax = int(params["retmax"])
+            count = srv.search_count
+            ids = [f"MK{100000 + i}" for i in range(min(retmax, count))]
+            self._send(200, {"esearchresult": {
+                "count": str(count), "retmax": str(len(ids)),
+                "idlist": ids}})
+            return
+        self._send(404, {"error": "no such endpoint"})
+
+
+@pytest.fixture()
+def entrez_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _SynthEntrez)
+    srv.fail_next = 0
+    srv.search_count = 0
+    srv.requests = []
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv, f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+
+
+def test_fetch_retries_through_flaky_server(entrez_server):
+    srv, base = entrez_server
+    srv.fail_next = 2  # two 500s, then healthy
+    sleeps = []
+    f = EntrezFetcher(base, batch_size=5, max_attempts=10,
+                      backoff_s=15.0, sleep=sleeps.append)
+    ids = [f"MK{100000 + i}" for i in range(8)]
+    recs = f.fetch_ids(ids)
+    assert len(recs) == 8
+    # both failures hit the FIRST sub-batch; each cost one 15 s backoff
+    assert sleeps == [15.0, 15.0]
+    # 2 failed + 2 successful efetch calls (8 ids / batch_size 5)
+    assert len([p for p in srv.requests if "efetch" in p]) == 4
+    # records parse downstream: each is the synthesizer's JSON record
+    assert json.loads(recs[0])["GBSeq_primary-accession"] == ids[0]
+
+
+def test_fetch_exhausts_and_raises(entrez_server):
+    srv, base = entrez_server
+    srv.fail_next = 10 ** 6  # never recovers
+    sleeps = []
+    f = EntrezFetcher(base, batch_size=5, max_attempts=3,
+                      backoff_s=15.0, sleep=sleeps.append)
+    with pytest.raises(FetchError, match="after 3 attempts"):
+        f.fetch_ids(["MK100000"])
+    assert sleeps == [15.0, 15.0]  # max_attempts-1 backoffs, then raise
+
+
+def test_search_truncation_warning(entrez_server):
+    srv, base = entrez_server
+    srv.search_count = 250
+    sleeps, warns = [], []
+    res = search_dates(base, "2020/01", "2020/01", retmax=100,
+                       sleep=sleeps.append, warn=warns.append)
+    assert res["truncated"] and res["count"] == 250
+    assert len(res["ids"]) == 100
+    assert warns == ["results truncated at 100 of 250 ids"]
+    assert sleeps == [1]  # the politeness pause ran
+
+    srv.search_count = 50
+    res = search_dates(base, "2020/02", "2020/02", retmax=100,
+                       sleep=sleeps.append, warn=warns.append)
+    assert not res["truncated"] and len(res["ids"]) == 50
+    assert len(warns) == 1  # no new warning
+
+
+def test_fetch_actor_pool_to_prep_genbank(ray_session, entrez_server):
+    """End-to-end through Ray: id Dataset -> EntrezFetcher ACTOR POOL
+    (constructor state per actor, flaky first calls) -> prep_genbank
+    triple emission.  This is the wiring a real pull would run, minus
+    only the DNS name in base_url."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from octoray.pipelines.genbank import prep_genbank
+
+    srv, base = entrez_server
+    srv.fail_next = 1  # one 500 early; an actor must retry through it
+    ids = [f"MK{100000 + i}" for i in range(40)]
+    ids_ds = rd.from_arrow(pa.table({"gb_id": pa.array(ids, pa.string())}))
+    recs = fetch_records(ids_ds, base, concurrency=2, rows_per_call=10,
+                         batch_size=10, backoff_s=0.0)
+    triples = prep_genbank(recs, canonical=False)
+    got = triples.to_pandas()
+    assert len(got) > 0
+    # every fetched accession reached emission
+    accs = {s for s in got["subject"] if s.startswith("fid:")}
+    assert len(accs) >= len(ids)
