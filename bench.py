@@ -4,6 +4,8 @@
   python bench.py --headline   # flagship KG build only -> one json line
   python bench.py --scaling    # headline at 8 and 32 cpus in FRESH processes,
                                # reports throughput at both + scaling efficiency
+  python bench.py --spill      # headline with an ample vs a 1 GB object store
+                               # in FRESH processes: non-zero spill + slowdown
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
@@ -219,13 +221,42 @@ def _init_ray() -> None:
     import ray
 
     if not ray.is_initialized():
+        kw = {}
+        if os.environ.get("RAY_GRAFT_OBJSTORE"):
+            # the spill probe's constrained-store leg
+            kw["object_store_memory"] = int(os.environ["RAY_GRAFT_OBJSTORE"])
         ray.init(
             address="local",
             num_cpus=NUM_CPUS,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **kw,
         )
+
+
+def _spill_stats() -> dict:
+    """Spill evidence from the live session dir: bytes of spilled
+    objects on disk + raylet spill-trigger events (grpc-free — the
+    memory_summary API needs grpcio, absent here)."""
+    import glob
+    import ray
+
+    session = ray._private.worker._global_node.get_session_dir_path()
+    spilled = 0
+    for d in glob.glob(os.path.join(session, "ray_spilled_objects*")):
+        for root, _, files in os.walk(d):
+            for f in files:
+                try:
+                    spilled += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    events = 0
+    p = os.path.join(session, "logs", "raylet.out")
+    if os.path.exists(p):
+        with open(p, errors="ignore") as fh:
+            events = sum("Triggering object spilling" in l for l in fh)
+    return {"spill_bytes": spilled, "spill_events": events}
 
 
 def _consume(res) -> int:
@@ -256,8 +287,10 @@ def run_headline() -> dict:
     t0 = time.time()
     n_triples = synth_kg(n_pages, emitter_concurrency=conc).count()
     dt = time.time() - t0
+    extra = _spill_stats() if os.environ.get("RAY_GRAFT_OBJSTORE") else {}
     return {
         "metric": "kg_build_wall",
+        **extra,
         "value": round(dt, 3),
         "unit": "sec",
         "n_pages": n_pages,
@@ -371,8 +404,47 @@ def run_scaling() -> dict:
     }
 
 
+def run_spill() -> dict:
+    """Memory-pressure evidence (VERDICT r4 #5): the SAME headline
+    build in fresh processes with (a) the default object store and
+    (b) a 1 GB store that forces the sort barrier + in-flight blocks
+    to spill.  Done-bar: non-zero spill bytes AND slowdown < 2x —
+    streaming execution degrades gracefully at the memory bound
+    instead of dying, the property a 128 GiB node needs at 100 TB."""
+    pages = os.environ.get("GRAFT_SPILL_PAGES", "800000")
+    store = os.environ.get("GRAFT_SPILL_STORE", str(int(1.0e9)))
+    cpus = os.environ.get("GRAFT_SPILL_CPUS", "16")
+    legs = {}
+    for name, env_extra in (("ample", {}),
+                            ("constrained", {"RAY_GRAFT_OBJSTORE": store})):
+        env = dict(os.environ, RAY_GRAFT_CPUS=cpus, GRAFT_PAGES=pages,
+                   **env_extra)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline"],
+            env=env, capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        legs[name] = json.loads(line)
+    slowdown = legs["constrained"]["value"] / legs["ample"]["value"]
+    return {
+        "metric": "spill_slowdown",
+        "value": round(slowdown, 3),
+        "unit": "ratio",
+        "wall_ample": legs["ample"]["value"],
+        "wall_constrained": legs["constrained"]["value"],
+        "spill_bytes": legs["constrained"].get("spill_bytes", 0),
+        "spill_events": legs["constrained"].get("spill_events", 0),
+        "object_store_bytes": int(store),
+        "n_pages": int(pages),
+        "num_cpus": int(cpus),
+        "sf": _sf(),
+    }
+
+
 def main() -> None:
-    if "--scaling" in sys.argv:
+    if "--spill" in sys.argv:
+        res = run_spill()
+    elif "--scaling" in sys.argv:
         res = run_scaling()
     elif "--headline" in sys.argv:
         res = run_headline()
