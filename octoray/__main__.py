@@ -123,15 +123,29 @@ def cmd_prep(args) -> int:
                                                synth_gb_records_for_ids)
 
         # reference `prep gbids` fetches the listed accessions from
-        # Entrez (ui.py:697-713); the sandbox synthesizes each record
-        # deterministically from its id (no network)
+        # Entrez (ui.py:697-713).  With --base-url the REAL fetch
+        # actor pool runs against that endpoint (sources/fetch.py —
+        # retry/backoff envelope, tested vs a local flaky server);
+        # without it the sandbox synthesizes each record
+        # deterministically from its id (no network).
         import pyarrow as pa
         import ray.data as rd
 
         with open(args.input) as fh:
             gbids = [ln.strip() for ln in fh if ln.strip()]
-        recs = rd.from_arrow(pa.table(
-            {"record": pa.array(synth_gb_records_for_ids(gbids), pa.string())}))
+        if args.base_url:
+            from octoray.sources.fetch import fetch_records
+
+            ids_ds = rd.from_arrow(pa.table(
+                {"gb_id": pa.array(gbids, pa.string())}))
+            recs = fetch_records(
+                ids_ds, args.base_url,
+                backoff_s=float(os.environ.get("OCTORAY_FETCH_BACKOFF",
+                                               "15")))
+        else:
+            recs = rd.from_arrow(pa.table(
+                {"record": pa.array(synth_gb_records_for_ids(gbids),
+                                    pa.string())}))
         ds = prep_genbank(recs)
     elif args.kind == "update-gb":
         # reference `prep update_gb` (ui.py:715-760): one Entrez
@@ -687,6 +701,10 @@ def main(argv=None) -> int:
                     help="update-gb: trailing months to synthesize")
     pr.add_argument("--per-month", type=int, default=20, dest="per_month",
                     help="update-gb: records per month (synthetic)")
+    pr.add_argument("--base-url", default="", dest="base_url",
+                    help="Entrez-shaped endpoint for prep gbids: fetch "
+                         "records over HTTP via the retrying actor pool "
+                         "instead of the deterministic synthesizer")
     pr.add_argument("--segment-key", action="store_true", dest="segment_key",
                     help="table: treat the first column as a forced segment id")
     pr.set_defaults(fn=cmd_prep)

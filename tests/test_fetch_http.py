@@ -142,3 +142,32 @@ def test_fetch_actor_pool_to_prep_genbank(ray_session, entrez_server):
     # every fetched accession reached emission
     accs = {s for s in got["subject"] if s.startswith("fid:")}
     assert len(accs) >= len(ids)
+
+
+def test_cli_prep_gbids_over_http(ray_session, entrez_server, tmp_path,
+                                  monkeypatch):
+    """`python -m octoray prep gbids --base-url ...` fetches over the
+    wire (flaky first call included) instead of synthesizing, and
+    lands the same Turtle prep artifact shape."""
+    from octoray.__main__ import main
+
+    srv, base = entrez_server
+    srv.fail_next = 1
+    monkeypatch.setenv("OCTORAY_FETCH_BACKOFF", "0")
+    ids = [f"MK{100000 + i}" for i in range(12)]
+    idf = str(tmp_path / "ids.txt")
+    with open(idf, "w") as fh:
+        fh.write("\n".join(ids))
+    out = str(tmp_path / "gb.ttl")
+    assert main(["prep", "gbids", idf, "--out", out,
+                 "--base-url", base]) == 0
+    text = open(out).read()
+    # most ids land in the Turtle (a few synthesized records are
+    # non-influenza and are filtered by prep_genbank by design)
+    assert sum(i in text for i in ids) >= len(ids) // 2
+    # the HTTP path really ran, including the retried 500
+    assert len([p for p in srv.requests if "efetch" in p]) >= 2
+    # and matches the synthesizer path byte-for-byte (same records)
+    out2 = str(tmp_path / "gb_synth.ttl")
+    assert main(["prep", "gbids", idf, "--out", out2]) == 0
+    assert open(out2).read() == text
