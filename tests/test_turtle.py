@@ -241,3 +241,42 @@ def test_roundtrip_property(ray_session, tmp_path):
         assert rows == [("fid:s", "f:note", v, "")]
 
     check()
+
+
+def test_long_literal_property(ray_session):
+    """Arbitrary quote-free/backslash-free content — including RAW
+    newlines, NULs, '.'-ending lines and unicode — survives a
+    triple-quoted literal parse verbatim (round-5 widened grammar)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    value = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters='"\\'),
+        min_size=0, max_size=60)
+
+    @settings(max_examples=200, deadline=None)
+    @given(value)
+    def check(v):
+        doc = ('@prefix f: <https://flu-crew.org/term/> .\n'
+               '<https://flu-crew.org/id/x> f:note """' + v + '""" .\n')
+        assert parse_turtle_text(doc) == [("fid:x", "f:note", v, "")]
+
+    check()
+
+
+def test_blank_node_label_property(ray_session):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label = st.from_regex(r"[A-Za-z0-9_][A-Za-z0-9_-]{0,20}",
+                          fullmatch=True)
+
+    @settings(max_examples=100, deadline=None)
+    @given(label, label)
+    def check(a, b):
+        doc = (f'_:{a} <https://flu-crew.org/term/linked> _:{b} .\n')
+        assert parse_turtle_text(doc) == [
+            (f"_:{a}", "f:linked", f"_:{b}", "uri")]
+
+    check()
