@@ -253,3 +253,32 @@ def test_block_check_env_optout(monkeypatch):
     assert not plan.block_check_enabled()
     monkeypatch.setenv("OCTORAY_CHECK_BLOCKS", "1")
     assert plan.block_check_enabled()
+
+
+def test_dedup_fails_loudly_when_sort_splits(ray_session, monkeypatch):
+    """End-to-end guard: if a future Ray's sort re-chunks its output
+    (splitting a key run across blocks), the PRODUCTION dedup path
+    must raise BlockColocationError — never return a silently
+    under-deduplicated graph.  Simulated by wrapping Dataset.sort with
+    an order-preserving repartition (splits blocks mid-run)."""
+    import ray.data
+
+    from octoray.plan import BlockColocationError
+    from octoray.stages.canon import dedup_triples
+
+    orig = ray.data.Dataset.sort
+
+    def splitting_sort(self, *a, **k):
+        return orig(self, *a, **k).repartition(6)
+
+    monkeypatch.setattr(ray.data.Dataset, "sort", splitting_sort)
+    # one key repeated 1200x: any 6-way re-chunk MUST straddle it
+    t = pa.table({
+        "subject": pa.array(["s"] * 1200 + ["t", "u"]),
+        "predicate": pa.array(["p"] * 1202),
+        "object": pa.array(["o"] * 1200 + ["x", "y"]),
+        "object_datatype": pa.array([""] * 1202),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    with pytest.raises(BlockColocationError):
+        dedup_triples(ds).take_all()
