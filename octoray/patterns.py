@@ -900,7 +900,6 @@ def aggregate_bindings(bindings, group_vars: Sequence[str],
     layer); every aggregate is then block-local, exact, and VECTORIZED
     (pandas grouped kernels — no per-group Python dispatch; the only
     per-group call left is the C-level str.join of group_concat)."""
-    import os
 
     import numpy as np
     import pandas as pd

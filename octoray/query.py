@@ -320,65 +320,23 @@ def combined_groupby_count(ds, keys: Sequence[str], *, alias: str = "count"):
 
 
 def assert_block_colocation(ds, keys: Sequence[str]) -> None:
-    """Debug-only guard for the block-local grouping family: verify
-    that no key straddles two blocks of ``ds`` (the invariant
-    ``block_map_groups``/``_sorted_block_dedup`` rely on downstream of
-    a range-partitioned sort).  Complete check: collect each block's
-    (first, last) key tuple; blocks partition a sorted range, so
-    co-location holds iff after ordering blocks by first key, each
-    block's last key < the next block's first key.  Costs one extra
-    execution of ``ds`` — run it from tests or behind
-    OCTORAY_CHECK_BLOCKS=1, never in production paths.
-
-    This exists because one-block-per-sort-partition is an
-    UNDOCUMENTED Ray internal (holds on ray 2.49, pinned in
-    pyproject); if a future Ray splits sort outputs at
-    target_max_block_size, this check (and
-    tests/test_block_invariant.py) is what fails loudly instead of
-    dedup silently missing rows."""
-    keys = list(keys)
-
-    def bounds(t: pa.Table) -> pa.Table:
-        # keep native key types so the range ordering below matches the
-        # sort's own ordering (casting ints to strings would mis-order)
-        cols = {}
-        for k in keys:
-            typ = t.schema.field(k).type
-            arr = t.column(k)
-            vals_lo = [arr[0].as_py()] if t.num_rows else []
-            vals_hi = [arr[len(arr) - 1].as_py()] if t.num_rows else []
-            cols[f"_lo_{k}"] = pa.array(vals_lo, typ)
-            cols[f"_hi_{k}"] = pa.array(vals_hi, typ)
-        return pa.table(cols)
-
-    rows = ds.map_batches(bounds, batch_format="pyarrow", batch_size=None).take_all()
-    ranges = sorted(
-        (tuple(r[f"_lo_{k}"] for k in keys), tuple(r[f"_hi_{k}"] for k in keys))
-        for r in rows
-    )
-    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
-        if hi >= lo2:
-            raise AssertionError(
-                f"sorted-block co-location violated: key {hi!r} reaches "
-                f"into the next block starting at {lo2!r} — a Ray sort "
-                "partition was split; block-local grouping is unsafe here"
-            )
+    """Back-compat alias for :func:`octoray.plan.verify_block_colocation`
+    (the single implementation of the invariant check since round 5 —
+    the older native-typed copy here had diverged env semantics and
+    missed the empty-schema-less-block case)."""
+    plan.verify_block_colocation(ds, keys)
 
 
 def block_map_groups(ds, keys: Sequence[str], fn):
     """Apply ``fn`` per key-group WITHIN each block (pandas groupby —
     per-group dispatch ~100x cheaper than Ray's map_groups).  Caller
-    must guarantee all rows of a key share one block (e.g. downstream
-    of ``ds.sort(keys)``, whose range partitioning co-locates equal
-    keys — the invariant the canon dedup tests pin and
-    ``assert_block_colocation`` checks)."""
-    import os
-
+    must guarantee all rows of a key share one block — i.e. hand in
+    the output of :func:`octoray.plan.colocated_sort` (as
+    ``sorted_map_groups`` and every production caller do), which
+    verifies the invariant on by default."""
     import pandas as pd
 
     keys = list(keys)
-    if os.environ.get("OCTORAY_CHECK_BLOCKS"):
-        assert_block_colocation(ds, keys)
 
     def apply_block(df: "pd.DataFrame") -> "pd.DataFrame":
         if len(df) == 0:

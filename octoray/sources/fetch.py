@@ -81,6 +81,18 @@ class EntrezFetcher:
         with self.opener.open(url, timeout=self.timeout_s) as resp:
             return resp.read()
 
+    def _post(self, path: str, params: dict) -> bytes:
+        """Form-POST — efetch id lists go in the body, never the URL:
+        a 1000-accession sub-batch is ~11 KB, past every common GET
+        length cap (NCBI itself requires POST above ~200 ids)."""
+        url = f"{self.base_url}/{path}"
+        body = urllib.parse.urlencode(params).encode("ascii")
+        req = urllib.request.Request(
+            url, data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"})
+        with self.opener.open(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
     def fetch_ids(self, ids: Sequence[str]) -> List[str]:
         """All records for ``ids``, in id order — sub-batched with the
         reference's 10x / backoff retry per sub-batch
@@ -92,7 +104,7 @@ class EntrezFetcher:
             while True:
                 attempt += 1
                 try:
-                    payload = self._get("efetch.fcgi", {
+                    payload = self._post("efetch.fcgi", {
                         "db": "nucleotide", "id": ",".join(chunk),
                         "retmode": "json"})
                     out.extend(self.parse_response(payload))
@@ -134,7 +146,7 @@ def fetch_records(ids_ds, base_url: str, *, concurrency=2,
 
 def search_dates(base_url: str, mindate: str, maxdate: str, *,
                  retmax: int = 100_000,
-                 query: str = '"Influenza+A+Virus"[Organism]',
+                 query: str = '"Influenza A Virus"[Organism]',
                  timeout_s: float = 60.0,
                  sleep: Callable[[float], None] = time.sleep,
                  warn: Optional[Callable[[str], None]] = None) -> dict:

@@ -275,6 +275,7 @@ _SAFE_NL_RE = re.compile(
     r"|'''(?:[^'\\]|\\.|'{1,2}(?!'))*'''"
     r'|"(?:[^"\\\n]|\\.)*"'
     r"|'(?:[^'\\\n]|\\.)*'"
+    r"|<[^<>\s]*>"  # IRIs atomic: '#' in <...#frag> is NOT a comment
     r"|#[^\n]*"
     r"|\n")
 

@@ -20,7 +20,6 @@ the same contract as the SQL twin (group over kept lines).
 
 from __future__ import annotations
 
-import os
 
 import pandas as pd
 import pyarrow as pa

@@ -402,21 +402,16 @@ def kmeans_centroids(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    return_sample: bool = False,
-):
+) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained driver-side on a
     deterministic sample (the standard IVF recipe: training is tiny
     and centralized, ASSIGNMENT is the distributed part).  Returns a
     row-normalized (c, d) matrix; fully deterministic for a given
-    (corpus, seed).  ``return_sample=True`` additionally returns the
-    normalized training sample (callers that need a baseline statistic
-    over it — e.g. the IVF drift monitor — avoid a second sampling
-    pass)."""
+    (corpus, seed)."""
     S = _normalize(_sample_matrix(embeddings, sample_size=sample_size,
                                   id_col=id_col, vec_col=vec_col))
-    C = _train_spherical(S, n_centroids=n_centroids, n_iters=n_iters,
-                         seed=seed)
-    return (C, S) if return_sample else C
+    return _train_spherical(S, n_centroids=n_centroids,
+                            n_iters=n_iters, seed=seed)
 
 
 def _train_spherical(S: np.ndarray, *, n_centroids: int, n_iters: int,

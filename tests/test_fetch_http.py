@@ -36,10 +36,14 @@ class _SynthEntrez(http.server.BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def do_GET(self):
+    def do_POST(self):
+        # efetch id lists arrive as a form body (the production-safe
+        # shape — GET URLs cap out far below a 1000-id batch)
         srv = self.server
-        path, _, qs = self.path.partition("?")
-        params = dict(urllib.parse.parse_qsl(qs))
+        path = self.path.partition("?")[0]
+        n = int(self.headers.get("Content-Length", "0"))
+        params = dict(urllib.parse.parse_qsl(
+            self.rfile.read(n).decode("ascii")))
         srv.requests.append(path)
         if path.endswith("/efetch.fcgi"):
             if srv.fail_next > 0:
@@ -47,8 +51,16 @@ class _SynthEntrez(http.server.BaseHTTPRequestHandler):
                 self._send(500, {"error": "server overloaded"})
                 return
             ids = params["id"].split(",")
+            srv.max_id_batch = max(getattr(srv, "max_id_batch", 0), len(ids))
             self._send(200, {"records": synth_gb_records_for_ids(ids)})
             return
+        self._send(404, {"error": "no such endpoint"})
+
+    def do_GET(self):
+        srv = self.server
+        path, _, qs = self.path.partition("?")
+        params = dict(urllib.parse.parse_qsl(qs))
+        srv.requests.append(path)
         if path.endswith("/esearch.fcgi"):
             retmax = int(params["retmax"])
             count = srv.search_count
@@ -171,3 +183,14 @@ def test_cli_prep_gbids_over_http(ray_session, entrez_server, tmp_path,
     out2 = str(tmp_path / "gb_synth.ttl")
     assert main(["prep", "gbids", idf, "--out", out2]) == 0
     assert open(out2).read() == text
+
+
+def test_efetch_posts_large_batches(entrez_server):
+    """A full 1000-id sub-batch must travel as a POST body (GET URLs
+    cap out around 2-8 KB; NCBI requires POST above ~200 ids)."""
+    srv, base = entrez_server
+    f = EntrezFetcher(base, batch_size=1000, sleep=lambda s: None)
+    ids = [f"MK{100000 + i}" for i in range(1000)]
+    recs = f.fetch_ids(ids)
+    assert len(recs) == 1000
+    assert srv.max_id_batch == 1000  # one POST carried the whole batch

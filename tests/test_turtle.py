@@ -280,3 +280,21 @@ def test_blank_node_label_property(ray_session):
             (f"_:{a}", "f:linked", f"_:{b}", "uri")]
 
     check()
+
+
+def test_splitter_handles_fragment_iris():
+    """'#' inside an <IRI> must not start a comment in the splitter
+    (it swallowed the rest of the line, mis-classifying the newline
+    inside a following long literal as top-level — review r5)."""
+    from octoray.sources.turtle import _split_statements
+
+    doc = ""
+    for i in range(30):
+        doc += (f'<http://ex/doc#s{i}> <http://ex/ns#note> """line one.\n'
+                f'inner dot line.\nclosing {i}""" .\n')
+    want = parse_turtle_text(doc)
+    assert len(want) == 30
+    for target in (64, 256, 1024):
+        pieces = _split_statements(doc, target)
+        got = [r for p in pieces for r in parse_turtle_text(p)]
+        assert got == want, f"target={target}"
