@@ -298,3 +298,50 @@ def test_splitter_handles_fragment_iris():
         pieces = _split_statements(doc, target)
         got = [r for p in pieces for r in parse_turtle_text(p)]
         assert got == want, f"target={target}"
+
+
+def test_splitter_property(ray_session):
+    """Property: for ANY document assembled from random statement
+    shapes (fragment IRIs, long literals with raw newlines and inner
+    dots, comments, short strings, blank nodes), every split target
+    reparses to exactly the unsplit rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octoray.sources.turtle import _split_statements
+
+    word = st.from_regex(r"[a-z][a-z0-9]{0,8}", fullmatch=True)
+    content = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters='"\\'),
+        min_size=0, max_size=25)
+
+    @st.composite
+    def statement(draw):
+        i = draw(st.integers(0, 99))
+        shape = draw(st.integers(0, 4))
+        if shape == 0:
+            v = draw(content)
+            return f'<http://ex/doc#s{i}> <http://ex/ns#note> """{v}""" .'
+        if shape == 1:
+            v = draw(word)
+            return f'<http://ex/d{i}> <http://ex/p> "{v}" .'
+        if shape == 2:
+            return f"# comment {draw(word)} with a dot."
+        if shape == 3:
+            return f'_:b{i} <http://ex/p> _:c{i} .'
+        v = draw(word)
+        return (f'<http://ex/doc#s{i}> <http://ex/ns#a> "{v}" ;\n'
+                f'    <http://ex/ns#b> {draw(st.integers(0, 9))} .')
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(statement(), min_size=1, max_size=12),
+           st.sampled_from([32, 128, 512]))
+    def check(stmts, target):
+        doc = "\n".join(stmts) + "\n"
+        want = parse_turtle_text(doc)
+        pieces = _split_statements(doc, target)
+        got = [r for p in pieces for r in parse_turtle_text(p)]
+        assert got == want
+
+    check()
