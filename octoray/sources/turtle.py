@@ -22,11 +22,14 @@ Grammar subset — covers this engine's own sink output
   labelled blank nodes ``_:name`` as subject or object (labels kept
   verbatim — deterministic and roundtrippable; labels are file-scoped
   in the spec, so cross-file label reuse merges, as with any skolem
-  scheme); ``#`` comments.
+  scheme); ANONYMOUS blank nodes ``[ pred obj ; ... ]`` as subject or
+  object, including nesting — skolemized to labels derived from the
+  enclosing statement's source text, so parallel piece-parsing yields
+  byte-identical graphs; ``#`` comments.
 
-Anonymous blank nodes ``[...]`` and collections ``(...)`` raise — the
-emitters this engine pairs with never produce them (documented
-capability boundary, like the xlsx codec gate).
+Collections ``(...)`` raise — the emitters this engine pairs with
+never produce rdf:Lists (documented capability boundary, like the
+xlsx codec gate).
 """
 
 from __future__ import annotations
@@ -117,9 +120,9 @@ class _Lexer:
             kind = m.lastgroup
             if kind == "WS" or kind == "COMMENT":
                 continue
-            if kind == "PUNCT" and m.group() in "()[]":
+            if kind == "PUNCT" and m.group() in "()":
                 raise TurtleError(
-                    f"anonymous blank nodes / collections not supported "
+                    f"collections not supported "
                     f"(offset {m.start()}: {m.group()!r})")
             append((kind, m.group(), m.start()))
         if pos != len(text):
@@ -169,10 +172,33 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
         raise TurtleError(f"expected IRI term at offset {pos}, "
                           f"got {txt!r}")
 
+    # anonymous blank nodes: triples inside [ ... ] land in the current
+    # statement's buffer under a placeholder; when the statement's '.'
+    # is reached the placeholder becomes a DETERMINISTIC label derived
+    # from the statement's own text (md5 of the exact source slice +
+    # position) — identical whether the statement is parsed from the
+    # whole file or from a splitter piece, so parallel parsing yields
+    # byte-identical graphs.  (Two byte-identical statements therefore
+    # share labels; their triples are lexically identical anyway and
+    # collapse in dedup — documented skolemization semantics.)
+    stmt_rows: List[Tuple[str, str, str, str]] = []
+    anon_n = [0]
+
+    def anon_node() -> str:
+        lx.expect("PUNCT", "[")
+        ph = f"\x00anon{anon_n[0]}\x00"
+        anon_n[0] += 1
+        if not (lx.peek()[0] == "PUNCT" and lx.peek()[1] == "]"):
+            predicate_object_list(ph)
+        lx.expect("PUNCT", "]")
+        return ph
+
     def subject_term() -> str:
         # labelled blank node allowed as subject; label kept verbatim
         if lx.peek()[0] == "BNODE":
             return lx.next()[1]
+        if lx.peek()[0] == "PUNCT" and lx.peek()[1] == "[":
+            return anon_node()
         return iri_term()
 
     def object_term() -> Tuple[str, str]:
@@ -182,6 +208,8 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
             # any other node-valued object (the store is lexical)
             lx.next()
             return txt, DT_URI
+        if kind == "PUNCT" and txt == "[":
+            return anon_node(), DT_URI
         if kind == "LONGSTRING":
             lx.next()
             val = _unescape(txt[3:-3])  # raw newlines preserved
@@ -216,6 +244,40 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
             return val, DT_PLAIN
         return iri_term(), DT_URI
 
+    def predicate_object_list(subj: str) -> None:
+        while True:
+            pred = iri_term()
+            while True:
+                obj, dt = object_term()
+                stmt_rows.append((subj, pred, obj, dt))
+                if lx.peek()[0] == "PUNCT" and lx.peek()[1] == ",":
+                    lx.next()
+                    continue
+                break
+            k2, t2, _ = lx.peek()
+            if k2 == "PUNCT" and t2 == ";":
+                lx.next()
+                # rdflib emits trailing ';' before '.' / ']'; tolerate
+                if lx.peek()[0] == "PUNCT" and lx.peek()[1] in ".]":
+                    break
+                continue
+            break
+
+    def flush_statement(stmt_start: int, dot_pos: int) -> None:
+        if anon_n[0]:
+            import hashlib
+
+            base = hashlib.md5(
+                text[stmt_start:dot_pos + 1].encode("utf-8")).hexdigest()[:12]
+            sub = {f"\x00anon{k}\x00": f"_:a{base}n{k}"
+                   for k in range(anon_n[0])}
+            rows.extend((sub.get(s, s), p, sub.get(o, o), dt)
+                        for s, p, o, dt in stmt_rows)
+            anon_n[0] = 0
+        else:
+            rows.extend(stmt_rows)
+        stmt_rows.clear()
+
     while True:
         kind, txt, pos = lx.peek()
         if kind == "EOF":
@@ -234,24 +296,13 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
         if kind == "AT" and txt.lower() == "@base":
             raise TurtleError("@base not supported (use absolute IRIs)")
         subj = subject_term()
-        while True:
-            pred = iri_term()
-            while True:
-                obj, dt = object_term()
-                rows.append((subj, pred, obj, dt))
-                if lx.peek()[0] == "PUNCT" and lx.peek()[1] == ",":
-                    lx.next()
-                    continue
-                break
-            k2, t2, _ = lx.peek()
-            if k2 == "PUNCT" and t2 == ";":
-                lx.next()
-                # rdflib emits trailing ';' before '.'; tolerate it
-                if lx.peek()[0] == "PUNCT" and lx.peek()[1] == ".":
-                    break
-                continue
-            break
-        lx.expect("PUNCT", ".")
+        # `[ props ] .` — an anon SUBJECT's bracket list may be the
+        # whole statement (Turtle blankNodePropertyList grammar)
+        if not (subj.startswith("\x00") and lx.peek()[0] == "PUNCT"
+                and lx.peek()[1] == "."):
+            predicate_object_list(subj)
+        dot = lx.expect("PUNCT", ".")
+        flush_statement(pos, dot[2])
     return rows
 
 

@@ -72,13 +72,60 @@ def test_parse_sparql_style_prefix():
 
 
 @pytest.mark.parametrize("bad", [
-    '<http://s> <http://p> [ <http://q> "v" ] .',
     '<http://s> <http://p> ("a" "b") .',
     "@base <http://ex/> .",
 ])
 def test_parse_rejects_out_of_subset(bad):
     with pytest.raises(TurtleError):
         parse_turtle_text(bad)
+
+
+def test_parse_anonymous_blank_nodes():
+    """[ pred obj ; ... ] as object (nested) and as subject; labels
+    are skolemized from the statement's own source text."""
+    doc = "\n".join([
+        "@prefix f: <https://flu-crew.org/term/> .",
+        '<https://flu-crew.org/id/x> f:loc [ f:country "usa" ;',
+        '    f:nested [ f:state "IA" ] ] .',
+        '[ f:host "swine" ] .',
+        '[ f:host "human" ] f:note "tail" .',
+    ])
+    rows = parse_turtle_text(doc)
+    by_pred = {(p, o) for _, p, o, _ in rows}
+    assert ("f:country", "usa") in by_pred
+    assert ("f:state", "IA") in by_pred
+    assert ("f:host", "swine") in by_pred and ("f:note", "tail") in by_pred
+    # the nested edge points from the outer anon to the inner anon
+    outer = next(s for s, p, o, _ in rows if p == "f:country")
+    inner = next(o for s, p, o, dt in rows
+                 if p == "f:nested" and dt == "uri")
+    assert outer.startswith("_:a") and inner.startswith("_:a")
+    assert outer != inner
+    assert next(s for s, p, _, _ in rows if p == "f:nested") == outer
+    # anon-subject statements got DISTINCT labels (different source)
+    swine = next(s for s, p, o, _ in rows if o == "swine")
+    human = next(s for s, p, o, _ in rows if o == "human")
+    assert swine != human
+
+
+def test_anon_labels_stable_across_splitting():
+    """Skolem labels derive from statement text, so parsing pieces
+    yields the SAME rows as parsing the whole document."""
+    from octoray.sources.turtle import _split_statements
+
+    doc_lines = ["@prefix f: <https://flu-crew.org/term/> ."]
+    for i in range(30):
+        doc_lines.append(
+            f'<https://flu-crew.org/id/s{i}> f:loc [ f:country "c{i}" ;\n'
+            f'    f:inner [ f:state "st{i}" ] ] ;\n'
+            f'    f:note """dot line.\nmore {i}""" .')
+    doc = "\n".join(doc_lines) + "\n"
+    want = parse_turtle_text(doc)
+    assert len(want) == 150
+    for target in (64, 512, 10**9):
+        pieces = _split_statements(doc, target)
+        got = [r for p in pieces for r in parse_turtle_text(p)]
+        assert got == want, f"target={target}"
 
 
 def test_parse_long_literals_and_blank_nodes():
