@@ -443,6 +443,16 @@ def synth_foreign_turtle(n: int, seed: int = 42) -> Tuple[str, pa.Table]:
         emit(f"fid:doc{i}", "f:linked", f"_:b{i}", "uri")
         doc.append(f'_:b{i} flu:host "swine" .')
         emit(f"_:b{i}", "f:host", "swine", "")
+        # anonymous blank node: the parser skolemizes to a label
+        # derived from md5 of the statement's exact source text — the
+        # expectation derives the SAME label independently here
+        import hashlib
+
+        stmt = f'ex:doc{i} flu:site [ flu:country "c{i}" ] .'
+        doc.append(stmt)
+        anon = "_:a" + hashlib.md5(stmt.encode()).hexdigest()[:12] + "n0"
+        emit(anon, "f:country", f"c{i}", "")
+        emit(f"fid:doc{i}", "f:site", anon, "uri")
     expected = pa.table({
         "subject": pa.array(subs, pa.string()),
         "predicate": pa.array(preds, pa.string()),
