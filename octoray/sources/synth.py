@@ -453,6 +453,16 @@ def synth_foreign_turtle(n: int, seed: int = 42) -> Tuple[str, pa.Table]:
         anon = "_:a" + hashlib.md5(stmt.encode()).hexdigest()[:12] + "n0"
         emit(anon, "f:country", f"c{i}", "")
         emit(f"fid:doc{i}", "f:site", anon, "uri")
+        # collection: rdf:List cons cells on the same skolem scheme
+        stmt = f'ex:doc{i} flu:tags ("t{i}" "u{i}") .'
+        doc.append(stmt)
+        b = hashlib.md5(stmt.encode()).hexdigest()[:12]
+        c0, c1 = f"_:a{b}n0", f"_:a{b}n1"
+        emit(c0, "rdf:first", f"t{i}", "")
+        emit(c0, "rdf:rest", c1, "uri")
+        emit(c1, "rdf:first", f"u{i}", "")
+        emit(c1, "rdf:rest", "rdf:nil", "uri")
+        emit(f"fid:doc{i}", "f:tags", c0, "uri")
     expected = pa.table({
         "subject": pa.array(subs, pa.string()),
         "predicate": pa.array(preds, pa.string()),

@@ -25,11 +25,14 @@ Grammar subset — covers this engine's own sink output
   scheme); ANONYMOUS blank nodes ``[ pred obj ; ... ]`` as subject or
   object, including nesting — skolemized to labels derived from the
   enclosing statement's source text, so parallel piece-parsing yields
-  byte-identical graphs; ``#`` comments.
+  byte-identical graphs; collections ``( ... )`` as rdf:List cons
+  cells (rdf:first/rdf:rest/rdf:nil) on the same skolem scheme;
+  ``@base``/``BASE`` with RFC 3986 relative-IRI resolution (urljoin);
+  ``#`` comments.
 
-Collections ``(...)`` raise — the emitters this engine pairs with
-never produce rdf:Lists (documented capability boundary, like the
-xlsx codec gate).
+This is the full everyday Turtle surface; the one deliberate
+difference from rdflib is the lexical store itself (language tags
+dropped, datatypes kept as written).
 """
 
 from __future__ import annotations
@@ -120,10 +123,6 @@ class _Lexer:
             kind = m.lastgroup
             if kind == "WS" or kind == "COMMENT":
                 continue
-            if kind == "PUNCT" and m.group() in "()":
-                raise TurtleError(
-                    f"collections not supported "
-                    f"(offset {m.start()}: {m.group()!r})")
             append((kind, m.group(), m.start()))
         if pos != len(text):
             raise TurtleError(
@@ -148,11 +147,28 @@ class _Lexer:
         return t
 
 
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
 def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
     """Turtle document -> [(s, p, o, dt)] rows, prefix-normalized."""
     lx = _Lexer(text)
     prefixes: Dict[str, str] = {}
+    base: List[Optional[str]] = [None]
     rows: List[Tuple[str, str, str, str]] = []
+
+    def resolve_iri(raw: str, pos: int) -> str:
+        """<...> content -> absolute IRI: relative references resolve
+        against the in-scope @base per RFC 3986 (urljoin)."""
+        if _SCHEME_RE.match(raw):
+            return raw
+        if base[0] is None:
+            raise TurtleError(
+                f"relative IRI <{raw}> at offset {pos} with no @base "
+                "in scope")
+        from urllib.parse import urljoin
+
+        return urljoin(base[0], raw)
 
     def resolve_pname(txt: str) -> str:
         pfx, _, local = txt.partition(":")
@@ -164,7 +180,7 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
     def iri_term() -> str:
         kind, txt, pos = lx.next()
         if kind == "IRI":
-            return _abbrev(txt[1:-1])
+            return _abbrev(resolve_iri(txt[1:-1], pos))
         if kind == "PNAME":
             return resolve_pname(txt)
         if kind == "NAME" and txt == "a":
@@ -193,12 +209,36 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
         lx.expect("PUNCT", "]")
         return ph
 
+    def collection() -> Tuple[str, str]:
+        """( o1 o2 ... ) -> rdf:List cons cells on skolem anon nodes
+        (rdf:first/rdf:rest/rdf:nil); () is rdf:nil itself."""
+        lx.expect("PUNCT", "(")
+        items: List[Tuple[str, str]] = []
+        while not (lx.peek()[0] == "PUNCT" and lx.peek()[1] == ")"):
+            if lx.peek()[0] == "EOF":
+                raise TurtleError("unterminated collection")
+            items.append(object_term())
+        lx.expect("PUNCT", ")")
+        if not items:
+            return "rdf:nil", DT_URI
+        cells = []
+        for _ in items:
+            cells.append(f"\x00anon{anon_n[0]}\x00")
+            anon_n[0] += 1
+        for idx, ((obj, dt), cell) in enumerate(zip(items, cells)):
+            stmt_rows.append((cell, "rdf:first", obj, dt))
+            nxt = cells[idx + 1] if idx + 1 < len(cells) else "rdf:nil"
+            stmt_rows.append((cell, "rdf:rest", nxt, DT_URI))
+        return cells[0], DT_URI
+
     def subject_term() -> str:
         # labelled blank node allowed as subject; label kept verbatim
         if lx.peek()[0] == "BNODE":
             return lx.next()[1]
         if lx.peek()[0] == "PUNCT" and lx.peek()[1] == "[":
             return anon_node()
+        if lx.peek()[0] == "PUNCT" and lx.peek()[1] == "(":
+            return collection()[0]
         return iri_term()
 
     def object_term() -> Tuple[str, str]:
@@ -210,6 +250,8 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
             return txt, DT_URI
         if kind == "PUNCT" and txt == "[":
             return anon_node(), DT_URI
+        if kind == "PUNCT" and txt == "(":
+            return collection()
         if kind == "LONGSTRING":
             lx.next()
             val = _unescape(txt[3:-3])  # raw newlines preserved
@@ -287,14 +329,25 @@ def parse_turtle_text(text: str) -> List[Tuple[str, str, str, str]]:
             sparql_style = kind == "NAME"
             lx.next()
             p = lx.expect("PNAME")[1]
-            iri = lx.expect("IRI")[1]
+            iri = lx.expect("IRI")
             prefixes[p[:-1] if p.endswith(":") else p.partition(":")[0]] = \
-                iri[1:-1]
+                resolve_iri(iri[1][1:-1], iri[2])
             if not sparql_style:
                 lx.expect("PUNCT", ".")
             continue
-        if kind == "AT" and txt.lower() == "@base":
-            raise TurtleError("@base not supported (use absolute IRIs)")
+        if (kind == "AT" and txt.lower() == "@base") or \
+                (kind == "NAME" and txt.upper() == "BASE"):
+            sparql_style = kind == "NAME"
+            lx.next()
+            iri = lx.expect("IRI")
+            base[0] = resolve_iri(iri[1][1:-1], iri[2]) \
+                if base[0] is not None else iri[1][1:-1]
+            if not _SCHEME_RE.match(base[0]):
+                raise TurtleError(
+                    f"@base must be an absolute IRI, got <{base[0]}>")
+            if not sparql_style:
+                lx.expect("PUNCT", ".")
+            continue
         subj = subject_term()
         # `[ props ] .` — an anon SUBJECT's bracket list may be the
         # whole statement (Turtle blankNodePropertyList grammar)

@@ -72,12 +72,47 @@ def test_parse_sparql_style_prefix():
 
 
 @pytest.mark.parametrize("bad", [
-    '<http://s> <http://p> ("a" "b") .',
-    "@base <http://ex/> .",
+    "<http://s> <http://p> <rel/no-base> .",   # relative IRI, no @base
+    '<http://s> <http://p> ("open .',          # unterminated collection
 ])
 def test_parse_rejects_out_of_subset(bad):
     with pytest.raises(TurtleError):
         parse_turtle_text(bad)
+
+
+def test_parse_collections_and_base():
+    doc = "\n".join([
+        "@base <http://ex/data/> .",
+        "@prefix f: <https://flu-crew.org/term/> .",
+        '<rel/x> f:tags ("a" "b") ;',
+        "        f:empty () .",
+        '<../up> f:host "swine" .',
+    ])
+    rows = parse_turtle_text(doc)
+    firsts = [(s, o, dt) for s, p, o, dt in rows if p == "rdf:first"]
+    rests = [(s, o) for s, p, o, dt in rows if p == "rdf:rest"]
+    assert [o for _, o, _ in firsts] == ["a", "b"]
+    cell1, cell2 = firsts[0][0], firsts[1][0]
+    assert rests == [(cell1, cell2), (cell2, "rdf:nil")]
+    assert ("http://ex/data/rel/x", "f:tags", cell1, "uri") in rows
+    assert ("http://ex/data/rel/x", "f:empty", "rdf:nil", "uri") in rows
+    # RFC 3986 dot-segment resolution via urljoin
+    assert ("http://ex/up", "f:host", "swine", "") in rows
+
+
+def test_collection_labels_stable_across_splitting():
+    from octoray.sources.turtle import _split_statements
+
+    doc_lines = ["@base <http://ex/> .",
+                 "@prefix f: <https://flu-crew.org/term/> ."]
+    for i in range(25):
+        doc_lines.append(f'<d{i}> f:tags ("t{i}" "u{i}" [ f:k "v{i}" ]) .')
+    doc = "\n".join(doc_lines) + "\n"
+    want = parse_turtle_text(doc)
+    for target in (64, 512, 10**9):
+        pieces = _split_statements(doc, target)
+        got = [r for p in pieces for r in parse_turtle_text(p)]
+        assert got == want, f"target={target}"
 
 
 def test_parse_anonymous_blank_nodes():
