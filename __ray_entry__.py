@@ -2963,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_calibration": lambda sf: T.quality_calibration(
             _docs(sf), n_tiles=10),
         "bigram_logprob": lambda sf: T.bigram_logprob(_docs(sf)),
+        "lm_quality_select": lambda sf: T.lm_quality_select(_docs(sf)),
         "repetition_stats": repetition_stats,
         "decontaminate": decontaminate,
         "top_ngrams": top_ngrams,
@@ -3064,6 +3065,44 @@ def _stop_pattern(lang: str) -> str:
     from octoray.stages.textops import lang_pattern
 
     return lang_pattern(lang)
+
+
+def _sql_bigram_scored() -> str:
+    """Shared CTE chain: per-doc bigram-LM mean logprob over the
+    documents view (the bigram_logprob oracle), ending at ``scored``
+    so composed oracles (lm_quality_select) append their own tail."""
+    return rf"""
+        WITH tok AS (SELECT doc_id, word, wi FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '\S+')) AS word,
+                   generate_subscripts(
+                       regexp_extract_all(text, '\S+'), 1) AS wi
+            FROM documents)),
+        uni AS (SELECT word, CAST(count(*) AS DOUBLE) AS n1
+                FROM tok GROUP BY word),
+        tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS n FROM uni),
+        bi AS (SELECT l.doc_id, l.word AS lw, r.word AS rw
+               FROM tok l JOIN tok r
+                 ON r.doc_id = l.doc_id AND r.wi = l.wi + 1),
+        bcnt AS (SELECT lw, rw, CAST(count(*) AS DOUBLE) AS n2
+                 FROM bi GROUP BY lw, rw),
+        lcnt AS (SELECT lw, CAST(sum(n2) AS DOUBLE) AS nl
+                 FROM bcnt GROUP BY lw),
+        terms AS (
+          SELECT t.doc_id, ln(u.n1 / tot.n) AS lp
+          FROM tok t JOIN uni u ON t.word = u.word
+               CROSS JOIN tot
+          WHERE t.wi = 1
+          UNION ALL
+          SELECT b.doc_id, ln(c.n2 / l.nl)
+          FROM bi b JOIN bcnt c ON b.lw = c.lw AND b.rw = c.rw
+               JOIN lcnt l ON b.lw = l.lw
+        ),
+        scored AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 {_rnd('avg(lp)', 6)} AS mean_logprob
+          FROM terms GROUP BY doc_id)
+    """
 
 
 def _rnd(expr: str, d: int) -> str:
@@ -3944,36 +3983,16 @@ def oracle_sql() -> dict[str, str]:
                    max(lp.n_tokens) AS max_tokens
             FROM t JOIN lp USING (doc_id) GROUP BY t.tier
         """,
-        "bigram_logprob": rf"""
-            WITH tok AS (SELECT doc_id, word, wi FROM (
-                SELECT doc_id,
-                       unnest(regexp_extract_all(text, '\S+')) AS word,
-                       generate_subscripts(
-                           regexp_extract_all(text, '\S+'), 1) AS wi
-                FROM documents)),
-            uni AS (SELECT word, CAST(count(*) AS DOUBLE) AS n1
-                    FROM tok GROUP BY word),
-            tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS n FROM uni),
-            bi AS (SELECT l.doc_id, l.word AS lw, r.word AS rw
-                   FROM tok l JOIN tok r
-                     ON r.doc_id = l.doc_id AND r.wi = l.wi + 1),
-            bcnt AS (SELECT lw, rw, CAST(count(*) AS DOUBLE) AS n2
-                     FROM bi GROUP BY lw, rw),
-            lcnt AS (SELECT lw, CAST(sum(n2) AS DOUBLE) AS nl
-                     FROM bcnt GROUP BY lw),
-            terms AS (
-              SELECT t.doc_id, ln(u.n1 / tot.n) AS lp
-              FROM tok t JOIN uni u ON t.word = u.word
-                   CROSS JOIN tot
-              WHERE t.wi = 1
-              UNION ALL
-              SELECT b.doc_id, ln(c.n2 / l.nl)
-              FROM bi b JOIN bcnt c ON b.lw = c.lw AND b.rw = c.rw
-                   JOIN lcnt l ON b.lw = l.lw
-            )
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                   {_rnd('avg(lp)', 6)} AS mean_logprob
-            FROM terms GROUP BY doc_id
+        "bigram_logprob": _sql_bigram_scored()
+        + " SELECT doc_id, n_tokens, mean_logprob FROM scored",
+        "lm_quality_select": _sql_bigram_scored() + """
+            , t AS (SELECT doc_id, n_tokens, mean_logprob,
+                           CAST(ntile(4) OVER (
+                               ORDER BY mean_logprob, doc_id) AS BIGINT)
+                           AS tier
+                    FROM scored)
+            SELECT doc_id, n_tokens, mean_logprob, tier
+            FROM t WHERE tier > 1
         """,
         "kg_triangles": f"""
             WITH raw AS (SELECT DISTINCT subject, object FROM {Q.rpd('kg_tri_raw')}

@@ -112,6 +112,7 @@ SUITE = [
     "bpe_encode",
     "kg_path_star",
     "bigram_logprob",
+    "lm_quality_select",
     # round-3 (cont.): context-report shape, numeric/implicit-group
     # aggregates, negated property sets, nested subqueries
     "sparql_context",

@@ -1343,6 +1343,69 @@ def ntile_tiers(docs, n_tiles: int = 4, *, order_col: str = "n_chars",
     return ranked.map_batches(tier, batch_format="pyarrow")
 
 
+def lm_quality_select(docs, *, n_tiles: int = 4, drop_tiers: int = 1,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """LM-perplexity quality selection (the CCNet/KenLM curation cut):
+    score every document with :func:`bigram_logprob`, split the corpus
+    into ``n_tiles`` global quantile buckets by (mean_logprob, id)
+    ascending — tier 1 = highest perplexity / worst — and DROP the
+    lowest ``drop_tiers`` buckets.  Output: (doc_id, n_tokens,
+    mean_logprob, tier) for every KEPT document; attaching text is one
+    broadcast semi-join on doc_id for callers that need the payload.
+
+    Ranking rides the same one-sort prefix-sum plan as
+    :func:`ntile_tiers`, with an integer surrogate of the score
+    (mean_logprob is exact at 6 decimals, so round(lp*1e6) is
+    order-faithful; a fixed shift keeps the zero-padded sort key
+    positive).  Exactly DuckDB's NTILE ordered by
+    (mean_logprob, doc_id)."""
+    import numpy as np
+
+    from octoray.query import sorted_prefix_sum
+
+    scores = bigram_logprob(docs, id_col=id_col, text_col=text_col)
+
+    def key(df):
+        import pandas as pd
+
+        lp6 = (np.rint(df["mean_logprob"].to_numpy(dtype=np.float64)
+                       * 1e6).astype(np.int64) + 10 ** 12)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_tokens": df["n_tokens"],
+            "mean_logprob": df["mean_logprob"],
+            "_sk": (pd.Series(lp6).astype(str).str.zfill(16) + ":" +
+                    df[id_col].astype(np.int64).astype(str).str.zfill(12)
+                    ).to_numpy(),
+            "_one": 1,
+        })
+
+    keyed = scores.map_batches(key, batch_format="pandas")
+    ranked = sorted_prefix_sum(keyed, "_one", order_col="_sk",
+                               alias="_rank0")
+    n = scores.count()
+    size, big = divmod(n, n_tiles) if n else (0, 0)
+    boundary = big * (size + 1)
+
+    def tier(t: pa.Table) -> pa.Table:
+        r = t.column("_rank0").to_numpy(zero_copy_only=False)
+        if size == 0:
+            tr = r + 1
+        else:
+            tr = np.where(r < boundary, r // (size + 1),
+                          big + (r - boundary) // size) + 1
+        out = pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": t.column("n_tokens"),
+            "mean_logprob": t.column("mean_logprob"),
+            "tier": pa.array(tr.astype(np.int64), pa.int64()),
+        })
+        return out.filter(pc.greater(out.column("tier"),
+                                     pa.scalar(drop_tiers)))
+
+    return ranked.map_batches(tier, batch_format="pyarrow")
+
+
 def dsir_select(docs, *, target_source: str, quota: int,
                 n_buckets: int = 1024, id_col: str = "doc_id",
                 text_col: str = "text", source_col: str = "source"):

@@ -122,3 +122,26 @@ def test_winnow_brute_and_guarantee(ray_session):
         assert got.get(did, set()) == brute(text), did
     # winnowing guarantee: docs sharing the block share >= 1 fingerprint
     assert got["d0"] & got["d2"] & got["d4"] & got["d6"]
+
+
+def test_lm_quality_select_partitions(ray_session):
+    """The LM quality cut keeps exactly the top 3 of 4 NTILE buckets:
+    kept count == n - ntile1 size, kept scores are >= every dropped
+    score (ties broken by id), and tiers are 2..4."""
+    import ray.data as rd
+
+    from octoray.stages.textops import bigram_logprob, lm_quality_select
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    all_scores = {r["doc_id"]: r["mean_logprob"]
+                  for r in bigram_logprob(docs).take_all()}
+    kept = lm_quality_select(docs).take_all()
+    n = len(all_scores)
+    tile1 = n // 4 + (1 if n % 4 else 0)
+    assert len(kept) == n - tile1
+    assert {r["tier"] for r in kept} <= {2, 3, 4}
+    kept_ids = {r["doc_id"] for r in kept}
+    dropped = sorted((v, k) for k, v in all_scores.items()
+                     if k not in kept_ids)
+    worst_kept = min((all_scores[i], i) for i in kept_ids)
+    assert dropped[-1] < worst_kept  # strict (score, id) order boundary
