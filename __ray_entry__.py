@@ -114,6 +114,21 @@ def _kg_raw(sf_dir: str, dump_name: str):
     return raw
 
 
+def _q_tier_balanced_sample(sf_dir: str):
+    """Curriculum-balancing curation primitive: equal-sized
+    deterministic samples from every quality tier — global NTILE(4)
+    over (n_chars, doc_id), then the md5 bottom-k rows per tier (the
+    engine's hash-as-randomness convention, reproducible run-to-run
+    and engine-to-oracle).  Composition of two verified pieces:
+    textops.ntile_tiers -> query.group_sample."""
+    from octoray.query import group_sample
+    from octoray.stages.textops import ntile_tiers
+
+    tiers = ntile_tiers(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]), 4)
+    return group_sample(tiers, ["tier"], "doc_id", k=8)
+
+
 def _q_kg_build(sf_dir: str):
     from octoray.stages.canon import canonicalize
 
@@ -2897,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "octoray.stages.textops", fromlist=["ntile_tiers"]
         ).ntile_tiers(
             _docs(sf).select_columns(["doc_id", "n_chars"]), 4),
+        "tier_balanced_sample": _q_tier_balanced_sample,
         "top_pmi_bigrams": lambda sf: __import__(
             "octoray.stages.textops", fromlist=["top_pmi_bigrams"]
         ).top_pmi_bigrams(_docs(sf), k=20, min_count=5),
@@ -3365,6 +3381,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
                         AS BIGINT) AS tier
             FROM documents
+        """,
+        "tier_balanced_sample": """
+            WITH t AS (SELECT doc_id, n_chars,
+                              CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
+                                   AS BIGINT) AS tier
+                       FROM documents),
+            r AS (SELECT doc_id, n_chars, tier,
+                         row_number() OVER (
+                             PARTITION BY tier
+                             ORDER BY md5_number_lower(
+                                 CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                  FROM t)
+            SELECT doc_id, n_chars, tier FROM r WHERE rn <= 8
         """,
         "event_transitions": """
             WITH s AS (SELECT user_id, event_type,

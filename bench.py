@@ -141,6 +141,7 @@ SUITE = [
     "top_pmi_bigrams",
     "event_transitions",
     "quality_tiers",
+    "tier_balanced_sample",
     "approx_quantiles",
     "dsir_weights",
     "normalize_text",
