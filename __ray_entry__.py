@@ -2980,6 +2980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), n_tiles=10),
         "bigram_logprob": lambda sf: T.bigram_logprob(_docs(sf)),
         "lm_quality_select": lambda sf: T.lm_quality_select(_docs(sf)),
+        "perplexity_by_language": lambda sf: T.perplexity_by_language(_docs(sf)),
         "repetition_stats": repetition_stats,
         "decontaminate": decontaminate,
         "top_ngrams": top_ngrams,
@@ -4014,6 +4015,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bigram_logprob": _sql_bigram_scored()
         + " SELECT doc_id, n_tokens, mean_logprob FROM scored",
+        "perplexity_by_language": _sql_bigram_scored() + f"""
+            , l AS ({lang_sql})
+            SELECT l.pred_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   {_rnd("sum(CAST(round(mean_logprob * 1e6) AS BIGINT))"
+                          " / count(*) / 1e6", 6)} AS mean_logprob
+            FROM scored JOIN l USING (doc_id)
+            GROUP BY l.pred_lang
+        """,
         "lm_quality_select": _sql_bigram_scored() + """
             , t AS (SELECT doc_id, n_tokens, mean_logprob,
                            CAST(ntile(4) OVER (

@@ -113,6 +113,7 @@ SUITE = [
     "kg_path_star",
     "bigram_logprob",
     "lm_quality_select",
+    "perplexity_by_language",
     # round-3 (cont.): context-report shape, numeric/implicit-group
     # aggregates, negated property sets, nested subqueries
     "sparql_context",

@@ -1406,6 +1406,60 @@ def lm_quality_select(docs, *, n_tiles: int = 4, drop_tiers: int = 1,
     return ranked.map_batches(tier, batch_format="pyarrow")
 
 
+def perplexity_by_language(docs, *, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Per-language LM quality profile (the CCNet per-language
+    perplexity bucketing step): language-ID each document, score it
+    with :func:`bigram_logprob`, and report (pred_lang, n_docs,
+    mean_logprob) — the dashboard a multilingual curation run uses to
+    pick per-language cutoffs.
+
+    Cross-engine float exactness: each doc score is exact at 6
+    decimals, so the per-language mean is computed over int64
+    MICRO-units (round(lp*1e6)) — integer sums are associative, so
+    the result is identical at any parallelism and to the SQL twin.
+    Plan: one doc-keyed join (stats-gated broadcast/merge), per-block
+    (lang, sum_micro, n) partials, one slim sort-sum."""
+    import numpy as np
+
+    from octoray.plan import colocated_sort
+    from octoray.query import hash_join
+    from octoray.util import round_half_up
+
+    scores = bigram_logprob(docs, id_col=id_col, text_col=text_col)
+    langs = docs.map_batches(lang_id_batch, batch_format="pyarrow") \
+        .map_batches(lambda t: t.select([id_col, "pred_lang"]),
+                     batch_format="pyarrow")
+    j = hash_join(langs, scores, on=id_col)
+
+    def partial(df):
+        import pandas as pd
+
+        micro = np.rint(df["mean_logprob"].to_numpy(dtype=np.float64)
+                        * 1e6).astype(np.int64)
+        g = pd.DataFrame({"pred_lang": df["pred_lang"], "_m": micro,
+                          "_n": 1}).groupby("pred_lang", sort=False,
+                                            as_index=False).sum()
+        return g
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["pred_lang"], use_threads=False).aggregate(
+            [("_m", "sum"), ("_n", "sum")])
+        g = g.rename_columns(["pred_lang", "_m", "_n"])
+        m = g.column("_m").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = g.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "pred_lang": g.column("pred_lang"),
+            "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+            "mean_logprob": round_half_up(
+                pa.array(m / n / 1e6, pa.float64()), 6),
+        })
+
+    pre = j.map_batches(partial, batch_format="pandas")
+    return colocated_sort(pre, ["pred_lang"]).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
 def dsir_select(docs, *, target_source: str, quota: int,
                 n_buckets: int = 1024, id_col: str = "doc_id",
                 text_col: str = "text", source_col: str = "source"):
